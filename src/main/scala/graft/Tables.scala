@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry for the driver-provided TPC-H-ish parquet corpus
+  * (/root/repo/TESTDATA.md). Registers one temp view per table so both the
+  * DataFrame API and `spark.sql` see the same relations the DuckDB oracle
+  * sees. Registration is memoized per (session, dir) — repeated query calls
+  * don't re-read parquet footers.
+  *
+  * Scale note: these are plain parquet scans; Catalyst pushes filters and
+  * prunes columns into the scan, so the same code works unchanged whether the
+  * directory holds 6 MB (sf0.001) or 100 TB (partitioned lake) — nothing here
+  * collects to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val registered = scala.collection.mutable.Set.empty[String]
+
+  def register(spark: SparkSession, dir: String): Unit = synchronized {
+    val key = spark.sparkContext.applicationId + "|" + dir
+    if (!registered.contains(key)) {
+      // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read nanos as long and truncate to microseconds (same truncation
+      // DuckDB applies), keeping a real TimestampType in the view.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      names.foreach { n =>
+        var df = spark.read.parquet(s"$dir/$n.parquet")
+        if (n == "events" && df.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType) {
+          df = df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        }
+        df.createOrReplaceTempView(n)
+      }
+      registered += key
+    }
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    register(spark, dir)
+    spark.table(name)
+  }
+
+  /** Standard local session used by mains/tests; mirrors driver settings. */
+  def session(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

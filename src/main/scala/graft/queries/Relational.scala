@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Helpers._
+
+/** SURVEY.md §2.1-2.3 + flagship: scans, projection/filter/predicates, joins.
+  *
+  * Every query returns only hash-stable types (BIGINT, DECIMAL with a pinned
+  * scale, STRING, DATE) and carries a deterministic ORDER BY — see
+  * Helpers' oracle-parity policy.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+    // ── flagship: TPC-H Q1-style pricing summary ─────────────────────────
+    // SURVEY §2.4 SUM/COUNT + conditional arithmetic; the reference's
+    // trial-balance-shaped "one pass, many aggregates" pattern.
+    Q(
+      "q_pricing_summary",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(qty(col("l_quantity"))).cast(DecimalType(38, 3)).as("sum_qty"),
+            sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+            sum(money(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+              .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DECIMAL(38,3)) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ── §2.2 projection + aliasing to business names + computed column ───
+    Q(
+      "q_projection_alias",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select(
+          col("o_orderkey").as("order_id"),
+          upper(col("o_orderpriority")).as("priority"),
+          money(col("o_totalprice")).as("total"),
+          (money(col("o_totalprice")) * lit(0.10).cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 4)).as("fee"))
+          .orderBy(col("order_id"))
+      },
+      Some("""SELECT o_orderkey AS order_id,
+        UPPER(o_orderpriority) AS priority,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS fee
+        FROM orders ORDER BY order_id""")),
+
+    // ── §2.2 equality + range predicates (string + date) ─────────────────
+    Q(
+      "q_filter_range",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "O" &&
+            col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") <= lit("1996-06-30"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            money(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <= TIMESTAMP '1996-06-30 00:00:00'
+        ORDER BY o_orderkey""")),
+
+    // ── §2.2 BETWEEN (numeric) ───────────────────────────────────────────
+    Q(
+      "q_between",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        p.filter(col("p_size").between(10, 25) &&
+            col("p_retailprice").between(500.0, 1500.0))
+          .select(col("p_partkey"), col("p_name"),
+            col("p_size").cast("long").as("p_size"),
+            money(col("p_retailprice")).as("price"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size,
+        CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        FROM part
+        WHERE p_size BETWEEN 10 AND 25 AND p_retailprice BETWEEN 500.0 AND 1500.0
+        ORDER BY p_partkey""")),
+
+    // ── §2.2 LIKE with literal pattern ───────────────────────────────────
+    Q(
+      "q_like_pattern",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        p.filter(col("p_name").like("%small%") || col("p_name").like("blue%"))
+          .select(col("p_partkey"), col("p_name"), col("p_brand"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, p_brand FROM part
+        WHERE p_name LIKE '%small%' OR p_name LIKE 'blue%'
+        ORDER BY p_partkey""")),
+
+    // ── §2.2 LIKE with computed pattern (reference: OBJNR LIKE
+    //    SUBSTR(s.OBJNR,1,8)||'%', sap_semantic_model.json:7679-7690) ─────
+    Q(
+      "q_like_computed",
+      (s, dir) => {
+        val p1 = t(s, dir, "part").as("p1")
+        val p2 = t(s, dir, "part").as("p2")
+        p1.join(p2, expr("p2.p_name LIKE CONCAT(SUBSTR(p1.p_name, 1, 4), '%')"))
+          .groupBy(col("p1.p_partkey").as("p_partkey"))
+          .agg(count(lit(1)).as("family_size"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p1.p_partkey AS p_partkey, COUNT(*) AS family_size
+        FROM part p1 JOIN part p2
+          ON p2.p_name LIKE CONCAT(SUBSTR(p1.p_name, 1, 4), '%')
+        GROUP BY p1.p_partkey ORDER BY p_partkey""")),
+
+    // ── §2.2 IN (value list) ─────────────────────────────────────────────
+    Q(
+      "q_in_list",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── §2.2 IS NULL / empty-string open-item test (reference AUGDT) ─────
+    // The corpus has no stored NULLs, so the open marker is synthesized with
+    // NULLIF — exercising NULLIF/COALESCE/IS NULL exactly as the reference's
+    // `AUGDT IS NULL OR AUGDT = ''` convention.
+    Q(
+      "q_null_open_items",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.withColumn("clearing_doc", nullif(col("o_orderstatus"), lit("O")))
+          .filter(col("clearing_doc").isNull || col("clearing_doc") === "")
+          .select(col("o_orderkey"),
+            coalesce(col("clearing_doc"), lit("OPEN")).as("status"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus,'O'), 'OPEN') AS status
+        FROM orders
+        WHERE NULLIF(o_orderstatus,'O') IS NULL OR NULLIF(o_orderstatus,'O') = ''
+        ORDER BY o_orderkey""")),
+
+    // ── §2.3 inner equi-join chain over 5 tables (TPC-H Q5 shape);
+    //    small dims broadcast, fact-side shuffle only on o_custkey ────────
+    Q(
+      "q_join_multi_hop",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA" &&
+            col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .groupBy(col("n_name"))
+          .agg(sum(money(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+            .cast(DecimalType(38, 4)).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      bench = true),
+
+    // ── §2.3 left outer join with miss detection (reference text lookups) ─
+    Q(
+      "q_join_left",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(col("o_orderkey")).as("n_urgent"),
+            sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("n_miss"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_urgent,
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss
+        FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    // ── §2.3 anti-join (reference "not yet delivered" NOT IN pattern) ────
+    Q(
+      "q_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // ── §2.3 semi-join (EXISTS) ──────────────────────────────────────────
+    Q(
+      "q_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filter(money(col("o_totalprice")) >
+          lit(400000).cast(DecimalType(18, 2))).select(col("o_custkey"))
+        c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND CAST(o.o_totalprice AS DECIMAL(18,2)) > CAST(400000 AS DECIMAL(18,2)))
+        ORDER BY c_custkey""")),
+
+    // ── §2.4 signed aggregation (reference SHKZG debit/credit convention:
+    //    CASE WHEN SHKZG='H' THEN -DMBTR ELSE DMBTR END; here the return
+    //    flag 'R' negates) ─────────────────────────────────────────────────
+    Q(
+      "q_agg_signed",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(sum(signedAmount(col("l_returnflag"), money(col("l_extendedprice")), "R"))
+            .cast(DecimalType(38, 2)).as("net_amount"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS net_amount
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name ORDER BY s_suppkey""")),
+
+    // ── §2.5 Top-K (ORDER BY ... DESC LIMIT k, deterministic tie-break) ──
+    Q(
+      "q_topk_revenue",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") < lit("1997-01-01"))
+          .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+          .agg(sum(money(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+            .cast(DecimalType(38, 4)).as("revenue"))
+          .orderBy(desc("revenue"), col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+      bench = true),
+
+    // ── §2.5 UNION ALL with literal stage labels (reference o2c/p2p
+    //    pipeline dashboards, sap_semantic_model.json:7774-7786) ──────────
+    Q(
+      "q_union_all_stacked",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def stage(label: String, status: String) =
+          o.filter(col("o_orderstatus") === status)
+            .agg(count(lit(1)).as("n"),
+              sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+            .select(lit(label).as("stage"), col("n"), col("total"))
+        stage("1. Open", "O")
+          .unionAll(stage("2. Partial", "P"))
+          .unionAll(stage("3. Fulfilled", "F"))
+          .orderBy(col("stage"))
+      },
+      Some("""SELECT stage, n, total FROM (
+        SELECT '1. Open' AS stage, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total FROM orders WHERE o_orderstatus='O'
+        UNION ALL
+        SELECT '2. Partial', COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM orders WHERE o_orderstatus='P'
+        UNION ALL
+        SELECT '3. Fulfilled', COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM orders WHERE o_orderstatus='F'
+      ) ORDER BY stage"""))
+  )
+}

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reads <outDir>/oracle_sql.json (written by graft.Verify), runs each oracle
+SQL in DuckDB over views named after the parquet tables in <sfDir>, reads the
+Spark result parquet from <outDir>/<name>/, then compares:
+  - column name sets (sorted by name, as the driver does),
+  - row counts,
+  - value multisets after canonical stringification.
+
+Dev tool only — not part of the Scala library.
+"""
+import sys, os, json, glob, datetime, decimal, math
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def rows_of(cols, pydict):
+    names = sorted(cols)
+    n = len(pydict[names[0]]) if names else 0
+    return sorted(tuple(canon(pydict[c][i]) for c in names) for i in range(n))
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = os.path.join(out_dir, name)
+        status, detail = "PASS", ""
+        try:
+            files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+            if not files:
+                raise RuntimeError("no spark output parquet")
+            st = pq.read_table(files)
+            ot = con.execute(oracle[name]).arrow()
+            scols, ocols = sorted(st.column_names), sorted(ot.column_names)
+            if scols != ocols:
+                raise AssertionError(f"columns differ: spark={scols} oracle={ocols}")
+            if st.num_rows != ot.num_rows:
+                raise AssertionError(f"rowcount differ: spark={st.num_rows} oracle={ot.num_rows}")
+            srows = rows_of(scols, st.to_pydict())
+            orows = rows_of(ocols, ot.to_pydict())
+            if srows != orows:
+                diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+                raise AssertionError(f"values differ; first diffs: {diff}")
+        except Exception as e:
+            status, detail = "FAIL", str(e)[:500]
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status:4s} {name} {detail}")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
