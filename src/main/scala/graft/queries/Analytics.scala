@@ -109,6 +109,203 @@ object Analytics {
         ORDER BY CASE aging_bucket WHEN 'Not yet due' THEN 0 WHEN '1-30 days' THEN 1
           WHEN '31-60 days' THEN 2 WHEN '61-90 days' THEN 3 ELSE 4 END""")),
 
+    // ── §2.4 SUM/COUNT/COUNT DISTINCT/MIN/MAX in one pass ────────────────
+    Q(
+      "q_agg_basic",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        p.groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            countDistinct(col("p_type")).as("n_types"),
+            min(col("p_size")).cast("long").as("min_size"),
+            max(col("p_size")).cast("long").as("max_size"),
+            min(money(col("p_retailprice"))).as("min_price"),
+            max(money(col("p_retailprice"))).as("max_price"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
+        CAST(MIN(p_size) AS BIGINT) AS min_size, CAST(MAX(p_size) AS BIGINT) AS max_size,
+        MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price,
+        MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS max_price
+        FROM part GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ── §2.4 horizontal (cross-column) sum with NULL-as-zero (reference
+    //    HSL01..HSL16 period buckets, trial_balance template) ─────────────
+    Q(
+      "q_agg_horizontal",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val perRow = horizontalSum(Seq(
+          col("l_quantity").cast(DecimalType(18, 3)),
+          col("l_discount").cast(DecimalType(18, 3)),
+          col("l_tax").cast(DecimalType(18, 3))))
+        l.groupBy(col("l_returnflag"))
+          .agg(sum(perRow).cast(DecimalType(38, 3)).as("period_activity"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,3)),0) + COALESCE(CAST(l_discount AS DECIMAL(18,3)),0) + COALESCE(CAST(l_tax AS DECIMAL(18,3)),0)) AS DECIMAL(38,3)) AS period_activity,
+        COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── §2.4 STDDEV/VARIANCE (the reference's translator strips these;
+    //    we support them — documented deviation). Computed via exact
+    //    decimal power sums → IEEE double → round, so the result is
+    //    order-independent and hash-stable on both engines ─────────────────
+    Q(
+      "q_agg_stddev",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(qty(col("l_quantity"))).as("s1"),
+            sum((qty(col("l_quantity")) * qty(col("l_quantity")))
+              .cast(DecimalType(18, 6))).as("s2"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("s2").cast("double") * col("n").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+              (col("n").cast("double") * (col("n").cast("double") - 1)), 4)
+              .as("var_samp"),
+            round(sqrt((col("s2").cast("double") * col("n").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+              (col("n").cast("double") * (col("n").cast("double") - 1))), 4)
+              .as("stddev_samp"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, n,
+        ROUND((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 4) AS var_samp,
+        ROUND(SQRT((CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 4) AS stddev_samp
+        FROM (
+          SELECT l_returnflag, COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(18,3))) AS s1,
+            SUM(CAST(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3)) AS DECIMAL(18,6))) AS s2
+          FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag""")),
+
+    // ── §2.6 date-function catalog: EXTRACT, ADD_MONTHS/ADD_DAYS,
+    //    DATEDIFF, TRUNC — the dialect translator's date surface ───────────
+    Q(
+      "q_fn_dates",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.filter(year(col("o_orderdate")) === 1997)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d"),
+            date_add(to_date(col("o_orderdate")), 30).as("plus_30d"),
+            add_months(to_date(col("o_orderdate")), 3).as("plus_3m"),
+            trunc(to_date(col("o_orderdate")), "MM").as("month_start"),
+            datediff(lit(AsOf).cast("date"), to_date(col("o_orderdate")))
+              .cast("long").as("days_to_asof"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey,
+        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+        CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '$AsOf') AS BIGINT) AS days_to_asof
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        ORDER BY o_orderkey""")),
+
+    // ── §2.6 string-function catalog: CONCAT, LPAD (NUMC zero-padding!),
+    //    SUBSTR, UPPER/LOWER, REPLACE, LENGTH, TRIM ───────────────────────
+    Q(
+      "q_fn_strings",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        p.select(col("p_partkey"),
+            concat(col("p_brand"), lit("-"), col("p_name")).as("label"),
+            lpad(col("p_partkey").cast("string"), 10, "0").as("padded_id"),
+            substring(col("p_name"), 1, 5).as("prefix"),
+            upper(col("p_name")).as("uname"),
+            lower(col("p_brand")).as("lbrand"),
+            regexp_replace(col("p_name"), " ", "_").as("slug"),
+            length(col("p_name")).cast("long").as("name_len"),
+            trim(concat(lit("  "), col("p_type"), lit("  "))).as("trimmed"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+        CONCAT(p_brand, '-', p_name) AS label,
+        LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_id,
+        SUBSTR(p_name, 1, 5) AS prefix,
+        UPPER(p_name) AS uname,
+        LOWER(p_brand) AS lbrand,
+        REPLACE(p_name, ' ', '_') AS slug,
+        CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        TRIM(CONCAT('  ', p_type, '  ')) AS trimmed
+        FROM part ORDER BY p_partkey""")),
+
+    // ── §2.6 conditional functions: COALESCE/IFNULL/NULLIF + nested CASE ─
+    Q(
+      "q_fn_cond",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select(col("o_orderkey"),
+            coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")),
+              lit("UNSPECIFIED")).as("priority"),
+            when(col("o_orderstatus") === "O",
+              when(money(col("o_totalprice")) > lit(300000).cast(DecimalType(18, 2)),
+                "open-large").otherwise("open-small"))
+              .when(col("o_orderstatus") === "P", "partial")
+              .otherwise("closed").as("bucket"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+        COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'UNSPECIFIED') AS priority,
+        CASE WHEN o_orderstatus = 'O' THEN
+               CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) > CAST(300000 AS DECIMAL(18,2))
+                    THEN 'open-large' ELSE 'open-small' END
+             WHEN o_orderstatus = 'P' THEN 'partial'
+             ELSE 'closed' END AS bucket
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ── window: running total (rows unbounded preceding) ─────────────────
+    Q(
+      "q_window_running",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_custkey") <= 20)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(to_date(col("o_orderdate")), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            sum(money(col("o_totalprice"))).over(w)
+              .cast(DecimalType(38, 2)).as("running_total"))
+          .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        FROM orders WHERE o_custkey <= 20
+        ORDER BY o_custkey, order_date, o_orderkey""")),
+
+    // ── window: LAG month-over-month delta ───────────────────────────────
+    Q(
+      "q_window_lag",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val monthly = l.groupBy(trunc(to_date(col("l_shipdate")), "MM").as("ship_month"))
+          .agg(sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("revenue"))
+        val w = Window.orderBy(col("ship_month"))
+        monthly.select(col("ship_month"), col("revenue"),
+            (col("revenue") - lag(col("revenue"), 1).over(w))
+              .cast(DecimalType(38, 2)).as("delta"))
+          .orderBy(col("ship_month"))
+      },
+      Some("""SELECT ship_month, revenue,
+        CAST(revenue - LAG(revenue, 1) OVER (ORDER BY ship_month) AS DECIMAL(38,2)) AS delta
+        FROM (
+          SELECT CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+          FROM lineitem GROUP BY 1)
+        ORDER BY ship_month""")),
+
     // ── window: rank-per-group (row_number, deterministic tie-break) ─────
     Q(
       "q_window_rank",

@@ -306,6 +306,170 @@ object Relational {
         ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
       bench = true),
 
+    // ── §2.1 row cap + has_more lookahead (reference fetchmany(200)+1;
+    //    sap_sql_engine.py:1284-1287) ───────────────────────────────────────
+    Q(
+      "q_scan_limit_hasmore",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            money(col("l_extendedprice")).as("price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(201)
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 201""")),
+
+    // ── §2.3 composite-key join (reference BSEG→BSIK on
+    //    BUKRS+BELNR+GJAHR): aggregate per (orderkey, suppkey), join back on
+    //    both keys to pick the max-priced line ─────────────────────────────
+    Q(
+      "q_join_composite_key",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val agg = l.groupBy(col("l_orderkey").as("k_orderkey"), col("l_suppkey").as("k_suppkey"))
+          .agg(max(money(col("l_extendedprice"))).as("max_price"),
+            count(lit(1)).as("n_lines"))
+        l.join(agg,
+            col("l_orderkey") === col("k_orderkey") &&
+            col("l_suppkey") === col("k_suppkey") &&
+            money(col("l_extendedprice")) === col("max_price"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("max_price"), col("n_lines"))
+          .orderBy(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l.l_orderkey, l.l_suppkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        a.max_price, a.n_lines
+        FROM lineitem l
+        JOIN (SELECT l_orderkey AS k_orderkey, l_suppkey AS k_suppkey,
+                MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
+                COUNT(*) AS n_lines
+              FROM lineitem GROUP BY 1, 2) a
+          ON l.l_orderkey = a.k_orderkey AND l.l_suppkey = a.k_suppkey
+         AND CAST(l.l_extendedprice AS DECIMAL(18,2)) = a.max_price
+        ORDER BY l.l_orderkey, l.l_suppkey, l_linenumber""")),
+
+    // ── §2.3 self-join with role aliases (reference HRP1000 3×; here
+    //    nation plays supplier-nation and customer-nation, TPC-H Q7 shape) ─
+    Q(
+      "q_join_self_roles",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val su = t(s, dir, "supplier")
+        val n1 = t(s, dir, "nation").select(
+          col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(
+          col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+          .groupBy(col("supp_nation"), col("cust_nation"))
+          .agg(sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("volume"),
+            count(lit(1)).as("n"))
+          .filter(col("n") >= 20)
+          .orderBy(col("supp_nation"), col("cust_nation"))
+      },
+      Some("""SELECT supp_nation, cust_nation, volume, n FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume,
+          COUNT(*) AS n
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        GROUP BY n1.n_name, n2.n_name)
+        WHERE n >= 20 ORDER BY supp_nation, cust_nation""")),
+
+    // ── §2.3 correlated scalar subquery (reference R2R CO reconciliation,
+    //    sap_semantic_model.json:7868-7879). Catalyst decorrelates this via
+    //    RewriteCorrelatedScalarSubquery — run through spark.sql directly ──
+    Q(
+      "q_scalar_subquery",
+      (s, dir) => {
+        Tables.register(s, dir)
+        s.sql("""SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+          FROM part p
+          WHERE CAST(p_retailprice AS DECIMAL(18,2)) =
+            (SELECT MAX(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+             FROM part p2 WHERE p2.p_brand = p.p_brand)
+          ORDER BY p_partkey""")
+      },
+      Some("""SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        FROM part p
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) =
+          (SELECT MAX(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+           FROM part p2 WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey""")),
+
+    // ── §2.3 document-flow hop (reference VBFA EXISTS-in-ON rewrite:
+    //    materialize the flow table between the two ends). Order→line→
+    //    supplier is the analog chain; no EXISTS-in-ON needed once the hop
+    //    is an explicit join ────────────────────────────────────────────────
+    Q(
+      "q_docflow_hop",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            countDistinct(col("s_suppkey")).as("n_suppliers"),
+            min(to_date(col("l_shipdate"))).as("first_ship"),
+            max(to_date(col("l_shipdate"))).as("last_ship"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, COUNT(*) AS n_lines,
+        COUNT(DISTINCT s_suppkey) AS n_suppliers,
+        MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+        MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderkey ORDER BY o_orderkey"""),
+      bench = true),
+
+    // ── §2.3 disjunctive join condition (reference LEFT JOIN ... ON a OR
+    //    EXISTS(...); falls back to BNLJ — fine when one side is tiny) ─────
+    Q(
+      "q_disjunctive_join",
+      (s, dir) => {
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        su.join(broadcast(n),
+            col("s_nationkey") === col("n_nationkey") || col("n_name") === "FRANCE",
+            "left")
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(col("n_nationkey")).as("n_matches"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, COUNT(n_nationkey) AS n_matches
+        FROM supplier LEFT JOIN nation
+          ON s_nationkey = n_nationkey OR n_name = 'FRANCE'
+        GROUP BY s_suppkey, s_name ORDER BY s_suppkey""")),
+
+    // ── §2.5 multi-key ORDER BY with mixed direction ─────────────────────
+    Q(
+      "q_orderby_multi",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+            money(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc, col("total").desc, col("o_orderkey").asc)
+          .limit(50)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        FROM orders ORDER BY o_orderstatus ASC, total DESC, o_orderkey ASC LIMIT 50""")),
+
     // ── §2.5 UNION ALL with literal stage labels (reference o2c/p2p
     //    pipeline dashboards, sap_semantic_model.json:7774-7786) ──────────
     Q(
