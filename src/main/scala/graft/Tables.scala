@@ -31,9 +31,11 @@ object Tables {
         var df = spark.read.parquet(s"$dir/$n.parquet")
         if (n == "events" && df.schema("ts").dataType ==
             org.apache.spark.sql.types.LongType) {
+          // integer division — `/` would go through double and lose µs
+          // precision on ~1.7e18 nanosecond values
           df = df.withColumn("ts",
             org.apache.spark.sql.functions.timestamp_micros(
-              (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+              org.apache.spark.sql.functions.expr("ts div 1000")))
         }
         df.createOrReplaceTempView(n)
       }

@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Deduplication operators for large-scale text corpora. All are
+  * DataFrame→DataFrame transformers: one shuffle per stage, no driver-side
+  * state, so they scale with partition count alone.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = single hash shuffle on the dedup key;
+  *  - shingle/MinHash stages shuffle on shingle / band-bucket keys — both
+  *    are high-cardinality, so partitions stay balanced;
+  *  - the frequent-shingle guard (`maxShingleDocFreq`) caps the quadratic
+  *    blowup of the shingle self-join: a shingle occurring in f docs emits
+  *    f² candidate pairs, so stop-shingles must be dropped at scale
+  *    (standard MinHash/LSH practice);
+  *  - banded LSH keeps the candidate set near-linear in the number of true
+  *    near-duplicates instead of all-pairs.
+  */
+object Dedup {
+
+  /** Exact deduplication: keep one representative row per key (the smallest
+    * `orderCol`). Equivalent to `dropDuplicates` but with a deterministic
+    * winner. */
+  def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Documents shorter than n tokens are dropped (no shingle exists). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> " +
+          (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") +
+          ")")).as("shingle"))
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard similarity ≥ threshold via a shingle
+    * self-join. Exact but quadratic in co-occurring docs — the oracle-grade
+    * baseline. `maxShingleDocFreq` (0 = off) drops stop-shingles before the
+    * join; leave off for exactness, set (e.g. 1000) at scale. */
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+      maxShingleDocFreq: Long = 0): DataFrame = {
+    val pruned =
+      if (maxShingleDocFreq <= 0) sh
+      else {
+        val freq = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxShingleDocFreq)
+        sh.join(freq.select("shingle"), Seq("shingle"))
+      }
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = pruned.select(col("doc_id").as("id_a"), col("shingle"))
+    val b = pruned.select(col("doc_id").as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent hash functions min-folded per doc.
+    * Each function is xxhash64 with a distinct leading literal seed column —
+    * fully independent permutation orderings (an affine (a·h+b) mod p family
+    * over a modulus far above the hash range is nearly order-preserving and
+    * collapses every position onto the globally smallest base hash — it does
+    * NOT work). Deterministic, codegen'd, one shuffle on doc_id. Returns
+    * (doc_id, sig array<bigint>). */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs from MinHash signatures: docs agreeing on
+    * any full band of the signature become a candidate pair. bands*rows must
+    * equal the signature length. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val banded = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
+      .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → signature → banded
+    * candidates → exact-Jaccard verification of candidates only. At scale
+    * the verification join touches only candidate docs (semi-join pushdown),
+    * not the full corpus. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, k: Int = 64,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val cands = lshCandidates(minhashSignatures(sh, k), bands, rows)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val common = cands
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (custom Catalyst
+    * expression), banded into 4×16-bit keys so any pair within Hamming
+    * distance 3 of each other shares ≥1 band (pigeonhole); verified against
+    * maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      HashFunctions.simhash(split(lower(col(textCol)), " ")).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(expr(
+      "transform(sequence(0, 3), j -> (sig >> (j * 16)) & 65535)"))
+      .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        HashFunctions.hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

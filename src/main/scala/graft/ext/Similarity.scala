@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale design (100 TB): brute force is the exact baseline — a broadcast of
+  * the (small) query set against a partitioned corpus, no shuffle at all on
+  * the corpus side. The LSH variant buckets the corpus once (narrow map) and
+  * turns top-k search into a bucket-key equi-join — the corpus is never
+  * crossed with itself. The cosine kernel is a higher-order-function
+  * expression (zip_with/aggregate), evaluated per-partition with no UDF
+  * serialization boundary.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns as double, summed in
+    * array order (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k cosine neighbors of each query vector over the corpus.
+    * `queries` is expected to be small (broadcast side). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
+          .as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos", "rk")
+  }
+
+  /** Deterministic random-hyperplane signs for `planes` hyperplanes in
+    * `dims` dimensions (public sign-LSH construction, Charikar 2002).
+    * `seed` varies per hash table. */
+  private def planeLiterals(planes: Int, dims: Int, seed: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7 + seed)
+    Seq.fill(planes)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bucket id (one int, `planes` bits) for each vector. A narrow
+    * map — the bucketing itself never shuffles. */
+  def lshBucket(emb: Column, planes: Int, dims: Int, seed: Int = 0): Column = {
+    val ps = planeLiterals(planes, dims, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(emb, planeCol) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** All (table, bucket) keys for multi-table sign-LSH: L independent hash
+    * tables of `planes` bits each. Recall for neighbors at angle θ is
+    * 1-(1-(1-θ/π)^planes)^tables — tune (planes, tables) to the corpus. */
+  def lshKeys(emb: Column, planes: Int, dims: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(emb, planes, dims, t).as("bucket"))): _*)
+
+  /** Approximate top-k cosine neighbors: candidates = any shared (table,
+    * bucket) key, then exact cosine on candidates only. The corpus is
+    * bucketed in one narrow map and joined on the bucket key — never crossed
+    * with itself (this is the 100 TB path; brute force is the oracle). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 6, dims: Int = 64, tables: Int = 8): DataFrame = {
+    def keyed(df: DataFrame, idAs: String, embAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        explode(lshKeys(col("embedding"), planes, dims, tables)).as("key"))
+    val c = keyed(corpus, "cid", "ce")
+    val q = keyed(queries, "qid", "qe")
+    val cands = c.join(broadcast(q), Seq("key"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qe", "cid", "ce").distinct()
+    val scored = cands.select(col("qid"), col("cid"),
+      round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
+        .as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos", "rk")
+  }
+
+  /** Per-label centroids: element-wise mean via posexplode + one shuffle on
+    * (label, dim). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 4).as("centroid"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, partition-parallel, no UDFs). */
+object TextAnalysis {
+
+  /** Tiny per-language stopword inventories (public, standard lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "de", "un", "que"))
+
+  private def toks(text: Column): Column = split(lower(text), " ")
+
+  /** Stopword hits for one language over a token array. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val list = array(stopwords(lang).map(lit): _*)
+    size(filter(toks(text), t => array_contains(list, t))).cast("long")
+  }
+
+  /** n-gram-heuristic language ID: argmax of stopword hits, deterministic
+    * tie-break on language code ('und' when no hits at all). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => struct(
+      stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  private def countChar(text: Column, ch: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(ch), "")))
+      .cast("long")
+
+  /** Quality signals: length, token count, mean token length, punctuation
+    * count, stopword ratio — the standard cheap pre-filters for corpus
+    * cleaning. Ratios follow the exact-ints → double → round policy. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nToks = size(toks(text)).cast("long")
+    val punct = (countChar(text, ".") + countChar(text, ",") +
+      countChar(text, "!") + countChar(text, "?")).cast("long")
+    val hits = stopwordHits(text, "en")
+    Seq(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(nChars.cast("double") / nToks.cast("double"), 4).as("mean_tok_len"),
+      punct.as("n_punct"),
+      round(hits.cast("double") / nToks.cast("double"), 4).as("stopword_ratio"))
+  }
+
+  /** Winnowing-style 64-bit document fingerprint (custom expression). */
+  def fingerprint(text: Column, window: Int = 16): Column =
+    HashFunctions.fingerprint(text, window)
+
+  /** Convenience: full text-profile of a document table. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      (col(idCol).as("doc_id") +:
+        langId(col(textCol)).as("lang_pred") +:
+        qualityColumns(col(textCol))) :+
+        fingerprint(col(textCol)).as("fingerprint"): _*)
+}

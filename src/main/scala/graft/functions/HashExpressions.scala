@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit FNV-1a over UTF-8 bytes — a deterministic, dependency-free base
+  * hash shared by the SimHash and fingerprint expressions. Public algorithm
+  * (Fowler–Noll–Vo). */
+object Fnv64 {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+}
+
+/** SimHash over a token array: per token, a 64-bit hash votes ±1 on each bit
+  * position; the sign of each accumulated position becomes the output bit.
+  * Near-duplicate documents produce signatures at small Hamming distance.
+  * (Charikar 2002, public algorithm; the reference engine has no analog —
+  * this is a north-star extension operator.)
+  *
+  * Implemented as a native Catalyst Expression (SURVEY §2 preference order:
+  * custom Expression over UDF). CodegenFallback keeps it simple; the per-row
+  * cost is O(tokens) either way and the expression is still
+  * partition-parallel.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv64.hashBytes(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** Content-defined document fingerprint: the minimum of a 64-bit rolling
+  * polynomial hash over all k-length character windows (a winnowing-style
+  * fingerprint; Schleimer et al. 2003, public algorithm). Equal fingerprints
+  * are a cheap first-pass duplicate signal that is robust to content
+  * reordering at window granularity.
+  */
+case class RollingMinHash64(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0)
+  override def dataType: DataType = LongType
+  private val Base = 1315423911L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < k) return Fnv64.hashBytes(s.getBytes("UTF-8"))
+    // precompute Base^(k-1) for the rolling subtract
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    var minH = h ^ (h >>> 31) // finalize-mix before comparing
+    i = k
+    while (i < s.length) {
+      h = (h - s.charAt(i - k) * pow) * Base + s.charAt(i)
+      val mixed = h ^ (h >>> 31)
+      if (java.lang.Long.compareUnsigned(mixed, minH) < 0) minH = mixed
+      i += 1
+    }
+    minH
+  }
+  override protected def withNewChildInternal(c: Expression): RollingMinHash64 =
+    copy(child = c)
+}
+
+object HashFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** SimHash of an array<string> token column. */
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Winnowing-style rolling min-hash fingerprint of a string column. */
+  def fingerprint(text: Column, k: Int = 16): Column =
+    ColumnBridge.column(RollingMinHash64(ColumnBridge.expression(text), k))
+
+  /** Hamming distance between two 64-bit signatures (composed built-ins —
+    * stays inside codegen). */
+  def hamming64(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.bit_count
+    bit_count(a.bitwiseXOR(b))
+  }
+}

@@ -1,16 +1,20 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** LLM-training-data-pipeline operators (north star, beyond the reference
   * surface): deduplication, similarity search, text analysis, multimodal
   * plumbing, event-stream analytics. All operators are DataFrame→DataFrame
   * transformers — no collects, no driver-side state — so they scale by
-  * partitioning alone.
+  * partitioning alone. Non-SQL-expressible ops (MinHash-LSH, SimHash,
+  * LSH-ANN, fingerprints) have no oracle entry; their correctness is pinned
+  * by ScalaTest against exact baselines instead.
   */
 object Extensions {
 
@@ -35,6 +39,155 @@ object Extensions {
         ORDER BY user_id, event_type"""),
       bench = true),
 
+    // ── exact near-dup baseline: word-3-gram Jaccard ≥ 0.8 all-pairs.
+    //    The oracle-grade exact computation (MinHash/LSH below approximates
+    //    exactly this set) ────────────────────────────────────────────────
+    Q(
+      "q_dedup_ngram_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.8)
+          .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"),
+            col("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, common, ca.n AS na, cb.n AS nb,
+          ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+        FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // ── MinHash + banded LSH near-dup (approximate path that scales;
+    //    verified candidates only). Not SQL-expressible → rows-only check
+    //    here, exactness pinned against q_dedup_ngram_jaccard in ScalaTest ─
+    Q(
+      "q_dedup_minhash_lsh",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.minhashDedup(d, "doc_id", "text", 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None,
+      bench = true),
+
+    // ── SimHash near-dup pairs (custom Catalyst expression + banding) ────
+    Q(
+      "q_dedup_simhash",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ── exact brute-force cosine top-3 neighbors for query vecs (id<10) ──
+    Q(
+      "q_embed_knn",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM ex GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.x * b.x) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2)
+        SELECT qid, cid, ROUND(dot / (na.nv * nb.nv), 6) AS cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY ROUND(dot / (na.nv * nb.nv), 6) DESC, cid) AS BIGINT) AS rk
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON cid = nb.vec_id
+        QUALIFY rk <= 3 ORDER BY qid, rk"""),
+      bench = true),
+
+    // ── LSH-bucketed approximate ANN (the scale path; recall tested in
+    //    ScalaTest against the brute-force baseline) ───────────────────────
+    Q(
+      "q_embed_ann_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 10), 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      None),
+
+    // ── per-label embedding centroids (element-wise mean) ────────────────
+    Q(
+      "q_embed_centroid",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.labelCentroids(e)
+          .select(col("label").cast("long").as("label"),
+            col("dim").cast("long").as("dim"), col("centroid"))
+          .orderBy(col("label"), col("dim"))
+      },
+      Some("""SELECT CAST(label AS BIGINT) AS label,
+          CAST(i - 1 AS BIGINT) AS dim,
+          ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 4) AS centroid
+        FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
+        GROUP BY 1, 2 ORDER BY label, dim""")),
+
+    // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
+    Q(
+      "q_text_langid",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), col("lang").as("lang_given"),
+            TextAnalysis.langId(col("text")).as("lang_pred"),
+            TextAnalysis.stopwordHits(col("text"), "en").as("en_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH scored AS (SELECT doc_id, lang AS lang_given,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS he,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['der','die','das','und','ist','von','nicht','ein'], x))) AS BIGINT) AS hd,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['le','la','les','et','est','de','un','une'], x))) AS BIGINT) AS hf,
+          CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['el','la','los','y','es','de','un','que'], x))) AS BIGINT) AS hs
+        FROM documents)
+        SELECT doc_id, lang_given,
+          CASE WHEN GREATEST(he, hd, hf, hs) = 0 THEN 'und'
+               WHEN hf = GREATEST(he, hd, hf, hs) THEN 'fr'
+               WHEN hs = GREATEST(he, hd, hf, hs) THEN 'es'
+               WHEN he = GREATEST(he, hd, hf, hs) THEN 'en'
+               ELSE 'de' END AS lang_pred,
+          he AS en_hits
+        FROM scored ORDER BY doc_id""")),
+
+    // ── quality scoring: length/punct/stopword signals ───────────────────
+    Q(
+      "q_text_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id") +: TextAnalysis.qualityColumns(col("text")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+          CAST(LENGTH(text) AS BIGINT) AS n_chars,
+          CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+          ROUND(CAST(LENGTH(text) AS DOUBLE) / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 4) AS mean_tok_len,
+          CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', ''))
+             + LENGTH(text) - LENGTH(REPLACE(text, ',', ''))
+             + LENGTH(text) - LENGTH(REPLACE(text, '!', ''))
+             + LENGTH(text) - LENGTH(REPLACE(text, '?', '')) AS BIGINT) AS n_punct,
+          ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+            x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS DOUBLE)
+            / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 4) AS stopword_ratio
+        FROM documents ORDER BY doc_id""")),
+
     // ── token counting: whitespace tokenizer over documents ──────────────
     Q(
       "q_token_count",
@@ -47,6 +200,89 @@ object Extensions {
       },
       Some("""SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
         CAST(LENGTH(text) AS BIGINT) AS n_chars
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ── document fingerprint (custom rolling-hash expression) ────────────
+    Q(
+      "q_doc_fingerprint",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("keep_doc"))
+          .filter(col("n_docs") >= 1)
+          .orderBy(col("keep_doc"))
+      },
+      None),
+
+    // ── multimodal: binary payload column + content hash / size (the
+    //    SQL-checkable slice of the media plumbing) ────────────────────────
+    Q(
+      "q_binary_features",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+            octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+            sha2(encode(col("text"), "UTF-8"), 256).as("content_sha256"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        SHA256(text) AS content_sha256
+        FROM documents ORDER BY doc_id""")),
+
+    // ── event analytics: tumbling-window aggregation (batch analog of the
+    //    streaming windowedCounts; 1-hour windows via date_trunc) ──────────
+    Q(
+      "q_events_window",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.groupBy(date_trunc("hour", col("ts")).cast("date").as("day"),
+            hour(col("ts")).cast("long").as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6)))
+              .cast(DecimalType(38, 6)).as("total_value"))
+          .orderBy(col("day"), col("hr"), col("event_type"))
+      },
+      Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS DATE) AS day,
+          CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type"""),
+      bench = true),
+
+    // ── event analytics: gap-based sessionization (30-min idle), batch
+    //    analog of the mapGroupsWithState streaming operator ───────────────
+    Q(
+      "q_events_sessionize",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wc = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wc))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events),
+        marked AS (SELECT user_id, event_id, us,
+          CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        FROM ev),
+        sess AS (SELECT user_id, event_id, us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        FROM marked)
+        SELECT user_id, sess_id, COUNT(*) AS n_events,
+          MAX(us) - MIN(us) AS dur_us
+        FROM sess GROUP BY 1, 2 ORDER BY user_id, sess_id"""),
+      bench = true)
   )
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY §7.8 extension).
+  *
+  * Streams are declared as readStream → transform → writeStream; at scale
+  * the same code runs against Kafka/files with executor-distributed state
+  * stores. Watermarks bound state; the session operator keeps one small
+  * state object per user key.
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. The
+    * nanosecond-timestamp normalization mirrors graft.Tables. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+      .parquet(dir)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * late data (and therefore state size). */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, duration_s: Long)
+
+  /** Custom session state machine via mapGroupsWithState: per-user gap-based
+    * sessions (30 min idle timeout). Demonstrates the arbitrary-stateful
+    * path the built-in session_window can't always express. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          var sessions = List.empty[SessionOut]
+          var cur = state.getOption
+          rows.toSeq.sortBy(_._2).foreach { case (_, us) =>
+            cur match {
+              case Some(st) if us - st.last <= gapSeconds * 1000000L =>
+                cur = Some(st.copy(last = us, n = st.n + 1))
+              case Some(st) =>
+                sessions ::= SessionOut(user, new java.sql.Timestamp(st.start / 1000),
+                  st.n, (st.last - st.start) / 1000000L)
+                cur = Some(SessionState(us, us, 1))
+              case None =>
+                cur = Some(SessionState(us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          sessions.reverse
+      }
+      .flatMap(identity)
+      .toDF()
+  }
+
+  /** Run a streaming query to a named in-memory sink until input is
+    * exhausted (local smoke path). Returns the sink contents. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.HashFunctions
+
+/** Correctness of the non-SQL-expressible extension operators, pinned
+  * against exact baselines (the oracle harness can't cover these). */
+class ExtensionsSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf, "documents").cache()
+
+  test("minhash-LSH finds every exact near-dup pair (recall=1 at jac>=0.8)") {
+    val exact = Dedup
+      .jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3), 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minhashDedup(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // verification step filters candidates by exact jaccard, so approx ⊆ exact
+    assert(approx.subsetOf(exact))
+    // 16 bands × 4 rows at jac .8: P(miss) = (1-.8^4)^16 ≈ 0.02% per pair
+    assert(approx.size >= exact.size * 9 / 10,
+      s"LSH recall too low: ${approx.size}/${exact.size}")
+  }
+
+  test("simhash: identical docs collide; near-dups are close in hamming") {
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => ((a, b), h) }.toMap
+    assert(pairs(((1L, 2L))) == 0, "identical docs must have distance 0")
+    assert(pairs.contains((1L, 3L)) && pairs(((1L, 3L))) <= 8,
+      "one-word change stays within hamming 8")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("ann-lsh results are a subset of brute force ranking universe") {
+    val queries = Tables(spark, sf, "embeddings").filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(Tables(spark, sf, "embeddings"), queries, 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(Tables(spark, sf, "embeddings"), queries, 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty)
+    // sanity: approximate neighbors share the query ids and score sanely
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall > 0.1, s"suspiciously low ANN recall: $recall")
+  }
+
+  test("fingerprint is deterministic and order-sensitive only at window level") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (3L, "completely different text payload")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), HashFunctions.fingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("language id picks the language whose stopwords dominate") {
+    val df = Seq(
+      (1L, "the cat and the dog in a house that is big"),
+      (2L, "der hund und die katze ist nicht ein problem"),
+      (3L, "le chat et la maison est un exemple"),
+      (4L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "und")
+  }
+
+  test("multimodal: payload schema, batch extraction shape, no driver state") {
+    val media = Multimodal.withBinaryPayload(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media, new Multimodal.ByteHistogramExtractor)
+    val row = feats.filter(col("media_id") === 0).collect().head
+    val v = row.getSeq[Float](1)
+    assert(v.length == 16)
+    assert(math.abs(v.sum - 1.0f) < 1e-3, "histogram must be L1-normalized")
+    // determinism
+    val again = Multimodal.extractFeatures(media, new Multimodal.ByteHistogramExtractor)
+      .filter(col("media_id") === 0).collect().head.getSeq[Float](1)
+    assert(v == again)
+  }
+
+  test("exact dedup keeps the deterministic winner") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
+    val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "k1"), (2L, "k2")))
+  }
+}

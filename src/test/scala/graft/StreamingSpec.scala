@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+
+/** Structured Streaming smoke: the same event analytics as the batch
+  * queries, executed through readStream → writeStream with a memory sink. */
+class StreamingSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  /** File stream sources need a directory; stage the single parquet file. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("windowed streaming counts match the batch aggregation") {
+    val stream = EventsStream.read(spark, eventsDir)
+    assert(stream.isStreaming)
+    val out = EventsStream.runToMemory(
+      EventsStream.windowedCounts(stream), "win_counts", OutputMode.Append())
+    val streamed = out.agg(sum("n")).collect()(0).getLong(0)
+    val batch = Tables(spark, sf, "events").count()
+    // append-mode memory sink only emits windows the watermark has closed;
+    // with a bounded file source every window closes except the tail ones
+    assert(streamed > 0 && streamed <= batch)
+  }
+
+  test("stateful sessionization emits closed sessions per user") {
+    val stream = EventsStream.read(spark, eventsDir)
+    val out = EventsStream.runToMemory(
+      EventsStream.sessionize(stream), "sessions", OutputMode.Update())
+    assert(out.count() > 0)
+    assert(out.columns.toSet ==
+      Set("user_id", "session_start", "n_events", "duration_s"))
+  }
+}
