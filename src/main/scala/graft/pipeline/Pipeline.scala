@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+import graft.model.{Catalog, SemanticModel}
+
+/** Deterministic NL-pipeline operators (SURVEY §2.10): module detection
+  * (the RAG filter deciding which schemas enter an LLM prompt), catalog →
+  * prompt rendering, and the result envelope. The LLM call itself is out of
+  * scope (network-bound, exchangeable); everything deterministic around it
+  * is implemented.
+  */
+object ModuleDetector {
+
+  /** Keyword map per module (reference detect_modules keyword scoring,
+    * sap_sql_engine.py:105-190). */
+  val keywords: Map[String, Seq[String]] = Map(
+    "FI_GL" -> Seq("journal", "ledger", "gl", "account balance", "trial balance",
+      "posting", "fiscal", "accounting document", "balance sheet"),
+    "FI_AP" -> Seq("vendor", "payable", "supplier invoice", "payment", "aging",
+      "open items", "spend"),
+    "FI_AR" -> Seq("customer", "receivable", "dunning", "customer invoice",
+      "customer aging", "collections"),
+    "CO" -> Seq("cost center", "controlling", "internal order", "actual vs plan",
+      "variance", "cost element", "overhead"),
+    "MM" -> Seq("purchase", "procurement", "material", "goods receipt", "po",
+      "requisition", "inventory", "stock"),
+    "SD" -> Seq("sales", "order to cash", "delivery", "billing", "shipment",
+      "quotation", "revenue"),
+    "PM" -> Seq("maintenance", "work order", "equipment", "breakdown",
+      "operation", "confirmation"),
+    "HR" -> Seq("employee", "headcount", "personnel", "org unit", "position",
+      "hire"),
+    "PAY" -> Seq("payroll", "salary", "wage", "compensation", "pay period"),
+    "BEN" -> Seq("benefit", "enrollment", "health plan", "insurance"))
+
+  /** Score modules by keyword hits, ranked desc; empty → all modules
+    * (reference fallback). */
+  def detect(question: String): Seq[String] = {
+    val q = question.toLowerCase
+    val scored = keywords.toSeq
+      .map { case (m, kws) => m -> kws.count(q.contains) }
+      .filter(_._2 > 0)
+      .sortBy { case (m, s) => (-s, m) }
+      .map(_._1)
+    if (scored.nonEmpty) scored else Catalog.Modules
+  }
+}
+
+/** Catalog → system-prompt rendering (reference build_system_prompt,
+  * sap_sql_engine.py:556-831): rules, filtered schemas, FKs, relationships,
+  * guidelines. Deterministic string assembly; feeds any LLM client. */
+object PromptRenderer {
+  def render(model: SemanticModel, modules: Seq[String]): String = {
+    val tables = model.tablesOf(modules)
+    val tableNames = tables.map(_.name).toSet
+    val rels = model.relationships.filter(r =>
+      tableNames.contains(r.fromTable) && tableNames.contains(r.toTable))
+    val sb = new StringBuilder
+    sb ++= "You are an SAP ECC SQL analyst. Use ONLY tables and columns defined below.\n"
+    sb ++= "Rules:\n"
+    model.guidelines.foreach(g => sb ++= s"- ${g.title}: ${g.text}\n")
+    sb ++= "\nSchemas:\n"
+    tables.foreach { t =>
+      sb ++= s"TABLE ${t.name} (${t.module}) — ${t.description}; PK: ${t.primaryKey.mkString(", ")}\n"
+      t.columns.foreach { col =>
+        sb ++= s"  ${col.name} ${col.sapType}"
+        if (col.description.nonEmpty) sb ++= s" — ${col.description}"
+        if (col.pii) sb ++= " [PII]"
+        sb ++= "\n"
+      }
+    }
+    sb ++= "\nJoin relationships:\n"
+    rels.foreach(r => sb ++= s"- ${r.conditionSql}\n")
+    sb.toString
+  }
+}
+
+/** Result envelope (reference §2.7: {columns, column_types, rows, row_count,
+  * has_more, sql}); row cap + 1-row lookahead exactly like
+  * sap_sql_engine.py:1284-1287. */
+final case class ResultEnvelope(
+    columns: Seq[String],
+    columnTypes: Seq[String],
+    rows: Seq[Seq[Any]],
+    rowCount: Int,
+    hasMore: Boolean,
+    sql: Option[String]) {
+
+  def toJson: String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    } + "\""
+    def v(a: Any): String = a match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n: Byte => n.toString
+      case n: Short => n.toString
+      case n: Int => n.toString
+      case n: Long => n.toString
+      case n: Float => n.toString
+      case n: Double => n.toString
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+      case other => q(other.toString)
+    }
+    s"""{"columns":[${columns.map(q).mkString(",")}],""" +
+      s""""column_types":[${columnTypes.map(q).mkString(",")}],""" +
+      s""""rows":[${rows.map(r => "[" + r.map(v).mkString(",") + "]").mkString(",")}],""" +
+      s""""row_count":$rowCount,"has_more":$hasMore""" +
+      sql.map(s => s""","sql":${q(s)}""").getOrElse("") + "}"
+  }
+}
+
+object ResultEnvelope {
+
+  /** Spark type → the reference's int/float/str display classification
+    * (sap_sql_engine.py:1290-1311 — free here from df.schema). */
+  def classify(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => "int"
+    case FloatType | DoubleType | _: DecimalType => "float"
+    case _ => "str"
+  }
+
+  def fromDataFrame(df: DataFrame, maxRows: Int = 200,
+      sql: Option[String] = None): ResultEnvelope = {
+    val taken = df.limit(maxRows + 1).collect()
+    val hasMore = taken.length > maxRows
+    val rows = taken.take(maxRows).map(_.toSeq).toSeq
+    ResultEnvelope(
+      df.schema.fieldNames.toSeq,
+      df.schema.fields.map(f => classify(f.dataType)).toSeq,
+      rows, rows.size, hasMore, sql)
+  }
+}

@@ -306,6 +306,33 @@ object Analytics {
           FROM lineitem GROUP BY 1)
         ORDER BY ship_month""")),
 
+    // ── §2.6 the HANA dialect front end itself: TOP-n syntax, ADD_DAYS,
+    //    DAYS_BETWEEN, TO_VARCHAR fmt tokens, IFNULL — parsed by the
+    //    pre-rewriter + registered functions, then Catalyst ────────────────
+    Q(
+      "q_dialect_hana",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        graft.Engine.sql(s,
+          """SELECT TOP 20 o_orderkey,
+               ADD_DAYS(o_orderdate, 30) AS due_date,
+               TO_VARCHAR(o_orderdate, 'YYYY-MM') AS order_month,
+               IFNULL(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status,
+               DAYS_BETWEEN(DATE '2001-06-01', o_orderdate) AS age_days
+             FROM orders
+             WHERE o_orderdate >= DATE '1997-01-01' -- dialect comment test
+             ORDER BY o_orderkey""")
+          .withColumn("age_days", col("age_days").cast("long"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(o_orderdate AS DATE) + 30 AS due_date,
+          STRFTIME(o_orderdate, '%Y-%m') AS order_month,
+          COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status,
+          CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2001-06-01') AS BIGINT) AS age_days
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        ORDER BY o_orderkey LIMIT 20""")),
+
     // ── window: rank-per-group (row_number, deterministic tie-break) ─────
     Q(
       "q_window_rank",

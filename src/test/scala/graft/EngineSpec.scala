@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.SapFixtures
+import graft.governance.PiiGate
+import graft.graph.KnowledgeGraph
+import graft.pipeline.{ModuleDetector, PromptRenderer, ResultEnvelope}
+import graft.queries.SapTemplates
+import graft.sql.HanaDialect
+
+/** SAP engine components: dialect front end, PII gate, knowledge graph,
+  * module detection, result envelope, and the template library over the
+  * deterministic SAP-shaped fixtures. */
+class EngineSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  lazy val fixtures = SapFixtures.register(spark)
+
+  // ── dialect pre-rewriter ────────────────────────────────────────────────
+
+  test("dialect: TOP / FETCH FIRST / ROWNUM / comments / multi-statement") {
+    assert(HanaDialect.rewrite("SELECT TOP 5 a FROM t ORDER BY a")
+      == "SELECT a FROM t ORDER BY a LIMIT 5")
+    assert(HanaDialect.rewrite("SELECT a FROM t FETCH FIRST 3 ROWS ONLY")
+      == "SELECT a FROM t LIMIT 3")
+    assert(HanaDialect.rewrite("SELECT a FROM t WHERE ROWNUM <= 7").endsWith("LIMIT 7"))
+    assert(HanaDialect.rewrite("-- c\nSELECT a /* x */ FROM t -- tail")
+      .replaceAll("\\s+", " ").trim == "SELECT a FROM t")
+    assert(HanaDialect.rewrite("DROP TABLE x; SELECT a FROM t;")
+      == "SELECT a FROM t")
+  }
+
+  test("dialect: HANA functions run through spark.sql") {
+    HanaDialect.install(spark)
+    val r = spark.sql(
+      """SELECT add_days(DATE '2025-01-31', 30) AS d1,
+         days_between(DATE '2025-03-01', DATE '2025-01-30') AS n,
+         datediff3('day', DATE '2025-01-01', DATE '2025-01-11') AS n3,
+         to_varchar(DATE '2025-02-03', 'YYYY-MM') AS ym,
+         to_number('12.5') AS num,
+         julianday(DATE '1970-01-01') AS jd""").collect()(0)
+    assert(r.getDate(0).toString == "2025-03-02")
+    assert(r.getInt(1) == 30)
+    assert(r.getInt(2) == 10)
+    assert(r.getString(3) == "2025-02")
+    assert(r.getDecimal(4).doubleValue() == 12.5)
+    assert(r.getDouble(5) == 2440587.5)
+  }
+
+  // ── PII gate ────────────────────────────────────────────────────────────
+
+  test("pii gate: naked select on protected table is blocked") {
+    fixtures
+    val bad = spark.sql("SELECT PERNR, ENAME FROM PA0001")
+    assert(!PiiGate.isAllowed(bad))
+    val alsoBad = spark.sql("SELECT * FROM PA0002 WHERE PERNR = '00000001'")
+    assert(!PiiGate.isAllowed(alsoBad))
+  }
+
+  test("pii gate: aggregate-only HR queries pass") {
+    fixtures
+    val ok = spark.sql("SELECT ORGEH, COUNT(*) AS n FROM PA0001 GROUP BY ORGEH")
+    assert(PiiGate.isAllowed(ok))
+  }
+
+  test("pii gate: PII column inside aggregate is fine, outside is not") {
+    fixtures
+    assert(PiiGate.isAllowed(
+      spark.sql("SELECT COUNT(DISTINCT PERNR) AS n FROM PA0001 GROUP BY BUKRS")))
+    assert(!PiiGate.isAllowed(
+      spark.sql("SELECT PERNR, COUNT(*) AS n FROM PA0001 GROUP BY PERNR")))
+  }
+
+  test("pii gate: evasion via alias does not slip through") {
+    fixtures
+    val sneaky = spark.sql(
+      "SELECT x AS harmless, COUNT(*) n FROM (SELECT ENAME AS x FROM PA0001) GROUP BY x")
+    assert(!PiiGate.isAllowed(sneaky))
+  }
+
+  test("pii gate: non-protected tables unaffected") {
+    fixtures
+    assert(PiiGate.isAllowed(spark.sql("SELECT LIFNR, NAME1 FROM LFA1")))
+  }
+
+  // ── knowledge graph ─────────────────────────────────────────────────────
+
+  test("knowledge graph: shortest join path BKPF→LFA1 goes through BSEG") {
+    val kg = KnowledgeGraph.default
+    assert(kg.findJoinPath("BKPF", "LFA1").contains(Seq("BKPF", "BSEG", "LFA1")))
+    assert(kg.findJoinPath("VBAK", "VBRK").contains(Seq("VBAK", "VBFA", "VBRK")))
+    assert(kg.findJoinPath("GLT0", "EKKO").isEmpty) // disconnected subgraphs
+  }
+
+  test("knowledge graph: all simple paths bounded by cutoff and max") {
+    val kg = KnowledgeGraph.default
+    val paths = kg.findAllJoinPaths("BKPF", "LFA1")
+    assert(paths.nonEmpty && paths.size <= 5)
+    assert(paths.forall(_.size <= 5))
+  }
+
+  test("knowledge graph: NL term and question resolution") {
+    val kg = KnowledgeGraph.default
+    assert(kg.resolveTerm("vendor").contains("LFA1"))
+    assert(kg.resolveTerm("trial balance").contains("GLT0"))
+    val tables = kg.resolveQuestion("Show me the top vendors by spend")
+    assert(tables.contains("LFA1"))
+  }
+
+  test("knowledge graph: join chain SQL renders declared conditions") {
+    val kg = KnowledgeGraph.default
+    val sql = kg.joinChainSql(Seq("BKPF", "BSEG", "LFA1")).get
+    assert(sql.contains("JOIN BSEG ON BKPF.BUKRS = BSEG.BUKRS"))
+    assert(sql.contains("JOIN LFA1 ON BSEG.LIFNR = LFA1.LIFNR"))
+  }
+
+  // ── module detection + prompt rendering ─────────────────────────────────
+
+  test("module detector: keyword scoring ranks the right module first") {
+    assert(ModuleDetector.detect("top vendors by spend with open items").head == "FI_AP")
+    assert(ModuleDetector.detect("cost center actual vs plan variance").head == "CO")
+    assert(ModuleDetector.detect("employee headcount by org unit").head == "HR")
+    // no hits → fallback to all modules
+    assert(ModuleDetector.detect("xyzzy").size == 10)
+  }
+
+  test("prompt renderer: module filter limits schemas; PII marked") {
+    val p = PromptRenderer.render(model.Catalog.Model, Seq("HR"))
+    assert(p.contains("PA0001") && p.contains("[PII]"))
+    assert(!p.contains("TABLE EKKO"))
+  }
+
+  // ── result envelope ─────────────────────────────────────────────────────
+
+  test("result envelope: row cap + has_more lookahead + type classes") {
+    fixtures
+    val env = ResultEnvelope.fromDataFrame(
+      spark.sql("SELECT BELNR, DMBTR FROM BSEG ORDER BY BELNR, BUZEI"), maxRows = 10)
+    assert(env.rowCount == 10 && env.hasMore)
+    assert(env.columnTypes == Seq("str", "float"))
+    assert(env.toJson.contains("\"has_more\":true"))
+    val small = ResultEnvelope.fromDataFrame(
+      spark.sql("SELECT LIFNR FROM LFA1"), maxRows = 200)
+    assert(!small.hasMore && small.rowCount == 8)
+  }
+
+  // ── template library over fixtures ──────────────────────────────────────
+
+  test("templates: every template parses, passes governance, and runs") {
+    fixtures
+    for ((name, _) <- SapTemplates.templates) {
+      val df = SapTemplates.run(spark, name)
+      assert(df.columns.nonEmpty, name)
+      df.collect() // must execute
+    }
+  }
+
+  test("template invariant: journal entries are balanced (signed sum = 0)") {
+    fixtures
+    val net = SapTemplates.run(spark, "journal_balance_check")
+      .agg(sum(abs(col("net")))).collect()(0).getDecimal(0)
+    assert(net.compareTo(java.math.BigDecimal.ZERO) == 0)
+  }
+
+  test("template invariant: top vendors returns 5 with signed spend") {
+    fixtures
+    val rows = SapTemplates.run(spark, "top_vendors_by_spend").collect()
+    assert(rows.length == 5)
+    // descending by spend
+    val spends = rows.map(_.getDecimal(2).doubleValue()).toSeq
+    assert(spends == spends.sortBy(-_))
+  }
+
+  test("template invariant: o2c pipeline stages count orders/deliveries/bills") {
+    fixtures
+    val stages = SapTemplates.run(spark, "o2c_pipeline_summary").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1. Ordered, not delivered") == 3) // 12 orders, 9 with flow
+    assert(stages("2. Delivered, not billed") == 3)  // 9 deliveries, 6 billed
+    assert(stages("3. Billed") == 6)
+  }
+
+  test("template invariant: headcount aggregates without tripping PII gate") {
+    fixtures
+    val rows = SapTemplates.run(spark, "employee_headcount").collect()
+    assert(rows.map(_.getLong(1)).sum == 12)
+  }
+
+  test("engine: execute returns the reference envelope shape") {
+    fixtures
+    val env = Engine.execute(spark, "SELECT TOP 3 LIFNR, NAME1 FROM LFA1 ORDER BY LIFNR")
+    assert(env.rowCount == 3 && !env.hasMore)
+    assert(env.sql.exists(_.contains("LIMIT 3")))
+    intercept[PiiGate.Violation] {
+      Engine.execute(spark, "SELECT PERNR FROM PA0001")
+    }
+  }
+}
