@@ -33,16 +33,18 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle).
-    * Documents shorter than n tokens are dropped (no shingle exists). */
+    * Documents shorter than n tokens are dropped (no shingle exists).
+    * Dedup happens per-document with array_distinct BEFORE the explode —
+    * a narrow map, no global shuffle (shingle sets are per-doc, so a global
+    * distinct would shuffle 100 TB for nothing). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(toks) - $n), i -> " +
           (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")") +
-          ")")).as("shingle"))
-      .distinct()
+          ")"))).as("shingle"))
   }
 
   /** All-pairs n-gram Jaccard similarity ≥ threshold via a shingle
