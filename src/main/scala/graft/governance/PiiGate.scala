@@ -85,11 +85,17 @@ object PiiGate {
 
   /** Throws [[Violation]] when the plan breaks the aggregate-only policy;
     * returns the DataFrame unchanged otherwise. Wire in front of every
-    * execution entry point (graft.Engine does). */
+    * execution entry point (graft.Engine does), or install session-wide as
+    * an analyzer check rule via [[graft.GraftExtensions]]. */
   def check(df: DataFrame): DataFrame = {
-    val plan = df.queryExecution.analyzed
+    checkPlan(df.queryExecution.analyzed)
+    df
+  }
+
+  /** Plan-level entry point (used by the injected analyzer check rule). */
+  def checkPlan(plan: LogicalPlan): Unit = {
     val touched = protectedTablesIn(plan)
-    if (touched.isEmpty) return df
+    if (touched.isEmpty) return
 
     // find Aggregates that sit above a protected relation
     val aggs = plan.collect {
@@ -115,7 +121,6 @@ object PiiGate {
     if (outPii.nonEmpty)
       throw Violation(s"PII column(s) ${outPii.mkString(", ")} in result schema",
         touched.head)
-    df
   }
 
   def isAllowed(df: DataFrame): Boolean =

@@ -119,6 +119,17 @@ final case class ResultEnvelope(
   }
 }
 
+/** File sinks (reference §2.1: CSV/TSV export, JSON result sink). Thin
+  * wrappers over Spark's distributed writers — export happens on executors,
+  * never through the driver. */
+object ResultSink {
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode("overwrite").option("header", "true").option("sep", sep).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}
+
 object ResultEnvelope {
 
   /** Spark type → the reference's int/float/str display classification

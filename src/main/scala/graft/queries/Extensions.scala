@@ -202,6 +202,24 @@ object Extensions {
         CAST(LENGTH(text) AS BIGINT) AS n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // ── BPE-ish regex tokenization: letter-runs, digit-runs, and single
+    //    punctuation marks as separate tokens (the pre-tokenizer split most
+    //    BPE vocabularies assume) ────────────────────────────────────────────
+    Q(
+      "q_token_bpe",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+              .cast("long").as("n_bpe_tokens"),
+            size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens
+        FROM documents ORDER BY doc_id""")),
+
     // ── document fingerprint (custom rolling-hash expression) ────────────
     Q(
       "q_doc_fingerprint",

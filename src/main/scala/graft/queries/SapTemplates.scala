@@ -133,6 +133,55 @@ object SapTemplates {
           GROUP BY p.ORGEH
           ORDER BY p.ORGEH""",
 
+    // FBL3N G/L line items: header join + signed amounts + doc-type filter
+    "gl_line_items_fbl3n" ->
+      """SELECT b.HKONT, h.BELNR, h.BLART, h.BUDAT,
+            CASE WHEN b.SHKZG = 'H' THEN -b.DMBTR ELSE b.DMBTR END AS signed_amount
+          FROM BSEG b
+          JOIN BKPF h ON h.BUKRS = b.BUKRS AND h.BELNR = b.BELNR AND h.GJAHR = b.GJAHR
+          WHERE h.BUKRS = '1000'
+          ORDER BY b.HKONT, h.BELNR, b.BUZEI""",
+
+    // FBL1N vendor line items: open ∪ cleared with status marker
+    "vendor_line_items_fbl1n" ->
+      """SELECT i.LIFNR, i.BELNR, i.BUDAT, i.DMBTR, 'Open' AS item_status
+          FROM BSIK i WHERE i.AUGDT IS NULL OR i.AUGDT = ''
+          UNION ALL
+          SELECT a.LIFNR, a.BELNR, a.BUDAT, a.DMBTR, 'Cleared'
+          FROM BSAK a WHERE a.AUGDT IS NOT NULL AND a.AUGDT <> ''
+          ORDER BY LIFNR, BELNR""",
+
+    // R2R close status (7841-7854): stage-stacked posting-period dashboard
+    // via TO_VARCHAR period extraction
+    "r2r_close_status" ->
+      """SELECT TO_VARCHAR(h.BUDAT, 'YYYY-MM') AS period,
+            COUNT(*) AS n_documents,
+            COUNT(DISTINCT h.USNAM) AS n_users
+          FROM BKPF h
+          WHERE h.BUKRS = '1000'
+          GROUP BY TO_VARCHAR(h.BUDAT, 'YYYY-MM')
+          ORDER BY period""",
+
+    // GR/IR-style match: ordered vs received quantity per PO item
+    "gr_ir_match" ->
+      """SELECT p.EBELN, p.EBELP, p.MENGE AS ordered_qty,
+            IFNULL(SUM(h.MENGE), 0) AS received_qty,
+            p.MENGE - IFNULL(SUM(h.MENGE), 0) AS open_qty
+          FROM EKPO p
+          LEFT JOIN EKBE h ON h.EBELN = p.EBELN AND h.EBELP = p.EBELP
+            AND h.BEWTP = 'E' AND h.BWART IN ('101','161')
+          GROUP BY p.EBELN, p.EBELP, p.MENGE
+          ORDER BY p.EBELN, p.EBELP""",
+
+    // POs over threshold (7513-7524): HAVING on summed item value
+    "po_over_threshold" ->
+      """SELECT k.EBELN, k.LIFNR, SUM(p.NETWR) AS po_value
+          FROM EKKO k JOIN EKPO p ON p.EBELN = k.EBELN
+          WHERE k.LOEKZ <> 'X'
+          GROUP BY k.EBELN, k.LIFNR
+          HAVING SUM(p.NETWR) > 1000
+          ORDER BY po_value DESC, k.EBELN""",
+
     // p2p cycle time (7828-7840): PO → goods receipt via date math through
     // the dialect functions
     "p2p_cycle_time" ->

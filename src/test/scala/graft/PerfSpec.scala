@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.perf.Skew
+import graft.pipeline.ResultSink
+
+/** Scale utilities: salted joins, sinks, and the session-wide extensions
+  * installation. */
+class PerfSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("salted join is row-identical to the unsalted join") {
+    val l = Tables(spark, sf, "lineitem")
+    val su = Tables(spark, sf, "supplier")
+    val plain = l.join(su, l("l_suppkey") === su("s_suppkey"))
+      .groupBy("s_suppkey").count()
+    val salted = Skew.saltedJoin(l.withColumnRenamed("l_suppkey", "k"),
+        su.withColumnRenamed("s_suppkey", "k"), "k", 8)
+      .groupBy("k").count()
+    val a = plain.as[(Long, Long)].collect().toSet
+    val b = salted.as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("key histogram surfaces heavy keys") {
+    val h = Skew.keyHistogram(Tables(spark, sf, "lineitem"), "l_returnflag", 3)
+      .collect()
+    assert(h.length == 3)
+    assert(h(0).getLong(1) >= h(1).getLong(1))
+  }
+
+  test("csv sink round-trips with header") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = Tables(spark, sf, "region")
+    ResultSink.writeCsv(df, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == df.count())
+    assert(back.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("GraftExtensions installs the PII gate session-wide") {
+    // a second session on the SHARED SparkContext (one context per JVM) —
+    // clear the default so the builder constructs a fresh session with the
+    // extensions applied, and never stop() it (that would kill the context)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master(spark.sparkContext.master)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      graft.data.SapFixtures.register(s2)
+      // allowed: aggregate-only
+      assert(s2.sql("SELECT COUNT(*) AS n FROM PA0001 GROUP BY BUKRS").collect()
+        .nonEmpty)
+      // blocked at analysis time, no Engine wrapper involved
+      val e = intercept[Exception] {
+        s2.sql("SELECT ENAME FROM PA0001").collect()
+      }
+      assert(e.getMessage.contains("governance_block") ||
+        Option(e.getCause).exists(_.getMessage.contains("governance_block")))
+      // HANA functions were installed by the extension too
+      assert(s2.sql("SELECT add_days(DATE '2025-01-01', 1) AS d").collect()(0)
+        .getDate(0).toString == "2025-01-02")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
