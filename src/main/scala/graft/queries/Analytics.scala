@@ -306,6 +306,104 @@ object Analytics {
           FROM lineitem GROUP BY 1)
         ORDER BY ship_month""")),
 
+    // ── OLAP breadth (beyond reference): ROLLUP subtotals ────────────────
+    Q(
+      "q_rollup",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.rollup(year(col("o_orderdate")).cast("long").as("y"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+          .orderBy(asc_nulls_first("y"), asc_nulls_first("o_orderstatus"))
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+          o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders GROUP BY ROLLUP(1, o_orderstatus)
+        ORDER BY y NULLS FIRST, o_orderstatus NULLS FIRST""")),
+
+    // ── OLAP breadth: GROUPING SETS through spark.sql ────────────────────
+    Q(
+      "q_grouping_sets",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // ── set operations: INTERSECT / EXCEPT (absent in reference; native
+    //    here) — repeat vs churned customers across years ──────────────────
+    Q(
+      "q_intersect_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def custsIn(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        val repeat = custsIn(1996).intersect(custsIn(1997))
+          .select(lit("repeat").as("kind"), col("o_custkey"))
+        val churned = custsIn(1996).except(custsIn(1997))
+          .select(lit("churned").as("kind"), col("o_custkey"))
+        repeat.unionAll(churned).orderBy(col("kind"), col("o_custkey"))
+      },
+      Some("""SELECT kind, o_custkey FROM (
+          SELECT 'repeat' AS kind, o_custkey FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate)=1996
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate)=1997)
+          UNION ALL
+          SELECT 'churned', o_custkey FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate)=1996
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate)=1997))
+        ORDER BY kind, o_custkey""")),
+
+    // ── §2.3 EXISTS predicate at the SQL level (Catalyst → left semi) ────
+    Q(
+      "q_exists_sql",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        s.sql("""SELECT s_suppkey, s_name FROM supplier s
+          WHERE EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50)
+          ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50)
+        ORDER BY s_suppkey""")),
+
+    // ── exact median per group via window rank (portable, no float
+    //    interpolation): lower median = element at rank (n+1) div 2 ────────
+    Q(
+      "q_median_window",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("total"), col("o_orderkey"))
+        o.select(col("o_orderstatus"), col("o_orderkey"),
+            money(col("o_totalprice")).as("total"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1))
+            .over(Window.partitionBy(col("o_orderstatus"))).cast("long"))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_orderstatus"), col("total").as("median_total"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, total AS median_total FROM (
+          SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+              ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS BIGINT) AS rn,
+            CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS cnt
+          FROM orders)
+        WHERE rn = (cnt + 1) // 2
+        ORDER BY o_orderstatus""")),
+
     // ── §2.6 the HANA dialect front end itself: TOP-n syntax, ADD_DAYS,
     //    DAYS_BETWEEN, TO_VARCHAR fmt tokens, IFNULL — parsed by the
     //    pre-rewriter + registered functions, then Catalyst ────────────────

@@ -268,6 +268,37 @@ object Extensions {
         FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type"""),
       bench = true),
 
+    // ── event analytics: signup→purchase conversion funnel (ordering-
+    //    sensitive: purchase must follow the user's first signup) ───────────
+    Q(
+      "q_events_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val signups = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("signup_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+          .join(signups, Seq("user_id"))
+          .filter(col("p_us") > col("signup_us"))
+          .groupBy(col("user_id")).agg(min(col("p_us")).as("first_purchase_us"))
+        signups.join(purchases, Seq("user_id"), "left")
+          .select(col("user_id"), col("signup_us"),
+            coalesce(col("first_purchase_us"), lit(-1L)).as("first_purchase_us"),
+            when(col("first_purchase_us").isNotNull, 1L).otherwise(0L).as("converted"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+          FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.signup_us
+          GROUP BY e.user_id)
+        SELECT s.user_id, s.signup_us,
+          COALESCE(p.first_purchase_us, -1) AS first_purchase_us,
+          CAST(CASE WHEN p.first_purchase_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS converted
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+        ORDER BY s.user_id""")),
+
     // ── event analytics: gap-based sessionization (30-min idle), batch
     //    analog of the mapGroupsWithState streaming operator ───────────────
     Q(
