@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,11 +38,10 @@ object Fnv64 {
   * cost is O(tokens) either way and the expression is still
   * partition-parallel.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+/** Row-level kernels, kept as object methods so generated Java code can call
+  * them through the static forwarders (graft.functions.SimHashImpl.hash). */
+object SimHashImpl {
+  def hash(arr: ArrayData): Long = {
     val acc = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -64,6 +63,37 @@ case class SimHash64(child: Expression)
     }
     out
   }
+
+  def rollingMin(s: UTF8String, k: Int): Long = {
+    val str = s.toString
+    if (str.length < k) return Fnv64.hashBytes(str.getBytes("UTF-8"))
+    val Base = 1315423911L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + str.charAt(i); i += 1 }
+    var minH = h ^ (h >>> 31)
+    i = k
+    while (i < str.length) {
+      h = (h - str.charAt(i - k) * pow) * Base + str.charAt(i)
+      val mixed = h ^ (h >>> 31)
+      if (java.lang.Long.compareUnsigned(mixed, minH) < 0) minH = mixed
+      i += 1
+    }
+    minH
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.hash(input.asInstanceOf[ArrayData])
+  // native codegen: a static kernel call — keeps the containing operator
+  // inside whole-stage codegen (CodegenFallback would break the span)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.hash($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
@@ -73,32 +103,13 @@ case class SimHash64(child: Expression)
   * are a cheap first-pass duplicate signal that is robust to content
   * reordering at window granularity.
   */
-case class RollingMinHash64(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class RollingMinHash64(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0)
   override def dataType: DataType = LongType
-  private val Base = 1315423911L
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < k) return Fnv64.hashBytes(s.getBytes("UTF-8"))
-    // precompute Base^(k-1) for the rolling subtract
-    var pow = 1L
-    var i = 0
-    while (i < k - 1) { pow *= Base; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
-    var minH = h ^ (h >>> 31) // finalize-mix before comparing
-    i = k
-    while (i < s.length) {
-      h = (h - s.charAt(i - k) * pow) * Base + s.charAt(i)
-      val mixed = h ^ (h >>> 31)
-      if (java.lang.Long.compareUnsigned(mixed, minH) < 0) minH = mixed
-      i += 1
-    }
-    minH
-  }
+  override def nullSafeEval(input: Any): Any =
+    SimHashImpl.rollingMin(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.rollingMin($c, $k)")
   override protected def withNewChildInternal(c: Expression): RollingMinHash64 =
     copy(child = c)
 }

@@ -1,0 +1,130 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.Engine
+import graft.governance.PiiGate
+import graft.graph.KnowledgeGraph
+import graft.model.Catalog
+
+/** HTTP façade replicating the reference's API envelope (SURVEY §7.7,
+  * sap_sql_engine.py /api/execute and /api/kg endpoints): a thin JDK-http layer over
+  * the engine — no frameworks, no extra dependencies.
+  *
+  * Routes:
+  *   POST /api/execute   {"sql": "..."}  → result envelope JSON
+  *                       (governance violations → governance_block envelope,
+  *                        mirroring sap_sql_engine.py:1592-1604)
+  *   GET  /api/catalog                    → table inventory
+  *   GET  /api/kg/path?from=T1&to=T2      → shortest join path + chain SQL
+  *
+  * Unlike the reference's serial HTTPServer (1 request at a time,
+  * sap_sql_engine.py:1724), requests here execute on a thread pool and Spark
+  * schedules them concurrently.
+  */
+object ApiServer {
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+    case ch => ch.toString
+  } + "\""
+
+  /** Minimal {"sql": "..."} body parser (no JSON library in scope). */
+  def extractSql(body: String): Option[String] = {
+    val m = """"sql"\s*:\s*"""".r.findFirstMatchIn(body)
+    m.map { hit =>
+      val sb = new StringBuilder
+      var i = hit.end
+      var done = false
+      while (i < body.length && !done) {
+        body.charAt(i) match {
+          case '\\' if i + 1 < body.length =>
+            body.charAt(i + 1) match {
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case 'u' if i + 5 < body.length =>
+                sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+                i += 4
+              case other => sb += other
+            }
+            i += 2
+          case '"' => done = true
+          case ch => sb += ch; i += 1
+        }
+      }
+      sb.toString
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  /** Start the server; port 0 picks an ephemeral port. Returns the server
+    * (query `getAddress.getPort`; call `stop(0)` to shut down). */
+  def start(spark: SparkSession, port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    server.createContext("/api/execute", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        extractSql(body) match {
+          case None => respond(ex, 400, """{"error":"missing sql field"}""")
+          case Some(sql) =>
+            try respond(ex, 200, Engine.execute(spark, sql).toJson)
+            catch {
+              case v: PiiGate.Violation =>
+                // reference envelope decoration, sap_sql_engine.py:1592-1604
+                respond(ex, 403,
+                  s"""{"governance_block":true,"governance_type":"pii_violation","governance_message":${q(v.getMessage)}}""")
+              case e: Exception =>
+                respond(ex, 400, s"""{"error":${q(Option(e.getMessage).getOrElse(e.toString).take(500))}}""")
+            }
+        }
+      } catch { case e: Exception => respond(ex, 500, s"""{"error":${q(e.toString)}}""") }
+    })
+
+    server.createContext("/api/catalog", (ex: HttpExchange) => {
+      val tables = Catalog.Model.tables.map(t =>
+        s"""{"name":${q(t.name)},"module":${q(t.module)},"pk":[${t.primaryKey.map(q).mkString(",")}],"n_columns":${t.columns.size}}""")
+      respond(ex, 200, s"""{"tables":[${tables.mkString(",")}]}""")
+    })
+
+    server.createContext("/api/kg/path", (ex: HttpExchange) => {
+      val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      (params.get("from"), params.get("to")) match {
+        case (Some(f), Some(t)) =>
+          val kg = KnowledgeGraph.default
+          kg.findJoinPath(f.toUpperCase, t.toUpperCase) match {
+            case Some(path) =>
+              val chain = kg.joinChainSql(path).getOrElse("")
+              respond(ex, 200,
+                s"""{"path":[${path.map(q).mkString(",")}],"join_sql":${q(chain)}}""")
+            case None => respond(ex, 404, """{"error":"no join path"}""")
+          }
+        case _ => respond(ex, 400, """{"error":"from and to required"}""")
+      }
+    })
+
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    server
+  }
+}
