@@ -96,4 +96,53 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(round(sum(col("x").cast("double")) / count(lit(1)), 4).as("centroid"))
   }
+
+  // ── IVF (inverted-file) ANN: the second scale path next to sign-LSH ──────
+
+  /** Deterministic coarse centroids: every (N/k)-th corpus vector by id.
+    * (A k-means pass would sharpen cells; seeded selection keeps the index
+    * reproducible and is the standard bootstrap.) */
+  def ivfCentroids(corpus: DataFrame, k: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
+      .select(col("cell"), col("embedding").as("centroid"))
+
+  /** Assign each corpus vector to its nearest centroid cell (one broadcast
+    * of k centroids; the corpus is mapped, never shuffled). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        (dot(col("embedding"), col("centroid")) /
+          (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine
+    * only within those cells. Search cost ~ corpus/k × nprobe instead of
+    * corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells).cache()
+    val indexed = ivfAssign(corpus, cents)
+    val qScored = queries.join(broadcast(cents))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
+        (dot(col("embedding"), col("centroid")) /
+          (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
+    val wq = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cell"))
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe).select(col("qid"), col("qe"), col("cell"))
+    val scored = probes.join(indexed, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(dot(col("qe"), col("embedding")) /
+          (l2norm(col("qe")) * l2norm(col("embedding"))), 6).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos", "rk")
+  }
 }

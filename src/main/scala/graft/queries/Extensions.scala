@@ -122,6 +122,17 @@ object Extensions {
       },
       None),
 
+    // ── IVF-cell approximate ANN (second scale path; recall tested in
+    //    ScalaTest against brute force) ──────────────────────────────────────
+    Q(
+      "q_embed_ann_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      None),
+
     // ── per-label embedding centroids (element-wise mean) ────────────────
     Q(
       "q_embed_centroid",

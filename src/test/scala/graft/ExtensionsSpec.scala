@@ -56,6 +56,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall > 0.1, s"suspiciously low ANN recall: $recall")
   }
 
+  test("ivf ann probes cells and returns ranked neighbors") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = Similarity.ivfTopK(emb, queries, 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    // every query returns at most k ranked results with rk 1..k
+    val byQ = out.groupBy(_._1)
+    assert(byQ.values.forall(rs => rs.map(_._4).sorted.sameElements(1L to rs.length)))
+    // overlap with brute force should be nontrivial
+    val exact = Similarity.cosineTopK(emb, queries, 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = out.map(r => (r._1, r._2)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall > 0.1, s"IVF recall suspiciously low: $recall")
+  }
+
   test("fingerprint is deterministic and order-sensitive only at window level") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
       (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),
