@@ -87,4 +87,57 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Image resize plumbing: payload → payload' with updated metadata. The
+    * pixel resample itself is STUBBED (no codecs in this container) as a
+    * deterministic byte downsample — the Spark contract (binary in/out,
+    * metadata recomputed in the same row, narrow map) is the real part. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val resizeUdf = udf { (payload: Array[Byte], w: Int, h: Int) =>
+      if (payload == null) null
+      else {
+        // REAL IMPL: decode → resample to fit (maxW, maxH) → re-encode.
+        // Stub keeps every (targetPixels/srcPixels) fraction of bytes.
+        val scale = math.min(1.0,
+          (maxW.toLong * maxH).toDouble / (w.toLong * h).toDouble)
+        val n = math.max(1, (payload.length * scale).toInt)
+        java.util.Arrays.copyOf(payload, n)
+      }
+    }
+    val newW = least(col("meta.width"), lit(maxW))
+    val newH = least(col("meta.height"), lit(maxH))
+    media.select(col("media_id"),
+      resizeUdf(col("payload"), col("meta.width"), col("meta.height")).as("payload"),
+      struct(col("meta.mime").as("mime"),
+        newW.cast("int").as("width"), newH.cast("int").as("height")).as("meta"))
+  }
+
+  /** Video frame sampling plumbing: one payload → every nth "frame" as its
+    * own row (media_id, frame_no, frame binary). The codec is STUBBED as a
+    * fixed-size byte chunker; the Spark shape — explode to frame granularity
+    * without materializing all frames on the driver — is real. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null) Iterator.empty
+          else {
+            // REAL IMPL: demux container → decode every Nth frame.
+            val nFrames = payload.length / frameBytes
+            (0 until nFrames by everyNth).iterator.map { f =>
+              Row(r.getLong(0), f.toLong,
+                java.util.Arrays.copyOfRange(payload, f * frameBytes,
+                  math.min((f + 1) * frameBytes, payload.length)))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -133,6 +133,38 @@ object SapTemplates {
           GROUP BY p.ORGEH
           ORDER BY p.ORGEH""",
 
+    // sales_orders_by_period (7548-7559): date-range + soft-delete filter
+    "sales_orders_by_period" ->
+      """SELECT v.VBELN, v.KUNNR, v.ERDAT, v.NETWR
+          FROM VBAK v
+          WHERE v.ERDAT >= '2025-01-01' AND v.ERDAT <= '2025-03-31'
+            AND v.LOEKZ = ''
+          ORDER BY v.ERDAT, v.VBELN""",
+
+    // customer master with case-insensitive search (rule 6 UPPER())
+    "customer_master_search" ->
+      """SELECT c.KUNNR, c.NAME1, c.LAND1
+          FROM KNA1 c
+          WHERE UPPER(c.NAME1) LIKE UPPER('%customer%') AND c.LOEKZ <> 'X'
+          ORDER BY c.KUNNR""",
+
+    // audit: postings by user and transaction code
+    "doc_audit_by_user" ->
+      """SELECT h.USNAM, h.TCODE, COUNT(*) AS n_docs,
+            MIN(h.BUDAT) AS first_posting, MAX(h.BUDAT) AS last_posting
+          FROM BKPF h
+          GROUP BY h.USNAM, h.TCODE
+          ORDER BY h.USNAM, h.TCODE""",
+
+    // payroll periods — second protected table exercising the PII gate's
+    // aggregate-only path
+    "payroll_period_summary" ->
+      """SELECT r.FPBEG, r.FPEND, COUNT(*) AS n_results,
+            COUNT(DISTINCT r.PERNR) AS n_employees
+          FROM HRPY_RGDIR r
+          GROUP BY r.FPBEG, r.FPEND
+          ORDER BY r.FPBEG""",
+
     // FBL3N G/L line items: header join + signed amounts + doc-type filter
     "gl_line_items_fbl3n" ->
       """SELECT b.HKONT, h.BELNR, h.BLART, h.BUDAT,

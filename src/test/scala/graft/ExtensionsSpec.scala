@@ -109,6 +109,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(v == again)
   }
 
+  test("multimodal: resize caps metadata and shrinks payload deterministically") {
+    val media = Multimodal.withBinaryPayload(docs)
+    val small = Multimodal.resize(media, 64, 64)
+    val row = small.filter(col("media_id") === 1).collect().head
+    val meta = row.getStruct(2)
+    assert(meta.getInt(1) <= 64 && meta.getInt(2) <= 64)
+    val orig = media.filter(col("media_id") === 1).collect().head
+      .getAs[Array[Byte]](1).length
+    assert(row.getAs[Array[Byte]](1).length <= orig)
+    // determinism
+    val again = Multimodal.resize(media, 64, 64)
+      .filter(col("media_id") === 1).collect().head.getAs[Array[Byte]](1)
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]](1), again))
+  }
+
+  test("multimodal: frame sampling explodes payloads to frame rows") {
+    val media = Multimodal.withBinaryPayload(docs.limit(5))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyNth = 2)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Array[Byte]](2).length <= 32))
+    // every 2nd frame only
+    val nos = rows.filter(_.getLong(0) == rows.head.getLong(0)).map(_.getLong(1))
+    assert(nos.forall(_ % 2 == 0))
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
