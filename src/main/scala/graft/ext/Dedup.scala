@@ -131,6 +131,22 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: semantic dedup over an
+    * embedding column. Exact all-pairs here (the oracle-checkable baseline);
+    * at corpus scale, feed LSH/IVF candidates (graft.ext.Similarity) into
+    * the same cosine verification instead of the full cross join. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    import graft.ext.Similarity.{dot, l2norm}
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("ea"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("ea"), col("eb")) / (l2norm(col("ea")) * l2norm(col("eb"))), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (custom Catalyst
     * expression), banded into 4×16-bit keys so any pair within Hamming
     * distance 3 of each other shares ≥1 band (pigeonhole); verified against

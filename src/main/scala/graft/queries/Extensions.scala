@@ -90,6 +90,26 @@ object Extensions {
       },
       None),
 
+    // ── embedding-cosine near-dup pairs (semantic dedup; 0.4 is the
+    //    near-dup band of this synthetic corpus) ────────────────────────────
+    Q(
+      "q_dedup_embedding",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM ex GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, ROUND(dot / (na.nv * nb.nv), 6) AS cos
+        FROM dots JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id
+        WHERE ROUND(dot / (na.nv * nb.nv), 6) >= 0.4
+        ORDER BY id_a, id_b""")),
+
     // ── exact brute-force cosine top-3 neighbors for query vecs (id<10) ──
     Q(
       "q_embed_knn",
