@@ -55,6 +55,36 @@ object TextAnalysis {
       round(hits.cast("double") / nToks.cast("double"), 4).as("stopword_ratio"))
   }
 
+  /** Tiny character-trigram profiles per language (top discriminative
+    * trigrams, public linguistic data) — the classic char-n-gram language-ID
+    * complement to the stopword heuristic; robust on text without clean
+    * word boundaries. */
+  val charTrigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " an", "ion", " of"),
+    "de" -> Seq("der", "ich", "sch", "die", "und", "ein", "cht", "en "),
+    "fr" -> Seq("es ", "le ", "de ", "ent", "ion", "que", " la", "ait"),
+    "es" -> Seq("de ", "la ", "os ", "el ", "ent", "ión", " co", "es "))
+
+  /** Count occurrences of a literal substring (codegen'd length arithmetic —
+    * no regex engine in the hot path). */
+  private def countOccurrences(text: Column, sub: String): Column =
+    ((length(text) - length(regexp_replace(text,
+      java.util.regex.Pattern.quote(sub), ""))) / sub.length).cast("long")
+
+  /** Char-trigram hit score for one language. */
+  def trigramHits(text: Column, lang: String): Column =
+    charTrigrams(lang).map(t => countOccurrences(lower(text), t))
+      .reduce(_ + _)
+
+  /** Char-n-gram language ID: argmax of trigram hits (tie-break on language
+    * code, 'und' when nothing matches). */
+  def langIdCharNgram(text: Column): Column = {
+    val scored = charTrigrams.keys.toSeq.sorted.map(l => struct(
+      trigramHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** Winnowing-style 64-bit document fingerprint (custom expression). */
   def fingerprint(text: Column, window: Int = 16): Column =
     HashFunctions.fingerprint(text, window)

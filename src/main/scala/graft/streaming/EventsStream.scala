@@ -43,6 +43,14 @@ object EventsStream {
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication: drop repeated keys with watermark-bounded
+    * state (the streaming face of graft.ext.Dedup.exact — same hash-partition
+    * semantics, state expires past the watermark instead of growing forever). */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, duration_s: Long)

@@ -109,6 +109,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(v == again)
   }
 
+  test("char-trigram language id complements the stopword heuristic") {
+    val df = Seq(
+      (1L, "the thing and the other thing are singing"),
+      (2L, "ich mochte dich und die schoene sache"),
+      (3L, "xqz")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.langIdCharNgram(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de"); assert(out(3L) == "und")
+  }
+
   test("multimodal: resize caps metadata and shrinks payload deterministically") {
     val media = Multimodal.withBinaryPayload(docs)
     val small = Multimodal.resize(media, 64, 64)

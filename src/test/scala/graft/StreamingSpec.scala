@@ -32,6 +32,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed > 0 && streamed <= batch)
   }
 
+  test("streaming dedup drops repeated keys with bounded state") {
+    val stream = EventsStream.read(spark, eventsDir)
+    val out = EventsStream.runToMemory(
+      EventsStream.dedupStream(stream, Seq("user_id", "event_type")),
+      "dedup_stream", OutputMode.Append())
+    val batch = Tables(spark, sf, "events")
+    assert(out.count() <= batch.count())
+    // (user_id, event_type, ts) triples are unique after dedup
+    assert(out.groupBy("user_id", "event_type", "ts").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("stateful sessionization emits closed sessions per user") {
     val stream = EventsStream.read(spark, eventsDir)
     val out = EventsStream.runToMemory(
