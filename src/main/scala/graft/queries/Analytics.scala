@@ -306,6 +306,40 @@ object Analytics {
           FROM lineitem GROUP BY 1)
         ORDER BY ship_month""")),
 
+    // ── pivot: DataFrame .pivot() with pinned value set (the reference
+    //    emulates this with CASE; both forms supported here) ────────────────
+    Q(
+      "q_pivot",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.groupBy(col("l_suppkey"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(sum(money(col("l_extendedprice"))))
+          .select(col("l_suppkey"),
+            col("A").cast(DecimalType(38, 2)).as("amt_a"),
+            col("N").cast(DecimalType(38, 2)).as("amt_n"),
+            col("R").cast(DecimalType(38, 2)).as("amt_r"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey,
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS amt_a,
+          CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS amt_n,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS amt_r
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
+    // ── HLL sketch: approx_count_distinct (no oracle — approximate; the
+    //    error bound vs exact COUNT DISTINCT is pinned in ScalaTest) ────────
+    Q(
+      "q_approx_distinct",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
     // ── OLAP breadth (beyond reference): ROLLUP subtotals ────────────────
     Q(
       "q_rollup",

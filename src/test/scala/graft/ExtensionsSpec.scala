@@ -109,6 +109,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(v == again)
   }
 
+  test("asof join matches duckdb asof semantics on a planted case") {
+    val purchases = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 10L))
+      .toDF("event_id", "user_id", "p_us")
+    val views = Seq((10L, 90L), (10L, 100L), (10L, 120L), (20L, 40L))
+      .toDF("user_id", "v_us")
+    val out = graft.ext.AsOfJoin
+      .asofJoin(purchases, views, Seq("user_id"), "p_us", "v_us", Nil)
+      .select("event_id", "asof_v_us").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 100L) // <= semantics: equal timestamp matches
+    assert(!out.contains(2L)) // no view at or before 50 → dropped (inner)
+    assert(!out.contains(3L)) // user 20's only view is after the purchase
+  }
+
+  test("hll approx distinct stays within the configured error bound") {
+    val r = graft.queries.Registry.byName("q_approx_distinct")
+      .build(spark, sf).as[(String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"approx $approx too far from exact $exact")
+    }
+  }
+
   test("char-trigram language id complements the stopword heuristic") {
     val df = Seq(
       (1L, "the thing and the other thing are singing"),
