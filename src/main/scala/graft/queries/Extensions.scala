@@ -322,6 +322,33 @@ object Extensions {
           ON p.user_id = v.user_id AND v.ts <= p.ts
         ORDER BY p.event_id""")),
 
+    // ── range join: views within the hour before each purchase
+    //    (bucketized construction — no nested-loop cross product; the
+    //    oracle is DuckDB's plain inequality join) ───────────────────────────
+    Q(
+      "q_range_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+        graft.ext.RangeJoin
+          .lookbackJoin(purchases, views, Seq("user_id"), "p_us", "v_us",
+            3600L * 1000000L)
+          .groupBy(col("event_id"), col("user_id"), col("p_us"))
+          .agg(count(lit(1)).as("n_views_1h"), max(col("v_us")).as("latest_view_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+          COUNT(*) AS n_views_1h, MAX(epoch_us(v.ts)) AS latest_view_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND epoch_us(v.ts) >= epoch_us(p.ts) - CAST(3600000000 AS BIGINT)
+         AND epoch_us(v.ts) <= epoch_us(p.ts)
+        GROUP BY 1, 2, 3 ORDER BY p.event_id""")),
+
     // ── event analytics: signup→purchase conversion funnel (ordering-
     //    sensitive: purchase must follow the user's first signup) ───────────
     Q(
