@@ -233,6 +233,30 @@ object Extensions {
         CAST(LENGTH(text) AS BIGINT) AS n_chars
         FROM documents ORDER BY doc_id""")),
 
+    // ── deterministic dataset splitting: stable train/eval assignment via
+    //    multiplicative-hash bucketing on the id (no RNG — reproducible
+    //    across runs, engines, and cluster sizes; the standard way to split
+    //    a training corpus that keeps growing) ────────────────────────────────
+    Q(
+      "q_dataset_split",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+        d.select(col("doc_id"),
+            when(bucket < 90, "train").when(bucket < 95, "eval")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("split"))
+      },
+      Some("""SELECT split, COUNT(*) AS n, MIN(doc_id) AS first_doc FROM (
+          SELECT doc_id,
+            CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+                 WHEN (doc_id * 2654435761) % 100 < 95 THEN 'eval'
+                 ELSE 'test' END AS split
+          FROM documents)
+        GROUP BY split ORDER BY split""")),
+
     // ── BPE-ish regex tokenization: letter-runs, digit-runs, and single
     //    punctuation marks as separate tokens (the pre-tokenizer split most
     //    BPE vocabularies assume) ────────────────────────────────────────────
