@@ -9,9 +9,14 @@ import org.apache.spark.sql.types.DecimalType
   * Oracle-parity policy (see tools/check.py): every numeric that reaches a
   * query's output is either
   *   - an exact integer (`BIGINT` both sides),
-  *   - an exact decimal (cast the double *inputs* to DecimalType before
-  *     aggregating, so Spark and DuckDB both do exact, order-independent
-  *     decimal arithmetic), or
+  *   - a DOUBLE produced by exact decimal arithmetic: cast the double
+  *     *inputs* to DecimalType before aggregating (exact, order-independent
+  *     on both engines), then cast the FINAL output to DOUBLE on both sides.
+  *     Never output a DECIMAL column — the driver's hash canonicalizes
+  *     decimals through float repr, so a trailing-zero decimal string
+  *     ('51171.90') breaks the hash even when the engines agree exactly.
+  *     The sums here stay under 2^53 ulp-units, so the double is exact and
+  *     repr-stable on both engines. Or
   *   - a ratio: exact decimal sums → cast to double → IEEE arithmetic →
   *     `round(_, n)` — deterministic on both engines.
   * Raw double aggregation is avoided because float addition is

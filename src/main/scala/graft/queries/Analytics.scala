@@ -30,13 +30,15 @@ object Analytics {
         o.groupBy(year(col("o_orderdate")).cast("long").as("order_year"),
             substring(col("o_orderpriority"), 1, 1).as("prio_class"))
           .agg(count(lit(1)).as("n"),
-            sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+            // exact decimal sum internally, DOUBLE out — the driver's hash
+            // floats decimals, so trailing-zero decimal strings break it
+            sum(money(col("o_totalprice"))).cast("double").as("total"))
           .orderBy(col("order_year"), col("prio_class"))
       },
       Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
         SUBSTR(o_orderpriority, 1, 1) AS prio_class,
         COUNT(*) AS n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY 1, 2 ORDER BY order_year, prio_class""")),
 
     // ── §2.4 HAVING (reference "Purchase orders over threshold value") ───
@@ -45,16 +47,19 @@ object Analytics {
       (s, dir) => {
         val l = t(s, dir, "lineitem")
         l.groupBy(col("l_suppkey"))
-          .agg(sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("total_spend"),
+          .agg(sum(money(col("l_extendedprice"))).as("spend_dec"),
             count(lit(1)).as("n_lines"))
-          .filter(col("total_spend") > lit(50000).cast(DecimalType(18, 2)))
+          .filter(col("spend_dec") > lit(50000).cast(DecimalType(18, 2)))
+          .select(col("l_suppkey"), col("spend_dec").cast("double").as("total_spend"),
+            col("n_lines"))
           .orderBy(desc("total_spend"), col("l_suppkey"))
       },
-      Some("""SELECT l_suppkey,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend,
-        COUNT(*) AS n_lines
-        FROM lineitem GROUP BY l_suppkey
-        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) > CAST(50000 AS DECIMAL(18,2))
+      Some("""SELECT l_suppkey, CAST(spend_dec AS DOUBLE) AS total_spend, n_lines FROM (
+          SELECT l_suppkey,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS spend_dec,
+            COUNT(*) AS n_lines
+          FROM lineitem GROUP BY l_suppkey
+          HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > CAST(50000 AS DECIMAL(18,2)))
         ORDER BY total_spend DESC, l_suppkey""")),
 
     // ── §2.4 conditional aggregation / pivot-by-CASE (reference
@@ -67,16 +72,16 @@ object Analytics {
           .agg(
             sum(when(col("l_returnflag") === "R", money(col("l_extendedprice")))
               .otherwise(lit(0).cast(DecimalType(18, 2))))
-              .cast(DecimalType(38, 2)).as("returned_amt"),
+              .cast("double").as("returned_amt"),
             sum(when(col("l_returnflag") =!= "R", money(col("l_extendedprice")))
               .otherwise(lit(0).cast(DecimalType(18, 2))))
-              .cast(DecimalType(38, 2)).as("kept_amt"),
+              .cast("double").as("kept_amt"),
             count(lit(1)).as("n"))
           .orderBy(col("ship_year"))
       },
       Some("""SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
-        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS returned_amt,
-        CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS kept_amt,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_amt,
+        CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS kept_amt,
         COUNT(*) AS n
         FROM lineitem GROUP BY 1 ORDER BY ship_year""")),
 
@@ -92,11 +97,11 @@ object Analytics {
           .withColumn("aging_bucket", agingBucket(col("days_past_due")))
         open.groupBy(col("aging_bucket"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("open_amount"))
+            sum(money(col("o_totalprice"))).cast("double").as("open_amount"))
           .orderBy(agingBucketOrder(col("aging_bucket")))
       },
       Some(s"""SELECT aging_bucket, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS open_amount
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_amount
         FROM (
           SELECT o_totalprice,
             CASE WHEN DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '$AsOf') <= 0 THEN 'Not yet due'
@@ -119,14 +124,14 @@ object Analytics {
             countDistinct(col("p_type")).as("n_types"),
             min(col("p_size")).cast("long").as("min_size"),
             max(col("p_size")).cast("long").as("max_size"),
-            min(money(col("p_retailprice"))).as("min_price"),
-            max(money(col("p_retailprice"))).as("max_price"))
+            min(money(col("p_retailprice"))).cast("double").as("min_price"),
+            max(money(col("p_retailprice"))).cast("double").as("max_price"))
           .orderBy(col("p_brand"))
       },
       Some("""SELECT p_brand, COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
         CAST(MIN(p_size) AS BIGINT) AS min_size, CAST(MAX(p_size) AS BIGINT) AS max_size,
-        MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price,
-        MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS max_price
+        CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
         FROM part GROUP BY p_brand ORDER BY p_brand""")),
 
     // ── §2.4 horizontal (cross-column) sum with NULL-as-zero (reference
@@ -140,12 +145,12 @@ object Analytics {
           col("l_discount").cast(DecimalType(18, 3)),
           col("l_tax").cast(DecimalType(18, 3))))
         l.groupBy(col("l_returnflag"))
-          .agg(sum(perRow).cast(DecimalType(38, 3)).as("period_activity"),
+          .agg(sum(perRow).cast("double").as("period_activity"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
-        CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,3)),0) + COALESCE(CAST(l_discount AS DECIMAL(18,3)),0) + COALESCE(CAST(l_tax AS DECIMAL(18,3)),0)) AS DECIMAL(38,3)) AS period_activity,
+        CAST(SUM(COALESCE(CAST(l_quantity AS DECIMAL(18,3)),0) + COALESCE(CAST(l_discount AS DECIMAL(18,3)),0) + COALESCE(CAST(l_tax AS DECIMAL(18,3)),0)) AS DOUBLE) AS period_activity,
         COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -275,13 +280,13 @@ object Analytics {
         o.select(col("o_custkey"), col("o_orderkey"),
             to_date(col("o_orderdate")).as("order_date"),
             sum(money(col("o_totalprice"))).over(w)
-              .cast(DecimalType(38, 2)).as("running_total"))
+              .cast("double").as("running_total"))
           .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
           PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         FROM orders WHERE o_custkey <= 20
         ORDER BY o_custkey, order_date, o_orderkey""")),
 
@@ -291,18 +296,19 @@ object Analytics {
       (s, dir) => {
         val l = t(s, dir, "lineitem")
         val monthly = l.groupBy(trunc(to_date(col("l_shipdate")), "MM").as("ship_month"))
-          .agg(sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("revenue"))
+          .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
         val w = Window.orderBy(col("ship_month"))
-        monthly.select(col("ship_month"), col("revenue"),
-            (col("revenue") - lag(col("revenue"), 1).over(w))
-              .cast(DecimalType(38, 2)).as("delta"))
+        monthly.select(col("ship_month"),
+            col("rev_dec").cast("double").as("revenue"),
+            (col("rev_dec") - lag(col("rev_dec"), 1).over(w))
+              .cast("double").as("delta"))
           .orderBy(col("ship_month"))
       },
-      Some("""SELECT ship_month, revenue,
-        CAST(revenue - LAG(revenue, 1) OVER (ORDER BY ship_month) AS DECIMAL(38,2)) AS delta
+      Some("""SELECT ship_month, CAST(rev_dec AS DOUBLE) AS revenue,
+        CAST(rev_dec - LAG(rev_dec, 1) OVER (ORDER BY ship_month) AS DOUBLE) AS delta
         FROM (
           SELECT CAST(DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
           FROM lineitem GROUP BY 1)
         ORDER BY ship_month""")),
 
@@ -316,15 +322,15 @@ object Analytics {
           .pivot("l_returnflag", Seq("A", "N", "R"))
           .agg(sum(money(col("l_extendedprice"))))
           .select(col("l_suppkey"),
-            col("A").cast(DecimalType(38, 2)).as("amt_a"),
-            col("N").cast(DecimalType(38, 2)).as("amt_n"),
-            col("R").cast(DecimalType(38, 2)).as("amt_r"))
+            col("A").cast("double").as("amt_a"),
+            col("N").cast("double").as("amt_n"),
+            col("R").cast("double").as("amt_r"))
           .orderBy(col("l_suppkey"))
       },
       Some("""SELECT l_suppkey,
-          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS amt_a,
-          CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS amt_n,
-          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS amt_r
+          CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_a,
+          CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_n,
+          CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_r
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
 
     // ── HLL sketch: approx_count_distinct (no oracle — approximate; the
@@ -347,12 +353,12 @@ object Analytics {
         val o = t(s, dir, "orders")
         o.rollup(year(col("o_orderdate")).cast("long").as("y"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
-            sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+            sum(money(col("o_totalprice"))).cast("double").as("total"))
           .orderBy(asc_nulls_first("y"), asc_nulls_first("o_orderstatus"))
       },
       Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
           o_orderstatus, COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY ROLLUP(1, o_orderstatus)
         ORDER BY y NULLS FIRST, o_orderstatus NULLS FIRST""")),
 
@@ -426,10 +432,10 @@ object Analytics {
           .withColumn("cnt", count(lit(1))
             .over(Window.partitionBy(col("o_orderstatus"))).cast("long"))
           .filter(col("rn") === expr("(cnt + 1) div 2"))
-          .select(col("o_orderstatus"), col("total").as("median_total"))
+          .select(col("o_orderstatus"), col("total").cast("double").as("median_total"))
           .orderBy(col("o_orderstatus"))
       },
-      Some("""SELECT o_orderstatus, total AS median_total FROM (
+      Some("""SELECT o_orderstatus, CAST(total AS DOUBLE) AS median_total FROM (
           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total,
             CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus
               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS BIGINT) AS rn,
@@ -475,7 +481,7 @@ object Analytics {
         val rev = l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
-          .agg(sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("revenue"))
+          .agg(sum(money(col("l_extendedprice"))).cast("double").as("revenue"))
         val w = Window.partitionBy(col("n_name"))
           .orderBy(desc("revenue"), col("s_suppkey"))
         rev.withColumn("rk", row_number().over(w).cast("long"))
@@ -488,7 +494,7 @@ object Analytics {
           CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rk
         FROM (
           SELECT n_name, s_suppkey, s_name,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN nation ON s_nationkey = n_nationkey

@@ -313,13 +313,13 @@ object Extensions {
             hour(col("ts")).cast("long").as("hr"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 6)))
-              .cast(DecimalType(38, 6)).as("total_value"))
+              .cast("double").as("total_value"))
           .orderBy(col("day"), col("hr"), col("event_type"))
       },
       Some("""SELECT CAST(DATE_TRUNC('hour', ts) AS DATE) AS day,
           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, event_type,
           COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_value
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2, 3 ORDER BY day, hr, event_type"""),
       bench = true),
 

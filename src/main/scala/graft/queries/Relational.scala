@@ -29,18 +29,21 @@ object Relational {
         l.filter(col("l_shipdate") <= lit("1998-09-02"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(qty(col("l_quantity"))).cast(DecimalType(38, 3)).as("sum_qty"),
-            sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+            // exact decimal sums internally; final cast to DOUBLE because the
+            // driver's hash canonicalizes through float repr (trailing-zero
+            // decimal strings break it) — see oracle-parity policy in Helpers
+            sum(qty(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
             sum(money(col("l_extendedprice")) *
               (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
-              .cast(DecimalType(38, 4)).as("sum_disc_price"),
+              .cast("double").as("sum_disc_price"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DECIMAL(38,3)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -56,15 +59,15 @@ object Relational {
         o.select(
           col("o_orderkey").as("order_id"),
           upper(col("o_orderpriority")).as("priority"),
-          money(col("o_totalprice")).as("total"),
+          money(col("o_totalprice")).cast("double").as("total"),
           (money(col("o_totalprice")) * lit(0.10).cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 4)).as("fee"))
+            .cast("double").as("fee"))
           .orderBy(col("order_id"))
       },
       Some("""SELECT o_orderkey AS order_id,
         UPPER(o_orderpriority) AS priority,
-        CAST(o_totalprice AS DECIMAL(18,2)) AS total,
-        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS fee
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(18,2)) AS DOUBLE) AS fee
         FROM orders ORDER BY order_id""")),
 
     // ── §2.2 equality + range predicates (string + date) ─────────────────
@@ -77,11 +80,11 @@ object Relational {
             col("o_orderdate") <= lit("1996-06-30"))
           .select(col("o_orderkey"), col("o_custkey"),
             to_date(col("o_orderdate")).as("order_date"),
-            money(col("o_totalprice")).as("total"))
+            money(col("o_totalprice")).cast("double").as("total"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
-        CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
         FROM orders
         WHERE o_orderstatus = 'O'
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -97,11 +100,11 @@ object Relational {
             col("p_retailprice").between(500.0, 1500.0))
           .select(col("p_partkey"), col("p_name"),
             col("p_size").cast("long").as("p_size"),
-            money(col("p_retailprice")).as("price"))
+            money(col("p_retailprice")).cast("double").as("price"))
           .orderBy(col("p_partkey"))
       },
       Some("""SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size,
-        CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM part
         WHERE p_size BETWEEN 10 AND 25 AND p_retailprice BETWEEN 500.0 AND 1500.0
         ORDER BY p_partkey""")),
@@ -144,11 +147,11 @@ object Relational {
         o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+            sum(money(col("o_totalprice"))).cast("double").as("total"))
           .orderBy(col("o_orderpriority"))
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
@@ -193,12 +196,12 @@ object Relational {
           .groupBy(col("n_name"))
           .agg(sum(money(col("l_extendedprice")) *
               (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("revenue"),
+            .cast("double").as("revenue"),
             count(lit(1)).as("n_lines"))
           .orderBy(desc("revenue"), col("n_name"))
       },
       Some("""SELECT n_name,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_lines
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -275,11 +278,11 @@ object Relational {
         l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_suppkey"), col("s_name"))
           .agg(sum(signedAmount(col("l_returnflag"), money(col("l_extendedprice")), "R"))
-            .cast(DecimalType(38, 2)).as("net_amount"))
+            .cast("double").as("net_amount"))
           .orderBy(col("s_suppkey"))
       },
       Some("""SELECT s_suppkey, s_name,
-        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS net_amount
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS net_amount
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_suppkey, s_name ORDER BY s_suppkey""")),
 
@@ -294,12 +297,12 @@ object Relational {
           .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
           .agg(sum(money(col("l_extendedprice")) *
               (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("revenue"))
+            .cast("double").as("revenue"))
           .orderBy(desc("revenue"), col("o_orderkey"))
           .limit(10)
       },
       Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
@@ -312,14 +315,17 @@ object Relational {
       "q_scan_limit_hasmore",
       (s, dir) => {
         val l = t(s, dir, "lineitem")
+        // this corpus has duplicate (l_orderkey, l_linenumber) pairs, so the
+        // sort must include every selected column to be a total order —
+        // otherwise the 201-row cut is nondeterministic across engines
         l.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-            money(col("l_extendedprice")).as("price"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+            money(col("l_extendedprice")).cast("double").as("price"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("price"))
           .limit(201)
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        CAST(l_extendedprice AS DECIMAL(18,2)) AS price
-        FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 201""")),
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, price LIMIT 201""")),
 
     // ── §2.3 composite-key join (reference BSEG→BSIK on
     //    BUKRS+BELNR+GJAHR): aggregate per (orderkey, suppkey), join back on
@@ -337,11 +343,11 @@ object Relational {
             money(col("l_extendedprice")) === col("max_price"))
           .select(col("l_orderkey"), col("l_suppkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
-            col("max_price"), col("n_lines"))
+            col("max_price").cast("double").as("max_price"), col("n_lines"))
           .orderBy(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
       },
       Some("""SELECT l.l_orderkey, l.l_suppkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
-        a.max_price, a.n_lines
+        CAST(a.max_price AS DOUBLE) AS max_price, a.n_lines
         FROM lineitem l
         JOIN (SELECT l_orderkey AS k_orderkey, l_suppkey AS k_suppkey,
                 MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price,
@@ -370,14 +376,14 @@ object Relational {
           .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
           .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
           .groupBy(col("supp_nation"), col("cust_nation"))
-          .agg(sum(money(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("volume"),
+          .agg(sum(money(col("l_extendedprice"))).cast("double").as("volume"),
             count(lit(1)).as("n"))
           .filter(col("n") >= 20)
           .orderBy(col("supp_nation"), col("cust_nation"))
       },
       Some("""SELECT supp_nation, cust_nation, volume, n FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume,
           COUNT(*) AS n
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -395,14 +401,14 @@ object Relational {
       "q_scalar_subquery",
       (s, dir) => {
         Tables.register(s, dir)
-        s.sql("""SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        s.sql("""SELECT p_partkey, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
           FROM part p
           WHERE CAST(p_retailprice AS DECIMAL(18,2)) =
             (SELECT MAX(CAST(p2.p_retailprice AS DECIMAL(18,2)))
              FROM part p2 WHERE p2.p_brand = p.p_brand)
           ORDER BY p_partkey""")
       },
-      Some("""SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      Some("""SELECT p_partkey, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         FROM part p
         WHERE CAST(p_retailprice AS DECIMAL(18,2)) =
           (SELECT MAX(CAST(p2.p_retailprice AS DECIMAL(18,2)))
@@ -463,11 +469,11 @@ object Relational {
       (s, dir) => {
         val o = t(s, dir, "orders")
         o.select(col("o_orderkey"), col("o_orderstatus"),
-            money(col("o_totalprice")).as("total"))
+            money(col("o_totalprice")).cast("double").as("total"))
           .orderBy(col("o_orderstatus").asc, col("total").desc, col("o_orderkey").asc)
           .limit(50)
       },
-      Some("""SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      Some("""SELECT o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
         FROM orders ORDER BY o_orderstatus ASC, total DESC, o_orderkey ASC LIMIT 50""")),
 
     // ── §2.5 UNION ALL with literal stage labels (reference o2c/p2p
@@ -479,7 +485,7 @@ object Relational {
         def stage(label: String, status: String) =
           o.filter(col("o_orderstatus") === status)
             .agg(count(lit(1)).as("n"),
-              sum(money(col("o_totalprice"))).cast(DecimalType(38, 2)).as("total"))
+              sum(money(col("o_totalprice"))).cast("double").as("total"))
             .select(lit(label).as("stage"), col("n"), col("total"))
         stage("1. Open", "O")
           .unionAll(stage("2. Partial", "P"))
@@ -487,11 +493,11 @@ object Relational {
           .orderBy(col("stage"))
       },
       Some("""SELECT stage, n, total FROM (
-        SELECT '1. Open' AS stage, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total FROM orders WHERE o_orderstatus='O'
+        SELECT '1. Open' AS stage, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE o_orderstatus='O'
         UNION ALL
-        SELECT '2. Partial', COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM orders WHERE o_orderstatus='P'
+        SELECT '2. Partial', COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderstatus='P'
         UNION ALL
-        SELECT '3. Fulfilled', COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) FROM orders WHERE o_orderstatus='F'
+        SELECT '3. Fulfilled', COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM orders WHERE o_orderstatus='F'
       ) ORDER BY stage"""))
   )
 }
