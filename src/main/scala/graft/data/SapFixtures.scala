@@ -141,8 +141,12 @@ object SapFixtures {
 
     data.map { case (name, rows) =>
       val schema = Catalog.Model.tableByName(name).sparkSchema
+      // fixture rows are seeded positionally against the fixture-measured
+      // column prefix; model-only business columns (merged in by Catalog)
+      // sit after it and are null in fixtures
+      val padded = rows.map(r => Row.fromSeq(r.toSeq.padTo(schema.length, null)))
       val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+        spark.sparkContext.parallelize(padded.toSeq, 2), schema)
       df.createOrReplaceTempView(name)
       name -> df
     }

@@ -7,18 +7,81 @@ import graft.model.{Catalog, SemanticModel}
 /** NL-resolution + join-path knowledge graph (SURVEY §2.9) — the Scala
   * realization of the reference's NetworkX MultiDiGraph
   * (`sap_knowledge_graph.py`): module/table/concept/NL-term nodes;
-  * belongs-to / foreign-key / describes / synonym edges. At 240-node scale a
+  * belongs-to / describes / synonym / foreign-key edges. At 240-node scale a
   * plain adjacency map beats any distributed graph machinery.
+  *
+  * Node and edge construction mirrors the reference `_build_graph`
+  * (sap_knowledge_graph.py:110-282) so the stats line up: one table node per
+  * distinct table (first module wins), one concept node per business object,
+  * one term node per distinct lowercased alias; edges keep MultiDiGraph
+  * semantics (parallel edges count separately).
   */
 final class KnowledgeGraph(model: SemanticModel) {
 
-  sealed trait Node { def id: String }
-  final case class ModuleNode(id: String) extends Node
-  final case class TableNode(id: String) extends Node
-  final case class ConceptNode(id: String) extends Node
-  final case class TermNode(id: String) extends Node
+  sealed trait NodeType
+  case object ModuleNode extends NodeType
+  case object TableNode extends NodeType
+  case object ConceptNode extends NodeType
+  case object TermNode extends NodeType
 
-  /** table → neighbors over declared FK relationships (undirected for path
+  final case class Node(id: String, nodeType: NodeType, label: String,
+      module: String = "", description: String = "")
+  final case class Edge(from: String, to: String, edgeType: String,
+      description: String = "", joinCondition: String = "")
+
+  private def conceptId(module: String, name: String) = s"concept:${module}_$name"
+
+  val nodes: Seq[Node] = {
+    val modules = model.moduleDetails match {
+      case Nil => model.modules.map(m => Node(s"mod:$m", ModuleNode, m, m))
+      case ds => ds.map(d => Node(s"mod:${d.key}", ModuleNode,
+        s"${d.key} — ${d.name}", d.key, d.description))
+    }
+    val tables = model.tables.map(t =>
+      Node(s"tbl:${t.name}", TableNode, t.name, t.module, t.description))
+    val concepts = model.businessObjects.map(bo =>
+      Node(conceptId(bo.module, bo.name), ConceptNode,
+        bo.name.replace('_', ' '), bo.module, bo.description))
+    val terms = model.businessObjects
+      .flatMap(bo => bo.nlAliases.map(_.toLowerCase)).distinct
+      .map(a => Node(s"nlterm:$a", TermNode, a))
+    modules ++ tables ++ concepts ++ terms
+  }
+
+  val edges: Seq[Edge] = {
+    val present = model.tables.map(_.name).toSet
+    val belongs = model.tables.map(t =>
+      Edge(s"tbl:${t.name}", s"mod:${t.module}", "belongs_to"))
+    val describes = model.businessObjects.flatMap(bo =>
+      bo.tables.filter(present.contains).map(t =>
+        Edge(conceptId(bo.module, bo.name), s"tbl:$t", "describes")))
+    val synonyms = model.businessObjects.flatMap(bo =>
+      bo.nlAliases.map(a =>
+        Edge(s"nlterm:${a.toLowerCase}", conceptId(bo.module, bo.name), "synonym")))
+    val cross = if (model.crossRelationships.nonEmpty) model.crossRelationships
+      else model.relationships
+    val fks = cross
+      .filter(r => present.contains(r.fromTable) && present.contains(r.toTable))
+      .map(r => Edge(s"tbl:${r.fromTable}", s"tbl:${r.toTable}", "foreign_key",
+        r.description, r.conditionSql))
+    belongs ++ describes ++ synonyms ++ fks
+  }
+
+  lazy val nodeById: Map[String, Node] = nodes.map(n => n.id -> n).toMap
+
+  def nodeCount: Int = nodes.size
+  def edgeCount: Int = edges.size
+
+  /** Reference `stats` (sap_knowledge_graph.py:302-324). */
+  def stats: Map[String, Int] = Map(
+    "total_nodes" -> nodes.size,
+    "total_edges" -> edges.size,
+    "modules" -> nodes.count(_.nodeType == ModuleNode),
+    "tables" -> nodes.count(_.nodeType == TableNode),
+    "concepts" -> nodes.count(_.nodeType == ConceptNode),
+    "nl_terms" -> nodes.count(_.nodeType == TermNode))
+
+  /** table → neighbors over declared join relationships (undirected for path
     * discovery, like the reference's join-path search). */
   val fkAdjacency: Map[String, Seq[String]] = {
     val m = mutable.Map.empty[String, mutable.ListBuffer[String]]
@@ -29,7 +92,8 @@ final class KnowledgeGraph(model: SemanticModel) {
     m.view.mapValues(_.distinct.toSeq).toMap
   }
 
-  /** NL term → tables (from table + business-object aliases, lowercased). */
+  /** NL term → tables (from table names/aliases + business-object aliases,
+    * lowercased). Richer than the node set — used for resolution only. */
   val termIndex: Map[String, Seq[String]] = {
     val m = mutable.Map.empty[String, mutable.ListBuffer[String]]
     model.tables.foreach { t =>
@@ -44,11 +108,6 @@ final class KnowledgeGraph(model: SemanticModel) {
     }
     m.view.mapValues(_.distinct.toSeq).toMap
   }
-
-  def nodeCount: Int =
-    model.modules.size + model.tables.size + model.businessObjects.size + termIndex.size
-
-  def edgeCount: Int = model.relationships.size + termIndex.valuesIterator.map(_.size).sum
 
   /** Exact index hit, else substring fuzzy (reference resolve_nl_term,
     * sap_knowledge_graph.py:505-531). */

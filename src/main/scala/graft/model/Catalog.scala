@@ -8,16 +8,21 @@ import org.apache.spark.sql.types._
   * Spark runtime consumes it through schema mapping, view registration, the
   * knowledge graph, and the PII gate.
   *
-  * The embedded model below is a representative core of the reference's 59
-  * tables (FI/MM/SD/CO/HR spine per FIXTURES.md); the structures and loader
-  * support the full inventory.
+  * The full inventory (58 tables / 699 columns / 145 cross-module
+  * relationships / 29 guidelines / 58 query patterns) lives in the generated
+  * [[CatalogData]]; this object merges in fixture-measured supplemental
+  * columns and exposes the combined [[SemanticModel]].
   */
 final case class SapColumn(
     name: String,
     sapType: String,
     description: String = "",
     nlAliases: Seq[String] = Nil,
+    commonValues: Seq[String] = Nil,
     pii: Boolean = false)
+
+/** Module descriptor (reference module_name/description per module JSON). */
+final case class SapModule(key: String, name: String, description: String)
 
 final case class SapTable(
     name: String,
@@ -30,28 +35,50 @@ final case class SapTable(
     StructType(columns.map(c => StructField(c.name, SapTypes.toSpark(c.sapType))))
 }
 
-/** One declared equi-join relationship (reference
-  * `cross_module_relationships`, sap_model_shared.json:21-1280). */
+/** One declared join relationship (reference `cross_module_relationships`,
+  * sap_model_shared.json:21-1280, plus per-object intra relationships).
+  * Pure equi-joins carry parsed column pairs; conditions with literals,
+  * OR branches, or client columns keep the raw SQL text in [[condition]]. */
 final case class Relationship(
     fromTable: String,
     toTable: String,
     joinColumns: Seq[(String, String)],
-    description: String = "") {
-  def conditionSql: String = joinColumns
-    .map { case (a, b) => s"$fromTable.$a = $toTable.$b" }.mkString(" AND ")
+    description: String = "",
+    condition: Option[String] = None) {
+  def conditionSql: String = condition.getOrElse(joinColumns
+    .map { case (a, b) => s"$fromTable.$a = $toTable.$b" }.mkString(" AND "))
 }
 
 final case class BusinessObject(
-    name: String, module: String, tables: Seq[String], nlAliases: Seq[String])
+    name: String,
+    module: String,
+    tables: Seq[String],
+    nlAliases: Seq[String],
+    description: String = "",
+    primaryTable: String = "",
+    businessQuestions: Seq[String] = Nil)
 
-final case class Guideline(title: String, text: String)
+final case class Guideline(
+    title: String, text: String, module: String = "GENERAL", example: String = "")
+
+/** NL query-pattern descriptor (reference `nl_query_patterns`); the SQL
+  * itself is re-expressed in graft.queries.SapTemplates. */
+final case class QueryPattern(
+    name: String,
+    description: String,
+    module: String,
+    tables: Seq[String],
+    businessContext: String = "")
 
 final case class SemanticModel(
     modules: Seq[String],
     tables: Seq[SapTable],
     relationships: Seq[Relationship],
     businessObjects: Seq[BusinessObject],
-    guidelines: Seq[Guideline]) {
+    guidelines: Seq[Guideline],
+    moduleDetails: Seq[SapModule] = Nil,
+    crossRelationships: Seq[Relationship] = Nil,
+    queryPatterns: Seq[QueryPattern] = Nil) {
   lazy val tableByName: Map[String, SapTable] =
     tables.map(t => t.name.toUpperCase -> t).toMap
   def tablesOf(modules: Seq[String]): Seq[SapTable] =
@@ -80,15 +107,16 @@ object SapTypes {
 
 object Catalog {
 
-  val Modules: Seq[String] =
-    Seq("FI_GL", "FI_AP", "FI_AR", "CO", "MM", "SD", "PM", "HR", "PAY", "BEN")
+  val Modules: Seq[String] = CatalogData.Modules.map(_.key)
 
-  // Core FI/MM/SD/CO/HR tables; schemas per FIXTURES.md §1 (measured from
-  // the reference's sap_test.db; types per SURVEY §1.3).
+  // Fixture-measured schemas for the core FI/MM/SD/CO/HR spine (per
+  // FIXTURES.md §1, measured from the reference's sap_test.db). These define
+  // the COLUMN ORDER SapFixtures seeds positionally, and contribute columns
+  // the semantic model's business_columns subset omits (AUGDT, LOEKZ, ...).
   private def c(n: String, t: String, d: String = "", al: Seq[String] = Nil,
-      pii: Boolean = false) = SapColumn(n, t, d, al, pii)
+      pii: Boolean = false) = SapColumn(n, t, d, al, pii = pii)
 
-  val Tables: Seq[SapTable] = Seq(
+  val FixtureTables: Seq[SapTable] = Seq(
     SapTable("BKPF", "FI_GL", "Accounting document header",
       Seq("BUKRS", "BELNR", "GJAHR"),
       Seq(c("BUKRS", "CHAR(4)", "company code"), c("BELNR", "NUMC(10)", "document number"),
@@ -207,20 +235,42 @@ object Catalog {
       Seq(c("PERNR", "NUMC(8)", pii = true), c("SEQNR", "NUMC(5)"),
         c("FPBEG", "DATE"), c("FPEND", "DATE"), c("WAERS", "CHAR(5)"))))
 
-  val Relationships: Seq[Relationship] = Seq(
-    Relationship("BKPF", "BSEG", Seq("BUKRS" -> "BUKRS", "BELNR" -> "BELNR", "GJAHR" -> "GJAHR"),
-      "document header to line items"),
+  /** Full table inventory: the generated model tables, with fixture-measured
+    * columns taking the FIRST positions (SapFixtures seeds rows positionally
+    * against them) and model-only business columns appended. Where both
+    * define a column, the fixture type wins and model descriptions/aliases
+    * enrich it. */
+  val Tables: Seq[SapTable] = {
+    val fixture = FixtureTables.map(t => t.name -> t).toMap
+    CatalogData.Tables.map { g =>
+      fixture.get(g.name) match {
+        case None => g
+        case Some(h) =>
+          val gByName = g.columns.map(col => col.name -> col).toMap
+          val first = h.columns.map { col =>
+            gByName.get(col.name).fold(col)(gc => col.copy(
+              description = if (col.description.nonEmpty) col.description else gc.description,
+              nlAliases = (col.nlAliases ++ gc.nlAliases).distinct,
+              commonValues = gc.commonValues,
+              pii = col.pii || gc.pii))
+          }
+          val rest = g.columns.filterNot(gc => h.columns.exists(_.name == gc.name))
+          g.copy(
+            primaryKey = if (h.primaryKey.nonEmpty) h.primaryKey else g.primaryKey,
+            columns = first ++ rest,
+            nlAliases = (h.nlAliases ++ g.nlAliases).distinct)
+      }
+    }
+  }
+
+  /** Hand-curated joins the reference's relationship list omits but its own
+    * templates use (e.g. BSEG line items to vendor/customer masters). These
+    * feed join-path discovery; the KG's reference-parity edge count uses
+    * only the declared cross-module list. */
+  val SupplementalRelationships: Seq[Relationship] = Seq(
     Relationship("BSEG", "LFA1", Seq("LIFNR" -> "LIFNR"), "line item vendor"),
     Relationship("BSEG", "KNA1", Seq("KUNNR" -> "KUNNR"), "line item customer"),
-    Relationship("BSIK", "LFA1", Seq("LIFNR" -> "LIFNR"), "open item vendor"),
-    Relationship("BSAK", "LFA1", Seq("LIFNR" -> "LIFNR"), "cleared item vendor"),
-    Relationship("BSID", "KNA1", Seq("KUNNR" -> "KUNNR"), "open item customer"),
     Relationship("GLT0", "SKA1", Seq("RACCT" -> "SAKNR"), "balance to account master"),
-    Relationship("SKA1", "SKAT", Seq("SAKNR" -> "SAKNR", "KTOPL" -> "KTOPL"), "account texts"),
-    Relationship("EKKO", "EKPO", Seq("EBELN" -> "EBELN"), "PO header to items"),
-    Relationship("EKKO", "LFA1", Seq("LIFNR" -> "LIFNR"), "PO vendor"),
-    Relationship("EKPO", "EKBE", Seq("EBELN" -> "EBELN", "EBELP" -> "EBELP"), "PO history"),
-    Relationship("VBAK", "KNA1", Seq("KUNNR" -> "KUNNR"), "sales order customer"),
     Relationship("VBAK", "VBFA", Seq("VBELN" -> "VBELV"), "order to document flow"),
     Relationship("VBFA", "LIKP", Seq("VBELN" -> "VBELN"), "flow to delivery"),
     Relationship("VBFA", "VBRK", Seq("VBELN" -> "VBELN"), "flow to billing"),
@@ -228,39 +278,26 @@ object Catalog {
     Relationship("CSKS", "COSP", Seq("OBJNR" -> "OBJNR"), "cost center totals"),
     Relationship("PA0001", "PA0002", Seq("PERNR" -> "PERNR"), "employee master"))
 
-  val BusinessObjects: Seq[BusinessObject] = Seq(
-    BusinessObject("Journal_Entry", "FI_GL", Seq("BKPF", "BSEG"),
-      Seq("journal entry", "accounting document", "posting")),
-    BusinessObject("Trial_Balance", "FI_GL", Seq("GLT0", "SKA1", "SKAT"),
-      Seq("trial balance", "account balances")),
-    BusinessObject("Vendor_Invoice", "FI_AP", Seq("BSIK", "BSAK", "LFA1"),
-      Seq("vendor invoice", "payable", "vendor spend")),
-    BusinessObject("Customer_Invoice", "FI_AR", Seq("BSID", "KNA1"),
-      Seq("customer invoice", "receivable", "customer aging")),
-    BusinessObject("Purchase_Order", "MM", Seq("EKKO", "EKPO", "EKBE"),
-      Seq("purchase order", "procurement")),
-    BusinessObject("Sales_Order", "SD", Seq("VBAK", "LIKP", "VBRK", "VBFA"),
-      Seq("sales order", "order to cash")),
-    BusinessObject("Cost_Center", "CO", Seq("CSKS", "COEP", "COSP"),
-      Seq("cost center", "actual vs plan")),
-    BusinessObject("Employee", "HR", Seq("PA0001", "PA0002"),
-      Seq("employee", "headcount")))
+  /** Relationships usable for join-path discovery: intra-object header↔item
+    * joins plus the cross-module relationships whose endpoint tables are in
+    * the inventory (the reference KG applies the same filter), plus the
+    * supplemental joins above (minus any the model already declares). */
+  val Relationships: Seq[Relationship] = {
+    val present = Tables.map(_.name).toSet
+    val declared = CatalogData.IntraRelationships ++ CatalogData.CrossRelationships
+      .filter(r => present.contains(r.fromTable) && present.contains(r.toTable))
+    val pairs = declared.map(r => Set(r.fromTable, r.toTable)).toSet
+    declared ++ SupplementalRelationships
+      .filterNot(r => pairs.contains(Set(r.fromTable, r.toTable)))
+  }
 
-  val Guidelines: Seq[Guideline] = Seq(
-    Guideline("Sign convention",
-      "DMBTR amounts are stored positive; SHKZG 'S'=debit, 'H'=credit determines sign: CASE WHEN SHKZG='H' THEN -DMBTR ELSE DMBTR END"),
-    Guideline("Soft delete", "exclude rows with LOEKZ='X'"),
-    Guideline("Language filter", "text tables filter SPRAS='E'"),
-    Guideline("Open items",
-      "open items have AUGDT NULL or empty; cleared items have AUGDT set (BSIK/BSAK, BSID/BSAD split)"),
-    Guideline("Date format",
-      "FI tables store ISO yyyy-MM-dd; HR/PAY tables store yyyyMMdd — normalize in views"),
-    Guideline("Aging", "days past due = as_of_date - ZFBDT, bucketed 1-30/31-60/61-90/90+"),
-    Guideline("OBJNR encoding",
-      "cost-center object numbers are 'KS' + controlling area + cost center; extract with SUBSTR(OBJNR, 7)"),
-    Guideline("PII aggregate-only",
-      "HR/PAY/BEN protected tables may only be queried with aggregation; no naked PII columns in output"))
+  val BusinessObjects: Seq[BusinessObject] = CatalogData.BusinessObjects
 
-  val Model: SemanticModel =
-    SemanticModel(Modules, Tables, Relationships, BusinessObjects, Guidelines)
+  val Guidelines: Seq[Guideline] = CatalogData.Guidelines
+
+  val Model: SemanticModel = SemanticModel(
+    Modules, Tables, Relationships, BusinessObjects, Guidelines,
+    moduleDetails = CatalogData.Modules,
+    crossRelationships = CatalogData.CrossRelationships,
+    queryPatterns = CatalogData.QueryPatterns)
 }

@@ -87,11 +87,24 @@ class EngineSpec extends AnyFunSuite {
 
   // ── knowledge graph ─────────────────────────────────────────────────────
 
-  test("knowledge graph: shortest join path BKPF→LFA1 goes through BSEG") {
+  test("knowledge graph: node/edge stats match the reference graph") {
+    // ground truth from running the reference builder on its own model:
+    // sap_knowledge_graph.py stats → 240 nodes / 336 edges
+    // (10 modules, 58 tables, 36 concepts, 136 NL terms)
     val kg = KnowledgeGraph.default
-    assert(kg.findJoinPath("BKPF", "LFA1").contains(Seq("BKPF", "BSEG", "LFA1")))
-    assert(kg.findJoinPath("VBAK", "VBRK").contains(Seq("VBAK", "VBFA", "VBRK")))
-    assert(kg.findJoinPath("GLT0", "EKKO").isEmpty) // disconnected subgraphs
+    assert(kg.stats == Map(
+      "total_nodes" -> 240, "total_edges" -> 336, "modules" -> 10,
+      "tables" -> 58, "concepts" -> 36, "nl_terms" -> 136))
+  }
+
+  test("knowledge graph: shortest join paths are 2-hop and renderable") {
+    // the full model offers several equally-short routes (e.g. BKPF→RBKP→LFA1
+    // via invoice receipts) — assert length and renderability, not one route
+    val kg = KnowledgeGraph.default
+    val p1 = kg.findJoinPath("BKPF", "LFA1").get
+    assert(p1.size == 3 && kg.joinChainSql(p1).isDefined)
+    val p2 = kg.findJoinPath("VBAK", "VBRK").get
+    assert(p2.size == 3 && kg.joinChainSql(p2).isDefined)
   }
 
   test("knowledge graph: all simple paths bounded by cutoff and max") {
