@@ -4,119 +4,769 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Engine
 
-/** Representative SAP query templates (reference "validated BOKG patterns",
-  * sap_semantic_model.json:7209-7879) re-expressed for Spark over the
-  * SAP-shaped fixture views. Each runs through the full engine path
-  * (dialect rewrite → Catalyst → PII gate). HANA-isms (TOP, ADD_DAYS,
-  * julianday-free aging, IFNULL) are kept where the original templates used
-  * them to exercise the front end.
+/** The reference's complete validated query-pattern library (58 "BOKG"
+  * patterns, `sap_semantic_model.json` `nl_query_patterns`; descriptors in
+  * [[graft.model.CatalogData.QueryPatterns]]) re-expressed for Spark over the
+  * SAP-shaped fixture views, plus a few engine-invariant extras. Each runs
+  * through the full engine path (dialect rewrite → Catalyst → PII gate).
+  * HANA-isms (TOP, ADD_DAYS, DAYS_BETWEEN, IFNULL, TO_VARCHAR) are kept where
+  * the originals used such dialect features, exercising the front end.
   *
-  * The as-of date is injected (reference pins 'now' for determinism,
-  * expand_sap_test_db.py:102).
+  * Re-expression notes (deviations from the reference's example SQL, which
+  * is LLM guidance and often references columns/tables outside its own
+  * model):
+  *   - queries use only catalog tables/columns, so every template RUNS;
+  *   - `julianday('now')` aging → `DAYS_BETWEEN(DATE AsOf, …)` with the
+  *     pinned as-of date (the reference pins 'now' for determinism too,
+  *     expand_sap_test_db.py:102);
+  *   - parameterized templates (`:customer_number` …) pin a fixture value;
+  *   - HR patterns that list naked employee names are re-shaped to the
+  *     aggregate-only form the reference's own governance gate requires;
+  *   - FBL3N's BSIS/BSAS and KSB1's CSKB are outside the 58-table model —
+  *     re-expressed over BSEG/BKPF and COEP respectively.
   */
 object SapTemplates {
 
   val AsOf = "2025-06-15"
 
+  private def agingBucketSql(days: String): String =
+    s"""CASE WHEN $days <= 0 THEN 'Not yet due'
+             WHEN $days BETWEEN 1 AND 30 THEN '1-30 days'
+             WHEN $days BETWEEN 31 AND 60 THEN '31-60 days'
+             WHEN $days BETWEEN 61 AND 90 THEN '61-90 days'
+             ELSE 'Over 90 days' END"""
+
+  private def bucketOrderSql(bucket: String): String =
+    s"""CASE $bucket WHEN 'Not yet due' THEN 0 WHEN '1-30 days' THEN 1
+             WHEN '31-60 days' THEN 2 WHEN '61-90 days' THEN 3 ELSE 4 END"""
+
+  private val hsl = (1 to 12).map(i => f"COALESCE(g.HSL$i%02d,0)").mkString("+")
+  private val wkg = (1 to 12).map(i => f"COALESCE(c.WKG$i%03d,0)").mkString("+")
+
   val templates: Map[String, String] = Map(
-    // trial_balance (sap_semantic_model.json:7211-7221): 3-way join + left
-    // text lookup + horizontal COALESCE sums + soft filters
+    // ── 1 trial_balance: period sums + master/text joins + currency ────────
     "trial_balance" ->
-      s"""SELECT g.RACCT AS gl_account, t.TXT50 AS account_name, g.DRCRK,
-            g.HSLVT AS carryforward,
-            COALESCE(g.HSL01,0)+COALESCE(g.HSL02,0)+COALESCE(g.HSL03,0)+
-            COALESCE(g.HSL04,0)+COALESCE(g.HSL05,0)+COALESCE(g.HSL06,0)+
-            COALESCE(g.HSL07,0)+COALESCE(g.HSL08,0)+COALESCE(g.HSL09,0)+
-            COALESCE(g.HSL10,0)+COALESCE(g.HSL11,0)+COALESCE(g.HSL12,0) AS period_activity
+      s"""SELECT g.RACCT AS gl_account, t.TXT50 AS account_name,
+            a.XBILK AS balance_sheet_flag, g.DRCRK,
+            g.HSLVT AS opening_balance,
+            $hsl AS period_activity,
+            COALESCE(g.HSLVT,0) + $hsl AS ending_balance,
+            b.WAERS AS currency
           FROM GLT0 g
           JOIN SKA1 a ON g.RACCT = a.SAKNR
+          JOIN SKB1 b ON g.RACCT = b.SAKNR AND g.BUKRS = b.BUKRS
           LEFT JOIN SKAT t ON t.SAKNR = a.SAKNR AND t.KTOPL = a.KTOPL AND t.SPRAS = 'E'
           WHERE g.BUKRS = '1000' AND g.RLDNR = '00'
           ORDER BY g.RACCT, g.DRCRK""",
 
-    // top_vendors_by_spend (7525-7536): signed aggregation + open∪cleared
-    // UNION ALL + TOP-K through the dialect front end
-    "top_vendors_by_spend" ->
-      s"""SELECT TOP 5 v.LIFNR, v.NAME1,
-            SUM(CASE WHEN i.SHKZG = 'S' THEN -i.DMBTR ELSE i.DMBTR END) AS total_spend
-          FROM (SELECT LIFNR, SHKZG, DMBTR FROM BSIK
-                UNION ALL
-                SELECT LIFNR, SHKZG, DMBTR FROM BSAK) i
-          JOIN LFA1 v ON i.LIFNR = v.LIFNR
-          WHERE v.LOEKZ <> 'X'
-          GROUP BY v.LIFNR, v.NAME1
-          ORDER BY total_spend DESC""",
+    // ── 2 vendor_spend_by_quarter: invoice receipts rolled to quarters ─────
+    "vendor_spend_by_quarter" ->
+      """SELECT v.LIFNR, v.NAME1,
+            CONCAT(SUBSTR(r.BUDAT, 1, 4), '-Q',
+                   CAST(QUARTER(TO_DATE(r.BUDAT)) AS STRING)) AS quarter,
+            SUM(s.DMBTR) AS spend
+          FROM RBKP r
+          JOIN RSEG s ON s.BELNR = r.BELNR AND s.GJAHR = r.GJAHR
+          JOIN LFA1 v ON r.LIFNR = v.LIFNR
+          WHERE r.STBLG = ''
+          GROUP BY v.LIFNR, v.NAME1, SUBSTR(r.BUDAT, 1, 4), QUARTER(TO_DATE(r.BUDAT))
+          ORDER BY quarter, spend DESC, v.LIFNR""",
 
-    // tcode_fbl5n_customer_aging_bucket (7635-7645): open items + aging
-    // buckets + ORDER BY CASE
-    "customer_aging" ->
+    // ── 3 open_ap_items: open vendor items over 30 days past due ───────────
+    "open_ap_items" ->
+      s"""SELECT v.LIFNR, v.NAME1, i.BELNR, i.DMBTR, i.ZFBDT,
+            DAYS_BETWEEN(DATE '$AsOf', i.ZFBDT) AS days_overdue
+          FROM BSIK i JOIN LFA1 v ON i.LIFNR = v.LIFNR
+          WHERE (i.AUGDT IS NULL OR i.AUGDT = '')
+            AND DAYS_BETWEEN(DATE '$AsOf', i.ZFBDT) > 30
+          ORDER BY days_overdue DESC, v.LIFNR, i.BELNR""",
+
+    // ── 4 ap_aging: vendor open items bucketed ─────────────────────────────
+    "ap_aging" ->
+      s"""SELECT v.LIFNR, v.NAME1,
+            ${agingBucketSql(s"DAYS_BETWEEN(DATE '$AsOf', i.ZFBDT)")} AS aging_bucket,
+            COUNT(*) AS n_items, SUM(i.DMBTR) AS open_amount
+          FROM BSIK i JOIN LFA1 v ON i.LIFNR = v.LIFNR
+          WHERE i.AUGDT IS NULL OR i.AUGDT = ''
+          GROUP BY v.LIFNR, v.NAME1,
+            ${agingBucketSql(s"DAYS_BETWEEN(DATE '$AsOf', i.ZFBDT)")}
+          ORDER BY v.LIFNR, ${bucketOrderSql("aging_bucket")}""",
+
+    // ── 5 open_ar_items: open customer items ───────────────────────────────
+    "open_ar_items" ->
+      """SELECT c.KUNNR, c.NAME1, b.BELNR, b.DMBTR, b.ZFBDT
+          FROM BSID b JOIN KNA1 c ON b.KUNNR = c.KUNNR
+          WHERE (b.AUGDT IS NULL OR b.AUGDT = '') AND c.LOEKZ <> 'X'
+          ORDER BY c.KUNNR, b.BELNR""",
+
+    // ── 6 ar_aging: customer open items bucketed per customer ──────────────
+    "ar_aging" ->
       s"""SELECT c.KUNNR, c.NAME1,
-            CASE WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) <= 0 THEN 'Not yet due'
-                 WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) BETWEEN 1 AND 30 THEN '1-30 days'
-                 WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) BETWEEN 31 AND 60 THEN '31-60 days'
-                 WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) BETWEEN 61 AND 90 THEN '61-90 days'
-                 ELSE 'Over 90 days' END AS aging_bucket,
+            ${agingBucketSql(s"DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT)")} AS aging_bucket,
             COUNT(*) AS n_items, SUM(b.DMBTR) AS open_amount
           FROM BSID b
           JOIN KNA1 c ON b.KUNNR = c.KUNNR
           WHERE (b.AUGDT IS NULL OR b.AUGDT = '') AND c.LOEKZ <> 'X'
           GROUP BY c.KUNNR, c.NAME1,
-            CASE WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) <= 0 THEN 'Not yet due'
-                 WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) BETWEEN 1 AND 30 THEN '1-30 days'
-                 WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) BETWEEN 31 AND 60 THEN '31-60 days'
-                 WHEN DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) BETWEEN 61 AND 90 THEN '61-90 days'
-                 ELSE 'Over 90 days' END
-          ORDER BY c.KUNNR,
-            CASE aging_bucket WHEN 'Not yet due' THEN 0 WHEN '1-30 days' THEN 1
-                 WHEN '31-60 days' THEN 2 WHEN '61-90 days' THEN 3 ELSE 4 END""",
+            ${agingBucketSql(s"DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT)")}
+          ORDER BY c.KUNNR, ${bucketOrderSql("aging_bucket")}""",
 
-    // cost_center_actual_vs_plan (7537-7547): conditional aggregation pivot
-    // + OBJNR prefix extraction via SUBSTRING
-    "cost_center_actual_vs_plan" ->
-      """SELECT SUBSTRING(e.OBJNR, 7) AS cost_center, e.KSTAR,
-            SUM(CASE WHEN e.WRTTP = '04' THEN e.WKGBTR ELSE 0 END) AS actual_amount,
-            SUM(CASE WHEN e.WRTTP = '01' THEN e.WKGBTR ELSE 0 END) AS plan_amount,
-            SUM(CASE WHEN e.WRTTP = '04' THEN e.WKGBTR ELSE 0 END) -
-            SUM(CASE WHEN e.WRTTP = '01' THEN e.WKGBTR ELSE 0 END) AS variance
-          FROM COEP e
-          GROUP BY SUBSTRING(e.OBJNR, 7), e.KSTAR
-          ORDER BY cost_center, e.KSTAR""",
+    // ── 7 customer_sales_summary: header+item rollup per customer ──────────
+    "customer_sales_summary" ->
+      """SELECT k.KUNNR, k.NAME1, COUNT(DISTINCT v.VBELN) AS n_orders,
+            SUM(p.NETWR) AS total_sales
+          FROM VBAK v
+          JOIN VBAP p ON p.VBELN = v.VBELN
+          JOIN KNA1 k ON v.KUNNR = k.KUNNR
+          WHERE v.LOEKZ <> 'X' AND p.ABGRU = ''
+          GROUP BY k.KUNNR, k.NAME1
+          ORDER BY total_sales DESC, k.KUNNR""",
 
-    // value_chain_order_to_cash_trace (7760-7773): the EXISTS-in-ON rewrite —
-    // the document-flow hop (VBFA) is materialized as explicit joins
-    "o2c_trace" ->
-      """SELECT v.VBELN AS order_no, v.ERDAT AS order_date,
-            l.VBELN AS delivery_no, l.WADAT_IST AS goods_issue,
-            b.VBELN AS invoice_no, b.FKDAT AS billing_date
+    // ── 8 purchase_order_status: ordered vs received per PO ────────────────
+    "purchase_order_status" ->
+      """SELECT k.EBELN, k.BEDAT, SUM(p.MENGE) AS ordered_qty,
+            IFNULL(SUM(h.MENGE), 0) AS received_qty,
+            CASE WHEN IFNULL(SUM(h.MENGE), 0) = 0 THEN 'Not received'
+                 WHEN IFNULL(SUM(h.MENGE), 0) < SUM(p.MENGE) THEN 'Partially received'
+                 ELSE 'Received' END AS status
+          FROM EKKO k
+          JOIN EKPO p ON p.EBELN = k.EBELN
+          LEFT JOIN EKBE h ON h.EBELN = p.EBELN AND h.EBELP = p.EBELP
+            AND h.BEWTP = 'E' AND h.BWART IN ('101','161')
+          WHERE k.LOEKZ <> 'X'
+          GROUP BY k.EBELN, k.BEDAT
+          ORDER BY k.EBELN""",
+
+    // ── 9 three_way_match: PO vs GR vs invoice quantity discrepancies ──────
+    "three_way_match" ->
+      """SELECT p.EBELN, p.EBELP, p.MENGE AS po_qty,
+            IFNULL(gr.qty, 0) AS gr_qty, IFNULL(iv.qty, 0) AS invoice_qty
+          FROM EKPO p
+          LEFT JOIN (SELECT EBELN, EBELP, SUM(MENGE) AS qty FROM EKBE
+                     WHERE BEWTP = 'E' AND BWART IN ('101','161')
+                     GROUP BY EBELN, EBELP) gr
+            ON gr.EBELN = p.EBELN AND gr.EBELP = p.EBELP
+          LEFT JOIN (SELECT EBELN, EBELP, SUM(MENGE) AS qty FROM RSEG
+                     WHERE LOEKZ = '' GROUP BY EBELN, EBELP) iv
+            ON iv.EBELN = p.EBELN AND iv.EBELP = p.EBELP
+          WHERE IFNULL(gr.qty, 0) <> p.MENGE OR IFNULL(iv.qty, 0) <> p.MENGE
+          ORDER BY p.EBELN, p.EBELP""",
+
+    // ── 10 goods_receipt_history: movement-type filter + material text ─────
+    "goods_receipt_history" ->
+      """SELECT h.EBELN, h.EBELP, h.BWART, h.BUDAT, h.MENGE, h.DMBTR,
+            m.MAKTX AS material_text
+          FROM EKBE h
+          JOIN EKPO p ON p.EBELN = h.EBELN AND p.EBELP = h.EBELP
+          JOIN MARA a ON a.MATNR = p.MATNR
+          LEFT JOIN MAKT m ON m.MATNR = a.MATNR AND m.SPRAS = 'E'
+          WHERE h.BWART = '101' AND a.LVORM = ''
+          ORDER BY h.BUDAT, h.EBELN, h.EBELP""",
+
+    // ── 11 sales_order_backlog: orders with no delivery in the doc flow ────
+    "sales_order_backlog" ->
+      """SELECT v.VBELN, v.ERDAT, p.POSNR, p.MATNR, p.KWMENG, p.NETWR
+          FROM VBAK v
+          JOIN VBAP p ON p.VBELN = v.VBELN
+          WHERE v.LOEKZ <> 'X' AND p.ABGRU = ''
+            AND NOT EXISTS (SELECT 1 FROM VBFA f
+                            WHERE f.VBELV = v.VBELN AND f.VBTYP_N = 'J')
+          ORDER BY v.VBELN, p.POSNR""",
+
+    // ── 12 delivery_status: goods-issue state + item count ─────────────────
+    "delivery_status" ->
+      """SELECT l.VBELN, l.ERDAT, l.WADAT_IST,
+            CASE WHEN l.WADAT_IST IS NULL OR l.WADAT_IST = ''
+                 THEN 'Pending goods issue' ELSE 'Goods issued' END AS status,
+            COUNT(i.POSNR) AS n_items
+          FROM LIKP l
+          LEFT JOIN LIPS i ON i.VBELN = l.VBELN
+          GROUP BY l.VBELN, l.ERDAT, l.WADAT_IST
+          ORDER BY l.VBELN""",
+
+    // ── 13 billing_summary: invoices in period with items ──────────────────
+    "billing_summary" ->
+      """SELECT b.VBELN, b.KUNAG, b.FKDAT, b.NETWR AS header_value,
+            SUM(i.NETWR) AS item_value, COUNT(i.POSNR) AS n_items
+          FROM VBRK b
+          LEFT JOIN VBRP i ON i.VBELN = b.VBELN
+          WHERE b.FKDAT >= '2025-01-01'
+          GROUP BY b.VBELN, b.KUNAG, b.FKDAT, b.NETWR
+          ORDER BY b.FKDAT, b.VBELN""",
+
+    // ── 14 cost_center_spend: actuals by cost center (horizontal sums) ─────
+    "cost_center_spend" ->
+      s"""SELECT SUBSTRING(c.OBJNR, 7) AS cost_center,
+            SUM($wkg) AS actual_spend
+          FROM COSP c
+          WHERE c.WRTTP = '04'
+          GROUP BY SUBSTRING(c.OBJNR, 7)
+          ORDER BY cost_center""",
+
+    // ── 15 employee_headcount: aggregate-only form (the reference's naked
+    //     name listing would trip its own governance gate) ───────────────────
+    "employee_headcount" ->
+      """SELECT p.ORGEH AS org_unit, p.BUKRS, COUNT(*) AS headcount
+          FROM PA0001 p
+          WHERE p.ENDDA = '99991231'
+          GROUP BY p.ORGEH, p.BUKRS
+          ORDER BY p.ORGEH""",
+
+    // ── 16 payroll_by_department: salary totals per org unit ───────────────
+    "payroll_by_department" ->
+      """SELECT p.ORGEH AS org_unit, COUNT(DISTINCT r.PERNR) AS n_employees,
+            SUM(s.ANSAL) AS total_annual_salary
+          FROM HRPY_RGDIR r
+          JOIN PA0001 p ON p.PERNR = r.PERNR
+          JOIN PA0008 s ON s.PERNR = r.PERNR
+          GROUP BY p.ORGEH
+          ORDER BY p.ORGEH""",
+
+    // ── 17 inventory_on_hand: stock by material across the master chain ────
+    "inventory_on_hand" ->
+      """SELECT d.MATNR, a.MTART, t.MAKTX AS material_text, c.EKGRP,
+            SUM(d.LABST) AS unrestricted_stock
+          FROM MARD d
+          JOIN MARC c ON c.MATNR = d.MATNR AND c.WERKS = d.WERKS
+          JOIN MARA a ON a.MATNR = d.MATNR
+          LEFT JOIN MAKT t ON t.MATNR = d.MATNR AND t.SPRAS = 'E'
+          WHERE a.LVORM = ''
+          GROUP BY d.MATNR, a.MTART, t.MAKTX, c.EKGRP
+          ORDER BY d.MATNR""",
+
+    // ── 18 journal_entry_detail: header+lines, debit/credit columns,
+    //     currency from the HEADER (the reference's BSEG-has-no-WAERS rule) ──
+    "journal_entry_detail" ->
+      """SELECT h.BELNR AS document_number, h.GJAHR AS fiscal_year,
+            h.BUDAT AS posting_date, h.BLART AS document_type,
+            h.WAERS AS currency, s.BUZEI AS line_item, s.HKONT AS gl_account,
+            CASE WHEN s.SHKZG = 'S' THEN s.DMBTR ELSE 0 END AS debit_amount,
+            CASE WHEN s.SHKZG = 'H' THEN s.DMBTR ELSE 0 END AS credit_amount
+          FROM BKPF h
+          JOIN BSEG s ON h.BUKRS = s.BUKRS AND h.BELNR = s.BELNR AND h.GJAHR = s.GJAHR
+          WHERE h.BUKRS = '1000'
+          ORDER BY h.BUDAT, h.BELNR, s.BUZEI""",
+
+    // ── 19 order_to_cash_trace: stage counts per order ─────────────────────
+    "order_to_cash_trace" ->
+      """SELECT v.VBELN AS sales_order, v.ERDAT AS order_date,
+            COUNT(DISTINCT f1.VBELN) AS n_deliveries,
+            COUNT(DISTINCT f2.VBELN) AS n_billings,
+            COUNT(DISTINCT ar.BELNR) AS n_open_ar
           FROM VBAK v
           LEFT JOIN VBFA f1 ON f1.VBELV = v.VBELN AND f1.VBTYP_N = 'J'
-          LEFT JOIN LIKP l ON l.VBELN = f1.VBELN
-          LEFT JOIN VBFA f2 ON f2.VBELV = l.VBELN AND f2.VBTYP_N = 'M'
-          LEFT JOIN VBRK b ON b.VBELN = f2.VBELN
+          LEFT JOIN VBFA f2 ON f2.VBELV = f1.VBELN AND f2.VBTYP_N = 'M'
+          LEFT JOIN BSID ar ON ar.KUNNR = v.KUNNR AND (ar.AUGDT IS NULL OR ar.AUGDT = '')
           WHERE v.LOEKZ <> 'X'
+          GROUP BY v.VBELN, v.ERDAT
           ORDER BY v.VBELN""",
 
-    // value_chain_o2c_pipeline_summary (7774-7786): anti-join stages with
-    // literal labels stacked by UNION ALL
-    "o2c_pipeline_summary" ->
+    // ── 20 procure_to_pay_trace: stage counts per PO ───────────────────────
+    "procure_to_pay_trace" ->
+      """SELECT k.EBELN AS purchase_order, k.BEDAT AS po_date, k.LIFNR,
+            COUNT(DISTINCT h.BUDAT) AS n_receipts,
+            COUNT(DISTINCT s.BELNR) AS n_invoices,
+            COUNT(DISTINCT ap.BELNR) AS n_open_ap
+          FROM EKKO k
+          LEFT JOIN EKBE h ON h.EBELN = k.EBELN AND h.BEWTP = 'E'
+          LEFT JOIN RSEG s ON s.EBELN = k.EBELN
+          LEFT JOIN BSIK ap ON ap.LIFNR = k.LIFNR AND (ap.AUGDT IS NULL OR ap.AUGDT = '')
+          WHERE k.LOEKZ <> 'X'
+          GROUP BY k.EBELN, k.BEDAT, k.LIFNR
+          ORDER BY k.EBELN""",
+
+    // ── 21 open_maintenance_orders: IW39N-style listing ────────────────────
+    "open_maintenance_orders" ->
+      """SELECT a.AUFNR, a.AUART, a.KTEXT, h.PRIOK, h.EQUNR,
+            e.EQKTX AS equipment_text, h.TPLNR, h.GSTRP, h.GLTRP
+          FROM AUFK a
+          JOIN AFIH h ON a.AUFNR = h.AUFNR
+          LEFT JOIN EQKT e ON h.EQUNR = e.EQUNR AND e.SPRAS = 'E'
+          WHERE a.AUTYP = '30' AND a.LOEKZ = ''
+          ORDER BY h.PRIOK, h.GLTRP, a.AUFNR""",
+
+    // ── 22 order_operations_iw49n: orders with their operation list ────────
+    "order_operations_iw49n" ->
+      """SELECT a.AUFNR, a.KTEXT AS order_text, h.EQUNR, ek.EQKTX AS equipment_text,
+            h.PRIOK, v.VORNR AS operation, v.LTXA1 AS operation_text,
+            v.ARBPL AS work_center, v.LOEKZ AS cancelled
+          FROM AUFK a
+          JOIN AFIH h ON a.AUFNR = h.AUFNR
+          JOIN AFKO k ON a.AUFNR = k.AUFNR
+          JOIN AFVC v ON k.AUFPL = v.AUFPL
+          LEFT JOIN EQKT ek ON h.EQUNR = ek.EQUNR AND ek.SPRAS = 'E'
+          WHERE a.AUTYP = '30'
+          ORDER BY a.AUFNR, v.VORNR""",
+
+    // ── 23 cancelled_operations_iw49n ──────────────────────────────────────
+    "cancelled_operations_iw49n" ->
+      """SELECT a.AUFNR, a.KTEXT, h.EQUNR, h.TPLNR,
+            v.VORNR, v.LTXA1 AS operation_text, v.ARBPL AS work_center
+          FROM AUFK a
+          JOIN AFIH h ON a.AUFNR = h.AUFNR
+          JOIN AFKO k ON a.AUFNR = k.AUFNR
+          JOIN AFVC v ON k.AUFPL = v.AUFPL
+          WHERE v.LOEKZ = 'X'
+          ORDER BY a.AUFNR, v.VORNR""",
+
+    // ── 24 equipment_maintenance_history: confirmations per equipment ──────
+    "equipment_maintenance_history" ->
+      """SELECT h.EQUNR, a.AUFNR, a.KTEXT, h.ILART, h.PRIOK,
+            r.VORNR, r.BUDAT, r.ISMNW AS actual_hours
+          FROM AUFK a
+          JOIN AFIH h ON a.AUFNR = h.AUFNR
+          LEFT JOIN AFRU r ON a.AUFNR = r.AUFNR AND r.STOKZ = ''
+          ORDER BY h.EQUNR, a.AUFNR, r.VORNR""",
+
+    // ── 25 unpaid vendor invoices filtered by vendor NAME ──────────────────
+    "Unpaid vendor invoices by vendor name" ->
+      """SELECT v.LIFNR AS vendor_number, v.NAME1 AS vendor_name,
+            b.BELNR AS document_number, b.GJAHR AS fiscal_year,
+            b.BUDAT AS posting_date, b.ZFBDT AS due_date,
+            CASE WHEN b.SHKZG = 'S' THEN -b.DMBTR ELSE b.DMBTR END AS amount,
+            b.WAERS AS currency
+          FROM BSIK b
+          JOIN LFA1 v ON b.LIFNR = v.LIFNR
+          WHERE (b.AUGDT IS NULL OR b.AUGDT = '')
+            AND UPPER(v.NAME1) LIKE UPPER('%vendor%')
+          ORDER BY b.BUDAT, b.BELNR""",
+
+    // ── 26 POs over threshold with vendor details ──────────────────────────
+    "Purchase orders over threshold value" ->
+      """SELECT k.EBELN AS po_number, v.LIFNR AS vendor_number,
+            v.NAME1 AS vendor_name, k.BEDAT AS po_date, k.WAERS AS currency,
+            COUNT(p.EBELP) AS line_items, SUM(p.NETWR) AS total_po_value
+          FROM EKKO k
+          JOIN EKPO p ON k.EBELN = p.EBELN
+          JOIN LFA1 v ON k.LIFNR = v.LIFNR
+          WHERE k.LOEKZ = ''
+          GROUP BY k.EBELN, v.LIFNR, v.NAME1, k.BEDAT, k.WAERS
+          HAVING SUM(p.NETWR) > 1000
+          ORDER BY total_po_value DESC, k.EBELN""",
+
+    // ── 27 top_vendors_by_spend: open∪cleared signed + TOP-K ───────────────
+    "top_vendors_by_spend" ->
+      """SELECT TOP 5 v.LIFNR, v.NAME1,
+            SUM(CASE WHEN i.SHKZG = 'S' THEN -i.DMBTR ELSE i.DMBTR END) AS total_spend
+          FROM (SELECT LIFNR, SHKZG, DMBTR FROM BSIK WHERE BUKRS = '1000'
+                UNION ALL
+                SELECT LIFNR, SHKZG, DMBTR FROM BSAK WHERE BUKRS = '1000') i
+          JOIN LFA1 v ON i.LIFNR = v.LIFNR
+          WHERE v.LOEKZ <> 'X'
+          GROUP BY v.LIFNR, v.NAME1
+          ORDER BY total_spend DESC""",
+
+    // ── 28 cost_center_actual_vs_plan over COSP horizontal buckets ─────────
+    "cost_center_actual_vs_plan" ->
+      s"""SELECT SUBSTR(c.OBJNR, 7) AS cost_center, c.KSTAR,
+            SUM(CASE WHEN c.WRTTP = '04' THEN $wkg ELSE 0 END) AS actual_amount,
+            SUM(CASE WHEN c.WRTTP = '01' THEN $wkg ELSE 0 END) AS plan_amount,
+            SUM(CASE WHEN c.WRTTP = '04' THEN $wkg ELSE 0 END) -
+            SUM(CASE WHEN c.WRTTP = '01' THEN $wkg ELSE 0 END) AS variance
+          FROM COSP c
+          WHERE c.GJAHR = '2025'
+          GROUP BY SUBSTR(c.OBJNR, 7), c.KSTAR
+          ORDER BY cost_center, c.KSTAR""",
+
+    // ── 29 sales_orders_by_period with customer names ──────────────────────
+    "sales_orders_by_period" ->
+      """SELECT v.VBELN AS sales_order, v.ERDAT AS created_on,
+            v.AUART AS order_type, v.KUNNR AS customer_number,
+            k.NAME1 AS customer_name, v.NETWR AS order_value, v.WAERK AS currency
+          FROM VBAK v
+          JOIN KNA1 k ON v.KUNNR = k.KUNNR
+          WHERE v.ERDAT >= '2025-01-01' AND v.ERDAT <= '2025-03-31'
+            AND v.LOEKZ = ''
+          ORDER BY v.ERDAT, v.VBELN""",
+
+    // ── 30 tcode_fb03: display one financial document with account texts ───
+    "tcode_fb03" ->
+      """SELECT h.BELNR, h.GJAHR, h.BLART, h.BUDAT, h.WAERS,
+            s.BUZEI, s.HKONT, t.TXT50 AS account_name,
+            CASE WHEN s.SHKZG = 'S' THEN s.DMBTR ELSE 0 END AS debit,
+            CASE WHEN s.SHKZG = 'H' THEN s.DMBTR ELSE 0 END AS credit
+          FROM BKPF h
+          JOIN BSEG s ON h.BUKRS = s.BUKRS AND h.BELNR = s.BELNR AND h.GJAHR = s.GJAHR
+          LEFT JOIN SKAT t ON t.SAKNR = s.HKONT AND t.SPRAS = 'E'
+          WHERE h.BUKRS = '1000' AND h.BELNR = '0000000001' AND h.GJAHR = '2025'
+          ORDER BY s.BUZEI""",
+
+    // ── 31 tcode_fbl1n: vendor line items, open ∪ cleared ──────────────────
+    "tcode_fbl1n" ->
+      """SELECT i.LIFNR, i.BELNR, i.BUDAT, i.DMBTR, 'Open' AS item_status
+          FROM BSIK i WHERE i.AUGDT IS NULL OR i.AUGDT = ''
+          UNION ALL
+          SELECT a.LIFNR, a.BELNR, a.BUDAT, a.DMBTR, 'Cleared'
+          FROM BSAK a WHERE a.AUGDT IS NOT NULL AND a.AUGDT <> ''
+          ORDER BY LIFNR, BELNR""",
+
+    // ── 32 tcode_fbl3n: G/L line items (BSIS/BSAS are outside the model —
+    //     re-expressed over BSEG+BKPF with the open/cleared marker) ──────────
+    "tcode_fbl3n" ->
+      """SELECT b.HKONT, h.BELNR, h.BLART, h.BUDAT,
+            CASE WHEN b.SHKZG = 'H' THEN -b.DMBTR ELSE b.DMBTR END AS signed_amount,
+            CASE WHEN b.AUGDT IS NULL OR b.AUGDT = '' THEN 'Open' ELSE 'Cleared' END AS item_status
+          FROM BSEG b
+          JOIN BKPF h ON h.BUKRS = b.BUKRS AND h.BELNR = b.BELNR AND h.GJAHR = b.GJAHR
+          WHERE h.BUKRS = '1000'
+          ORDER BY b.HKONT, h.BELNR, b.BUZEI""",
+
+    // ── 33 tcode_fbl5n: customer line items, open ∪ cleared ────────────────
+    "tcode_fbl5n" ->
+      """SELECT b.KUNNR, c.NAME1, b.BELNR, b.BUDAT, b.DMBTR, 'Open' AS item_status
+          FROM BSID b JOIN KNA1 c ON b.KUNNR = c.KUNNR
+          WHERE b.AUGDT IS NULL OR b.AUGDT = ''
+          UNION ALL
+          SELECT a.KUNNR, c.NAME1, a.BELNR, a.BUDAT, a.DMBTR, 'Cleared'
+          FROM BSAD a JOIN KNA1 c ON a.KUNNR = c.KUNNR
+          WHERE a.AUGDT IS NOT NULL AND a.AUGDT <> ''
+          ORDER BY KUNNR, BELNR""",
+
+    // ── 34 tcode_me23n: display one purchase order ─────────────────────────
+    "tcode_me23n" ->
+      """SELECT k.EBELN, k.BEDAT, k.WAERS, v.NAME1 AS vendor_name,
+            p.EBELP, p.MATNR, t.MAKTX AS material_text, p.MENGE, p.NETPR, p.NETWR,
+            IFNULL(SUM(h.MENGE), 0) AS received_qty
+          FROM EKKO k
+          JOIN EKPO p ON p.EBELN = k.EBELN
+          JOIN LFA1 v ON k.LIFNR = v.LIFNR
+          LEFT JOIN MAKT t ON t.MATNR = p.MATNR AND t.SPRAS = 'E'
+          LEFT JOIN EKBE h ON h.EBELN = p.EBELN AND h.EBELP = p.EBELP AND h.BEWTP = 'E'
+          WHERE k.EBELN = '0000450001'
+          GROUP BY k.EBELN, k.BEDAT, k.WAERS, v.NAME1, p.EBELP, p.MATNR,
+            t.MAKTX, p.MENGE, p.NETPR, p.NETWR
+          ORDER BY p.EBELP""",
+
+    // ── 35 tcode_me2m: purchasing documents by material ────────────────────
+    "tcode_me2m" ->
+      """SELECT p.MATNR, t.MAKTX AS material_text, COUNT(DISTINCT p.EBELN) AS n_pos,
+            SUM(p.MENGE) AS ordered_qty, IFNULL(SUM(h.MENGE), 0) AS received_qty,
+            SUM(p.NETWR) AS ordered_value
+          FROM EKPO p
+          LEFT JOIN MAKT t ON t.MATNR = p.MATNR AND t.SPRAS = 'E'
+          LEFT JOIN EKBE h ON h.EBELN = p.EBELN AND h.EBELP = p.EBELP
+            AND h.BEWTP = 'E' AND h.BWART IN ('101','161')
+          GROUP BY p.MATNR, t.MAKTX
+          ORDER BY p.MATNR""",
+
+    // ── 36 tcode_va03: display one sales order ─────────────────────────────
+    "tcode_va03" ->
+      """SELECT v.VBELN, v.ERDAT, v.AUART, k.NAME1 AS customer_name,
+            p.POSNR, p.MATNR, t.MAKTX AS material_text, p.KWMENG, p.NETWR
+          FROM VBAK v
+          JOIN VBAP p ON p.VBELN = v.VBELN
+          JOIN KNA1 k ON v.KUNNR = k.KUNNR
+          LEFT JOIN MAKT t ON t.MATNR = p.MATNR AND t.SPRAS = 'E'
+          WHERE v.VBELN = '0000600001'
+          ORDER BY p.POSNR""",
+
+    // ── 37 tcode_vf03: display one billing document ────────────────────────
+    "tcode_vf03" ->
+      """SELECT b.VBELN, b.FKDAT, b.KUNAG, b.NETWR AS header_value,
+            i.POSNR, i.MATNR, i.FKIMG, i.NETWR AS item_value
+          FROM VBRK b
+          JOIN VBRP i ON i.VBELN = b.VBELN
+          WHERE b.VBELN = '0000900001'
+          ORDER BY i.POSNR""",
+
+    // ── 38 FBL5N open items with aging detail ──────────────────────────────
+    "tcode_fbl5n_customer_open_items" ->
+      s"""SELECT k.KUNNR AS customer_number, k.NAME1 AS customer_name,
+            b.BELNR AS invoice_number, b.GJAHR AS fiscal_year,
+            b.BUDAT AS posting_date, b.ZFBDT AS due_date,
+            ${agingBucketSql(s"DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT)")} AS aging_bucket,
+            DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) AS days_overdue,
+            CASE WHEN b.SHKZG = 'S' THEN b.DMBTR ELSE -b.DMBTR END AS open_amount
+          FROM BSID b
+          JOIN KNA1 k ON b.KUNNR = k.KUNNR
+          WHERE b.AUGDT IS NULL OR b.AUGDT = ''
+          ORDER BY k.KUNNR, b.ZFBDT, b.BELNR""",
+
+    // ── 39 FBL5N aging summarized by bucket ────────────────────────────────
+    "tcode_fbl5n_customer_aging_bucket" ->
+      s"""SELECT ${agingBucketSql(s"DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT)")} AS aging_bucket,
+            COUNT(DISTINCT b.BELNR) AS invoice_count,
+            SUM(CASE WHEN b.SHKZG = 'S' THEN b.DMBTR ELSE -b.DMBTR END) AS total_amount
+          FROM BSID b
+          WHERE b.AUGDT IS NULL OR b.AUGDT = ''
+          GROUP BY ${agingBucketSql(s"DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT)")}
+          ORDER BY ${bucketOrderSql("aging_bucket")}""",
+
+    // ── 40 FBL5N customers with overdue items ──────────────────────────────
+    "tcode_fbl5n_customer_overdue" ->
+      s"""SELECT k.KUNNR AS customer_number, k.NAME1 AS customer_name,
+            COUNT(DISTINCT b.BELNR) AS overdue_invoice_count,
+            SUM(CASE WHEN b.SHKZG = 'S' THEN b.DMBTR ELSE -b.DMBTR END) AS total_overdue,
+            MIN(b.ZFBDT) AS oldest_due_date
+          FROM BSID b
+          JOIN KNA1 k ON b.KUNNR = k.KUNNR
+          WHERE (b.AUGDT IS NULL OR b.AUGDT = '') AND b.ZFBDT < DATE '$AsOf'
+          GROUP BY k.KUNNR, k.NAME1
+          ORDER BY total_overdue DESC, k.KUNNR""",
+
+    // ── 41 FBL5N outstanding receivables by customer ───────────────────────
+    "tcode_fbl5n_customer_outstanding_receivables" ->
+      """SELECT k.KUNNR AS customer_number, k.NAME1 AS customer_name,
+            COUNT(DISTINCT b.BELNR) AS open_invoice_count,
+            SUM(CASE WHEN b.SHKZG = 'S' THEN b.DMBTR ELSE -b.DMBTR END) AS total_outstanding
+          FROM BSID b
+          JOIN KNA1 k ON b.KUNNR = k.KUNNR
+          WHERE b.AUGDT IS NULL OR b.AUGDT = ''
+          GROUP BY k.KUNNR, k.NAME1
+          ORDER BY total_outstanding DESC, k.KUNNR""",
+
+    // ── 42 FBL5N detail for one customer (parameter pinned to a fixture) ───
+    "tcode_fbl5n_open_items_by_customer" ->
+      s"""SELECT b.BELNR AS invoice_number, b.GJAHR AS fiscal_year,
+            b.BUDAT AS posting_date, b.ZFBDT AS due_date, b.DMBTR AS amount,
+            DAYS_BETWEEN(DATE '$AsOf', b.ZFBDT) AS days_overdue
+          FROM BSID b
+          JOIN KNA1 k ON b.KUNNR = k.KUNNR
+          WHERE k.KUNNR = '0000000102' AND (b.AUGDT IS NULL OR b.AUGDT = '')
+          ORDER BY b.ZFBDT, b.BELNR""",
+
+    // ── 43 KSB1 actual line items with CO doc header + cost-center master ──
+    "tcode_ksb1_cost_center_actual_line_items" ->
+      """SELECT SUBSTR(e.OBJNR, 7) AS cost_center, e.GJAHR, e.PERIO,
+            e.BELNR AS document_number, e.BUZEI AS line_item,
+            e.KSTAR AS cost_element, e.WKGBTR AS amount, b.USNAM, b.BUDAT
+          FROM COEP e
+          JOIN COBK b ON e.KOKRS = b.KOKRS AND e.BELNR = b.BELNR AND e.GJAHR = b.GJAHR
+          JOIN CSKS s ON e.OBJNR = s.OBJNR
+          WHERE e.WRTTP = '04'
+          ORDER BY e.GJAHR, e.PERIO, cost_center, e.BELNR, e.BUZEI""",
+
+    // ── 44 KSB1 postings by year/period ────────────────────────────────────
+    "tcode_ksb1_cost_center_postings_by_year" ->
+      """SELECT SUBSTR(e.OBJNR, 7) AS cost_center, e.GJAHR, e.PERIO,
+            e.KSTAR AS cost_element, COUNT(DISTINCT e.BELNR) AS posting_count,
+            SUM(e.WKGBTR) AS total_amount
+          FROM COEP e
+          WHERE e.WRTTP = '04' AND e.GJAHR = '2025'
+          GROUP BY SUBSTR(e.OBJNR, 7), e.GJAHR, e.PERIO, e.KSTAR
+          ORDER BY e.GJAHR, e.PERIO, cost_center, e.KSTAR""",
+
+    // ── 45 KSB1 by cost element (CSKB texts are outside the model) ─────────
+    "tcode_ksb1_cost_center_by_cost_element" ->
+      """SELECT SUBSTR(e.OBJNR, 7) AS cost_center, e.KSTAR AS cost_element,
+            SUM(e.WKGBTR) AS actual_amount,
+            COUNT(DISTINCT e.BELNR) AS transaction_count
+          FROM COEP e
+          WHERE e.WRTTP = '04'
+          GROUP BY SUBSTR(e.OBJNR, 7), e.KSTAR
+          ORDER BY actual_amount DESC, cost_center, e.KSTAR""",
+
+    // ── 46 KSB1 actual (COEP) vs plan (COSP horizontal) variance ───────────
+    "tcode_ksb1_actual_vs_plan_variance" ->
+      s"""SELECT a.cost_center, a.KSTAR, a.actual_amount,
+            IFNULL(p.plan_amount, 0) AS plan_amount,
+            a.actual_amount - IFNULL(p.plan_amount, 0) AS variance
+          FROM (SELECT SUBSTR(e.OBJNR, 7) AS cost_center, e.KSTAR,
+                  SUM(e.WKGBTR) AS actual_amount
+                FROM COEP e WHERE e.WRTTP = '04'
+                GROUP BY SUBSTR(e.OBJNR, 7), e.KSTAR) a
+          LEFT JOIN (SELECT SUBSTR(c.OBJNR, 7) AS cost_center, c.KSTAR,
+                  SUM($wkg) AS plan_amount
+                FROM COSP c WHERE c.WRTTP = '01'
+                GROUP BY SUBSTR(c.OBJNR, 7), c.KSTAR) p
+            ON p.cost_center = a.cost_center AND p.KSTAR = a.KSTAR
+          ORDER BY variance DESC, a.cost_center, a.KSTAR""",
+
+    // ── 47 IW49N cancelled operations with confirmation counts ─────────────
+    "tcode_iw49n_cancelled_operations" ->
+      """SELECT a.AUFNR AS order_number, a.KTEXT AS order_text,
+            h.EQUNR AS equipment_number, h.TPLNR AS functional_location,
+            v.VORNR AS operation_number, v.LTXA1 AS operation_text,
+            v.ARBPL AS work_center, COUNT(r.RUECK) AS confirmation_count
+          FROM AUFK a
+          JOIN AFIH h ON a.AUFNR = h.AUFNR
+          JOIN AFKO k ON a.AUFNR = k.AUFNR
+          JOIN AFVC v ON k.AUFPL = v.AUFPL
+          LEFT JOIN AFRU r ON a.AUFNR = r.AUFNR AND v.VORNR = r.VORNR
+          WHERE v.LOEKZ = 'X' AND a.AUTYP = '30'
+          GROUP BY a.AUFNR, a.KTEXT, h.EQUNR, h.TPLNR, v.VORNR, v.LTXA1, v.ARBPL
+          ORDER BY a.AUFNR, v.VORNR""",
+
+    // ── 48 IW49N orders containing cancelled operations ────────────────────
+    "tcode_iw49n_orders_with_cancelled_operations" ->
+      """SELECT a.AUFNR AS order_number, a.KTEXT AS order_text,
+            a.AUART AS order_type, COUNT(DISTINCT v.VORNR) AS cancelled_operations,
+            k.GSTRP AS scheduled_start, k.GLTRP AS scheduled_finish
+          FROM AUFK a
+          JOIN AFKO k ON a.AUFNR = k.AUFNR
+          JOIN AFVC v ON k.AUFPL = v.AUFPL
+          WHERE v.LOEKZ = 'X' AND a.AUTYP = '30'
+          GROUP BY a.AUFNR, a.KTEXT, a.AUART, k.GSTRP, k.GLTRP
+          ORDER BY a.AUFNR""",
+
+    // ── 49 IW49N cancellations grouped by equipment ────────────────────────
+    "tcode_iw49n_cancelled_by_equipment" ->
+      """SELECT h.EQUNR AS equipment_number, e.EQKTX AS equipment_text,
+            COUNT(DISTINCT a.AUFNR) AS order_count,
+            COUNT(DISTINCT CONCAT(a.AUFNR, '-', v.VORNR)) AS cancelled_operations,
+            MAX(k.GLTRP) AS most_recent_finish
+          FROM AFVC v
+          JOIN AFKO k ON v.AUFPL = k.AUFPL
+          JOIN AUFK a ON k.AUFNR = a.AUFNR
+          JOIN AFIH h ON a.AUFNR = h.AUFNR
+          LEFT JOIN EQKT e ON h.EQUNR = e.EQUNR AND e.SPRAS = 'E'
+          WHERE v.LOEKZ = 'X' AND a.AUTYP = '30'
+          GROUP BY h.EQUNR, e.EQKTX
+          ORDER BY cancelled_operations DESC, h.EQUNR""",
+
+    // ── 50 O2C end-to-end trace with customer + AR totals ──────────────────
+    "value_chain_order_to_cash_trace" ->
+      """SELECT v.VBELN AS sales_order, v.ERDAT AS order_date,
+            k.KUNNR AS customer_number, k.NAME1 AS customer_name,
+            COUNT(DISTINCT f1.VBELN) AS delivery_count,
+            COUNT(DISTINCT f2.VBELN) AS billing_count,
+            COUNT(DISTINCT ar.BELNR) AS ar_invoice_count,
+            SUM(CASE WHEN ar.SHKZG = 'S' THEN ar.DMBTR ELSE -ar.DMBTR END) AS total_ar_amount
+          FROM VBAK v
+          JOIN KNA1 k ON v.KUNNR = k.KUNNR
+          LEFT JOIN VBFA f1 ON f1.VBELV = v.VBELN AND f1.VBTYP_N = 'J'
+          LEFT JOIN VBFA f2 ON f2.VBELV = f1.VBELN AND f2.VBTYP_N = 'M'
+          LEFT JOIN BSID ar ON ar.KUNNR = v.KUNNR AND (ar.AUGDT IS NULL OR ar.AUGDT = '')
+          WHERE v.LOEKZ <> 'X'
+          GROUP BY v.VBELN, v.ERDAT, k.KUNNR, k.NAME1
+          ORDER BY v.VBELN""",
+
+    // ── 51 O2C pipeline: four anti-join stages stacked ─────────────────────
+    "value_chain_o2c_pipeline_summary" ->
       """SELECT '1. Ordered, not delivered' AS stage, COUNT(*) AS n
           FROM VBAK v
-          WHERE v.LOEKZ <> 'X' AND v.VBELN NOT IN (SELECT f.VBELV FROM VBFA f WHERE f.VBTYP_N = 'J')
+          WHERE v.LOEKZ <> 'X'
+            AND v.VBELN NOT IN (SELECT f.VBELV FROM VBFA f WHERE f.VBTYP_N = 'J')
           UNION ALL
           SELECT '2. Delivered, not billed', COUNT(*)
           FROM LIKP l
           WHERE l.VBELN NOT IN (SELECT f.VBELV FROM VBFA f WHERE f.VBTYP_N = 'M')
           UNION ALL
           SELECT '3. Billed', COUNT(*) FROM VBRK
+          UNION ALL
+          SELECT '4. Open AR items', COUNT(*)
+          FROM BSID WHERE AUGDT IS NULL OR AUGDT = ''
           ORDER BY stage""",
 
-    // open vendor items (FBL1N shape): IFNULL + open-item filter
-    "vendor_open_items" ->
-      """SELECT i.LIFNR, v.NAME1, i.BELNR, i.DMBTR, IFNULL(i.AUGDT, '') AS clearing
-          FROM BSIK i JOIN LFA1 v ON i.LIFNR = v.LIFNR
-          WHERE i.AUGDT IS NULL OR i.AUGDT = ''
-          ORDER BY i.LIFNR, i.BELNR""",
+    // ── 52 O2C cycle time: stage-to-stage day gaps per order ───────────────
+    "value_chain_o2c_cycle_time" ->
+      """SELECT v.VBELN AS sales_order, v.ERDAT AS order_date,
+            MIN(l.WADAT_IST) AS goods_issue_date,
+            DAYS_BETWEEN(MIN(l.WADAT_IST), v.ERDAT) AS order_to_delivery_days,
+            MAX(b.FKDAT) AS billing_date,
+            DAYS_BETWEEN(MAX(b.FKDAT), MIN(l.WADAT_IST)) AS delivery_to_billing_days,
+            DAYS_BETWEEN(MAX(b.FKDAT), v.ERDAT) AS total_o2c_days
+          FROM VBAK v
+          LEFT JOIN VBFA f1 ON f1.VBELV = v.VBELN AND f1.VBTYP_N = 'J'
+          LEFT JOIN LIKP l ON l.VBELN = f1.VBELN
+          LEFT JOIN VBFA f2 ON f2.VBELV = l.VBELN AND f2.VBTYP_N = 'M'
+          LEFT JOIN VBRK b ON b.VBELN = f2.VBELN
+          WHERE v.LOEKZ <> 'X'
+          GROUP BY v.VBELN, v.ERDAT
+          ORDER BY v.VBELN""",
 
+    // ── 53 P2P end-to-end trace with vendor + AP totals ────────────────────
+    "value_chain_procure_to_pay_trace" ->
+      """SELECT e.EBELN AS purchase_order, e.BEDAT AS order_date,
+            v.LIFNR AS vendor_number, v.NAME1 AS vendor_name,
+            COUNT(DISTINCT h.BUDAT) AS receipt_count,
+            COUNT(DISTINCT s.BELNR) AS invoice_count,
+            COUNT(DISTINCT ap.BELNR) AS ap_open_count,
+            SUM(CASE WHEN ap.SHKZG = 'S' THEN ap.DMBTR ELSE -ap.DMBTR END) AS total_ap_amount
+          FROM EKKO e
+          JOIN LFA1 v ON e.LIFNR = v.LIFNR
+          LEFT JOIN EKBE h ON h.EBELN = e.EBELN AND h.BEWTP = 'E'
+          LEFT JOIN RSEG s ON s.EBELN = e.EBELN
+          LEFT JOIN BSIK ap ON ap.LIFNR = e.LIFNR AND (ap.AUGDT IS NULL OR ap.AUGDT = '')
+          WHERE e.LOEKZ <> 'X'
+          GROUP BY e.EBELN, e.BEDAT, v.LIFNR, v.NAME1
+          ORDER BY e.EBELN""",
+
+    // ── 54 P2P pipeline: requisition → PO → GR → invoice → AP stages ───────
+    "value_chain_p2p_pipeline_summary" ->
+      """SELECT '1. Open requisitions' AS stage, COUNT(*) AS n
+          FROM EBAN b WHERE b.EBELN IS NULL AND b.LOEKZ = ''
+          UNION ALL
+          SELECT '2. POs not yet received', COUNT(*)
+          FROM EKKO e
+          WHERE e.LOEKZ = ''
+            AND NOT EXISTS (SELECT 1 FROM EKBE r
+                            WHERE r.EBELN = e.EBELN AND r.BWART IN ('101','161'))
+          UNION ALL
+          SELECT '3. Received, not invoiced', COUNT(DISTINCT r.EBELN)
+          FROM EKBE r
+          WHERE r.BWART IN ('101','161')
+            AND NOT EXISTS (SELECT 1 FROM RSEG s WHERE s.EBELN = r.EBELN)
+          UNION ALL
+          SELECT '4. Open AP items', COUNT(*)
+          FROM BSIK WHERE AUGDT IS NULL OR AUGDT = ''
+          ORDER BY stage""",
+
+    // ── 55 P2P cycle time: PO → GR → invoice day gaps ──────────────────────
+    "value_chain_p2p_cycle_time" ->
+      """SELECT e.EBELN AS purchase_order, e.BEDAT AS po_date,
+            MIN(r.BUDAT) AS first_receipt_date,
+            DAYS_BETWEEN(MIN(r.BUDAT), e.BEDAT) AS po_to_gr_days,
+            MAX(i.BUDAT) AS invoice_date,
+            DAYS_BETWEEN(MAX(i.BUDAT), MIN(r.BUDAT)) AS gr_to_invoice_days,
+            DAYS_BETWEEN(MAX(i.BUDAT), e.BEDAT) AS total_p2p_days
+          FROM EKKO e
+          LEFT JOIN EKBE r ON r.EBELN = e.EBELN AND r.BWART IN ('101','161')
+          LEFT JOIN RSEG s ON s.EBELN = e.EBELN
+          LEFT JOIN RBKP i ON i.BELNR = s.BELNR AND i.GJAHR = s.GJAHR
+          WHERE e.LOEKZ <> 'X'
+          GROUP BY e.EBELN, e.BEDAT
+          ORDER BY e.EBELN""",
+
+    // ── 56 R2R close status for a pinned period across GL/CO/AR ────────────
+    "value_chain_record_to_report_close_status" ->
+      """SELECT 'GL postings' AS close_component,
+            COUNT(DISTINCT h.BELNR) AS n, MAX(h.BUDAT) AS latest_date
+          FROM BKPF h WHERE h.GJAHR = '2025' AND h.MONAT = '06'
+          UNION ALL
+          SELECT 'CO postings', COUNT(DISTINCT c.BELNR), MAX(c.BUDAT)
+          FROM COBK c WHERE c.GJAHR = '2025' AND SUBSTR(c.BUDAT, 6, 2) = '06'
+          UNION ALL
+          SELECT 'Open AR reconciliation', COUNT(DISTINCT b.BELNR), MAX(b.BUDAT)
+          FROM BSID b WHERE b.GJAHR = '2025' AND (b.AUGDT IS NULL OR b.AUGDT = '')
+          ORDER BY close_component""",
+
+    // ── 57 R2R trial balance: full master/text chain + ending balance ──────
+    "value_chain_trial_balance" ->
+      s"""SELECT g.RACCT AS gl_account,
+            IFNULL(t.TXT50, a.SAKNR) AS account_description,
+            a.XBILK AS balance_sheet_indicator, g.DRCRK,
+            COALESCE(g.HSLVT, 0) AS opening_balance,
+            $hsl AS period_activity,
+            COALESCE(g.HSLVT, 0) + $hsl AS ending_balance,
+            b.WAERS AS currency
+          FROM GLT0 g
+          JOIN SKA1 a ON g.RACCT = a.SAKNR
+          JOIN SKB1 b ON g.RACCT = b.SAKNR AND g.BUKRS = b.BUKRS
+          LEFT JOIN SKAT t ON a.SAKNR = t.SAKNR AND t.SPRAS = 'E'
+          WHERE g.BUKRS = '1000' AND g.GJAHR = '2025' AND g.RLDNR = '00'
+          ORDER BY g.RACCT, g.DRCRK""",
+
+    // ── 58 R2R CO↔GL reconciliation: the reference phrases this as a
+    //     correlated scalar subquery per group; the equivalent (and
+    //     scale-correct) form is a join against the pre-aggregated GL side ──
+    "value_chain_r2r_co_reconciliation" ->
+      """SELECT SUBSTR(c.OBJNR, 7) AS cost_center, c.GJAHR, c.PERIO,
+            COUNT(DISTINCT c.BELNR) AS co_posting_count,
+            SUM(c.WKGBTR) AS co_total,
+            IFNULL(MAX(g.gl_amt), 0) AS gl_total,
+            SUM(c.WKGBTR) - IFNULL(MAX(g.gl_amt), 0) AS variance
+          FROM COEP c
+          LEFT JOIN (SELECT KOSTL, GJAHR,
+                       SUM(CASE WHEN SHKZG = 'S' THEN DMBTR ELSE -DMBTR END) AS gl_amt
+                     FROM BSEG WHERE KOSTL IS NOT NULL
+                     GROUP BY KOSTL, GJAHR) g
+            ON g.KOSTL = SUBSTR(c.OBJNR, 7) AND g.GJAHR = c.GJAHR
+          WHERE c.WRTTP = '04'
+          GROUP BY SUBSTR(c.OBJNR, 7), c.GJAHR, c.PERIO
+          ORDER BY c.GJAHR, c.PERIO, cost_center""",
+
+    // ══ engine-invariant extras (beyond the reference's 58) ════════════════
     // balanced-journal check (reference DB invariant): signed sum per doc = 0
     "journal_balance_check" ->
       """SELECT b.BELNR,
@@ -125,23 +775,7 @@ object SapTemplates {
           GROUP BY b.BELNR
           ORDER BY b.BELNR""",
 
-    // employee_headcount (7374-7385): aggregate-only HR query — must PASS
-    // the PII gate (aggregation, no naked PII)
-    "employee_headcount" ->
-      """SELECT p.ORGEH AS org_unit, COUNT(*) AS headcount
-          FROM PA0001 p
-          GROUP BY p.ORGEH
-          ORDER BY p.ORGEH""",
-
-    // sales_orders_by_period (7548-7559): date-range + soft-delete filter
-    "sales_orders_by_period" ->
-      """SELECT v.VBELN, v.KUNNR, v.ERDAT, v.NETWR
-          FROM VBAK v
-          WHERE v.ERDAT >= '2025-01-01' AND v.ERDAT <= '2025-03-31'
-            AND v.LOEKZ = ''
-          ORDER BY v.ERDAT, v.VBELN""",
-
-    // customer master with case-insensitive search (rule 6 UPPER())
+    // customer master with case-insensitive search (guideline rule)
     "customer_master_search" ->
       """SELECT c.KUNNR, c.NAME1, c.LAND1
           FROM KNA1 c
@@ -156,43 +790,13 @@ object SapTemplates {
           GROUP BY h.USNAM, h.TCODE
           ORDER BY h.USNAM, h.TCODE""",
 
-    // payroll periods — second protected table exercising the PII gate's
-    // aggregate-only path
+    // payroll periods — protected-table aggregate-only smoke
     "payroll_period_summary" ->
       """SELECT r.FPBEG, r.FPEND, COUNT(*) AS n_results,
             COUNT(DISTINCT r.PERNR) AS n_employees
           FROM HRPY_RGDIR r
           GROUP BY r.FPBEG, r.FPEND
           ORDER BY r.FPBEG""",
-
-    // FBL3N G/L line items: header join + signed amounts + doc-type filter
-    "gl_line_items_fbl3n" ->
-      """SELECT b.HKONT, h.BELNR, h.BLART, h.BUDAT,
-            CASE WHEN b.SHKZG = 'H' THEN -b.DMBTR ELSE b.DMBTR END AS signed_amount
-          FROM BSEG b
-          JOIN BKPF h ON h.BUKRS = b.BUKRS AND h.BELNR = b.BELNR AND h.GJAHR = b.GJAHR
-          WHERE h.BUKRS = '1000'
-          ORDER BY b.HKONT, h.BELNR, b.BUZEI""",
-
-    // FBL1N vendor line items: open ∪ cleared with status marker
-    "vendor_line_items_fbl1n" ->
-      """SELECT i.LIFNR, i.BELNR, i.BUDAT, i.DMBTR, 'Open' AS item_status
-          FROM BSIK i WHERE i.AUGDT IS NULL OR i.AUGDT = ''
-          UNION ALL
-          SELECT a.LIFNR, a.BELNR, a.BUDAT, a.DMBTR, 'Cleared'
-          FROM BSAK a WHERE a.AUGDT IS NOT NULL AND a.AUGDT <> ''
-          ORDER BY LIFNR, BELNR""",
-
-    // R2R close status (7841-7854): stage-stacked posting-period dashboard
-    // via TO_VARCHAR period extraction
-    "r2r_close_status" ->
-      """SELECT TO_VARCHAR(h.BUDAT, 'YYYY-MM') AS period,
-            COUNT(*) AS n_documents,
-            COUNT(DISTINCT h.USNAM) AS n_users
-          FROM BKPF h
-          WHERE h.BUKRS = '1000'
-          GROUP BY TO_VARCHAR(h.BUDAT, 'YYYY-MM')
-          ORDER BY period""",
 
     // GR/IR-style match: ordered vs received quantity per PO item
     "gr_ir_match" ->
@@ -205,25 +809,42 @@ object SapTemplates {
           GROUP BY p.EBELN, p.EBELP, p.MENGE
           ORDER BY p.EBELN, p.EBELP""",
 
-    // POs over threshold (7513-7524): HAVING on summed item value
-    "po_over_threshold" ->
-      """SELECT k.EBELN, k.LIFNR, SUM(p.NETWR) AS po_value
-          FROM EKKO k JOIN EKPO p ON p.EBELN = k.EBELN
-          WHERE k.LOEKZ <> 'X'
-          GROUP BY k.EBELN, k.LIFNR
-          HAVING SUM(p.NETWR) > 1000
-          ORDER BY po_value DESC, k.EBELN""",
+    // payment-run results joined to vendor master (REGUH surface)
+    "payment_run_results" ->
+      """SELECT r.LAUFD, r.LAUFI, r.LIFNR, v.NAME1, r.VBLNR, r.ZALDT, r.RWBTR
+          FROM REGUH r
+          JOIN LFA1 v ON r.LIFNR = v.LIFNR
+          ORDER BY r.LAUFD, r.LIFNR""",
 
-    // p2p cycle time (7828-7840): PO → goods receipt via date math through
-    // the dialect functions
-    "p2p_cycle_time" ->
-      """SELECT k.EBELN, k.BEDAT AS po_date, MIN(h.BUDAT) AS first_gr,
-            DAYS_BETWEEN(MIN(h.BUDAT), k.BEDAT) AS days_to_gr
-          FROM EKKO k
-          JOIN EKBE h ON h.EBELN = k.EBELN AND h.BEWTP = 'E' AND h.BWART IN ('101','161')
-          WHERE k.LOEKZ <> 'X'
-          GROUP BY k.EBELN, k.BEDAT
-          ORDER BY k.EBELN""")
+    // wage-type dictionary coverage (T511/T512T are protected PAY tables —
+    // aggregate-only form per the governance gate)
+    "wage_type_catalog" ->
+      """SELECT w.MOLGA, COUNT(*) AS n_wage_types, COUNT(t.LGTXT) AS n_with_text
+          FROM T511 w
+          LEFT JOIN T512T t ON t.MOLGA = w.MOLGA AND t.LGART = w.LGART AND t.SPRAS = 'E'
+          GROUP BY w.MOLGA
+          ORDER BY w.MOLGA""",
+
+    // benefits enrollment summary — protected BEN tables, aggregate-only
+    "benefits_enrollment_summary" ->
+      """SELECT e.BESSION AS benefit_plan, e.BESSION_CAT AS category,
+            COUNT(DISTINCT e.PERNR) AS n_enrolled,
+            SUM(c.COVAM) AS total_coverage
+          FROM PA0167 e
+          JOIN PA0168 c ON c.PERNR = e.PERNR AND c.BESSION = e.BESSION
+          GROUP BY e.BESSION, e.BESSION_CAT
+          ORDER BY e.BESSION, e.BESSION_CAT""",
+
+    // functional-location hierarchy with texts (IFLOT surface)
+    "functional_location_list" ->
+      """SELECT f.TPLNR, t.PLTXT, f.TPLMA AS parent_location, f.WERKS
+          FROM IFLOT f
+          LEFT JOIN IFLOTX t ON t.TPLNR = f.TPLNR AND t.SPRAS = 'E'
+          ORDER BY f.TPLNR""")
+
+  /** The 58 canonical pattern names from the reference model, in order. */
+  val canonicalPatternNames: Seq[String] =
+    graft.model.CatalogData.QueryPatterns.map(_.name)
 
   def run(spark: SparkSession, name: String): DataFrame =
     Engine.sql(spark, templates(name))

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Helpers._
+
+/** Oracle-checked analogs of representative SAP templates (SURVEY §2 /
+  * `SapTemplates`), promoted onto the TPC-H-ish corpus so the driver's
+  * DuckDB compare verifies the template *shapes* end-to-end:
+  *
+  *   - trial balance (opening + signed activity + ending, text lookup)
+  *   - FBL1N open ∪ cleared with status markers
+  *   - FBL5N overdue-by-partner rollup
+  *   - IW49N cancelled-operations listing
+  *   - R2R header↔lines reconciliation (join against pre-aggregated side)
+  *   - three-way match (ordered vs shipped vs kept quantities)
+  *   - ME2M by-material rollup
+  *
+  * Scale notes: every query is one shuffle (the groupBy/join key) with dims
+  * broadcast; reconciliation pre-aggregates the big side before joining, so
+  * no row explosion. Outputs are BIGINT/DOUBLE/STRING/DATE with exact
+  * decimal math internally (oracle-parity policy in Helpers).
+  */
+object TemplateAnalogs {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+    // ── trial balance: per "account" (supplier) opening balance + signed
+    //    period activity + ending balance + text lookup (GLT0/SKA1/SKAT) ────
+    Q(
+      "q_tmpl_trial_balance",
+      (s, dir) => {
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val l = t(s, dir, "lineitem")
+        val activity = l.groupBy(col("l_suppkey"))
+          .agg(sum(signedAmount(col("l_returnflag"), money(col("l_extendedprice")), "R"))
+            .as("act_dec"))
+        su.join(activity, col("s_suppkey") === col("l_suppkey"), "left")
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name").as("region_text"),
+            money(col("s_acctbal")).cast("double").as("opening_balance"),
+            coalesce(col("act_dec"), lit(0)).cast("double").as("period_activity"),
+            (money(col("s_acctbal")) + coalesce(col("act_dec"), lit(0)))
+              .cast("double").as("ending_balance"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, n_name AS region_text,
+          CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS opening_balance,
+          CAST(COALESCE(a.act_dec, 0) AS DOUBLE) AS period_activity,
+          CAST(CAST(s_acctbal AS DECIMAL(18,2)) + COALESCE(a.act_dec, 0) AS DOUBLE) AS ending_balance
+        FROM supplier
+        LEFT JOIN (SELECT l_suppkey,
+              SUM(CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+                       ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS act_dec
+            FROM lineitem GROUP BY l_suppkey) a ON s_suppkey = a.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s_suppkey""")),
+
+    // ── FBL1N: open ∪ cleared line items with status markers + partner ─────
+    Q(
+      "q_tmpl_open_cleared_union",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        def side(status: String, label: String) =
+          o.filter(col("o_orderstatus") === status)
+            .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("c_name"),
+              to_date(col("o_orderdate")).as("order_date"),
+              money(col("o_totalprice")).cast("double").as("amount"),
+              lit(label).as("item_status"))
+        side("O", "Open").unionAll(side("F", "Cleared"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, c_name, CAST(o_orderdate AS DATE) AS order_date,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+          CASE WHEN o_orderstatus = 'O' THEN 'Open' ELSE 'Cleared' END AS item_status
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus IN ('O', 'F')
+        ORDER BY o_orderkey""")),
+
+    // ── FBL5N overdue: per-partner rollup of overdue open items ────────────
+    Q(
+      "q_tmpl_overdue_by_partner",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.filter(col("o_orderstatus") === "O" &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_overdue"),
+            sum(money(col("o_totalprice"))).cast("double").as("overdue_amount"),
+            min(to_date(col("o_orderdate"))).as("oldest_date"))
+          .orderBy(desc("overdue_amount"), col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, COUNT(*) AS n_overdue,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS overdue_amount,
+          MIN(CAST(o_orderdate AS DATE)) AS oldest_date
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name
+        ORDER BY overdue_amount DESC, c_custkey""")),
+
+    // ── IW49N cancelled operations: returned lines per order ───────────────
+    Q(
+      "q_tmpl_cancelled_operations",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+          .agg(count(lit(1)).as("n_cancelled"),
+            sum(money(col("l_extendedprice"))).cast("double").as("cancelled_amount"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          COUNT(*) AS n_cancelled,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS cancelled_amount
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY o_orderkey""")),
+
+    // ── R2R reconciliation: header total vs pre-aggregated line total ──────
+    Q(
+      "q_tmpl_r2r_reconciliation",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val lines = l.groupBy(col("l_orderkey"))
+          .agg(sum(money(col("l_extendedprice"))).as("line_dec"),
+            count(lit(1)).as("n_lines"))
+        o.join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            money(col("o_totalprice")).cast("double").as("header_total"),
+            coalesce(col("line_dec"), lit(0)).cast("double").as("line_total"),
+            (money(col("o_totalprice")) - coalesce(col("line_dec"), lit(0)))
+              .cast("double").as("variance"),
+            coalesce(col("n_lines"), lit(0)).cast("long").as("n_lines"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS header_total,
+          CAST(COALESCE(line_dec, 0) AS DOUBLE) AS line_total,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) - COALESCE(line_dec, 0) AS DOUBLE) AS variance,
+          CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines
+        FROM orders
+        LEFT JOIN (SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS line_dec,
+              COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey) l ON o_orderkey = l_orderkey
+        ORDER BY o_orderkey""")),
+
+    // ── three-way match: ordered vs shipped vs kept with mismatch filter ───
+    Q(
+      "q_tmpl_three_way_match",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.groupBy(col("l_orderkey"))
+          .agg(sum(qty(col("l_quantity"))).as("ordered_dec"),
+            sum(when(col("l_linestatus") === "F", qty(col("l_quantity")))
+              .otherwise(lit(0))).as("shipped_dec"),
+            sum(when(col("l_returnflag") =!= "R", qty(col("l_quantity")))
+              .otherwise(lit(0))).as("kept_dec"))
+          .filter(col("shipped_dec") =!= col("ordered_dec") ||
+            col("kept_dec") =!= col("ordered_dec"))
+          .select(col("l_orderkey"),
+            col("ordered_dec").cast("double").as("ordered_qty"),
+            col("shipped_dec").cast("double").as("shipped_qty"),
+            col("kept_dec").cast("double").as("kept_qty"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey,
+          CAST(ordered_dec AS DOUBLE) AS ordered_qty,
+          CAST(shipped_dec AS DOUBLE) AS shipped_qty,
+          CAST(kept_dec AS DOUBLE) AS kept_qty
+        FROM (SELECT l_orderkey,
+            SUM(CAST(l_quantity AS DECIMAL(18,3))) AS ordered_dec,
+            SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,3)) ELSE 0 END) AS shipped_dec,
+            SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS DECIMAL(18,3)) ELSE 0 END) AS kept_dec
+          FROM lineitem GROUP BY l_orderkey)
+        WHERE shipped_dec <> ordered_dec OR kept_dec <> ordered_dec
+        ORDER BY l_orderkey""")),
+
+    // ── ME2M: by-material rollup with master-text join ─────────────────────
+    Q(
+      "q_tmpl_by_material",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_name"))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+            sum(qty(col("l_quantity"))).cast("double").as("total_qty"),
+            sum(money(col("l_extendedprice"))).cast("double").as("total_value"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, COUNT(DISTINCT l_orderkey) AS n_orders,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS total_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name
+        ORDER BY p_partkey""")))
+}

@@ -170,6 +170,24 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("templates: all 58 reference pattern names are runnable") {
+    assert(SapTemplates.canonicalPatternNames.size == 58)
+    val missing = SapTemplates.canonicalPatternNames
+      .filterNot(SapTemplates.templates.contains)
+    assert(missing.isEmpty, s"missing templates: $missing")
+  }
+
+  test("templates: non-trivial results on fixtures (spot rows > 0)") {
+    fixtures
+    for (name <- Seq("trial_balance", "vendor_spend_by_quarter", "three_way_match",
+        "inventory_on_hand", "order_operations_iw49n",
+        "tcode_iw49n_cancelled_by_equipment", "value_chain_p2p_pipeline_summary",
+        "value_chain_r2r_co_reconciliation", "payroll_by_department",
+        "benefits_enrollment_summary")) {
+      assert(SapTemplates.run(spark, name).collect().nonEmpty, name)
+    }
+  }
+
   test("template invariant: journal entries are balanced (signed sum = 0)") {
     fixtures
     val net = SapTemplates.run(spark, "journal_balance_check")
@@ -188,7 +206,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("template invariant: o2c pipeline stages count orders/deliveries/bills") {
     fixtures
-    val stages = SapTemplates.run(spark, "o2c_pipeline_summary").collect()
+    val stages = SapTemplates.run(spark, "value_chain_o2c_pipeline_summary").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stages("1. Ordered, not delivered") == 3) // 12 orders, 9 with flow
     assert(stages("2. Delivered, not billed") == 3)  // 9 deliveries, 6 billed
@@ -198,7 +216,7 @@ class EngineSpec extends AnyFunSuite {
   test("template invariant: headcount aggregates without tripping PII gate") {
     fixtures
     val rows = SapTemplates.run(spark, "employee_headcount").collect()
-    assert(rows.map(_.getLong(1)).sum == 12)
+    assert(rows.map(_.getLong(2)).sum == 12)
   }
 
   test("engine: execute returns the reference envelope shape") {
