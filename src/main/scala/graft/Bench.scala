@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.Registry
 
@@ -11,11 +11,26 @@ import graft.queries.Registry
   * Headline = queries flagged bench=true in the registry: the shuffle-heavy
   * relational spine (pricing summary, 5-table join, top-k, doc-flow hop,
   * window rank) plus the scale-path extension operators (exact dedup,
-  * MinHash-LSH, brute-force KNN, event windows, sessionization). Timings are
-  * end-to-end per query (plan + execute via count()) on a warmed session so
-  * parquet footers and the JVM are not billed to the first query.
+  * MinHash-LSH, brute-force KNN, event windows, sessionization).
+  *
+  * Measurement hygiene:
+  *  - the action is a no-op foreachPartition SINK, not count() — count()
+  *    lets Catalyst prune projected expressions, under-measuring
+  *    projection-heavy queries; the sink materializes every row;
+  *  - per query, one COLD run (billed) after a session warmup, plus a WARM
+  *    re-run reported separately (queries_warm) so cache effects are
+  *    attributable; "value" stays the cold total for cross-round
+  *    comparability with BASELINE.md.
   */
 object Bench {
+
+  /** Materialize every row without collecting to the driver. */
+  private def sink(df: DataFrame): Unit =
+    df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => {
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,20 +44,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val headline = Registry.all.filter(_.bench)
-    // warmup: register views + run the cheapest action once
+    // warmup: register views + touch parquet footers once
     Tables.register(spark, sfDir)
     spark.table("region").count()
 
-    val results = headline.map { q =>
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { q.build(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val cold = headline.map(q => q.name -> time(sink(q.build(spark, sfDir))))
+    val warm = headline.map(q => q.name -> time(sink(q.build(spark, sfDir))))
+
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = cold.map(_._2).sum
+    val totalWarm = warm.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${obj(cold)},"queries_warm":${obj(warm)},""" +
+      s""""total_warm":$totalWarm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

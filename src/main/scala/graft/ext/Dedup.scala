@@ -108,12 +108,28 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: shingle → signature → banded
     * candidates → exact-Jaccard verification of candidates only. At scale
     * the verification join touches only candidate docs (semi-join pushdown),
-    * not the full corpus. */
+    * not the full corpus.
+    *
+    * `maxShingleDocFreq` (default 1000) drops stop-shingles BEFORE the
+    * signature/banding stages — a shingle in f docs otherwise lands f docs
+    * in one band bucket (f² candidates), so the guard is what keeps the
+    * candidate set near-linear on skewed corpora. Verification still uses
+    * the FULL shingle sets, so reported Jaccard stays exact; the trade is
+    * recall only for pairs whose similarity rests on ubiquitous shingles
+    * (stop-shingle matches are not meaningful near-dup evidence). Set 0 to
+    * disable. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 64,
-      bands: Int = 16, rows: Int = 4): DataFrame = {
+      bands: Int = 16, rows: Int = 4, maxShingleDocFreq: Long = 1000): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).cache()
-    val cands = lshCandidates(minhashSignatures(sh, k), bands, rows)
+    val forSig =
+      if (maxShingleDocFreq <= 0) sh
+      else {
+        val keep = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDocFreq).select("shingle")
+        sh.join(keep, Seq("shingle"))
+      }
+    val cands = lshCandidates(minhashSignatures(forSig, k), bands, rows)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
@@ -131,19 +147,73 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs: semantic dedup over an
-    * embedding column. Exact all-pairs here (the oracle-checkable baseline);
-    * at corpus scale, feed LSH/IVF candidates (graft.ext.Similarity) into
-    * the same cosine verification instead of the full cross join. */
-  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
-      threshold: Double): DataFrame = {
+  /** Exact cosine for candidate pairs: joins (id_a, id_b) back to the
+    * embeddings and scores each pair — the shared verification kernel for
+    * every embedding-dedup variant. Two hash joins on the id keys; the
+    * corpus is never crossed with itself. */
+  def cosineVerify(pairs: DataFrame, emb: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
     import graft.ext.Similarity.{dot, l2norm}
-    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("ea"))
-    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("eb"))
-    a.join(b, col("id_a") < col("id_b"))
+    pairs
+      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("ea")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("eb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("ea"), col("eb")) / (l2norm(col("ea")) * l2norm(col("eb"))), 6)
           .as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: semantic dedup over an
+    * embedding column, exact at any threshold.
+    *
+    * Candidate generation is a dimension-index equi-join: explode each
+    * vector to (id, dim, x), join on dim, and accumulate pair dot products
+    * in one hash aggregation — a shuffled equi-join plan (no
+    * CartesianProduct/BroadcastNestedLoop anywhere). Exact threshold-cosine
+    * pairing is inherently pairwise-quadratic in WORK in the worst case
+    * (every algorithm that must find pairs at cos ≥ 0.4 is), but this shape
+    * distributes it: the join shuffles only (id, dim, x) tuples, the
+    * aggregation is partial→final around one shuffle, and sparse/clustered
+    * data collapses the intermediate naturally. For realistic near-dup
+    * thresholds (≥ ~0.8) use [[embeddingNearDupsLsh]], which feeds banded
+    * sign-LSH candidates into the same verifier and is near-linear. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val ex = emb.select(col(idCol).as("id"),
+      posexplode(col(embCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), col("x").cast("double").as("x"))
+    val norms = ex.groupBy("id")
+      .agg(sqrt(sum(col("x") * col("x"))).as("nv"))
+    val dots = ex.select(col("id").as("id_a"), col("dim"), col("x").as("xa"))
+      .join(ex.select(col("id").as("id_b"), col("dim"), col("x").as("xb")), Seq("dim"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("xa") * col("xb")).as("dp"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nv").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nv").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("dp") / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Scale-path embedding dedup: multi-table sign-LSH candidates → exact
+    * cosine verification of candidates only (the 100 TB shape: bucketing is
+    * a narrow map, candidates come from a bucket-key self-equi-join, and
+    * only candidates are scored). Approximate in recall — boundary pairs at
+    * small margins above the threshold can be missed; tune (planes, tables)
+    * to the threshold via 1-(1-(1-θ/π)^planes)^tables. Recall vs the exact
+    * baseline is pinned in ScalaTest. */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String, embCol: String,
+      threshold: Double, planes: Int = 8, dims: Int = 64,
+      tables: Int = 12): DataFrame = {
+    val keyed = emb.select(col(idCol).as("doc_id"),
+      explode(Similarity.lshKeys(col(embCol), planes, dims, tables)).as("key"))
+    val l = keyed.select(col("key"), col("doc_id").as("id_a"))
+    val r = keyed.select(col("key"), col("doc_id").as("id_b"))
+    val cands = l.join(r, Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cosineVerify(cands, emb, idCol, embCol)
       .filter(col("cos") >= threshold)
   }
 

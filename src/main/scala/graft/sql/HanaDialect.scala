@@ -45,14 +45,28 @@ object HanaDialect {
     }).getOrElse(stmts.lastOption.getOrElse(sql))
   }
 
-  /** `SELECT TOP n …` → `SELECT … LIMIT n` (HANA/T-SQL form). */
+  /** `SELECT TOP n …` → `SELECT … LIMIT n` (HANA/T-SQL form). Handles the
+    * statement head AND a CTE-prefixed main select (`WITH x AS (…) SELECT
+    * TOP n …`): the rewrite targets the last `SELECT TOP` at paren depth 0,
+    * so a TOP inside a CTE body is left for its own scope. */
   def rewriteTop(sql: String): String = {
-    val Top = raw"(?is)^\s*SELECT\s+TOP\s+(\d+)\s+(.*)$$".r
-    sql match {
-      case Top(n, rest) =>
-        if (raw"(?is)\bLIMIT\s+\d+\s*$$".r.findFirstIn(rest).isDefined) s"SELECT $rest"
-        else s"SELECT $rest LIMIT $n"
-      case _ => sql
+    val Top = raw"(?is)SELECT\s+TOP\s+(\d+)\s+".r
+    // depth-0, outside-string-literal positions only
+    var depth = 0; var inStr = false
+    val depth0 = Array.fill(sql.length)(false)
+    for (i <- sql.indices) {
+      val ch = sql.charAt(i)
+      if (ch == '\'') inStr = !inStr
+      else if (!inStr && ch == '(') depth += 1
+      else if (!inStr && ch == ')') depth -= 1
+      depth0(i) = !inStr && depth == 0
+    }
+    Top.findAllMatchIn(sql).toSeq.filter(m => depth0(m.start)).lastOption match {
+      case Some(m) =>
+        val without = sql.substring(0, m.start) + "SELECT " + sql.substring(m.end)
+        if (raw"(?is)\bLIMIT\s+\d+\s*$$".r.findFirstIn(without).isDefined) without
+        else s"$without LIMIT ${m.group(1)}"
+      case None => sql
     }
   }
 

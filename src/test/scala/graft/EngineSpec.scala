@@ -23,6 +23,13 @@ class EngineSpec extends AnyFunSuite {
   test("dialect: TOP / FETCH FIRST / ROWNUM / comments / multi-statement") {
     assert(HanaDialect.rewrite("SELECT TOP 5 a FROM t ORDER BY a")
       == "SELECT a FROM t ORDER BY a LIMIT 5")
+    assert(HanaDialect.rewrite(
+      "WITH x AS (SELECT a FROM t) SELECT TOP 5 a FROM x ORDER BY a")
+      == "WITH x AS (SELECT a FROM t) SELECT a FROM x ORDER BY a LIMIT 5")
+    // a TOP inside the CTE body belongs to that scope — left untouched
+    assert(HanaDialect.rewriteTop(
+      "WITH x AS (SELECT TOP 3 a FROM t) SELECT a FROM x")
+      == "WITH x AS (SELECT TOP 3 a FROM t) SELECT a FROM x")
     assert(HanaDialect.rewrite("SELECT a FROM t FETCH FIRST 3 ROWS ONLY")
       == "SELECT a FROM t LIMIT 3")
     assert(HanaDialect.rewrite("SELECT a FROM t WHERE ROWNUM <= 7").endsWith("LIMIT 7"))

@@ -169,6 +169,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nos.forall(_ % 2 == 0))
   }
 
+  test("embedding dedup: dim-join form is exact and cartesian-free") {
+    val emb = Tables(spark, sf, "embeddings")
+    // all-pairs theta join — the test-only baseline the operator used to be
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val baseline = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("ea"), col("eb")) /
+          (Similarity.l2norm(col("ea")) * Similarity.l2norm(col("eb"))), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val dimJoin = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+    val got = dimJoin.as[(Long, Long, Double)].collect().toSet
+    assert(baseline.nonEmpty && got == baseline)
+    val physical = dimJoin.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoop"), physical.take(2000))
+  }
+
+  test("embedding dedup LSH path: candidates verified, high recall at 0.8") {
+    // plant unambiguous near-dups: clones with small perturbations
+    val base = Tables(spark, sf, "embeddings").filter(col("vec_id") < 40)
+    val clones = base.select((col("vec_id") + 1000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+    val corpus = base.select("vec_id", "embedding").unionAll(clones).cache()
+    val exact = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.embeddingNearDupsLsh(corpus, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 40, s"expected planted pairs, got ${exact.size}")
+    // verification filters candidates by exact cosine, so approx ⊆ exact
+    assert(approx.subsetOf(exact))
+    assert(approx.size >= exact.size * 9 / 10,
+      s"LSH recall too low: ${approx.size}/${exact.size}")
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet

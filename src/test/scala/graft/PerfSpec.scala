@@ -26,6 +26,28 @@ class PerfSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stop-shingle guard bounds LSH candidates on a skewed corpus") {
+    import graft.ext.Dedup
+    // 120 docs dominated by one ubiquitous boilerplate block + tiny unique
+    // tails: unguarded, the boilerplate shingles put every doc in the same
+    // band buckets (~n²/2 candidate pairs)
+    val boiler = ('a' to 't').map(c => s"${c}word").mkString(" ")
+    val docs = (1 to 120).map(i => (i.toLong, s"$boiler u$i v$i"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    def candidateCount(maxDf: Long): Long = {
+      val pruned =
+        if (maxDf <= 0) sh
+        else sh.join(sh.groupBy("shingle").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= maxDf).select("shingle"), Seq("shingle"))
+      Dedup.lshCandidates(Dedup.minhashSignatures(pruned)).count()
+    }
+    val unguarded = candidateCount(0)
+    val guarded = candidateCount(50)
+    assert(unguarded > 5000, s"skew fixture should explode: $unguarded")
+    assert(guarded == 0, s"guard should drop stop-shingle-only pairs: $guarded")
+  }
+
   test("key histogram surfaces heavy keys") {
     val h = Skew.keyHistogram(Tables(spark, sf, "lineitem"), "l_returnflag", 3)
       .collect()
