@@ -175,6 +175,48 @@ final class KnowledgeGraph(model: SemanticModel) {
       case r if r.fromTable == b && r.toTable == a => r.conditionSql
     }
 
+  // ── explorer surface (reference sap_knowledge_graph.py:326-503) ─────────
+
+  final case class Subgraph(nodes: Seq[Node], links: Seq[Edge])
+
+  /** D3 force-directed export: module/table/concept nodes (NL terms
+    * excluded) + edges between included nodes (reference to_d3_json). */
+  def toD3: Subgraph = {
+    val keep = nodes.filter(_.nodeType != TermNode)
+    val ids = keep.map(_.id).toSet
+    Subgraph(keep, edges.filter(e => ids.contains(e.from) && ids.contains(e.to)))
+  }
+
+  /** Concept detail + the tables it describes (reference get_concept_schema). */
+  def conceptSchema(conceptName: String)
+      : Option[(graft.model.BusinessObject, Seq[graft.model.SapTable])] =
+    model.businessObjects.find(_.name.equalsIgnoreCase(conceptName)).map { bo =>
+      bo -> bo.tables.flatMap(t => model.tableByName.get(t.toUpperCase))
+    }
+
+  /** Table context: module, describing concepts, outgoing FK partners
+    * (reference get_table_context — partner direction follows the declared
+    * relationship, as in the reference's directed successors). */
+  def tableContext(tableName: String)
+      : Option[(graft.model.SapTable, Seq[graft.model.BusinessObject], Seq[String])] =
+    model.tableByName.get(tableName.toUpperCase).map { t =>
+      val concepts = model.businessObjects.filter(_.tables.contains(t.name))
+      val partners = edges.collect {
+        case e if e.edgeType == "foreign_key" && e.from == s"tbl:${t.name}" =>
+          e.to.stripPrefix("tbl:")
+      }.distinct
+      (t, concepts, partners)
+    }
+
+  /** Module subgraph: that module's table + concept nodes and the edges
+    * among them (reference get_module_graph). */
+  def moduleGraph(moduleCode: String): Subgraph = {
+    val keep = nodes.filter(n =>
+      (n.nodeType == TableNode || n.nodeType == ConceptNode) && n.module == moduleCode)
+    val ids = keep.map(_.id).toSet
+    Subgraph(keep, edges.filter(e => ids.contains(e.from) && ids.contains(e.to)))
+  }
+
   /** Render a full join chain for a path (feeds generated SQL). */
   def joinChainSql(path: Seq[String]): Option[String] =
     if (path.size < 2) Some(path.mkString)

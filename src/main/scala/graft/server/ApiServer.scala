@@ -39,8 +39,11 @@ object ApiServer {
   } + "\""
 
   /** Minimal {"sql": "..."} body parser (no JSON library in scope). */
-  def extractSql(body: String): Option[String] = {
-    val m = """"sql"\s*:\s*"""".r.findFirstMatchIn(body)
+  def extractSql(body: String): Option[String] = extractField(body, "sql")
+
+  /** Minimal {"<key>": "..."} string-field parser. */
+  def extractField(body: String, key: String): Option[String] = {
+    val m = ("\"" + key + """"\s*:\s*"""").r.findFirstMatchIn(body)
     m.map { hit =>
       val sb = new StringBuilder
       var i = hit.end
@@ -121,6 +124,122 @@ object ApiServer {
           }
         case _ => respond(ex, 400, """{"error":"from and to required"}""")
       }
+    })
+
+    // ── KG explorer surface (reference sap_knowledge_graph.py:326-503) ────
+    def queryParams(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+
+    def kgNodeJson(n: KnowledgeGraph.default.Node): String =
+      s"""{"id":${q(n.id)},"label":${q(n.label)},""" +
+        s""""type":${q(n.nodeType.toString.stripSuffix("Node").toLowerCase)},""" +
+        s""""module":${q(n.module)},"description":${q(n.description.take(100))}}"""
+    def kgEdgeJson(e: KnowledgeGraph.default.Edge): String =
+      s"""{"source":${q(e.from)},"target":${q(e.to)},"type":${q(e.edgeType)}}"""
+    def statsJson: String = KnowledgeGraph.default.stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+
+    server.createContext("/api/kg/graph", (ex: HttpExchange) => {
+      val g = KnowledgeGraph.default.toD3
+      respond(ex, 200,
+        s"""{"nodes":[${g.nodes.map(kgNodeJson).mkString(",")}],""" +
+          s""""links":[${g.links.map(kgEdgeJson).mkString(",")}],""" +
+          s""""stats":$statsJson}""")
+    })
+
+    server.createContext("/api/kg/stats", (ex: HttpExchange) =>
+      respond(ex, 200, statsJson))
+
+    server.createContext("/api/kg/resolve", (ex: HttpExchange) => {
+      val params = queryParams(ex)
+      (params.get("term"), params.get("question")) match {
+        case (Some(term), _) =>
+          val tables = KnowledgeGraph.default.resolveTerm(term)
+          respond(ex, 200,
+            s"""{"term":${q(term)},"tables":[${tables.map(q).mkString(",")}]}""")
+        case (None, Some(question)) =>
+          val tables = KnowledgeGraph.default.resolveQuestion(question)
+          respond(ex, 200,
+            s"""{"question":${q(question)},"tables":[${tables.map(q).mkString(",")}]}""")
+        case _ => respond(ex, 400, """{"error":"term or question required"}""")
+      }
+    })
+
+    server.createContext("/api/kg/concept", (ex: HttpExchange) => {
+      queryParams(ex).get("name") match {
+        case None => respond(ex, 400, """{"error":"name required"}""")
+        case Some(name) => KnowledgeGraph.default.conceptSchema(name) match {
+          case None => respond(ex, 404, """{"error":"unknown concept"}""")
+          case Some((bo, tables)) =>
+            val ts = tables.map(t =>
+              s"""{"table_name":${q(t.name)},"module":${q(t.module)},"description":${q(t.description)}}""")
+            respond(ex, 200,
+              s"""{"concept_name":${q(bo.name)},"module":${q(bo.module)},""" +
+                s""""description":${q(bo.description)},"tables":[${ts.mkString(",")}]}""")
+        }
+      }
+    })
+
+    server.createContext("/api/kg/table", (ex: HttpExchange) => {
+      queryParams(ex).get("name") match {
+        case None => respond(ex, 400, """{"error":"name required"}""")
+        case Some(name) => KnowledgeGraph.default.tableContext(name) match {
+          case None => respond(ex, 404, """{"error":"unknown table"}""")
+          case Some((t, concepts, partners)) =>
+            val cs = concepts.map(bo =>
+              s"""{"concept_name":${q(bo.name)},"description":${q(bo.description)}}""")
+            respond(ex, 200,
+              s"""{"table_name":${q(t.name)},"module":${q(t.module)},""" +
+                s""""description":${q(t.description)},""" +
+                s""""concepts":[${cs.mkString(",")}],""" +
+                s""""join_partners":[${partners.map(q).mkString(",")}]}""")
+        }
+      }
+    })
+
+    server.createContext("/api/kg/module", (ex: HttpExchange) => {
+      queryParams(ex).get("code") match {
+        case None => respond(ex, 400, """{"error":"code required"}""")
+        case Some(code) =>
+          val g = KnowledgeGraph.default.moduleGraph(code.toUpperCase)
+          if (g.nodes.isEmpty) respond(ex, 404, """{"error":"unknown module"}""")
+          else respond(ex, 200,
+            s"""{"module":${q(code.toUpperCase)},""" +
+              s""""nodes":[${g.nodes.map(kgNodeJson).mkString(",")}],""" +
+              s""""links":[${g.links.map(kgEdgeJson).mkString(",")}]}""")
+      }
+    })
+
+    // ── intent classification (reference classify_intent envelope) ────────
+    server.createContext("/api/classify", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        extractField(body, "question") match {
+          case None => respond(ex, 400, """{"error":"missing question field"}""")
+          case Some(question) =>
+            val c = graft.intent.HeuristicClassifier.classify(question)
+            val slots = c.slots.toSeq.sortBy(_._1).map { case (k, v) =>
+              s"""${q(k)}:{"value":${q(v.value)},"status":${q(v.status)}}"""
+            }
+            val sugg = c.suggestions.map(s =>
+              s"""{"prompt":${q(s.prompt)},"module":${q(s.module)},"match_quality":${q(s.matchQuality)}}""")
+            val sqs = c.slotQuestions.map(sq =>
+              s"""{"slot":${q(sq.slot)},"question":${q(sq.question)},"options":[${sq.options.map(q).mkString(",")}]}""")
+            respond(ex, 200,
+              s"""{"confidence":${q(c.confidence)},""" +
+                s""""modules":[${c.modules.map(q).mkString(",")}],""" +
+                s""""slots":{${slots.mkString(",")}},""" +
+                s""""interpretation":${q(c.interpretation)},""" +
+                s""""disambiguation_needed":${c.disambiguationNeeded},""" +
+                s""""suggestions":[${sugg.mkString(",")}],""" +
+                s""""slot_questions":[${sqs.mkString(",")}],""" +
+                s""""message":${q(graft.intent.IntentRenderer.render(c))}}""")
+        }
+      } catch { case e: Exception => respond(ex, 500, s"""{"error":${q(e.toString)}}""") }
     })
 
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))

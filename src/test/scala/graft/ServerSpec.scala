@@ -55,6 +55,46 @@ class ServerSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("api server: kg explorer endpoints round-trip") {
+    val server = ApiServer.start(spark)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val (c1, b1) = get(s"$base/api/kg/stats")
+      assert(c1 == 200 && b1.contains("\"total_nodes\":240") &&
+        b1.contains("\"total_edges\":336"))
+
+      val (c2, b2) = get(s"$base/api/kg/graph")
+      assert(c2 == 200 && b2.contains("\"id\":\"tbl:BKPF\"") &&
+        b2.contains("\"type\":\"concept\"") && b2.contains("\"stats\":"))
+
+      val (c3, b3) = get(s"$base/api/kg/resolve?term=vendor")
+      assert(c3 == 200 && b3.contains("\"LFA1\""))
+      val (c3b, b3b) = get(s"$base/api/kg/resolve?question=" +
+        java.net.URLEncoder.encode("top vendors by spend", "UTF-8"))
+      assert(c3b == 200 && b3b.contains("\"LFA1\""))
+
+      val (c4, b4) = get(s"$base/api/kg/concept?name=Journal_Entry")
+      assert(c4 == 200 && b4.contains("\"table_name\":\"BKPF\"") &&
+        b4.contains("\"module\":\"FI_GL\""))
+      assert(get(s"$base/api/kg/concept?name=Nope")._1 == 404)
+
+      val (c5, b5) = get(s"$base/api/kg/table?name=BSEG")
+      assert(c5 == 200 && b5.contains("\"concept_name\":") &&
+        b5.contains("\"join_partners\":["))
+
+      val (c6, b6) = get(s"$base/api/kg/module?code=PM")
+      // AUFK itself is attributed to CO (first-module-wins, as the reference
+      // does); PM's subgraph carries the PM-specific chain
+      assert(c6 == 200 && b6.contains("tbl:AFIH") && b6.contains("tbl:AFVC"))
+      assert(get(s"$base/api/kg/module?code=ZZ")._1 == 404)
+
+      val (c7, b7) = post(s"$base/api/classify",
+        """{"question": "Who are our top 10 vendors by total spend?"}""")
+      assert(c7 == 200 && b7.contains("\"confidence\":\"high\"") &&
+        b7.contains("\"FI_AP\"") && b7.contains("\"message\":"))
+    } finally server.stop(0)
+  }
+
   test("sql body parser handles escapes") {
     assert(ApiServer.extractSql("""{"sql": "SELECT \"a\"\nFROM t"}""")
       .contains("SELECT \"a\"\nFROM t"))
