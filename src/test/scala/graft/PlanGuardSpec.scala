@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Scale guard over EVERY registered query's physical plan: no accidental
+  * CartesianProduct / BroadcastNestedLoopJoin — at 100 TB those are the
+  * queries that never finish. Intentional exceptions are named and justified
+  * below. */
+class PlanGuardSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  /** Queries allowed to contain a nested-loop join, with the reason. */
+  private val bnljAllowed: Map[String, String] = Map(
+    "q_disjunctive_join" -> "OR-join over a BROADCAST dim (nation, 25 rows) — the disjunction itself is the operator under test",
+    "q_embed_knn" -> "brute-force KNN broadcasts the tiny query set; corpus side never shuffles",
+    "q_like_computed" -> "computed LIKE pattern join over a broadcast side (reference OBJNR-prefix semantics)",
+    "q_embed_ann_ivf" -> "IVF cell scoring broadcast-crosses the <=16 coarse centroids against each vector — constant-size broadcast side by construction")
+
+  test("no registered query plans a cartesian product") {
+    for (q <- Registry.all) {
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins appear only where a broadcast side is intended") {
+    for (q <- Registry.all) {
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoop"))
+        assert(bnljAllowed.contains(q.name),
+          s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+}
