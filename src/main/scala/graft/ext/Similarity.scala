@@ -121,12 +121,33 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** One Lloyd (k-means) refinement pass: assign every vector to its
+    * nearest current centroid, then re-center each cell on the member mean
+    * (posexplode + one (cell, dim) shuffle, array rebuilt via sorted
+    * collect). Sharpens the deterministic-by-id bootstrap cells; empty cells
+    * keep their previous centroid. Deterministic — no RNG. */
+  def ivfRefine(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val means = ivfAssign(corpus, centroids)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("refined"))
+    centroids.join(means, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("refined"),
+        expr("transform(centroid, x -> cast(x as double))")).as("centroid"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine
     * only within those cells. Search cost ~ corpus/k × nprobe instead of
-    * corpus. */
+    * corpus. `refineIters` Lloyd passes (default 1) sharpen the bootstrap
+    * centroids before indexing. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells).cache()
+      nCells: Int = 16, nprobe: Int = 4, refineIters: Int = 1): DataFrame = {
+    val boot = ivfCentroids(corpus, nCells)
+    val cents = (0 until refineIters)
+      .foldLeft(boot)((c, _) => ivfRefine(corpus, c)).cache()
     val indexed = ivfAssign(corpus, cents)
     val qScored = queries.join(broadcast(cents))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
