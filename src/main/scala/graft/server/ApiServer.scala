@@ -242,6 +242,32 @@ object ApiServer {
       } catch { case e: Exception => respond(ex, 500, s"""{"error":${q(e.toString)}}""") }
     })
 
+    // ── end-to-end NL ask: classify → validated-template route → execute
+    //    (the reference UI's question flow in one call; unmatched questions
+    //    return the disambiguation message instead of results) ─────────────
+    server.createContext("/api/ask", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        extractField(body, "question") match {
+          case None => respond(ex, 400, """{"error":"missing question field"}""")
+          case Some(question) =>
+            try {
+              val ans = graft.intent.AnswerPipeline.answer(spark, question)
+              val result = ans.envelope.map(e => s""","result":${e.toJson}""").getOrElse("")
+              val tmpl = ans.templateName.map(t => s""","template":${q(t)}""").getOrElse("")
+              respond(ex, 200,
+                s"""{"answered":${ans.envelope.isDefined},""" +
+                  s""""confidence":${q(ans.classification.confidence)},""" +
+                  s""""message":${q(ans.message)}$tmpl$result}""")
+            } catch {
+              case v: PiiGate.Violation =>
+                respond(ex, 403,
+                  s"""{"governance_block":true,"governance_type":"pii_violation","governance_message":${q(v.getMessage)}}""")
+            }
+        }
+      } catch { case e: Exception => respond(ex, 500, s"""{"error":${q(e.toString)}}""") }
+    })
+
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     server

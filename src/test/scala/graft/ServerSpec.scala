@@ -56,6 +56,7 @@ class ServerSpec extends AnyFunSuite {
   }
 
   test("api server: kg explorer endpoints round-trip") {
+    SapFixtures.register(spark) // /api/ask routes to templates over the views
     val server = ApiServer.start(spark)
     val base = s"http://localhost:${server.getAddress.getPort}"
     try {
@@ -92,6 +93,14 @@ class ServerSpec extends AnyFunSuite {
         """{"question": "Who are our top 10 vendors by total spend?"}""")
       assert(c7 == 200 && b7.contains("\"confidence\":\"high\"") &&
         b7.contains("\"FI_AP\"") && b7.contains("\"message\":"))
+
+      val (c8, b8) = post(s"$base/api/ask",
+        """{"question": "Show customer open items with aging buckets"}""")
+      assert(c8 == 200 && b8.contains("\"answered\":true") &&
+        b8.contains("\"template\":") && b8.contains("\"rows\":"))
+      val (c9, b9) = post(s"$base/api/ask", """{"question": "show me data"}""")
+      assert(c9 == 200 && b9.contains("\"answered\":false") &&
+        b9.contains("rephrase"))
     } finally server.stop(0)
   }
 
