@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.TextAnalysis
+
+/** Streaming document ingest — the Structured Streaming face of the
+  * training-data preparation path (language ID → quality scoring → token
+  * counting → content-hash dedup), so the same operators that run batch at
+  * 100 TB also run as a continuous pipeline over arriving files/Kafka.
+  *
+  * All per-document enrichments are narrow column expressions (codegen'd, no
+  * UDFs, no shuffle); the only stateful stage is the exact dedup, whose
+  * state is bounded by the ingest-time watermark: a duplicate arriving
+  * within the watermark horizon is dropped, older state expires. At scale
+  * the horizon trades completeness against state size exactly like the
+  * batch job's partition-window trade.
+  */
+object DocsStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a directory of document parquet files. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Per-document enrichment: language ID, quality features, token count,
+    * winnowing fingerprint, content hash. Narrow — no state, no shuffle. */
+  def enrich(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("lang_id", TextAnalysis.langId(t))
+      .withColumn("n_tokens", size(split(lower(t), " ")).cast("long"))
+      .withColumn("mean_tok_len",
+        round(length(t).cast("double") / col("n_tokens").cast("double"), 4))
+      .withColumn("stopword_ratio",
+        round(TextAnalysis.stopwordHits(t, "en").cast("double") /
+          col("n_tokens").cast("double"), 4))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(t))
+      .withColumn("content_hash", sha2(encode(t, "UTF-8"), 256))
+  }
+
+  /** Content-hash exact dedup with ingest-time watermark bounding state. */
+  def dedupByContent(enriched: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    enriched
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicates(Seq("content_hash"))
+
+  /** Full ingest pipeline: enrich → dedup → quality gate. */
+  def ingest(docs: DataFrame, minTokens: Long = 5): DataFrame =
+    dedupByContent(enrich(docs))
+      .filter(col("n_tokens") >= minTokens)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.EventsStream
+import graft.streaming.{DocsStream, EventsStream}
 
 /** Structured Streaming smoke: the same event analytics as the batch
   * queries, executed through readStream → writeStream with a memory sink. */
@@ -51,5 +51,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.columns.toSet ==
       Set("user_id", "session_start", "n_events", "duration_s"))
+  }
+
+  test("streaming document ingest: enrich + content dedup + quality gate") {
+    // stage the corpus TWICE so every document arrives duplicated across
+    // files — the stream must drop the second copies via content-hash state
+    val docsDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-docs")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents-a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents-b.parquet"))
+      d.toString
+    }
+    val stream = DocsStream.read(spark, docsDir)
+    assert(stream.isStreaming)
+    val out = EventsStream.runToMemory(
+      DocsStream.ingest(stream), "doc_ingest", OutputMode.Append())
+    // batch-computed expectation: distinct content among quality-passing docs
+    val batch = DocsStream.enrich(Tables(spark, sf, "documents"))
+      .filter(col("n_tokens") >= 5)
+    val expected = batch.select("content_hash").distinct().count()
+    assert(out.count() == expected,
+      s"stream ${out.count()} vs batch-distinct $expected (doubled input deduped)")
+    assert(out.columns.contains("lang_id") && out.columns.contains("fingerprint"))
   }
 }
