@@ -163,8 +163,8 @@ object Dedup {
       .join(emb.select(col(idCol).as("id_a"), col(embCol).as("ea")), Seq("id_a"))
       .join(emb.select(col(idCol).as("id_b"), col(embCol).as("eb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("ea"), col("eb")) / (l2norm(col("ea")) * l2norm(col("eb"))), 6)
-          .as("cos"))
+        (round(dot(col("ea"), col("eb")) / (l2norm(col("ea")) * l2norm(col("eb"))), 6)
+          + lit(0.0)).as("cos")) // + 0.0 folds IEEE -0.0 to 0.0 (oracle parity)
   }
 
   /** Embedding-cosine near-duplicate pairs: semantic dedup over an
@@ -197,7 +197,7 @@ object Dedup {
       .join(norms.select(col("id").as("id_a"), col("nv").as("na")), Seq("id_a"))
       .join(norms.select(col("id").as("id_b"), col("nv").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(col("dp") / (col("na") * col("nb")), 6).as("cos"))
+        (round(col("dp") / (col("na") * col("nb")), 6) + lit(0.0)).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -33,8 +33,8 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
-          .as("cos"))
+        (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
+          + lit(0.0)).as("cos")) // + 0.0 folds IEEE -0.0 to 0.0 (oracle parity)
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -81,8 +81,8 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qe", "cid", "ce").distinct()
     val scored = cands.select(col("qid"), col("cid"),
-      round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
-        .as("cos"))
+      (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
+        + lit(0.0)).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -90,11 +90,17 @@ object Similarity {
   }
 
   /** Per-label centroids: element-wise mean via posexplode + one shuffle on
-    * (label, dim). */
+    * (label, dim). The per-element values are summed as DECIMAL(28,10)
+    * (each float cast once — deterministic rounding on both engines), not as
+    * raw doubles: float addition is order-dependent and a 32-partition
+    * shuffle does not sum in the oracle's order, which flips rounding at
+    * half-way cases (seen at sf0.001: -0.00005 → '-0.0001' vs '-0.0'). */
   def labelCentroids(emb: DataFrame): DataFrame = {
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 4).as("centroid"))
+      .agg((round(
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double") / count(lit(1)), 4) + lit(0.0)).as("centroid"))
   }
 
   // ── IVF (inverted-file) ANN: the second scale path next to sign-LSH ──────
@@ -159,8 +165,8 @@ object Similarity {
     val scored = probes.join(indexed, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"),
-        round(dot(col("qe"), col("embedding")) /
-          (l2norm(col("qe")) * l2norm(col("embedding"))), 6).as("cos"))
+        (round(dot(col("qe"), col("embedding")) /
+          (l2norm(col("qe")) * l2norm(col("embedding"))), 6) + lit(0.0)).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)

@@ -105,7 +105,7 @@ object Extensions {
         dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
           FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
           GROUP BY 1, 2)
-        SELECT id_a, id_b, ROUND(dot / (na.nv * nb.nv), 6) AS cos
+        SELECT id_a, id_b, ROUND(dot / (na.nv * nb.nv), 6) + 0 AS cos
         FROM dots JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id
         WHERE ROUND(dot / (na.nv * nb.nv), 6) >= 0.4
         ORDER BY id_a, id_b""")),
@@ -124,7 +124,7 @@ object Extensions {
         dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.x * b.x) AS dot
           FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
           GROUP BY 1, 2)
-        SELECT qid, cid, ROUND(dot / (na.nv * nb.nv), 6) AS cos,
+        SELECT qid, cid, ROUND(dot / (na.nv * nb.nv), 6) + 0 AS cos,
           CAST(ROW_NUMBER() OVER (PARTITION BY qid
             ORDER BY ROUND(dot / (na.nv * nb.nv), 6) DESC, cid) AS BIGINT) AS rk
         FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON cid = nb.vec_id
@@ -165,7 +165,7 @@ object Extensions {
       },
       Some("""SELECT CAST(label AS BIGINT) AS label,
           CAST(i - 1 AS BIGINT) AS dim,
-          ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 4) AS centroid
+          ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) + 0 AS centroid
         FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
         GROUP BY 1, 2 ORDER BY label, dim""")),
 

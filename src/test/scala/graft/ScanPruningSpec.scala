@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Scan-level scale hygiene: filters reach the parquet scan as pushed
+  * predicates and projections prune the read schema — at 100 TB the
+  * difference between reading 2 columns and 16 is the job. */
+class ScanPruningSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def planOf(name: String): String =
+    Registry.byName(name).build(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan") {
+    // q_filter_range filters on o_orderstatus + o_orderdate
+    val p = planOf("q_filter_range")
+    assert(p.contains("PushedFilters: [") && p.contains("o_orderstatus"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("projection prunes the lineitem read schema to needed columns") {
+    // q_agg_having touches only l_suppkey + l_extendedprice of 16 columns
+    val p = planOf("q_agg_having")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_suppkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+      readSchema)
+  }
+
+  test("every registry query prunes lineitem scans below the full schema") {
+    // any query reading lineitem must not scan all 16 columns
+    for (q <- Registry.all) {
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      val schemas = plan.linesIterator.filter(l =>
+        l.contains("ReadSchema") && l.contains("l_orderkey")).toSeq
+      schemas.foreach { rs =>
+        val nCols = "l_[a-z]+".r.findAllIn(rs).toSeq.distinct.size
+        assert(nCols < 16, s"${q.name} reads $nCols lineitem columns: $rs")
+      }
+    }
+  }
+}
