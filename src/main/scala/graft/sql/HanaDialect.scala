@@ -111,11 +111,21 @@ object HanaDialect {
     // 3-arg DATEDIFF(unit, a, b) — HANA/T-SQL; day unit = b - a
     register("datediff3")(e =>
       DateDiff(Cast(e(2), DateType), Cast(e(1), DateType)))
-    // TO_VARCHAR(x) / TO_VARCHAR(x, fmt) with HANA→JVM format-token mapping
-    register("to_varchar") {
+    // TO_VARCHAR(x) / TO_VARCHAR(x, fmt) with HANA→JVM format-token mapping;
+    // TO_CHAR is the Oracle spelling of the same surface
+    val toVarchar: Seq[Expression] => Expression = {
       case Seq(x) => Cast(x, StringType)
       case Seq(x, Literal(fmt, StringType)) =>
         DateFormatClass(Cast(x, TimestampType), Literal(mapFormat(fmt.toString)))
+      case e => Cast(e.head, StringType)
+    }
+    register("to_varchar")(toVarchar)
+    register("to_char")(toVarchar)
+    // strftime(fmt, x) — SQLite-ism the reference templates call directly;
+    // %-token map → JVM DateTimeFormatter
+    register("strftime") {
+      case Seq(Literal(fmt, StringType), x) =>
+        DateFormatClass(Cast(x, TimestampType), Literal(mapStrftime(fmt.toString)))
       case e => Cast(e.head, StringType)
     }
     // TO_NUMBER / TO_INTEGER
@@ -131,6 +141,12 @@ object HanaDialect {
       Literal(2440587.5)))
     // LAST_DAY alias for HANA's LAST_DAY is native; MONTHS_BETWEEN native.
   }
+
+  /** SQLite strftime %-tokens → JVM DateTimeFormatter tokens. */
+  def mapStrftime(fmt: String): String =
+    fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+      .replace("%j", "DDD")
 
   /** HANA/Oracle date-format tokens → JVM DateTimeFormatter tokens. */
   def mapFormat(fmt: String): String =

@@ -47,13 +47,17 @@ class EngineSpec extends AnyFunSuite {
          datediff3('day', DATE '2025-01-01', DATE '2025-01-11') AS n3,
          to_varchar(DATE '2025-02-03', 'YYYY-MM') AS ym,
          to_number('12.5') AS num,
-         julianday(DATE '1970-01-01') AS jd""").collect()(0)
+         julianday(DATE '1970-01-01') AS jd,
+         to_char(DATE '2025-02-03', 'YYYY-MM-DD') AS tc,
+         strftime('%Y-%m', DATE '2025-02-03') AS sft""").collect()(0)
     assert(r.getDate(0).toString == "2025-03-02")
     assert(r.getInt(1) == 30)
     assert(r.getInt(2) == 10)
     assert(r.getString(3) == "2025-02")
     assert(r.getDecimal(4).doubleValue() == 12.5)
     assert(r.getDouble(5) == 2440587.5)
+    assert(r.getString(6) == "2025-02-03")
+    assert(r.getString(7) == "2025-02")
   }
 
   // ── PII gate ────────────────────────────────────────────────────────────
