@@ -471,6 +471,31 @@ object Analytics {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         ORDER BY o_orderkey LIMIT 20""")),
 
+    // ── §2.6 SQLite-ism surface: strftime / TO_CHAR / IFNULL / printf —
+    //    the translator's remaining dialect row, through the front end ──────
+    Q(
+      "q_dialect_sqlite",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        graft.Engine.sql(s,
+          """SELECT o_orderkey,
+               strftime('%Y-%m', o_orderdate) AS order_month,
+               TO_CHAR(o_orderdate, 'YYYY-MM-DD') AS order_day,
+               IFNULL(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'NONE') AS prio,
+               printf('%08d', o_orderkey) AS padded
+             FROM orders
+             WHERE o_orderdate >= DATE '1998-01-01'
+             ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+          STRFTIME(o_orderdate, '%Y-%m') AS order_month,
+          STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day,
+          COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'NONE') AS prio,
+          PRINTF('%08d', o_orderkey) AS padded
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        ORDER BY o_orderkey""")),
+
     // ── window: rank-per-group (row_number, deterministic tie-break) ─────
     Q(
       "q_window_rank",

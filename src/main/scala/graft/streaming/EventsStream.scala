@@ -88,6 +88,44 @@ object EventsStream {
       .toDF()
   }
 
+  case class FunnelState(signupUs: Long, firstPurchaseUs: Long)
+  case class FunnelOut(user_id: Long, signup_us: Long, first_purchase_us: Long,
+      converted: Long)
+
+  /** Streaming signup→purchase funnel via mapGroupsWithState: per-user state
+    * holds the earliest signup and the earliest post-signup purchase — the
+    * continuous face of the batch `q_events_funnel`. State is one tiny object
+    * per user (the batch analog's groupBy key), emitted in Update mode as
+    * conversions happen. */
+  def funnel(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          rows.toSeq.sortBy(_._3).foreach { case (_, typ, us) =>
+            typ match {
+              case "signup" if st.signupUs < 0 || us < st.signupUs =>
+                st = st.copy(signupUs = us)
+              case "purchase" if st.signupUs >= 0 && us > st.signupUs &&
+                  (st.firstPurchaseUs < 0 || us < st.firstPurchaseUs) =>
+                st = st.copy(firstPurchaseUs = us)
+              case _ =>
+            }
+          }
+          state.update(st)
+          FunnelOut(user, st.signupUs, st.firstPurchaseUs,
+            if (st.firstPurchaseUs >= 0) 1L else 0L)
+      }
+      .filter(_.signup_us >= 0)
+      .toDF()
+  }
+
   /** Run a streaming query to a named in-memory sink until input is
     * exhausted (local smoke path). Returns the sink contents. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -53,6 +53,24 @@ class StreamingSpec extends AnyFunSuite {
       Set("user_id", "session_start", "n_events", "duration_s"))
   }
 
+  test("streaming funnel matches the batch signup→purchase conversions") {
+    val stream = EventsStream.read(spark, eventsDir)
+    val out = EventsStream.runToMemory(
+      EventsStream.funnel(stream), "funnel_stream", OutputMode.Update())
+    // Update mode re-emits per batch; keep each user's final state
+    val finalRows = out.groupBy("user_id")
+      .agg(max(col("converted")).as("converted"))
+    val batch = Registry_funnel(spark)
+    val streamConv = finalRows.filter(col("converted") === 1)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val batchConv = batch.filter(col("converted") === 1)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(streamConv == batchConv && streamConv.nonEmpty)
+  }
+
+  private def Registry_funnel(s: org.apache.spark.sql.SparkSession) =
+    graft.queries.Registry.byName("q_events_funnel").build(s, sf)
+
   test("streaming document ingest: enrich + content dedup + quality gate") {
     // stage the corpus TWICE so every document arrives duplicated across
     // files — the stream must drop the second copies via content-hash state

@@ -75,6 +75,24 @@ def main(sf_dir, out_dir):
             scols, ocols = sorted(st.column_names), sorted(ot.column_names)
             if scols != ocols:
                 raise AssertionError(f"columns differ: spark={scols} oracle={ocols}")
+
+            def type_class(t):
+                s = str(t)
+                if "decimal" in s:
+                    return "DECIMAL(!)"  # outputs must never be decimal (driver floats them)
+                for cls, keys in [("int", ("int",)), ("float", ("float", "double", "halffloat")),
+                                  ("date", ("date",)), ("ts", ("timestamp",)),
+                                  ("str", ("string", "large_string", "utf8")),
+                                  ("bool", ("bool",)), ("bin", ("binary",)), ("list", ("list",))]:
+                    if any(k in s for k in keys):
+                        return cls
+                return s
+            sfields = {f.name: type_class(f.type) for f in st.schema}
+            ofields = {f.name: type_class(f.type) for f in ot.schema}
+            bad = [(c, sfields[c], ofields[c]) for c in scols if sfields[c] != ofields[c]]
+            bad += [(c, sfields[c], "") for c in scols if sfields[c] == "DECIMAL(!)"]
+            if bad:
+                raise AssertionError(f"type classes differ (or decimal output): {bad}")
             if st.num_rows != ot.num_rows:
                 raise AssertionError(f"rowcount differ: spark={st.num_rows} oracle={ot.num_rows}")
             srows = rows_of(scols, st.to_pydict(), "spark")
