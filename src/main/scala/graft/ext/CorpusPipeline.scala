@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the composed pipeline the
+  * individual operators exist for: exact dedup → near-dup removal →
+  * quality/language gating → deterministic split assignment. One logical
+  * pass; every stage is the scale-path variant (hash dedup, MinHash-LSH
+  * with the stop-shingle guard, codegen'd quality columns, multiplicative-
+  * hash split — no RNG, no driver state, no cartesian anywhere).
+  */
+object CorpusPipeline {
+
+  /** Stable split assignment via multiplicative-hash bucketing on the id
+    * (reproducible across runs, engines, and cluster sizes — the standard
+    * split for a corpus that keeps growing). Percentages are cumulative cut
+    * points out of 100. */
+  def splitColumn(id: org.apache.spark.sql.Column,
+      trainPct: Int = 90, evalPct: Int = 5): org.apache.spark.sql.Column = {
+    val bucket = pmod(id * lit(2654435761L), lit(100L))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + evalPct, "eval")
+      .otherwise("test")
+  }
+
+  /** Prepare a raw document corpus for training:
+    *
+    *  1. exact dedup on the full text hash (keep the smallest id),
+    *  2. near-dup removal via MinHash-LSH at `jaccard` (greedy: of each
+    *     verified pair, the larger id is dropped — the standard
+    *     keep-first-representative policy),
+    *  3. quality gate: minimum token count + language filter on the
+    *     engine's language ID,
+    *  4. deterministic train/eval/test split.
+    *
+    * Returns the surviving documents with `n_tokens`, `lang_id`, and
+    * `split` columns. Shuffle profile: one hash shuffle for the exact
+    * dedup, the LSH pipeline's banded shuffles, one broadcast-able
+    * anti-join of drop ids — no stage is quadratic in the corpus. */
+  def prepare(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      jaccard: Double = 0.8, minTokens: Long = 5,
+      langs: Seq[String] = Seq("en"),
+      trainPct: Int = 90, evalPct: Int = 5): DataFrame = {
+    // 1. exact dedup: smallest id per identical text wins
+    val exact = Dedup.exact(
+      docs.withColumn("__h", sha2(encode(col(textCol), "UTF-8"), 256)),
+      Seq("__h"), idCol).drop("__h")
+
+    // 2. near-dup removal: drop the larger id of each verified pair
+    val nearDupDrops = Dedup.minhashDedup(exact, idCol, textCol, jaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    val deduped = exact.join(nearDupDrops, Seq(idCol), "left_anti")
+
+    // 3. quality + language gate, 4. split
+    deduped
+      .withColumn("n_tokens", size(split(lower(col(textCol)), " ")).cast("long"))
+      .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
+      .filter(col("n_tokens") >= minTokens)
+      .filter(if (langs.isEmpty) lit(true) else col("lang_id").isin(langs: _*))
+      .withColumn("split", splitColumn(col(idCol), trainPct, evalPct))
+  }
+}

@@ -205,6 +205,27 @@ class ExtensionsSpec extends AnyFunSuite {
       s"LSH recall too low: ${approx.size}/${exact.size}")
   }
 
+  test("corpus pipeline: dedup + gates + split compose end-to-end") {
+    import graft.ext.CorpusPipeline
+    // plant an exact duplicate and a near-duplicate of doc 1's text
+    val base = docs.select("doc_id", "text")
+    val d1 = base.filter(col("doc_id") === 1).select(col("text")).collect()(0).getString(0)
+    val planted = base.unionAll(Seq(
+      (900001L, d1),                                   // exact dup → dropped
+      (900002L, d1 + " tiny tail change")              // near dup → dropped at 0.8
+    ).toDF("doc_id", "text"))
+    val out = CorpusPipeline.prepare(planted, langs = Nil).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(900001L), "exact duplicate survived")
+    assert(!ids.contains(900002L), "near duplicate survived")
+    assert(ids.contains(1L), "representative was dropped")
+    // split is exhaustive, deterministic, and train-dominated
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "eval", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("eval", 0L))
+    assert(out.columns.contains("lang_id") && out.columns.contains("n_tokens"))
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
