@@ -346,6 +346,22 @@ object Analytics {
       },
       None),
 
+    // ── KLL-style quantile sketch: approx_percentile next to the exact
+    //    rank-based quantiles (no oracle — approximate; the error bound vs
+    //    exact percentiles is pinned in ScalaTest, like the HLL sketch) ─────
+    Q(
+      "q_approx_quantiles",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+              .as("approx_q"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_q"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+
     // ── OLAP breadth (beyond reference): ROLLUP subtotals ────────────────
     Q(
       "q_rollup",

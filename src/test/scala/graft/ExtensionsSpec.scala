@@ -132,6 +132,19 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantile sketch stays within 2% of exact percentiles") {
+    val rows = graft.queries.Registry.byName("q_approx_quantiles")
+      .build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getSeq[Double](1)
+      val exact = r.getSeq[Double](2)
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
+      }
+    }
+  }
+
   test("char-trigram language id complements the stopword heuristic") {
     val df = Seq(
       (1L, "the thing and the other thing are singing"),
