@@ -90,6 +90,30 @@ object TextAnalysis {
     HashFunctions.fingerprint(text, window)
 
   /** Convenience: full text-profile of a document table. */
+  /** Split documents into token-window chunks with overlap — the standard
+    * pre-training windowing (context-length-bounded chunks, stride =
+    * chunk − overlap). A narrow map: tokenize once, posexplode the chunk
+    * starts, slice — no shuffle, no UDF; scales with partitions alone.
+    * Emits (doc_id, chunk_id, chunk_text, n_chunk_tokens). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlapTokens: Int = 32): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0)
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        // chunk starts 0, stride, 2·stride … covering the last token; a doc
+        // shorter than one chunk yields exactly one chunk
+        expr(s"sequence(0, greatest(cast(ceil((size(toks) - $chunkTokens) / " +
+          s"cast($stride as double)) as int), 0))").as("starts"))
+      .select(col("doc_id"), col("toks"), posexplode(col("starts")).as(Seq("chunk_id", "k")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"slice(toks, chunk_id * $stride + 1, $chunkTokens)").as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"),
+        size(col("chunk_toks")).cast("long").as("n_chunk_tokens"))
+  }
+
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       (col(idCol).as("doc_id") +:

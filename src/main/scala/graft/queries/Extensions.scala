@@ -257,6 +257,25 @@ object Extensions {
           FROM documents)
         GROUP BY split ORDER BY split""")),
 
+    // ── context-window chunking: token-bounded chunks with overlap (the
+    //    pre-training windowing; stride = chunk − overlap). Narrow map —
+    //    tokenize, posexplode chunk starts, slice ─────────────────────────
+    Q(
+      "q_doc_chunk",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        TextAnalysis.chunk(d, "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          st AS (SELECT doc_id, toks,
+            GREATEST(CAST(CEIL((len(toks) - 32) / 24.0) AS INT), 0) AS m FROM t),
+          ex AS (SELECT doc_id, toks, UNNEST(generate_series(0, m)) AS chunk_id FROM st)
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+          array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text,
+          CAST(LEN(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_chunk_tokens
+        FROM ex ORDER BY doc_id, chunk_id""")),
+
     // ── BPE-ish regex tokenization: letter-runs, digit-runs, and single
     //    punctuation marks as separate tokens (the pre-tokenizer split most
     //    BPE vocabularies assume) ────────────────────────────────────────────

@@ -218,6 +218,28 @@ class ExtensionsSpec extends AnyFunSuite {
       s"LSH recall too low: ${approx.size}/${exact.size}")
   }
 
+  test("doc chunking covers every token with the declared overlap") {
+    val d = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // multi-chunk
+      (2L, "a b c")                                    // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    val doc1 = out.filter(_._1 == 1L)
+    // stride 24: starts 0,24,48,72 → 4 chunks; last covers tokens 73..100
+    assert(doc1.length == 4)
+    assert(doc1.take(3).forall(_._4 == 32) && doc1.last._4 == 28)
+    assert(doc1.last._3.endsWith("w100"))
+    // consecutive chunks share exactly 8 tokens
+    val first = doc1(0)._3.split(" ").toSeq
+    val second = doc1(1)._3.split(" ").toSeq
+    assert(first.takeRight(8) == second.take(8))
+    // short doc yields exactly one whole chunk
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2.head._3 == "a b c" && doc2.head._4 == 3)
+  }
+
   test("corpus pipeline: dedup + gates + split compose end-to-end") {
     import graft.ext.CorpusPipeline
     // plant an exact duplicate and a near-duplicate of doc 1's text
