@@ -257,6 +257,20 @@ object Extensions {
           FROM documents)
         GROUP BY split ORDER BY split""")),
 
+    // ── composed corpus preparation: exact dedup → MinHash near-dup
+    //    removal → quality/language gate → deterministic split, end to end.
+    //    MinHash stage is not SQL-expressible → rows-only check; the stage
+    //    behaviors are individually oracle-checked/spec-pinned ──────────────
+    Q(
+      "q_corpus_prepare",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ext.CorpusPipeline.prepare(d, langs = Nil)
+          .select(col("doc_id"), col("n_tokens"), col("lang_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // ── context-window chunking: token-bounded chunks with overlap (the
     //    pre-training windowing; stride = chunk − overlap). Narrow map —
     //    tokenize, posexplode chunk starts, slice ─────────────────────────
