@@ -61,10 +61,16 @@ object Bench {
         .foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
     }
 
+    // a failing query reports -1, not a plausible-looking elapsed time —
+    // silent failures would skew cross-round BASELINE.md comparisons
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+      }
     }
 
     val cold = headline.map(q => q.name -> time(sink(q.build(spark, sfDir))))
@@ -72,8 +78,10 @@ object Bench {
 
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = cold.map(_._2).sum
-    val totalWarm = warm.map(_._2).sum
+    // totals count successful runs only; failed queries stay visible as -1
+    // in the per-query maps
+    val total = cold.map(_._2).filter(_ >= 0).sum
+    val totalWarm = warm.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${obj(cold)},"queries_warm":${obj(warm)},""" +
       s""""total_warm":$totalWarm,"sf":"$sfDir"}""")

@@ -101,9 +101,21 @@ object SapFixtures {
       Row(pad(450000 + i, 10), pad(j * 10, 5), s"MAT${pad(i * 10 + j, 6)}",
         BigDecimal(i * 10 + j).setScale(3), BigDecimal(25 + j).setScale(2),
         BigDecimal((i * 10 + j) * (25 + j)).setScale(2))))
-    val ekbe = (1 to 8).map(i => Row(pad(450000 + i, 10), pad(10, 5), "1", "E", "101",
-      f"2025-${i % 6 + 1}%02d-15", BigDecimal(i * 10 + 1).setScale(3),
-      BigDecimal((i * 10 + 1) * 26).setScale(2), "S"))
+    // POs 1-2 receive in TWO partial deliveries (same item, two history
+    // rows summing to i*10+1) — goods-receipt history is multi-row per item
+    // in real systems, and single-row fixtures can't catch receipt-count
+    // multiplication bugs in templates that join EKBE below item grain
+    val ekbe = (1 to 8).flatMap { i =>
+      val qty = i * 10 + 1
+      val rows =
+        if (i <= 2) Seq((qty / 2, "-15"), (qty - qty / 2, "-18"))
+        else Seq((qty, "-15"))
+      rows.map { case (q, day) =>
+        Row(pad(450000 + i, 10), pad(10, 5), "1", "E", "101",
+          f"2025-${i % 6 + 1}%02d$day", BigDecimal(q).setScale(3),
+          BigDecimal(q * 26).setScale(2), "S")
+      }
+    }
 
     // O2C chain: order → flow → delivery → flow → billing.
     val vbak = (1 to 12).map(i => Row(pad(600000 + i, 10), customers(i % customers.size)._1,

@@ -12,13 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Stable split assignment via multiplicative-hash bucketing on the id
+  /** Multiply-shift split bucket in [0, 100): high bits of the wrapped
+    * 64-bit product id·C (Knuth multiplicative hashing), NOT the low mod-100
+    * residue — `(id*C) mod 100` collapses to a function of `id mod 100`
+    * (the multiplier cannot mix high bits into a low residue), which
+    * degenerates on structured ids (stride-allocated, shard-prefixed,
+    * multiples of 100). The unsigned right shift keeps the well-mixed high
+    * bits and is replicable in ANSI SQL via HUGEINT arithmetic. */
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftrightunsigned(id * lit(2654435761L), 33) % 100
+
+  /** Stable split assignment via multiply-shift bucketing on the id
     * (reproducible across runs, engines, and cluster sizes — the standard
     * split for a corpus that keeps growing). Percentages are cumulative cut
     * points out of 100. */
   def splitColumn(id: org.apache.spark.sql.Column,
       trainPct: Int = 90, evalPct: Int = 5): org.apache.spark.sql.Column = {
-    val bucket = pmod(id * lit(2654435761L), lit(100L))
+    val bucket = splitBucket(id)
     when(bucket < trainPct, "train")
       .when(bucket < trainPct + evalPct, "eval")
       .otherwise("test")

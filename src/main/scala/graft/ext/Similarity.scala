@@ -133,10 +133,14 @@ object Similarity {
     * collect). Sharpens the deterministic-by-id bootstrap cells; empty cells
     * keep their previous centroid. Deterministic — no RNG. */
   def ivfRefine(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    // decimal sum then divide (the labelCentroids pattern): float addition
+    // order varies across partitionings, so avg(double) would make centroids
+    // — and cell assignments near boundaries — run-to-run unstable
     val means = ivfAssign(corpus, centroids)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("cell", "dim")
-      .agg(avg(col("x").cast("double")).as("cx"))
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as("cx"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
       .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("refined"))

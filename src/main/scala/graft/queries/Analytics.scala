@@ -348,7 +348,9 @@ object Analytics {
 
     // ── KLL-style quantile sketch: approx_percentile next to the exact
     //    rank-based quantiles (no oracle — approximate; the error bound vs
-    //    exact percentiles is pinned in ScalaTest, like the HLL sketch) ─────
+    //    exact percentiles is pinned in ScalaTest, like the HLL sketch).
+    //    Scalar columns, not arrays — the driver's rows-only canonicalization
+    //    cannot sort array cells ─────────────────────────────────────────────
     Q(
       "q_approx_quantiles",
       (s, dir) => {
@@ -356,11 +358,44 @@ object Analytics {
         l.groupBy(col("l_returnflag"))
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-              .as("approx_q"),
-            expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("exact_q"))
+              .as("aq"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("eq"))
+          .select(col("l_returnflag"),
+            element_at(col("aq"), 1).as("approx_p50"),
+            element_at(col("aq"), 2).as("approx_p90"),
+            element_at(col("aq"), 3).as("approx_p99"),
+            element_at(col("eq"), 1).as("exact_p50"),
+            element_at(col("eq"), 2).as("exact_p90"),
+            element_at(col("eq"), 3).as("exact_p99"))
           .orderBy(col("l_returnflag"))
       },
       None),
+
+    // ── exact rank-based quantiles with linear interpolation (the oracle-
+    //    checkable face of the sketch above): percentile ↔ quantile_cont,
+    //    both interpolating at p·(n−1). Inputs are 2-decimal prices and the
+    //    probe fractions have ≤2 decimals, so the true quantile has ≤4
+    //    decimals — round(4) absorbs engine ulp differences ─────────────────
+    Q(
+      "q_quantiles_exact",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("eq"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            (round(element_at(col("eq"), 1), 4) + lit(0.0)).as("p50"),
+            (round(element_at(col("eq"), 2), 4) + lit(0.0)).as("p90"),
+            (round(element_at(col("eq"), 3), 4) + lit(0.0)).as("p99"),
+            col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+          ROUND(quantile_cont(l_extendedprice, 0.5), 4) + 0 AS p50,
+          ROUND(quantile_cont(l_extendedprice, 0.9), 4) + 0 AS p90,
+          ROUND(quantile_cont(l_extendedprice, 0.99), 4) + 0 AS p99,
+          COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ── OLAP breadth (beyond reference): ROLLUP subtotals ────────────────
     Q(

@@ -234,14 +234,17 @@ object Extensions {
         FROM documents ORDER BY doc_id""")),
 
     // ── deterministic dataset splitting: stable train/eval assignment via
-    //    multiplicative-hash bucketing on the id (no RNG — reproducible
-    //    across runs, engines, and cluster sizes; the standard way to split
-    //    a training corpus that keeps growing) ────────────────────────────────
+    //    multiply-shift bucketing on the id (no RNG — reproducible across
+    //    runs, engines, and cluster sizes; the standard way to split a
+    //    training corpus that keeps growing). The bucket takes the HIGH bits
+    //    of the 64-bit product (>>> 33), not the low residue — a low mod-100
+    //    residue of id*C reduces to (id mod 100)-dependent, which degenerates
+    //    on structured ids (stride-allocated, shard-prefixed) ────────────────
     Q(
       "q_dataset_split",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+        val bucket = graft.ext.CorpusPipeline.splitBucket(col("doc_id"))
         d.select(col("doc_id"),
             when(bucket < 90, "train").when(bucket < 95, "eval")
               .otherwise("test").as("split"))
@@ -249,10 +252,12 @@ object Extensions {
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
           .orderBy(col("split"))
       },
+      // HUGEINT arithmetic replicates Spark's wrapped 64-bit multiply +
+      // unsigned right shift: (id*C mod 2^64) >>> 33, then mod 100
       Some("""SELECT split, COUNT(*) AS n, MIN(doc_id) AS first_doc FROM (
           SELECT doc_id,
-            CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-                 WHEN (doc_id * 2654435761) % 100 < 95 THEN 'eval'
+            CASE WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 100 < 90 THEN 'train'
+                 WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 100 < 95 THEN 'eval'
                  ELSE 'test' END AS split
           FROM documents)
         GROUP BY split ORDER BY split""")),

@@ -122,17 +122,22 @@ object SapTemplates {
           GROUP BY k.KUNNR, k.NAME1
           ORDER BY total_sales DESC, k.KUNNR""",
 
-    // ── 8 purchase_order_status: ordered vs received per PO ────────────────
+    // ── 8 purchase_order_status: ordered vs received per PO. EKBE is
+    //    pre-aggregated per (EBELN, EBELP) BEFORE the item join — goods-
+    //    receipt history routinely has several rows per item, and a direct
+    //    join would multiply SUM(p.MENGE) by the receipt count ───────────────
     "purchase_order_status" ->
       """SELECT k.EBELN, k.BEDAT, SUM(p.MENGE) AS ordered_qty,
-            IFNULL(SUM(h.MENGE), 0) AS received_qty,
-            CASE WHEN IFNULL(SUM(h.MENGE), 0) = 0 THEN 'Not received'
-                 WHEN IFNULL(SUM(h.MENGE), 0) < SUM(p.MENGE) THEN 'Partially received'
+            IFNULL(SUM(gr.qty), 0) AS received_qty,
+            CASE WHEN IFNULL(SUM(gr.qty), 0) = 0 THEN 'Not received'
+                 WHEN IFNULL(SUM(gr.qty), 0) < SUM(p.MENGE) THEN 'Partially received'
                  ELSE 'Received' END AS status
           FROM EKKO k
           JOIN EKPO p ON p.EBELN = k.EBELN
-          LEFT JOIN EKBE h ON h.EBELN = p.EBELN AND h.EBELP = p.EBELP
-            AND h.BEWTP = 'E' AND h.BWART IN ('101','161')
+          LEFT JOIN (SELECT EBELN, EBELP, SUM(MENGE) AS qty FROM EKBE
+                     WHERE BEWTP = 'E' AND BWART IN ('101','161')
+                     GROUP BY EBELN, EBELP) gr
+            ON gr.EBELN = p.EBELN AND gr.EBELP = p.EBELP
           WHERE k.LOEKZ <> 'X'
           GROUP BY k.EBELN, k.BEDAT
           ORDER BY k.EBELN""",
@@ -437,15 +442,18 @@ object SapTemplates {
             t.MAKTX, p.MENGE, p.NETPR, p.NETWR
           ORDER BY p.EBELP""",
 
-    // ── 35 tcode_me2m: purchasing documents by material ────────────────────
+    // ── 35 tcode_me2m: purchasing documents by material (EKBE pre-aggregated
+    //    per item — see purchase_order_status) ────────────────────────────────
     "tcode_me2m" ->
       """SELECT p.MATNR, t.MAKTX AS material_text, COUNT(DISTINCT p.EBELN) AS n_pos,
-            SUM(p.MENGE) AS ordered_qty, IFNULL(SUM(h.MENGE), 0) AS received_qty,
+            SUM(p.MENGE) AS ordered_qty, IFNULL(SUM(gr.qty), 0) AS received_qty,
             SUM(p.NETWR) AS ordered_value
           FROM EKPO p
           LEFT JOIN MAKT t ON t.MATNR = p.MATNR AND t.SPRAS = 'E'
-          LEFT JOIN EKBE h ON h.EBELN = p.EBELN AND h.EBELP = p.EBELP
-            AND h.BEWTP = 'E' AND h.BWART IN ('101','161')
+          LEFT JOIN (SELECT EBELN, EBELP, SUM(MENGE) AS qty FROM EKBE
+                     WHERE BEWTP = 'E' AND BWART IN ('101','161')
+                     GROUP BY EBELN, EBELP) gr
+            ON gr.EBELN = p.EBELN AND gr.EBELP = p.EBELP
           GROUP BY p.MATNR, t.MAKTX
           ORDER BY p.MATNR""",
 

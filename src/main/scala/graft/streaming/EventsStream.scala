@@ -88,7 +88,7 @@ object EventsStream {
       .toDF()
   }
 
-  case class FunnelState(signupUs: Long, firstPurchaseUs: Long)
+  case class FunnelState(signupUs: Long, firstPurchaseUs: Long, minPurchaseUs: Long)
   case class FunnelOut(user_id: Long, signup_us: Long, first_purchase_us: Long,
       converted: Long)
 
@@ -96,7 +96,18 @@ object EventsStream {
     * holds the earliest signup and the earliest post-signup purchase — the
     * continuous face of the batch `q_events_funnel`. State is one tiny object
     * per user (the batch analog's groupBy key), emitted in Update mode as
-    * conversions happen. */
+    * conversions happen.
+    *
+    * Out-of-order handling: purchases are NOT discarded when they arrive
+    * before the user's signup is known — the state buffers the earliest
+    * purchase seen so far (`minPurchaseUs`) and re-evaluates conversion
+    * whenever the signup (which only ever moves earlier) arrives or moves.
+    * Same-timestamp semantics match the batch query exactly: a purchase at
+    * `us == signupUs` does NOT convert (strict `>`, the batch analog's
+    * `p_us > signup_us` filter). The one remaining approximation vs batch is
+    * inherent to bounded state: if several purchases are buffered below the
+    * then-current signup and the signup later moves between them, only the
+    * earliest buffered purchase is still known. */
   def funnel(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -107,17 +118,26 @@ object EventsStream {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           rows.toSeq.sortBy(_._3).foreach { case (_, typ, us) =>
             typ match {
               case "signup" if st.signupUs < 0 || us < st.signupUs =>
                 st = st.copy(signupUs = us)
-              case "purchase" if st.signupUs >= 0 && us > st.signupUs &&
-                  (st.firstPurchaseUs < 0 || us < st.firstPurchaseUs) =>
-                st = st.copy(firstPurchaseUs = us)
+              case "purchase" =>
+                if (st.minPurchaseUs < 0 || us < st.minPurchaseUs)
+                  st = st.copy(minPurchaseUs = us)
+                if (st.signupUs >= 0 && us > st.signupUs &&
+                    (st.firstPurchaseUs < 0 || us < st.firstPurchaseUs))
+                  st = st.copy(firstPurchaseUs = us)
               case _ =>
             }
           }
+          // re-evaluate against the buffered earliest purchase: a signup that
+          // arrived (or moved earlier) this batch can qualify a purchase from
+          // a previous batch
+          if (st.signupUs >= 0 && st.minPurchaseUs > st.signupUs &&
+              (st.firstPurchaseUs < 0 || st.minPurchaseUs < st.firstPurchaseUs))
+            st = st.copy(firstPurchaseUs = st.minPurchaseUs)
           state.update(st)
           FunnelOut(user, st.signupUs, st.firstPurchaseUs,
             if (st.firstPurchaseUs >= 0) 1L else 0L)

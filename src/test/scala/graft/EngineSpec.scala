@@ -199,6 +199,25 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("template invariant: multi-row receipt history does not multiply ordered qty") {
+    fixtures
+    // PO 0000450001 has items 10+20 ordering 11+12=23; item 10's receipt is
+    // split across TWO EKBE rows (5+6=11). A join of EKBE below item grain
+    // would report ordered_qty 34 (11 counted twice) — the pre-aggregated
+    // shape must report 23 ordered / 11 received / Partially received.
+    val po = SapTemplates.run(spark, "purchase_order_status")
+      .filter(col("EBELN") === "0000450001").collect()(0)
+    assert(po.getDecimal(2).intValue() == 23, "ordered_qty")
+    assert(po.getDecimal(3).intValue() == 11, "received_qty")
+    assert(po.getString(4) == "Partially received")
+    // same invariant through the by-material rollup: MAT000011 is PO 1 item
+    // 10 only → ordered 11, received 11 (two partial receipts summed once)
+    val mat = SapTemplates.run(spark, "tcode_me2m")
+      .filter(col("MATNR") === "MAT000011").collect()(0)
+    assert(mat.getDecimal(3).intValue() == 11, "me2m ordered_qty")
+    assert(mat.getDecimal(4).intValue() == 11, "me2m received_qty")
+  }
+
   test("template invariant: journal entries are balanced (signed sum = 0)") {
     fixtures
     val net = SapTemplates.run(spark, "journal_balance_check")

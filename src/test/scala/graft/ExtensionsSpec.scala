@@ -137,8 +137,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .build(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getSeq[Double](1)
-      val exact = r.getSeq[Double](2)
+      val approx = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val exact = Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6))
       approx.zip(exact).foreach { case (a, e) =>
         assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e")
       }
@@ -259,6 +259,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bySplit.keySet.subsetOf(Set("train", "eval", "test")))
     assert(bySplit("train") > bySplit.getOrElse("eval", 0L))
     assert(out.columns.contains("lang_id") && out.columns.contains("n_tokens"))
+  }
+
+  test("split bucketing survives structured ids (strides, shard prefixes)") {
+    import graft.ext.CorpusPipeline
+    // ids that are all ≡ 0 (mod 100) — a low-residue bucket would put 100%
+    // of them in one split; the multiply-shift high-bits bucket must not
+    for (stride <- Seq(100L, 1000L, 1L << 20)) {
+      val ids = (1L to 400L).map(_ * stride).toDF("id")
+      val counts = ids.select(CorpusPipeline.splitColumn(col("id")).as("split"))
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      val train = counts.getOrElse("train", 0L)
+      assert(train > 300 && train < 390,
+        s"stride $stride: train=$train of 400 — split degenerated: $counts")
+      assert(counts.getOrElse("eval", 0L) + counts.getOrElse("test", 0L) > 10,
+        s"stride $stride: holdout collapsed: $counts")
+    }
   }
 
   test("exact dedup keeps the deterministic winner") {

@@ -71,6 +71,36 @@ class StreamingSpec extends AnyFunSuite {
   private def Registry_funnel(s: org.apache.spark.sql.SparkSession) =
     graft.queries.Registry.byName("q_events_funnel").build(s, sf)
 
+  test("streaming funnel handles out-of-order arrival and same-timestamp edge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_type", "ts")
+    val q = EventsStream.funnel(events).writeStream
+      .outputMode(OutputMode.Update()).format("memory")
+      .queryName("funnel_ooo").start()
+    // batch 1: user 1's purchase arrives BEFORE its signup is known;
+    // user 2's purchase lands at exactly the signup timestamp
+    in.addData((1L, "purchase", ts(200000000L)), (2L, "signup", ts(100000000L)),
+      (2L, "purchase", ts(100000000L)))
+    q.processAllAvailable()
+    // batch 2: user 1's signup arrives late with an EARLIER timestamp — the
+    // buffered purchase must now convert (batch analog would count it)
+    in.addData((1L, "signup", ts(100000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_ooo").groupBy("user_id")
+      .agg(max("converted").as("converted"),
+        max("first_purchase_us").as("first_purchase_us"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == (1L, 200000000L),
+      "pre-signup purchase must convert once the earlier signup arrives")
+    assert(rows(2L)._1 == 0L,
+      "purchase at us == signup_us must NOT convert (strict >, batch parity)")
+  }
+
   test("streaming document ingest: enrich + content dedup + quality gate") {
     // stage the corpus TWICE so every document arrives duplicated across
     // files — the stream must drop the second copies via content-hash state
