@@ -39,6 +39,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,6 +59,16 @@ object Bench {
         .groupBy("r_regionkey", "n_nationkey").agg(count(lit(1)).as("c"))
         .withColumn("rk", row_number().over(w))
         .orderBy("r_regionkey", "rk")
+        .foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+      // the extension pipelines JIT a DISJOINT operator set (explode,
+      // posexplode, array transforms, object-hash aggregate, in-memory
+      // cache); push a micro-corpus through them so measured cold times bill
+      // each query's data work, not the JVM's first compile of those paths
+      val microDocs = spark.table("documents").limit(64)
+      graft.ext.Dedup.minhashDedup(microDocs, "doc_id", "text", 0.8)
+        .foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
+      val microEmb = spark.table("embeddings").limit(16)
+      graft.ext.Similarity.cosineTopK(microEmb, microEmb.limit(2), 2)
         .foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
     }
 

@@ -57,6 +57,10 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // typed aggregates (MinHashSigAgg) run through ObjectHashAggregate;
+      // the default 128-key fallback-to-sort threshold degrades grouped
+      // signature building on any realistic corpus partition
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")

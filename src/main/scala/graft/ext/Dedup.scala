@@ -47,6 +47,29 @@ object Dedup {
           ")"))).as("shingle"))
   }
 
+  /** Distinct word n-gram shingles per document, pre-hashed to 64 bits:
+    * (doc_id, sh bigint). Each token is hashed ONCE (codegen'd xxhash64);
+    * an n-gram's hash combines the n token hashes with position-distinct
+    * rotations (rotl 21·j) + XOR — order-sensitive, no string concatenation,
+    * no per-shingle re-hash of the text. Downstream set operations (distinct,
+    * stop-shingle guard, MinHash base, verification joins) all key on a
+    * fixed-width long; equality matches string-shingle equality up to 64-bit
+    * collisions (~n²/2⁶⁵ — negligible). Same narrow-map shape as
+    * [[shingles]]. */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    def rotl(x: String, r: Int): String =
+      if (r == 0) x else s"(shiftleft($x, $r) | shiftrightunsigned($x, ${64 - r}))"
+    val combine = (0 until n)
+      .map(j => rotl(s"th[i + $j]", (21 * j) % 64)).mkString(" ^ ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        expr(s"transform(split(lower($textCol), ' '), t -> xxhash64(t))").as("th"))
+      .filter(size(col("th")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(th) - $n), i -> $combine)"))).as("sh"))
+  }
+
   /** All-pairs n-gram Jaccard similarity ≥ threshold via a shingle
     * self-join. Exact but quadratic in co-occurring docs — the oracle-grade
     * baseline. `maxShingleDocFreq` (0 = off) drops stop-shingles before the
@@ -77,21 +100,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"), col("jaccard"))
   }
 
-  /** MinHash signatures: k independent hash functions min-folded per doc.
-    * Each function is xxhash64 with a distinct leading literal seed column —
-    * fully independent permutation orderings (an affine (a·h+b) mod p family
-    * over a modulus far above the hash range is nearly order-preserving and
-    * collapses every position onto the globally smallest base hash — it does
-    * NOT work; a matched-modulus affine family over x mod 2³¹−1 IS sound but
-    * measured ~2× slower than seeded xxhash64 on word-trigram shingles, so
-    * the direct form stays). Deterministic, codegen'd, one shuffle on
-    * doc_id. Returns (doc_id, sig array<bigint>). */
-  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+  /** MinHash signatures: k hash-function mins per doc in ONE typed
+    * aggregate. The shingle is hashed once (codegen'd xxhash64); the k
+    * per-position hashes derive from that base as a splitmix64 stream inside
+    * [[graft.functions.MinHashSigAgg]] — a full-avalanche mixer per
+    * position, so orderings are independent (an affine (a·h+b) mod p family
+    * over an oversized modulus is nearly order-preserving and collapses
+    * every position — round-1 lesson; the k-wide
+    * `min(xxhash64(seed_i, shingle))` form was sound but paid k string
+    * hashes per row and a k-column aggregate buffer). Deterministic, one
+    * shuffle on doc_id with map-side partial merge. Returns
+    * (doc_id, sig array<bigint>). */
+  def minhashSignatures(sh: DataFrame, k: Int = 64): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(HashFunctions.minhashSig(xxhash64(col("shingle")), k).as("sig"))
 
   /** Banded-LSH candidate pairs from MinHash signatures: docs agreeing on
     * any full band of the signature become a candidate pair. bands*rows must
@@ -123,24 +145,33 @@ object Dedup {
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 64,
       bands: Int = 16, rows: Int = 4, maxShingleDocFreq: Long = 1000): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // shingles arrive pre-hashed to 64 bits: every downstream stage
+    // (stop-shingle guard, signature aggregate, set-size counts, candidate
+    // verification) keys on a fixed-width long instead of the shingle
+    // string — the cached relation is (long, long) rows and every
+    // join/aggregate compares 8-byte keys. Jaccard over hashed shingles
+    // equals string Jaccard up to 64-bit collisions (~n²/2⁶⁵ — negligible
+    // at any corpus size that fits a cluster).
+    val sh = hashedShingles(docs, idCol, textCol, n).cache()
     val forSig =
       if (maxShingleDocFreq <= 0) sh
       else {
         // the STOP set (df > cap) is small by construction (≤ corpus/cap
         // shingles can exceed the cap), so broadcast an anti-join against it
         // instead of shuffling the full shingle table against the keep set
-        val drop = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxShingleDocFreq).select("shingle")
-        sh.join(broadcast(drop), Seq("shingle"), "left_anti")
+        val drop = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDocFreq).select("sh")
+        sh.join(broadcast(drop), Seq("sh"), "left_anti")
       }
-    val cands = lshCandidates(minhashSignatures(forSig, k), bands, rows)
+    val sigs = forSig.groupBy("doc_id")
+      .agg(HashFunctions.minhashSig(col("sh"), k).as("sig"))
+    val cands = lshCandidates(sigs, bands, rows)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col("doc_id").as("id_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("shingle"))
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh"))
     val common = cands
       .join(shA, Seq("id_a"))
-      .join(shB, Seq("id_b", "shingle"))
+      .join(shB, Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))

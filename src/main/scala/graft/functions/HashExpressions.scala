@@ -114,6 +114,94 @@ case class RollingMinHash64(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Row kernel for the MinHash signature aggregate: from one 64-bit base hash
+  * per shingle, derive the k per-position hashes as a splitmix64 stream
+  * (Steele et al. 2014, public algorithm: state += golden-gamma, output =
+  * murmur-style finalizer) and min-fold them into the buffer. The finalizer
+  * is a full-avalanche bijective mixer, so per-position orderings behave as
+  * independent random permutations of shingle space — unlike an affine
+  * (a·h+b) mod p family over an oversized modulus, which is nearly
+  * order-preserving and collapses every position (round-1 lesson). Doing the
+  * mixing on the BASE hash means the shingle string is hashed once per row,
+  * not k times. */
+object MinHashImpl {
+  final val Gamma = 0x9e3779b97f4a7c15L
+
+  def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b5L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def update(buf: Array[Long], base: Long): Unit = {
+    var s = base
+    var i = 0
+    while (i < buf.length) {
+      s += Gamma
+      val h = mix(s)
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+  }
+}
+
+/** MinHash signature as ONE typed aggregate (`array<bigint>` of k mins)
+  * instead of k independent `min(xxhash64(seed_i, shingle))` columns. Same
+  * contract as the k-aggregate form, but: (a) the shingle is hashed once per
+  * row, with k cheap integer mixes replacing k full string hashes, and
+  * (b) the aggregation is a single small object buffer instead of a k-column
+  * codegen'd buffer — the k-wide form dominated plan compile time at small
+  * SF and per-row cost at scale. Partial aggregation (map-side combine)
+  * still applies: buffers merge elementwise. */
+case class MinHashSigAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(k > 0)
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) MinHashImpl.update(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(o: Int): MinHashSigAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashSigAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MinHashSigAgg =
+    copy(child = c)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -124,6 +212,13 @@ object HashFunctions {
   /** Winnowing-style rolling min-hash fingerprint of a string column. */
   def fingerprint(text: Column, k: Int = 16): Column =
     ColumnBridge.column(RollingMinHash64(ColumnBridge.expression(text), k))
+
+  /** MinHash signature aggregate over a 64-bit base-hash column: k
+    * splitmix64-derived mins in one pass. Use with
+    * `groupBy(doc).agg(minhashSig(xxhash64(col("shingle")), 64))`. */
+  def minhashSig(baseHash: Column, k: Int): Column =
+    ColumnBridge.column(
+      MinHashSigAgg(ColumnBridge.expression(baseHash), k).toAggregateExpression())
 
   /** Hamming distance between two 64-bit signatures (composed built-ins —
     * stays inside codegen). */
