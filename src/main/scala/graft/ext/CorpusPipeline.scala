@@ -57,9 +57,14 @@ object CorpusPipeline {
       docs.withColumn("__h", sha2(encode(col(textCol), "UTF-8"), 256)),
       Seq("__h"), idCol).drop("__h")
 
-    // 2. near-dup removal: drop the larger id of each verified pair
-    val nearDupDrops = Dedup.minhashDedup(exact, idCol, textCol, jaccard)
-      .select(col("id_b").as(idCol)).distinct()
+    // 2. near-dup removal: cluster verified pairs into connected components
+    //    and keep the smallest id per CLUSTER — pairwise drops mishandle
+    //    chains (a~b, b~c, a≁c would drop both b and c yet keep neither as
+    //    the b-c representative)
+    val pairs = Dedup.minhashDedup(exact, idCol, textCol, jaccard)
+    val nearDupDrops = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
     val deduped = exact.join(nearDupDrops, Seq(idCol), "left_anti")
 
     // 3. quality + language gate, 4. split

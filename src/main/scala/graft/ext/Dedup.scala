@@ -183,6 +183,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair list: hash-min
+    * label propagation (each node repeatedly takes the minimum label among
+    * itself and its neighbors) until fixpoint. Production dedup keeps ONE
+    * representative per duplicate CLUSTER, not per pair — pairwise drops
+    * mishandle chains (a~b, b~c, a≁c). Converges in O(cluster diameter)
+    * rounds; near-dup clusters are shallow, so `maxIter` is a backstop, not
+    * a tuning knob. Per round: one join + one min-aggregate, both on the id
+    * key — no driver-side graph state (the driver loop is over ROUNDS, log-
+    * bounded, not over data). At very large scale, checkpoint `labels` every
+    * few rounds to truncate lineage. Returns (id, comp) where comp is the
+    * smallest id in the node's component. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    labels.count()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
+        .select(col("u").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(nbr)
+        .groupBy("id").agg(min(col("comp")).as("comp")).cache()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Train/eval contamination check: the fraction of each eval document's
+    * shingles that occur anywhere in the training corpus — the standard
+    * benchmark-leakage screen run before training. Inputs are shingle
+    * relations (doc_id, key) from [[shingles]] (string key, oracle-
+    * comparable) or [[hashedShingles]] (long key, the 100 TB path — the
+    * distinct-train-shingle set then stays fixed-width; add a bloom-filter
+    * pre-pass if even that set outgrows a shuffle). One distinct + one
+    * semi-join, both on the shingle key. */
+  def contamination(evalSh: DataFrame, trainSh: DataFrame,
+      keyCol: String = "shingle"): DataFrame = {
+    val trainSet = trainSh.select(keyCol).distinct()
+    val tot = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = evalSh.join(trainSet, Seq(keyCol), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("contamination_rate"))
+  }
+
   /** Exact cosine for candidate pairs: joins (id_a, id_b) back to the
     * embeddings and scores each pair — the shared verification kernel for
     * every embedding-dedup variant. Two hash joins on the id keys; the

@@ -80,6 +80,79 @@ object Extensions {
       None,
       bench = true),
 
+    // ── near-dup clustering: connected components over the exact Jaccard
+    //    pair list (hash-min label propagation), summarized per cluster.
+    //    Production dedup keeps one representative per CLUSTER, not per
+    //    pair. Oracle: recursive-CTE transitive closure over the same
+    //    pair set ────────────────────────────────────────────────────────────
+    Q(
+      "q_dedup_cluster",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.8)
+        Dedup.connectedComponents(pairs)
+          .groupBy(col("comp").as("component"))
+          .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs_j AS (SELECT id_a, id_b FROM pr
+          JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+          WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.8),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs_j
+          UNION SELECT id_b, id_a FROM pairs_j),
+        reach AS (SELECT u, v FROM edges
+          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+        SELECT comp AS component, COUNT(*) AS n_docs, MAX(id) AS max_doc
+        FROM comp GROUP BY comp ORDER BY component""")),
+
+    // ── eval-set contamination: fraction of each held-out document's
+    //    3-gram shingles present anywhere in the train split (benchmark-
+    //    leakage screen; split = the engine's deterministic multiply-shift
+    //    bucketing) ─────────────────────────────────────────────────────────
+    Q(
+      "q_eval_contamination",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bucket = graft.ext.CorpusPipeline.splitBucket(col("doc_id"))
+        val ids = d.select(col("doc_id"), bucket.as("b"))
+        val sh = Dedup.shingles(d, "doc_id", "text", 3)
+        Dedup.contamination(
+            sh.join(ids.filter(col("b") >= 95).select("doc_id"), Seq("doc_id")),
+            sh.join(ids.filter(col("b") < 90).select("doc_id"), Seq("doc_id")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        b AS (SELECT doc_id,
+            ((CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 100 AS bucket
+          FROM documents),
+        train_sh AS (SELECT DISTINCT shingle FROM sh
+          JOIN b USING (doc_id) WHERE bucket < 90),
+        eval_sh AS (SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN b USING (doc_id) WHERE bucket >= 95),
+        tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM eval_sh GROUP BY doc_id),
+        hit AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM eval_sh
+          WHERE shingle IN (SELECT shingle FROM train_sh) GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles,
+          CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+          ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination_rate
+        FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id ORDER BY t.doc_id""")),
+
     // ── SimHash near-dup pairs (custom Catalyst expression + banding) ────
     Q(
       "q_dedup_simhash",

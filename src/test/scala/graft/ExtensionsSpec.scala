@@ -277,6 +277,45 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components cluster chains; one representative per cluster") {
+    // chain 1-2-3 (1~2, 2~3 but 1≁3) plus a separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("corpus pipeline drops a full near-dup CHAIN down to one representative") {
+    import graft.ext.CorpusPipeline
+    val base = docs.select("doc_id", "text")
+    val d1 = base.filter(col("doc_id") === 1).select(col("text")).collect()(0).getString(0)
+    // b is a near-dup of doc 1; c is a near-dup of b (two tail edits away
+    // from doc 1 — may or may not pair with 1 directly). Cluster dedup must
+    // keep exactly doc 1 from the chain.
+    val planted = base.unionAll(Seq(
+      (900011L, d1 + " tail x"),
+      (900012L, d1 + " tail x y")
+    ).toDF("doc_id", "text"))
+    val ids = CorpusPipeline.prepare(planted, langs = Nil)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && !ids.contains(900011L) && !ids.contains(900012L))
+  }
+
+  test("contamination flags copied eval docs and clears disjoint ones") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // verbatim copy → rate 1
+      (101L, "one two three four five six")          // disjoint → rate 0
+    ).toDF("doc_id", "text")
+    val rows = Dedup.contamination(
+        Dedup.shingles(eval_, "doc_id", "text", 3),
+        Dedup.shingles(train, "doc_id", "text", 3))
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = rows.map { case (id, n, c, r) => id -> ((n, c, r)) }.toMap
+    assert(byId(100L) == ((4L, 4L, 1.0)))
+    assert(byId(101L) == ((4L, 0L, 0.0)))
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
