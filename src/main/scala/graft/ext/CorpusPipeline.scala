@@ -12,15 +12,43 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** Multiplier for the split/sample buckets (Knuth's 2⁶⁴/φ truncation). */
+  private val BucketMult = 2654435761L
+
+  /** Salt XORed into the id for SAMPLING buckets, so sampling decisions are
+    * independent of the train/eval/test split (same hash with no salt would
+    * make every `< p%` sample a subset of the train split). */
+  val SampleSalt = 0x27d4eb2dL
+
   /** Multiply-shift split bucket in [0, 100): high bits of the wrapped
     * 64-bit product id·C (Knuth multiplicative hashing), NOT the low mod-100
     * residue — `(id*C) mod 100` collapses to a function of `id mod 100`
     * (the multiplier cannot mix high bits into a low residue), which
     * degenerates on structured ids (stride-allocated, shard-prefixed,
-    * multiples of 100). The unsigned right shift keeps the well-mixed high
-    * bits and is replicable in ANSI SQL via HUGEINT arithmetic. */
+    * multiples of 100). A native wrapping expression: ANSI-mode `col * lit`
+    * throws on 64-bit overflow for realistic corpus ids. Replicable in the
+    * oracle via HUGEINT `mod 2⁶⁴` arithmetic. */
   def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    shiftrightunsigned(id * lit(2654435761L), 33) % 100
+    graft.functions.HashFunctions.mulShiftBucket(id, BucketMult, 33, 100)
+
+  /** Salted bucket for deterministic sampling, independent of the split. */
+  def sampleBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.HashFunctions.mulShiftBucket(
+      id.bitwiseXOR(lit(SampleSalt)), BucketMult, 33, 100)
+
+  /** Deterministic stratified sampling: keep each row with a per-stratum
+    * percentage (id-hash bucketed, salted independently of the train/eval
+    * split — no RNG, reproducible across runs/engines/cluster sizes, and a
+    * growing corpus never resamples old rows). The standard rebalance for
+    * skewed strata (dominant language, over-represented source). Narrow
+    * map — no shuffle. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(sampleBucket(col(idCol)) < pct)
+  }
 
   /** Stable split assignment via multiply-shift bucketing on the id
     * (reproducible across runs, engines, and cluster sizes — the standard

@@ -120,4 +120,28 @@ object TextAnalysis {
         langId(col(textCol)).as("lang_pred") +:
         qualityColumns(col(textCol))) :+
         fingerprint(col(textCol)).as("fingerprint"): _*)
+
+  // ── PII text redaction ────────────────────────────────────────────────────
+
+  /** Email and phone-number patterns for text-level scrubbing. Conservative
+    * by design (standard corpus-cleaning patterns): emails by the usual
+    * local@domain.tld shape; phones as 7+-digit runs allowing separators,
+    * anchored to digit boundaries to spare ordinary numbers. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\[\\] .-]{5,}[0-9]{2}"
+
+  /** Scrub emails and phone numbers from a text column (codegen'd
+    * regexp_replace chain — the text-level complement of the plan-level
+    * PiiGate: the gate stops PII COLUMNS from leaving; this removes PII
+    * embedded INSIDE free text before it enters a training corpus). */
+  def redact(text: Column, emailTag: String = "[EMAIL]",
+      phoneTag: String = "[PHONE]"): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, emailTag),
+      PhonePattern, phoneTag)
+
+  /** Count of redactable spans in a text column (audit metric). */
+  def redactionCount(text: Column): Column =
+    (regexp_count(text, lit(EmailPattern)) +
+      regexp_count(text, lit(PhonePattern))).cast("long")
 }

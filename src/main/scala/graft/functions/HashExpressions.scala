@@ -114,6 +114,25 @@ case class RollingMinHash64(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Multiply-shift bucket: `((x * mult) >>> shift) % mod` in WRAPPING 64-bit
+  * arithmetic (Knuth multiplicative hashing — the well-mixed HIGH bits of
+  * the product). A native expression rather than column arithmetic because
+  * Spark 4 runs ANSI mode by default: `col * lit` THROWS on 64-bit overflow,
+  * so the plain-expression form works on test-sized ids and fails on
+  * realistic corpus ids (> ~2³²). JVM long multiply wraps, matching the
+  * HUGEINT `mod 2⁶⁴` replication used in oracle SQL. */
+case class MulShiftBucket(child: Expression, mult: Long, shift: Int, mod: Int)
+  extends UnaryExpression {
+  require(shift > 32 && shift < 64 && mod > 0)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    ((input.asInstanceOf[Long] * mult) >>> shift) % mod
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"((($c * ${mult}L) >>> $shift) % $mod)")
+  override protected def withNewChildInternal(c: Expression): MulShiftBucket =
+    copy(child = c)
+}
+
 /** Row kernel for the MinHash signature aggregate: from one 64-bit base hash
   * per shingle, derive the k per-position hashes as a splitmix64 stream
   * (Steele et al. 2014, public algorithm: state += golden-gamma, output =
@@ -212,6 +231,10 @@ object HashFunctions {
   /** Winnowing-style rolling min-hash fingerprint of a string column. */
   def fingerprint(text: Column, k: Int = 16): Column =
     ColumnBridge.column(RollingMinHash64(ColumnBridge.expression(text), k))
+
+  /** Overflow-safe multiply-shift bucket in [0, mod). */
+  def mulShiftBucket(x: Column, mult: Long, shift: Int, mod: Int): Column =
+    ColumnBridge.column(MulShiftBucket(ColumnBridge.expression(x), mult, shift, mod))
 
   /** MinHash signature aggregate over a 64-bit base-hash column: k
     * splitmix64-derived mins in one pass. Use with

@@ -335,6 +335,39 @@ object Extensions {
           FROM documents)
         GROUP BY split ORDER BY split""")),
 
+    // ── deterministic stratified sampling: per-language keep percentages
+    //    via salted multiply-shift bucketing (rebalance the dominant
+    //    language without RNG; salt keeps sampling independent of the
+    //    train/eval split) ──────────────────────────────────────────────────
+    Q(
+      "q_stratified_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val kept = graft.ext.CorpusPipeline
+          .stratifiedSample(d, "lang", "doc_id", Map("en" -> 20, "zh" -> 50))
+        d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+          .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_total"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+              col("n_total"), 4).as("kept_ratio"))
+          .orderBy(col("lang"))
+      },
+      // xor(doc_id, salt) stays below 2^63 (both operands do), so the
+      // HUGEINT wrap replication matches the Spark expression exactly
+      Some("""WITH b AS (SELECT doc_id, lang,
+            ((CAST(xor(doc_id, 668265261) AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 100 AS bucket
+          FROM documents),
+        k AS (SELECT lang, COUNT(*) AS n_kept FROM b
+          WHERE bucket < CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 50 ELSE 100 END
+          GROUP BY lang),
+        tt AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+        SELECT tt.lang, tt.n_total,
+          CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+          ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / tt.n_total, 4) AS kept_ratio
+        FROM tt LEFT JOIN k ON tt.lang = k.lang ORDER BY tt.lang""")),
+
     // ── composed corpus preparation: exact dedup → MinHash near-dup
     //    removal → quality/language gate → deterministic split, end to end.
     //    MinHash stage is not SQL-expressible → rows-only check; the stage

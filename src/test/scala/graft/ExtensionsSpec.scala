@@ -316,6 +316,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(byId(101L) == ((4L, 0L, 0.0)))
   }
 
+  test("stratified sampling keeps per-stratum rates, independent of the split") {
+    import graft.ext.CorpusPipeline
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val kept = CorpusPipeline.stratifiedSample(rows, "lang", "id", Map("en" -> 20))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en sampled at ~20% of 1000, de kept fully
+    assert(kept("de") == 1000L)
+    assert(kept("en") > 120 && kept("en") < 280, s"en kept ${kept("en")}")
+    // deterministic: the same call yields the same set
+    val again = CorpusPipeline.stratifiedSample(rows, "lang", "id", Map("en" -> 20))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+    // sampling must NOT be the low slice of the train/eval split buckets:
+    // the salted sample of en docs should hit all three splits
+    val splits = CorpusPipeline.stratifiedSample(rows, "lang", "id", Map("en" -> 20))
+      .filter(col("lang") === "en")
+      .select(CorpusPipeline.splitColumn(col("id")).as("split"))
+      .distinct().as[String].collect().toSet
+    assert(splits == Set("train", "eval", "test"), s"sample ⊂ $splits only")
+  }
+
+  test("redaction scrubs emails and phones, leaves clean text alone") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or +1 (415) 555-0199 today"),
+      (2L, "the quick brown fox jumps over 42 lazy dogs")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.redact(col("text")).as("r"),
+        TextAnalysis.redactionCount(col("text")).as("n"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 == "contact [EMAIL] or [PHONE] today", out(0)._2)
+    assert(out(0)._3 == 2L)
+    assert(out(1)._2 == "the quick brown fox jumps over 42 lazy dogs")
+    assert(out(1)._3 == 0L)
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
