@@ -36,6 +36,20 @@ object CorpusPipeline {
     graft.functions.HashFunctions.mulShiftBucket(
       id.bitwiseXOR(lit(SampleSalt)), BucketMult, 33, 100)
 
+  /** Salt for the training-order shuffle key (distinct from [[SampleSalt]]
+    * so order is independent of sampling decisions). */
+  val ShuffleSalt = 0x3c6ef372L
+
+  /** Deterministic training-order key: a pseudo-random but reproducible
+    * position for each row (multiply-shift over the salted id). Training
+    * pipelines need the corpus in a shuffled order that is stable across
+    * re-runs and resumable mid-epoch — RNG-based shuffles are neither.
+    * Sort by (this, id); at scale this is one range-partitioned sort, or
+    * use it as the write-bucket key to skip the global sort entirely. */
+  def shuffleKey(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.HashFunctions.mulShiftBucket(
+      id.bitwiseXOR(lit(ShuffleSalt)), BucketMult, 33, Int.MaxValue)
+
   /** Deterministic stratified sampling: keep each row with a per-stratum
     * percentage (id-hash bucketed, salted independently of the train/eval
     * split — no RNG, reproducible across runs/engines/cluster sizes, and a

@@ -368,6 +368,26 @@ object Extensions {
           ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / tt.n_total, 4) AS kept_ratio
         FROM tt LEFT JOIN k ON tt.lang = k.lang ORDER BY tt.lang""")),
 
+    // ── deterministic training-order shuffle: reproducible pseudo-random
+    //    corpus order (stable across runs, resumable mid-epoch — RNG
+    //    shuffles are neither). One range-partitioned sort ──────────────────
+    Q(
+      "q_corpus_shuffle",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val key = graft.ext.CorpusPipeline.shuffleKey(col("doc_id"))
+        d.select(col("doc_id"), key.as("shuffle_key"))
+          .withColumn("position",
+            row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id")))
+              .cast("long"))
+          .select(col("position"), col("doc_id"))
+          .orderBy(col("position"))
+      },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY
+            ((CAST(xor(doc_id, 1013904242) AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 2147483647,
+            doc_id) AS position, doc_id
+          FROM documents ORDER BY position""")),
+
     // ── composed corpus preparation: exact dedup → MinHash near-dup
     //    removal → quality/language gate → deterministic split, end to end.
     //    MinHash stage is not SQL-expressible → rows-only check; the stage
