@@ -213,7 +213,10 @@ object Dedup {
       changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .filter(col("comp") < col("prev")).count()
       labels.unpersist()
-      labels = next
+      // truncate lineage periodically: each round's plan nests the previous
+      // round's, and deep iteration would otherwise bloat planning time and
+      // recovery cost at scale
+      labels = if (iter % 5 == 4) next.localCheckpoint(true) else next
       iter += 1
     }
     edges.unpersist()

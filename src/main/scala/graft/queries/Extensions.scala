@@ -467,6 +467,63 @@ object Extensions {
         SHA256(text) AS content_sha256
         FROM documents ORDER BY doc_id""")),
 
+    // ── multimodal resize plumbing, oracle-checked: the byte-downsample
+    //    stub is deterministic arithmetic, so the whole operator path
+    //    (payload in → payload' + recomputed metadata out) is verifiable
+    //    end-to-end even with codecs stubbed ────────────────────────────────
+    Q(
+      "q_media_resize",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val media = graft.ext.Multimodal.withBinaryPayload(d)
+        graft.ext.Multimodal.resize(media, 64, 64)
+          .join(media.select(col("media_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes_in"),
+            col("meta.width").cast("long").as("w_in"),
+            col("meta.height").cast("long").as("h_in")), Seq("media_id"))
+          .select(col("media_id"), col("n_bytes_in"), col("w_in"), col("h_in"),
+            octet_length(col("payload")).cast("long").as("n_bytes_out"),
+            col("meta.width").cast("long").as("w_out"),
+            col("meta.height").cast("long").as("h_out"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+            CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes_in,
+            CAST(doc_id % 640 + 1 AS BIGINT) AS w_in,
+            CAST(doc_id % 480 + 1 AS BIGINT) AS h_in
+          FROM documents)
+        SELECT media_id, n_bytes_in, w_in, h_in,
+          CAST(GREATEST(1, FLOOR(n_bytes_in *
+            LEAST(1.0, 4096.0 / (w_in * h_in)))) AS BIGINT) AS n_bytes_out,
+          CAST(LEAST(w_in, 64) AS BIGINT) AS w_out,
+          CAST(LEAST(h_in, 64) AS BIGINT) AS h_out
+        FROM m ORDER BY media_id""")),
+
+    // ── multimodal frame-sampling plumbing, oracle-checked: fixed-size
+    //    chunker stub → every-2nd-frame rows; per-media frame counts and
+    //    byte totals are exact arithmetic over the payload length ───────────
+    Q(
+      "q_media_frames",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val media = graft.ext.Multimodal.withBinaryPayload(d)
+        graft.ext.Multimodal.sampleFrames(media, 256, 2)
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(octet_length(col("frame"))).cast("long").as("frame_bytes"),
+            max(col("frame_no")).as("last_frame"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+            OCTET_LENGTH(ENCODE(text)) // 256 AS n_total
+          FROM documents),
+        f AS (SELECT media_id, (n_total + 1) // 2 AS n_frames,
+            CAST((n_total - 1) // 2 * 2 AS BIGINT) AS last_frame
+          FROM m WHERE n_total >= 1)
+        SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+          CAST(n_frames * 256 AS BIGINT) AS frame_bytes, last_frame
+        FROM f ORDER BY media_id""")),
+
     // ── event analytics: tumbling-window aggregation (batch analog of the
     //    streaming windowedCounts; 1-hour windows via date_trunc) ──────────
     Q(
