@@ -79,9 +79,9 @@ object CorpusPipeline {
   /** Prepare a raw document corpus for training:
     *
     *  1. exact dedup on the full text hash (keep the smallest id),
-    *  2. near-dup removal via MinHash-LSH at `jaccard` (greedy: of each
-    *     verified pair, the larger id is dropped — the standard
-    *     keep-first-representative policy),
+    *  2. near-dup removal via MinHash-LSH at `jaccard`: verified pairs are
+    *     clustered into connected components and only the smallest id per
+    *     CLUSTER survives (chain-correct keep-first-representative policy),
     *  3. quality gate: minimum token count + language filter on the
     *     engine's language ID,
     *  4. deterministic train/eval/test split.

@@ -184,18 +184,20 @@ object Dedup {
   }
 
   /** Connected components over an undirected near-dup pair list: hash-min
-    * label propagation (each node repeatedly takes the minimum label among
-    * itself and its neighbors) until fixpoint. Production dedup keeps ONE
-    * representative per duplicate CLUSTER, not per pair — pairwise drops
-    * mishandle chains (a~b, b~c, a≁c). Converges in O(cluster diameter)
-    * rounds; near-dup clusters are shallow, so `maxIter` is a backstop, not
-    * a tuning knob. Per round: one join + one min-aggregate, both on the id
-    * key — no driver-side graph state (the driver loop is over ROUNDS, log-
-    * bounded, not over data). At very large scale, checkpoint `labels` every
-    * few rounds to truncate lineage. Returns (id, comp) where comp is the
-    * smallest id in the node's component. */
+    * label propagation WITH pointer jumping — each round every node takes
+    * the minimum label among itself and its neighbors, then follows its
+    * label one hop (comp := comp's comp), so the distance to the cluster
+    * minimum roughly halves per round. Convergence is O(log diameter), so
+    * the default `maxIter` covers any plausible cluster; if the cap is
+    * still hit the call FAILS rather than silently returning partial
+    * clusters. Production dedup keeps ONE representative per duplicate
+    * CLUSTER, not per pair — pairwise drops mishandle chains (a~b, b~c,
+    * a≯c). Per round: two id-keyed joins + one min-aggregate — no
+    * driver-side graph state (the driver loop is over ROUNDS, log-bounded,
+    * not over data). Lineage is truncated by periodic localCheckpoint.
+    * Returns (id, comp) where comp is the smallest id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().cache()
@@ -208,19 +210,41 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
         .select(col("u").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(nbr)
-        .groupBy("id").agg(min(col("comp")).as("comp")).cache()
+      val propagated = labels.select(col("id"), col("comp")).union(nbr)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+      // pointer jumping: a label IS a node id — replace each comp with that
+      // node's own comp, doubling propagation reach per round
+      val next = propagated
+        .join(propagated.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .cache()
       changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .filter(col("comp") < col("prev")).count()
-      labels.unpersist()
+      val prev = labels
       // truncate lineage periodically: each round's plan nests the previous
       // round's, and deep iteration would otherwise bloat planning time and
       // recovery cost at scale
-      labels = if (iter % 5 == 4) next.localCheckpoint(true) else next
+      labels =
+        if (iter % 5 == 4) {
+          val cp = next.localCheckpoint(true)
+          next.unpersist()
+          cp
+        } else next
+      prev.unpersist()
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "the pair list is not a near-dup graph (diameter beyond ~2^maxIter)")
+    // detach the result from executor cache: materialize via checkpoint,
+    // then release the loop's cache so repeated invocations on a long-lived
+    // session don't strand storage memory
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Train/eval contamination check: the fraction of each eval document's

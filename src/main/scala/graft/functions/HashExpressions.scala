@@ -232,9 +232,12 @@ object HashFunctions {
   def fingerprint(text: Column, k: Int = 16): Column =
     ColumnBridge.column(RollingMinHash64(ColumnBridge.expression(text), k))
 
-  /** Overflow-safe multiply-shift bucket in [0, mod). */
+  /** Overflow-safe multiply-shift bucket in [0, mod). The input is coerced
+    * to LongType at the Column layer so interpreted and codegen'd paths see
+    * the same child type (the bare expression assumes a long child). */
   def mulShiftBucket(x: Column, mult: Long, shift: Int, mod: Int): Column =
-    ColumnBridge.column(MulShiftBucket(ColumnBridge.expression(x), mult, shift, mod))
+    ColumnBridge.column(
+      MulShiftBucket(ColumnBridge.expression(x.cast("long")), mult, shift, mod))
 
   /** MinHash signature aggregate over a 64-bit base-hash column: k
     * splitmix64-derived mins in one pass. Use with

@@ -674,20 +674,29 @@ object SapTemplates {
           ORDER BY v.VBELN""",
 
     // ── 53 P2P end-to-end trace with vendor + AP totals ────────────────────
+    // per-side pre-aggregation: joining EKBE×RSEG×BSIK at header grain fans
+    // rows multiplicatively, corrupting SUM (COUNT DISTINCT only masks it)
     "value_chain_procure_to_pay_trace" ->
       """SELECT e.EBELN AS purchase_order, e.BEDAT AS order_date,
             v.LIFNR AS vendor_number, v.NAME1 AS vendor_name,
-            COUNT(DISTINCT h.BUDAT) AS receipt_count,
-            COUNT(DISTINCT s.BELNR) AS invoice_count,
-            COUNT(DISTINCT ap.BELNR) AS ap_open_count,
-            SUM(CASE WHEN ap.SHKZG = 'S' THEN ap.DMBTR ELSE -ap.DMBTR END) AS total_ap_amount
+            IFNULL(gr.receipt_count, 0) AS receipt_count,
+            IFNULL(iv.invoice_count, 0) AS invoice_count,
+            IFNULL(ap.ap_open_count, 0) AS ap_open_count,
+            ap.total_ap_amount AS total_ap_amount
           FROM EKKO e
           JOIN LFA1 v ON e.LIFNR = v.LIFNR
-          LEFT JOIN EKBE h ON h.EBELN = e.EBELN AND h.BEWTP = 'E'
-          LEFT JOIN RSEG s ON s.EBELN = e.EBELN
-          LEFT JOIN BSIK ap ON ap.LIFNR = e.LIFNR AND (ap.AUGDT IS NULL OR ap.AUGDT = '')
+          LEFT JOIN (SELECT EBELN, COUNT(DISTINCT BUDAT) AS receipt_count
+                     FROM EKBE WHERE BEWTP = 'E' GROUP BY EBELN) gr
+            ON gr.EBELN = e.EBELN
+          LEFT JOIN (SELECT EBELN, COUNT(DISTINCT BELNR) AS invoice_count
+                     FROM RSEG GROUP BY EBELN) iv
+            ON iv.EBELN = e.EBELN
+          LEFT JOIN (SELECT LIFNR, COUNT(DISTINCT BELNR) AS ap_open_count,
+                       SUM(CASE WHEN SHKZG = 'S' THEN DMBTR ELSE -DMBTR END) AS total_ap_amount
+                     FROM BSIK WHERE AUGDT IS NULL OR AUGDT = ''
+                     GROUP BY LIFNR) ap
+            ON ap.LIFNR = e.LIFNR
           WHERE e.LOEKZ <> 'X'
-          GROUP BY e.EBELN, e.BEDAT, v.LIFNR, v.NAME1
           ORDER BY e.EBELN""",
 
     // ── 54 P2P pipeline: requisition → PO → GR → invoice → AP stages ───────

@@ -218,6 +218,31 @@ class EngineSpec extends AnyFunSuite {
     assert(mat.getDecimal(4).intValue() == 11, "me2m received_qty")
   }
 
+  test("template invariant: p2p trace AP totals don't fan out with receipt rows") {
+    fixtures
+    // expected signed AP per vendor, straight off BSIK — the trace joins
+    // EKBE and RSEG too, and any row fan-out there would inflate these sums
+    // (POs 1-2 now have multi-row receipt history)
+    val expected = spark.sql(
+      """SELECT LIFNR, SUM(CASE WHEN SHKZG = 'S' THEN DMBTR ELSE -DMBTR END) AS amt
+        FROM BSIK WHERE AUGDT IS NULL OR AUGDT = '' GROUP BY LIFNR""")
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val trace = SapTemplates.run(spark, "value_chain_procure_to_pay_trace").collect()
+    assert(trace.nonEmpty)
+    var checked = 0
+    trace.foreach { r =>
+      val vendor = r.getString(2)
+      val got = r.getDecimal(7)
+      expected.get(vendor).foreach { exp =>
+        assert(got != null && got.compareTo(exp) == 0,
+          s"PO ${r.getString(0)} vendor $vendor: got $got expected $exp")
+        checked += 1
+      }
+      if (!expected.contains(vendor)) assert(got == null, s"vendor $vendor")
+    }
+    assert(checked > 0, "no PO had open AP items — fixture drift")
+  }
+
   test("template invariant: journal entries are balanced (signed sum = 0)") {
     fixtures
     val net = SapTemplates.run(spark, "journal_balance_check")

@@ -285,6 +285,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components converge on a deep chain (pointer jumping)") {
+    // a 60-node path graph (diameter 59): plain hash-min propagation would
+    // need 59 rounds — pointer jumping must finish within the default cap
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(comps.length == 60 && comps.forall(_._2 == 1L),
+      s"non-min labels: ${comps.filter(_._2 != 1L).take(5).mkString(",")}")
+  }
+
   test("corpus pipeline drops a full near-dup CHAIN down to one representative") {
     import graft.ext.CorpusPipeline
     val base = docs.select("doc_id", "text")
@@ -342,7 +351,12 @@ class ExtensionsSpec extends AnyFunSuite {
     import graft.ext.TextAnalysis
     val df = Seq(
       (1L, "contact jane.doe+x@example.co.uk or +1 (415) 555-0199 today"),
-      (2L, "the quick brown fox jumps over 42 lazy dogs")
+      (2L, "the quick brown fox jumps over 42 lazy dogs"),
+      // precision guards: dates, decimals, and digit-bearing email local
+      // parts must NOT be phone-matched (emails redact first; the count
+      // mirrors the pass order so nothing double-counts)
+      (3L, "released 2025-01-15, pi is 3.141592653, build 20250115"),
+      (4L, "mail 123456789@corp.com and call 415-555-0199-22 now")
     ).toDF("id", "text")
     val out = df.select(col("id"), TextAnalysis.redact(col("text")).as("r"),
         TextAnalysis.redactionCount(col("text")).as("n"))
@@ -351,6 +365,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(0)._3 == 2L)
     assert(out(1)._2 == "the quick brown fox jumps over 42 lazy dogs")
     assert(out(1)._3 == 0L)
+    assert(out(2)._2 == "released 2025-01-15, pi is 3.141592653, build 20250115",
+      out(2)._2)
+    assert(out(2)._3 == 0L)
+    assert(out(3)._2 == "mail [EMAIL] and call [PHONE] now", out(3)._2)
+    assert(out(3)._3 == 2L)
   }
 
   test("exact dedup keeps the deterministic winner") {
