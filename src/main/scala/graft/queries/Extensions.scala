@@ -292,6 +292,27 @@ object Extensions {
             / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 4) AS stopword_ratio
         FROM documents ORDER BY doc_id""")),
 
+    // ── within-doc repetition rate: 1 − distinct/total 3-grams (the
+    //    repeated-n-gram boilerplate filter; narrow map, no explode) ────────
+    Q(
+      "q_text_repetition",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id") +: TextAnalysis.repetitionColumns("toks"): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS ss
+          FROM toks)
+        SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_shingles,
+          CAST(len(list_distinct(ss)) AS BIGINT) AS n_distinct,
+          ROUND(1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / len(ss), 6) AS repetition_rate
+        FROM sh ORDER BY doc_id""")),
+
     // ── token counting: whitespace tokenizer over documents ──────────────
     Q(
       "q_token_count",

@@ -372,6 +372,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(3)._3 == 2L)
   }
 
+  test("repetition rate flags looping text, clears varied text") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "a b c a b c a b c"),          // 7 grams, 3 distinct → 1 − 3/7
+      (2L, "one two three four five six") // all distinct → 0
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id") +: TextAnalysis.repetitionColumns("toks"): _*)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 7L, 3L, 0.571429)))
+    assert(out(1) == ((2L, 4L, 4L, 0.0)))
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
