@@ -313,6 +313,51 @@ object Extensions {
           ROUND(1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / len(ss), 6) AS repetition_rate
         FROM sh ORDER BY doc_id""")),
 
+    // ── composed quality gate: the standard corpus filter verdict —
+    //    length, token-shape, and repetition rules combined into per-rule
+    //    flags and an overall keep bit (0/1 longs for oracle parity) ────────
+    Q(
+      "q_quality_gate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val withCols = d
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"),
+            length(col("text")).cast("long").as("n_chars"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id") +: col("n_chars") +:
+            size(col("toks")).cast("long").as("n_tokens") +:
+            TextAnalysis.repetitionColumns("toks"): _*)
+        val rLen = (col("n_tokens") >= 5 && col("n_tokens") <= 20000)
+        val mean = col("n_chars").cast("double") / col("n_tokens")
+        val rTok = (mean >= 2.0 && mean <= 12.0)
+        val rRep = col("repetition_rate") <= 0.5
+        withCols.select(col("doc_id"), col("n_tokens"),
+            rLen.cast("long").as("pass_length"),
+            rTok.cast("long").as("pass_token_shape"),
+            rRep.cast("long").as("pass_repetition"),
+            (rLen && rTok && rRep).cast("long").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t,
+            CAST(LENGTH(text) AS BIGINT) AS n_chars
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        m AS (SELECT doc_id, n_chars, CAST(len(t) AS BIGINT) AS n_tokens,
+            1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE) /
+              (len(t) - 2) AS rep
+          FROM toks),
+        f AS (SELECT doc_id, n_tokens,
+            CASE WHEN n_tokens >= 5 AND n_tokens <= 20000 THEN 1 ELSE 0 END AS pass_length,
+            CASE WHEN CAST(n_chars AS DOUBLE) / n_tokens >= 2.0
+                  AND CAST(n_chars AS DOUBLE) / n_tokens <= 12.0 THEN 1 ELSE 0 END AS pass_token_shape,
+            CASE WHEN ROUND(rep, 6) <= 0.5 THEN 1 ELSE 0 END AS pass_repetition
+          FROM m)
+        SELECT doc_id, n_tokens, CAST(pass_length AS BIGINT) AS pass_length,
+          CAST(pass_token_shape AS BIGINT) AS pass_token_shape,
+          CAST(pass_repetition AS BIGINT) AS pass_repetition,
+          CAST(pass_length * pass_token_shape * pass_repetition AS BIGINT) AS keep
+        FROM f ORDER BY doc_id""")),
+
     // ── token counting: whitespace tokenizer over documents ──────────────
     Q(
       "q_token_count",
@@ -645,6 +690,33 @@ object Extensions {
           CAST(CASE WHEN p.first_purchase_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS converted
         FROM s LEFT JOIN p ON s.user_id = p.user_id
         ORDER BY s.user_id""")),
+
+    // ── interval-join attribution: each purchase matched to same-user
+    //    signups within the preceding hour (batch analog of the
+    //    stream-stream watermarked join in EventsStream) ────────────────────
+    Q(
+      "q_events_attribution",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), unix_micros(col("ts")).as("signup_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("purchase_us"),
+            col("value"))
+        signups.join(purchases, Seq("user_id"))
+          .filter(col("purchase_us") >= col("signup_us") &&
+            col("purchase_us") <= col("signup_us") + lit(3600000000L))
+          .select(col("user_id"), col("signup_us"), col("purchase_us"), col("value"))
+          .orderBy(col("user_id"), col("signup_us"), col("purchase_us"), col("value"))
+      },
+      Some("""SELECT s.user_id, epoch_us(s.ts) AS signup_us,
+          epoch_us(p.ts) AS purchase_us, p.value
+        FROM events s JOIN events p
+          ON s.user_id = p.user_id
+          AND s.event_type = 'signup' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) >= epoch_us(s.ts)
+          AND epoch_us(p.ts) <= epoch_us(s.ts) + CAST(3600000000 AS BIGINT)
+        ORDER BY s.user_id, signup_us, purchase_us, p.value""")),
 
     // ── event analytics: gap-based sessionization (30-min idle), batch
     //    analog of the mapGroupsWithState streaming operator ───────────────

@@ -146,6 +146,29 @@ object EventsStream {
       .toDF()
   }
 
+  /** Stream-stream interval join: attribute each purchase to any signup of
+    * the same user within `windowSeconds` BEFORE it. Both sides carry
+    * watermarks so the join state is bounded — Spark retains a signup only
+    * until the purchase-side watermark passes `signup ts + window`, and
+    * vice versa (the mandatory pattern for unbounded stream-stream joins:
+    * equi-key + time-range condition + watermarks on both inputs). Emits
+    * (user_id, signup_us, purchase_us, value). */
+  def purchaseAttribution(events: DataFrame, windowSeconds: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    signups.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr(s"interval $windowSeconds seconds"))
+      .select(col("user_id"), unix_micros(col("s_ts")).as("signup_us"),
+        unix_micros(col("p_ts")).as("purchase_us"), col("value"))
+  }
+
   /** Run a streaming query to a named in-memory sink until input is
     * exhausted (local smoke path). Returns the sink contents. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -101,6 +101,21 @@ class StreamingSpec extends AnyFunSuite {
       "purchase at us == signup_us must NOT convert (strict >, batch parity)")
   }
 
+  test("stream-stream interval join matches the batch attribution") {
+    import spark.implicits._
+    val stream = EventsStream.read(spark, eventsDir)
+    val out = EventsStream.runToMemory(
+      EventsStream.purchaseAttribution(stream), "attribution", OutputMode.Append())
+    val batch = graft.queries.Registry.byName("q_events_attribution").build(spark, sf)
+    // append-mode emits a joined row once both watermarks allow it; with a
+    // bounded file source every row is eventually emitted exactly once
+    val got = out.select("user_id", "signup_us", "purchase_us", "value")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val want = batch.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    assert(got == want && want.nonEmpty,
+      s"stream ${got.size} rows vs batch ${want.size}")
+  }
+
   test("streaming document ingest: enrich + content dedup + quality gate") {
     // stage the corpus TWICE so every document arrives duplicated across
     // files — the stream must drop the second copies via content-hash state
