@@ -247,6 +247,55 @@ object Dedup {
     out
   }
 
+  /** Incremental exact dedup: drop delta rows whose dedup key already
+    * exists in the corpus index — the growing-corpus path (ingest batch N+1
+    * without touching batch 1..N beyond an anti-join against their key
+    * index). The index side only needs the key columns, so at scale it is a
+    * compact table (or a bloom-filter pre-pass) rather than the corpus. */
+  def incrementalExact(delta: DataFrame, corpusKeys: DataFrame,
+      keys: Seq[String]): DataFrame =
+    delta.join(corpusKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Incremental near-dup detection: MinHash-banded candidates between the
+    * DELTA and the EXISTING corpus only — no corpus self-join, so ingesting
+    * a batch costs O(delta × collision rate), not O(corpus²). Candidates
+    * are verified with exact Jaccard over the full shingle sets. Returns
+    * (delta_id, corpus_id, jaccard) pairs at ≥ threshold; dropping matched
+    * delta ids is the caller's policy (the corpus copy is the established
+    * representative). In production the corpus side's signatures/bands are
+    * precomputed once and stored — here they are derived inline. */
+  def incrementalMinhashPairs(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      n: Int = 3, k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame = {
+    def banded(docs: DataFrame) = {
+      val sigs = hashedShingles(docs, idCol, textCol, n).groupBy("doc_id")
+        .agg(HashFunctions.minhashSig(col("sh"), k).as("sig"))
+      sigs.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
+        .as(Seq("band", "bucket")))
+    }
+    val cands = banded(delta)
+      .select(col("band"), col("bucket"), col("doc_id").as("delta_id"))
+      .join(banded(corpus)
+        .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select("delta_id", "corpus_id").distinct()
+    val shD = hashedShingles(delta, idCol, textCol, n).cache()
+    val shC = hashedShingles(corpus, idCol, textCol, n).cache()
+    val nD = shD.groupBy("doc_id").agg(count(lit(1)).as("nd"))
+    val nC = shC.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+    cands
+      .join(shD.select(col("doc_id").as("delta_id"), col("sh")), Seq("delta_id"))
+      .join(shC.select(col("doc_id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))
+      .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("common"))
+      .join(nD.select(col("doc_id").as("delta_id"), col("nd")), Seq("delta_id"))
+      .join(nC.select(col("doc_id").as("corpus_id"), col("nc")), Seq("corpus_id"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("nd") + col("nc") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "corpus_id", "jaccard")
+  }
+
   /** Train/eval contamination check: the fraction of each eval document's
     * shingles that occur anywhere in the training corpus — the standard
     * benchmark-leakage screen run before training. Inputs are shingle

@@ -292,6 +292,43 @@ object Extensions {
             / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 4) AS stopword_ratio
         FROM documents ORDER BY doc_id""")),
 
+    // ── TF-IDF keyword extraction: top-5 terms per document by
+    //    tf · ln(N/df), ranked on the ROUNDED score with a term tie-break so
+    //    both engines rank identically. Two shuffles (term df, per-doc
+    //    window); N via a metadata-only count ────────────────────────────────
+    Q(
+      "q_tfidf_keywords",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val nDocs = d.count().toDouble
+        val tf = d.select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val scored = tf.join(dfreq, Seq("term"))
+          .withColumn("tfidf",
+            round(col("tf").cast("double") * log(lit(nDocs) / col("df")), 6))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(desc("tfidf"), col("term"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        sc AS (SELECT doc_id, term, tf,
+            ROUND(tf * LN(n.n / df.df), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        r AS (SELECT doc_id, term, tf, tfidf,
+            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          FROM sc)
+        SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, tfidf
+        FROM r WHERE rk <= 5 ORDER BY doc_id, rk""")),
+
     // ── within-doc repetition rate: 1 − distinct/total 3-grams (the
     //    repeated-n-gram boilerplate filter; narrow map, no explode) ────────
     Q(

@@ -385,6 +385,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(1) == ((2L, 4L, 4L, 0.0)))
   }
 
+  test("incremental dedup: delta checked against corpus only, no self-join") {
+    val corpus = docs.select("doc_id", "text").filter(col("doc_id") <= 400)
+    val d1 = corpus.filter(col("doc_id") === 1).select("text").collect()(0).getString(0)
+    val delta = Seq(
+      (900021L, d1),                      // exact copy of corpus doc 1
+      (900022L, d1 + " small tail edit"), // near-dup of corpus doc 1
+      (900023L, "a totally unrelated fresh document about nothing at all")
+    ).toDF("doc_id", "text")
+    // exact: only the verbatim copy is dropped
+    val hashed = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("__h", sha2(encode(col("text"), "UTF-8"), 256))
+    val kept = Dedup.incrementalExact(hashed(delta), hashed(corpus), Seq("__h"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(900022L, 900023L))
+    // near-dup: copy and edit both pair with corpus doc 1; fresh doc doesn't
+    val pairs = Dedup.incrementalMinhashPairs(delta, corpus, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(_._1).toSet == Set(900021L, 900022L), pairs.mkString(","))
+    assert(pairs.forall(_._2 == 1L))
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
