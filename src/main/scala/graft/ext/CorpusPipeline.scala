@@ -50,6 +50,28 @@ object CorpusPipeline {
     graft.functions.HashFunctions.mulShiftBucket(
       id.bitwiseXOR(lit(ShuffleSalt)), BucketMult, 33, Int.MaxValue)
 
+  /** Pack documents into fixed token-budget training sequences: documents
+    * stream in deterministic shuffle order and each is assigned to the
+    * sequence its cumulative token offset falls in (concat-stream packing —
+    * a document may straddle a boundary, exactly the pretraining
+    * concat-then-chunk contract; compose with `TextAnalysis.chunk` for the
+    * in-sequence windows). Returns the input plus (n_tokens, seq_id).
+    * The running sum is a single global range-sort here; at scale assign
+    * per-partition offsets instead (sortWithinPartitions + cumulative
+    * partition sizes) — seq_id arithmetic is unchanged. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(shuffleKey(col(idCol)), col(idCol))
+    docs
+      .withColumn("n_tokens",
+        size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        expr(s"(__cum - n_tokens) div $budgetTokens"))
+      .drop("__cum")
+  }
+
   /** Deterministic stratified sampling: keep each row with a per-stratum
     * percentage (id-hash bucketed, salted independently of the train/eval
     * split — no RNG, reproducible across runs/engines/cluster sizes, and a

@@ -491,6 +491,32 @@ object Extensions {
             doc_id) AS position, doc_id
           FROM documents ORDER BY position""")),
 
+    // ── sequence packing: documents → fixed 512-token training sequences
+    //    in deterministic shuffle order (concat-stream packing; summary per
+    //    sequence) ─────────────────────────────────────────────────────────
+    Q(
+      "q_corpus_pack",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ext.CorpusPipeline.packSequences(d, "doc_id", "text", 512)
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("seq_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            ((CAST(xor(doc_id, 1013904242) AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 2147483647 AS k
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+            CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM t)
+        SELECT CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+          COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          MIN(doc_id) AS first_doc
+        FROM c GROUP BY 1 ORDER BY seq_id""")),
+
     // ── composed corpus preparation: exact dedup → MinHash near-dup
     //    removal → quality/language gate → deterministic split, end to end.
     //    MinHash stage is not SQL-expressible → rows-only check; the stage

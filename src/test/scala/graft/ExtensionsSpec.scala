@@ -406,6 +406,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.forall(_._2 == 1L))
   }
 
+  test("sequence packing covers every token with contiguous sequence ids") {
+    import graft.ext.CorpusPipeline
+    val packed = CorpusPipeline.packSequences(docs, "doc_id", "text", 512).cache()
+    val totalTokens = docs
+      .select(sum(size(split(col("text"), " ")).cast("long"))).as[Long].collect()(0)
+    assert(packed.select(sum("n_tokens")).as[Long].collect()(0) == totalTokens)
+    // deterministic: same packing on a rerun
+    val a = packed.select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    val b = CorpusPipeline.packSequences(docs, "doc_id", "text", 512)
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // sequence ids are contiguous 0..max (a 512-budget stream leaves no gap:
+    // every sequence boundary falls inside or at the end of some doc)
+    val ids = packed.select("seq_id").distinct().as[Long].collect().sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1)
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
