@@ -13,6 +13,21 @@ class PerfSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
 
+  test("incremental dedup plans are equi-join only (no cartesian, no BNLJ)") {
+    import graft.ext.Dedup
+    val corpus = Tables(spark, sf, "documents").limit(200)
+    val delta = Tables(spark, sf, "documents").limit(20)
+    val plan = Dedup.incrementalMinhashPairs(delta, corpus, "doc_id", "text", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in incremental dedup")
+    assert(!plan.contains("BroadcastNestedLoop"), "BNLJ in incremental dedup")
+    val plan2 = Dedup.contamination(
+        Dedup.hashedShingles(delta, "doc_id", "text"),
+        Dedup.hashedShingles(corpus, "doc_id", "text"), "sh")
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("CartesianProduct") && !plan2.contains("BroadcastNestedLoop"))
+  }
+
   test("salted join is row-identical to the unsalted join") {
     val l = Tables(spark, sf, "lineitem")
     val su = Tables(spark, sf, "supplier")
