@@ -55,10 +55,14 @@ object CorpusPipeline {
     * sequence its cumulative token offset falls in (concat-stream packing —
     * a document may straddle a boundary, exactly the pretraining
     * concat-then-chunk contract; compose with `TextAnalysis.chunk` for the
-    * in-sequence windows). Returns the input plus (n_tokens, seq_id).
-    * The running sum is a single global range-sort here; at scale assign
-    * per-partition offsets instead (sortWithinPartitions + cumulative
-    * partition sizes) — seq_id arithmetic is unchanged. */
+    * in-sequence windows). Returns the input plus (n_tokens, seq_id) where
+    * seq_id is the budget window containing the document's START offset —
+    * a document longer than the budget spans into following windows, so
+    * consecutive emitted seq_ids may skip (those windows hold only the
+    * middle of the long document). The running sum is a single global
+    * range-sort here; at scale assign per-partition offsets instead
+    * (sortWithinPartitions + cumulative partition sizes) — seq_id
+    * arithmetic is unchanged. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -166,21 +166,30 @@ object Dedup {
     val sigs = forSig.groupBy("doc_id")
       .agg(HashFunctions.minhashSig(col("sh"), k).as("sig"))
     val cands = lshCandidates(sigs, bands, rows)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col("doc_id").as("id_a"), col("sh"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("sh"))
-    val common = cands
-      .join(shA, Seq("id_a"))
-      .join(shB, Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+    jaccardVerify(cands, sh, sh, "id_a", "id_b", threshold)
+  }
+
+  /** Shared exact-Jaccard verification kernel: score candidate (left, right)
+    * pairs against hashed-shingle relations (doc_id, sh) and keep pairs at
+    * ≥ threshold. Used by the batch LSH pipeline (both sides = the corpus)
+    * and the incremental ingest path (delta vs corpus) so threshold/rounding
+    * semantics cannot diverge between them. */
+  private def jaccardVerify(cands: DataFrame, shLeft: DataFrame,
+      shRight: DataFrame, leftId: String, rightId: String,
+      threshold: Double): DataFrame = {
+    val nL = shLeft.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val nR = shRight.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    cands
+      .join(shLeft.select(col("doc_id").as(leftId), col("sh")), Seq(leftId))
+      .join(shRight.select(col("doc_id").as(rightId), col("sh")), Seq(rightId, "sh"))
+      .groupBy(leftId, rightId).agg(count(lit(1)).as("common"))
+      .join(nL.select(col("doc_id").as(leftId), col("na")), Seq(leftId))
+      .join(nR.select(col("doc_id").as(rightId), col("nb")), Seq(rightId))
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col(leftId), col(rightId), col("jaccard"))
   }
 
   /** Connected components over an undirected near-dup pair list: hash-min
@@ -198,15 +207,21 @@ object Dedup {
     * Returns (id, comp) where comp is the smallest id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // both orientations from ONE pass over `pairs` (which may be a whole
+    // dedup pipeline): explode, not a self-union that executes it twice
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("u"), col(bCol).as("v")),
+        struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().cache()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
     labels.count()
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    try {
+      while (changed > 0 && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
         .select(col("u").as("id"), col("comp"))
@@ -233,18 +248,19 @@ object Dedup {
         } else next
       prev.unpersist()
       iter += 1
+      }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds; " +
+            "the pair list is not a near-dup graph (diameter beyond ~2^maxIter)")
+      // detach the result from executor cache: materialize via checkpoint,
+      // then release the loop's cache so repeated invocations on a
+      // long-lived session don't strand storage memory
+      labels.localCheckpoint(true)
+    } finally {
+      labels.unpersist()
+      edges.unpersist()
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds; " +
-          "the pair list is not a near-dup graph (diameter beyond ~2^maxIter)")
-    // detach the result from executor cache: materialize via checkpoint,
-    // then release the loop's cache so repeated invocations on a long-lived
-    // session don't strand storage memory
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    out
   }
 
   /** Incremental exact dedup: drop delta rows whose dedup key already
@@ -267,33 +283,28 @@ object Dedup {
   def incrementalMinhashPairs(delta: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       n: Int = 3, k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame = {
-    def banded(docs: DataFrame) = {
-      val sigs = hashedShingles(docs, idCol, textCol, n).groupBy("doc_id")
+    // one cached shingle relation per side feeds BOTH the signature/banding
+    // stage and the verification joins — shingling the corpus is the
+    // expensive part of an ingest batch, and must run once, not twice.
+    // (The caches stay for the life of the returned plan, like
+    // minhashDedup's; a production ingest loop precomputes and stores the
+    // corpus signatures instead of deriving them per batch.)
+    val shD = hashedShingles(delta, idCol, textCol, n).cache()
+    val shC = hashedShingles(corpus, idCol, textCol, n).cache()
+    def banded(sh: DataFrame) = {
+      val sigs = sh.groupBy("doc_id")
         .agg(HashFunctions.minhashSig(col("sh"), k).as("sig"))
       sigs.select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
         .as(Seq("band", "bucket")))
     }
-    val cands = banded(delta)
+    val cands = banded(shD)
       .select(col("band"), col("bucket"), col("doc_id").as("delta_id"))
-      .join(banded(corpus)
+      .join(banded(shC)
         .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
         Seq("band", "bucket"))
       .select("delta_id", "corpus_id").distinct()
-    val shD = hashedShingles(delta, idCol, textCol, n).cache()
-    val shC = hashedShingles(corpus, idCol, textCol, n).cache()
-    val nD = shD.groupBy("doc_id").agg(count(lit(1)).as("nd"))
-    val nC = shC.groupBy("doc_id").agg(count(lit(1)).as("nc"))
-    cands
-      .join(shD.select(col("doc_id").as("delta_id"), col("sh")), Seq("delta_id"))
-      .join(shC.select(col("doc_id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))
-      .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("common"))
-      .join(nD.select(col("doc_id").as("delta_id"), col("nd")), Seq("delta_id"))
-      .join(nC.select(col("doc_id").as("corpus_id"), col("nc")), Seq("corpus_id"))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("nd") + col("nc") - col("common")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("delta_id", "corpus_id", "jaccard")
+    jaccardVerify(cands, shD, shC, "delta_id", "corpus_id", threshold)
   }
 
   /** Train/eval contamination check: the fraction of each eval document's

@@ -116,10 +116,12 @@ object Extensions {
         SELECT comp AS component, COUNT(*) AS n_docs, MAX(id) AS max_doc
         FROM comp GROUP BY comp ORDER BY component""")),
 
-    // ── eval-set contamination: fraction of each held-out document's
-    //    3-gram shingles present anywhere in the train split (benchmark-
-    //    leakage screen; split = the engine's deterministic multiply-shift
-    //    bucketing) ─────────────────────────────────────────────────────────
+    // ── held-out-set contamination: fraction of each held-out (eval AND
+    //    test split, bucket ≥ 90) document's 3-gram shingles present
+    //    anywhere in the train split (benchmark-leakage screen; split = the
+    //    engine's deterministic multiply-shift bucketing). Screening only
+    //    one of the two held-out splits would let leakage into the other
+    //    ship undetected ────────────────────────────────────────────────────
     Q(
       "q_eval_contamination",
       (s, dir) => {
@@ -128,7 +130,7 @@ object Extensions {
         val ids = d.select(col("doc_id"), bucket.as("b"))
         val sh = Dedup.shingles(d, "doc_id", "text", 3)
         Dedup.contamination(
-            sh.join(ids.filter(col("b") >= 95).select("doc_id"), Seq("doc_id")),
+            sh.join(ids.filter(col("b") >= 90).select("doc_id"), Seq("doc_id")),
             sh.join(ids.filter(col("b") < 90).select("doc_id"), Seq("doc_id")))
           .orderBy(col("doc_id"))
       },
@@ -144,7 +146,7 @@ object Extensions {
         train_sh AS (SELECT DISTINCT shingle FROM sh
           JOIN b USING (doc_id) WHERE bucket < 90),
         eval_sh AS (SELECT sh.doc_id, sh.shingle FROM sh
-          JOIN b USING (doc_id) WHERE bucket >= 95),
+          JOIN b USING (doc_id) WHERE bucket >= 90),
         tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM eval_sh GROUP BY doc_id),
         hit AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM eval_sh
           WHERE shingle IN (SELECT shingle FROM train_sh) GROUP BY doc_id)
@@ -300,14 +302,17 @@ object Extensions {
       "q_tfidf_keywords",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val nDocs = d.count().toDouble
+        // N inside the plan: one-row aggregate broadcast-crossed into the
+        // scored table (no eager driver-side count job at build time)
+        val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
         val tf = d.select(col("doc_id"),
             explode(split(lower(col("text")), " ")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val scored = tf.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(nDocs))
           .withColumn("tfidf",
-            round(col("tf").cast("double") * log(lit(nDocs) / col("df")), 6))
+            round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(desc("tfidf"), col("term"))
         scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -406,21 +406,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.forall(_._2 == 1L))
   }
 
-  test("sequence packing covers every token with contiguous sequence ids") {
+  test("sequence packing assigns each doc to the window holding its start") {
     import graft.ext.CorpusPipeline
-    val packed = CorpusPipeline.packSequences(docs, "doc_id", "text", 512).cache()
+    // small budget so some docs straddle windows (seq_ids may then skip —
+    // the skipped windows hold the middle of a long doc, by contract)
+    val budget = 64L
+    val packed = CorpusPipeline.packSequences(docs, "doc_id", "text", budget).cache()
     val totalTokens = docs
       .select(sum(size(split(col("text"), " ")).cast("long"))).as[Long].collect()(0)
     assert(packed.select(sum("n_tokens")).as[Long].collect()(0) == totalTokens)
     // deterministic: same packing on a rerun
     val a = packed.select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
-    val b = CorpusPipeline.packSequences(docs, "doc_id", "text", 512)
+    val b = CorpusPipeline.packSequences(docs, "doc_id", "text", budget)
       .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
     assert(a == b)
-    // sequence ids are contiguous 0..max (a 512-budget stream leaves no gap:
-    // every sequence boundary falls inside or at the end of some doc)
-    val ids = packed.select("seq_id").distinct().as[Long].collect().sorted
-    assert(ids.head == 0L && ids.last == ids.length - 1)
+    // exact contract: seq_id == floor(start_offset / budget) in shuffle order,
+    // recomputed independently on the driver
+    val ordered = packed
+      .withColumn("k", CorpusPipeline.shuffleKey(col("doc_id")))
+      .select("doc_id", "n_tokens", "seq_id", "k")
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._4, r._1))
+    var offset = 0L
+    ordered.foreach { case (id, n, seqId, _) =>
+      assert(seqId == offset / budget, s"doc $id: seq $seqId vs ${offset / budget}")
+      offset += n
+    }
+    assert(ordered.map(_._3).distinct.length > 1)
   }
 
   test("exact dedup keeps the deterministic winner") {
