@@ -70,6 +70,57 @@ object Dedup {
         s"transform(sequence(0, size(th) - $n), i -> $combine)"))).as("sh"))
   }
 
+  /** Boilerplate n-gram detection: shingles present in at least `minDocFrac`
+    * of the corpus (headers, footers, license blurbs, templated spans). The
+    * output doubles as the data-derived stop-shingle list for
+    * [[jaccardPairs]]'s `maxShingleDocFreq` guard — at 100 TB you compute
+    * this once per corpus snapshot and anti-join it out of the shingle
+    * relation before any pair enumeration. One shuffle on the shingle key;
+    * the corpus size rides in-plan as a one-row broadcast aggregate.
+    * Takes the DISTINCT-per-doc shingle relation from [[shingles]] (or the
+    * hashed variant at scale). Returns (shingle, df_docs, doc_frac). */
+  def boilerplateShingles(sh: DataFrame, docs: DataFrame,
+      minDocFrac: Double): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    sh.groupBy("shingle").agg(count(lit(1)).as("df_docs"))
+      .crossJoin(broadcast(n))
+      .withColumn("doc_frac",
+        round(col("df_docs").cast("double") / col("n_docs").cast("double"), 6))
+      .filter(col("doc_frac") >= minDocFrac)
+      .select(col("shingle"), col("df_docs"), col("doc_frac"))
+  }
+
+  /** Cross-document duplicated-span fraction: for each document, the share
+    * of its POSITIONAL word n-grams that occur in at least one other
+    * document — the span-level dedup metric (how much of this doc is
+    * copied text), a cheap relational stand-in for suffix-array substring
+    * dedup. Unlike [[shingles]] this keeps every position (no per-doc
+    * distinct): a doc that repeats a shared span twice has both spans
+    * counted. Two shuffles on the shingle key (doc-frequency, then the
+    * shared-position semi-join); docs shorter than n tokens are dropped.
+    * Returns (doc_id, n_grams, n_shared, dup_frac). */
+  def spanDupFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val gram = (0 until n).map(j => s"toks[i + $j]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val pos = docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> $gram)")).as("shingle"))
+    val multiDoc = pos.select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("shingle")
+    val totals = pos.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = pos.join(multiDoc, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams").cast("double"), 6).as("dup_frac"))
+  }
+
   /** All-pairs n-gram Jaccard similarity ≥ threshold via a shingle
     * self-join. Exact but quadratic in co-occurring docs — the oracle-grade
     * baseline. `maxShingleDocFreq` (0 = off) drops stop-shingles before the

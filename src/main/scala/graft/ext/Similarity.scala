@@ -41,6 +41,29 @@ object Similarity {
       .select("qid", "cid", "cos", "rk")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max |x_i|, each element
+    * maps to round-half-up(x / scale · 127) ∈ [-127, 127] (the storage form
+    * that shrinks an embedding corpus 4× and feeds int8 SIMD distance
+    * kernels). Half-up is spelled floor(v + 0.5) — pure IEEE double ops, so
+    * the result is bit-identical on any engine (a library `round` may be
+    * half-even). Narrow map, no shuffle; an all-zero vector quantizes to
+    * zeros. Keeps (id, xd double view, scale, q array<bigint>); compose with
+    * [[dequantizeInt8]] for the reconstruction. */
+  def quantizeInt8(emb: DataFrame, idCol: String, embCol: String): DataFrame =
+    emb
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($embCol, x -> cast(x as double))").as("xd"))
+      .withColumn("scale", expr("array_max(transform(xd, x -> abs(x)))"))
+      .withColumn("q", expr(
+        """CASE WHEN scale = 0.0D THEN transform(xd, x -> 0L)
+          |ELSE transform(xd, x -> cast(floor(x / scale * 127.0D + 0.5D) as bigint))
+          |END""".stripMargin))
+
+  /** Reconstruction of a quantized vector: q_i · scale / 127 as
+    * array<double>. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale / lit(127.0))
+
   /** Deterministic random-hyperplane signs for `planes` hyperplanes in
     * `dims` dimensions (public sign-LSH construction, Charikar 2002).
     * `seed` varies per hash table. */

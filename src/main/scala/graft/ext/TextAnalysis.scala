@@ -129,6 +129,38 @@ object TextAnalysis {
         size(sh).cast("double"), 6).as("repetition_rate"))
   }
 
+  /** Corpus vocabulary induction: the top-K terms by corpus frequency with
+    * document frequency and cumulative token-coverage fraction — the
+    * term-statistics pass a tokenizer build (BPE seed vocab, stopword list,
+    * coverage target) starts from. Two shuffles: per-(doc, term) counts with
+    * map-side partial aggregation, then per-term totals. The rank/coverage
+    * window is global but runs AFTER aggregation, over one row per distinct
+    * term — vocabulary size, not corpus size (a few million rows at 100 TB,
+    * one partition is fine). Corpus token total rides in-plan as a one-row
+    * broadcast aggregate. Returns (rk, term, tf, df, cum_frac). */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val terms = perDoc.groupBy("term")
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+    val total = terms.agg(sum(col("tf")).as("total_tokens"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("tf"), col("term"))
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    terms.crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("cum_frac", round(
+        sum(col("tf")).over(cum).cast("double") /
+          col("total_tokens").cast("double"), 6))
+      .filter(col("rk") <= topK)
+      .select(col("rk"), col("term"), col("tf"), col("df"), col("cum_frac"))
+  }
+
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       (col(idCol).as("doc_id") +:

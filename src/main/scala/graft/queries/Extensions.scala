@@ -244,6 +244,36 @@ object Extensions {
         FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
         GROUP BY 1, 2 ORDER BY label, dim""")),
 
+    // ── int8 embedding quantization: per-vector symmetric scale, summary
+    //    of the quantized representation + worst-case reconstruction error
+    //    (4× storage shrink for an embedding corpus; half-up spelled as
+    //    floor(v+0.5) so both engines round bit-identically) ────────────────
+    Q(
+      "q_embed_quantize",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.quantizeInt8(e, "vec_id", "embedding")
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            expr("aggregate(q, 0L, (acc, v) -> acc + v)").as("sum_q"),
+            expr("cast(size(filter(q, v -> abs(v) = 127)) as bigint)").as("n_sat"),
+            round(expr(
+              "array_max(zip_with(q, xd, (v, x) -> abs(cast(v as double) * scale / 127.0D - x)))"),
+              6).as("max_abs_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY vec_id),
+        q AS (SELECT e.vec_id, e.x, sc.scale,
+            CASE WHEN sc.scale = 0 THEN 0
+                 ELSE CAST(FLOOR(e.x / sc.scale * 127.0 + 0.5) AS BIGINT) END AS qi
+          FROM ex e JOIN sc USING (vec_id))
+        SELECT vec_id, ROUND(scale, 6) AS scale,
+          CAST(SUM(qi) AS BIGINT) AS sum_q,
+          CAST(SUM(CASE WHEN ABS(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+          ROUND(MAX(ABS(qi * scale / 127.0 - x)), 6) AS max_abs_err
+        FROM q GROUP BY vec_id, scale ORDER BY vec_id""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
@@ -333,6 +363,81 @@ object Extensions {
           FROM sc)
         SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, tfidf
         FROM r WHERE rk <= 5 ORDER BY doc_id, rk""")),
+
+    // ── corpus vocabulary induction: top-100 terms by corpus frequency
+    //    with doc frequency and cumulative token coverage — the term-stats
+    //    pass a tokenizer build starts from. Rank window runs over one row
+    //    per distinct term (post-aggregation), never over the corpus ─────────
+    Q(
+      "q_vocab_topk",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        TextAnalysis.vocabulary(d, "doc_id", "text", 100)
+          .orderBy(col("rk"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        terms AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*) AS df
+          FROM tf GROUP BY term),
+        r AS (SELECT term, tf, df,
+            CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rk,
+            ROUND(CAST(SUM(tf) OVER (ORDER BY tf DESC, term
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST((SELECT SUM(tf) FROM terms) AS DOUBLE), 6) AS cum_frac
+          FROM terms)
+        SELECT rk, term, tf, df, cum_frac FROM r WHERE rk <= 100 ORDER BY rk""")),
+
+    // ── boilerplate n-gram detection: shingles present in ≥1% of documents
+    //    (headers/footers/templates). Doubles as the data-derived
+    //    stop-shingle list for the LSH pipeline's quadratic-blowup guard ─────
+    Q(
+      "q_boilerplate_ngrams",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.boilerplateShingles(Dedup.shingles(d, "doc_id", "text", 3), d, 0.01)
+          .orderBy(desc("df_docs"), col("shingle"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        f AS (SELECT shingle, COUNT(*) AS df_docs FROM sh GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+        SELECT shingle, df_docs,
+          ROUND(CAST(df_docs AS DOUBLE) / (SELECT n_docs FROM n), 6) AS doc_frac
+        FROM f
+        WHERE ROUND(CAST(df_docs AS DOUBLE) / (SELECT n_docs FROM n), 6) >= 0.01
+        ORDER BY df_docs DESC, shingle""")),
+
+    // ── cross-doc duplicated-span fraction: share of each doc's POSITIONAL
+    //    3-grams that occur in ≥1 other doc (span-level copy metric — the
+    //    relational stand-in for suffix-array substring dedup) ───────────────
+    Q(
+      "q_dup_spans",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.spanDupFraction(d, "doc_id", "text", 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        g AS (SELECT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        md AS (SELECT shingle FROM
+          (SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+          WHERE nd >= 2),
+        tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY 1),
+        shr AS (SELECT doc_id, COUNT(*) AS n_shared FROM g
+          WHERE shingle IN (SELECT shingle FROM md) GROUP BY 1)
+        SELECT t.doc_id, t.n_grams,
+          CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+          ROUND(CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_grams, 6) AS dup_frac
+        FROM tot t LEFT JOIN shr s USING (doc_id) ORDER BY t.doc_id""")),
 
     // ── within-doc repetition rate: 1 − distinct/total 3-grams (the
     //    repeated-n-gram boilerplate filter; narrow map, no explode) ────────

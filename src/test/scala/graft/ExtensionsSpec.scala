@@ -435,6 +435,76 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ordered.map(_._3).distinct.length > 1)
   }
 
+  test("vocabulary ranks by corpus frequency with monotone coverage") {
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text", 1000)
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(v.nonEmpty)
+    // tf non-increasing in rank; coverage non-decreasing and ends at 1.0
+    assert(v.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    assert(v.sliding(2).forall { case Array(a, b) => a._5 <= b._5; case _ => true })
+    assert(math.abs(v.last._5 - 1.0) < 1e-9, s"full vocab must cover 1.0, got ${v.last._5}")
+    // totals reconcile with an independent token count
+    val totalTokens = docs.select(sum(size(split(lower(col("text")), " ")).cast("long")))
+      .as[Long].collect()(0)
+    assert(v.map(_._3).sum == totalTokens)
+    // df never exceeds the doc count, tf never below df
+    val nDocs = docs.count()
+    assert(v.forall(r => r._4 <= nDocs && r._3 >= r._4))
+  }
+
+  test("boilerplate shingles are exactly the >=minDocFrac doc-frequency set") {
+    val planted = Seq(
+      (1L, "shared header line alpha beta"),
+      (2L, "shared header line gamma delta"),
+      (3L, "shared header line epsilon zeta"),
+      (4L, "totally unrelated content here now")).toDF("doc_id", "text")
+    val out = Dedup
+      .boilerplateShingles(Dedup.shingles(planted, "doc_id", "text", 3), planted, 0.5)
+      .as[(String, Long, Double)].collect().toList
+    // "shared header line" is in 3/4 docs = 0.75; every other 3-gram in 1/4
+    assert(out == List(("shared header line", 3L, 0.75)))
+  }
+
+  test("span-dup fraction counts positional shared n-grams per doc") {
+    val planted = Seq(
+      (1L, "a b c d e"),          // grams: "a b c","b c d","c d e"
+      (2L, "a b c x y"),          // shares "a b c" with doc 1
+      (3L, "a b c a b c a b"))    // positional: "a b c" twice + 4 unique-to-doc grams
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDupFraction(planted, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(out == List(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 3L, 1L, 0.333333),
+      // doc 3 grams: abc, bca, cab, abc, bca, cab  — all 6 positions repeat
+      // within the doc but only "a b c" (2 positions) is shared ACROSS docs
+      (3L, 6L, 2L, 0.333333)))
+  }
+
+  test("int8 quantization bounds reconstruction error and preserves dot products") {
+    val emb = Tables(spark, sf, "embeddings")
+    val qz = Similarity.quantizeInt8(emb, "vec_id", "embedding").cache()
+    val checked = qz.select(col("vec_id"), col("scale"),
+        expr("array_max(transform(q, v -> abs(v)))").as("max_q"),
+        expr("array_max(zip_with(q, xd, (v, x) -> abs(cast(v as double) * scale / 127.0D - x)))")
+          .as("max_err"))
+      .as[(Long, Double, Long, Double)].collect()
+    assert(checked.nonEmpty)
+    // quantized values stay in [-127, 127]; error within a half quantization
+    // step (scale/254) plus float slack
+    assert(checked.forall(_._3 <= 127L))
+    assert(checked.forall(r => r._4 <= r._2 / 254.0 + 1e-9),
+      "reconstruction error above half a quantization step")
+    // dequantized self-dot stays within ~1% of the exact self-dot
+    val dots = qz.select(col("vec_id"),
+        Similarity.dot(col("xd"), col("xd")).as("exact"),
+        Similarity.dot(Similarity.dequantizeInt8(col("q"), col("scale")),
+          Similarity.dequantizeInt8(col("q"), col("scale"))).as("approx"))
+      .as[(Long, Double, Double)].collect()
+    assert(dots.forall { case (_, e, a) => e == 0.0 || math.abs(a - e) / e < 0.01 })
+    qz.unpersist()
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
