@@ -64,6 +64,33 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale / lit(127.0))
 
+  /** Exact top-k cosine neighbors over int8-QUANTIZED vectors — the search
+    * kernel quantization exists for: the integer dot runs 4× smaller data
+    * (int8 SIMD on a real cluster), and the per-vector scales cancel in the
+    * cosine (cos(ŝa·qa, ŝb·qb) = Σqa·qb / (|qa||qb|)), so scoring is pure
+    * integer sums → one sqrt — deterministic on any engine. Same broadcast
+    * shape as [[cosineTopK]]: small query side broadcast, corpus never
+    * shuffled. A zero vector scores 0 against everything. */
+  def cosineTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quantized(df: DataFrame, idAs: String, qAs: String) =
+      quantizeInt8(df, "vec_id", "embedding")
+        .select(col("vec_id").as(idAs), col("q").as(qAs),
+          expr("aggregate(q, 0L, (acc, v) -> acc + v * v)").as(s"${qAs}_nsq"))
+    val c = quantized(corpus, "cid", "cq")
+    val q = quantized(queries, "qid", "qq")
+    val qdot = expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (round(when(col("qq_nsq") === 0 || col("cq_nsq") === 0, lit(0.0))
+          .otherwise(qdot.cast("double") /
+            (sqrt(col("qq_nsq").cast("double")) * sqrt(col("cq_nsq").cast("double")))), 6)
+          + lit(0.0)).as("cos_q")) // + 0.0 folds IEEE -0.0 (oracle parity)
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_q"), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "cos_q", "rk")
+  }
+
   /** Deterministic random-hyperplane signs for `planes` hyperplanes in
     * `dims` dimensions (public sign-LSH construction, Charikar 2002).
     * `seed` varies per hash table. */

@@ -274,6 +274,67 @@ object Extensions {
           ROUND(MAX(ABS(qi * scale / 127.0 - x)), 6) AS max_abs_err
         FROM q GROUP BY vec_id, scale ORDER BY vec_id""")),
 
+    // ── int8-quantized KNN: the search kernel quantization exists for —
+    //    per-vector scales cancel in the cosine, so scoring is integer dot
+    //    and norm sums → one sqrt (4× smaller data on the scan) ──────────────
+    Q(
+      "q_embed_knn_int8",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.cosineTopKInt8(e, e.filter(col("vec_id") < 10), 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY vec_id),
+        q AS (SELECT e.vec_id, e.i,
+            CASE WHEN sc.scale = 0 THEN 0
+                 ELSE CAST(FLOOR(e.x / sc.scale * 127.0 + 0.5) AS BIGINT) END AS qi
+          FROM ex e JOIN sc USING (vec_id)),
+        nsq AS (SELECT vec_id, CAST(SUM(qi * qi) AS BIGINT) AS nsq FROM q GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+            CAST(SUM(a.qi * b.qi) AS BIGINT) AS qdot
+          FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        scored AS (SELECT qid, cid,
+            ROUND(CASE WHEN na.nsq = 0 OR nb.nsq = 0 THEN 0.0
+              ELSE CAST(qdot AS DOUBLE) /
+                (SQRT(CAST(na.nsq AS DOUBLE)) * SQRT(CAST(nb.nsq AS DOUBLE))) END, 6) + 0 AS cos_q
+          FROM dots JOIN nsq na ON qid = na.vec_id JOIN nsq nb ON cid = nb.vec_id)
+        SELECT qid, cid, cos_q,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_q DESC, cid) AS BIGINT) AS rk
+        FROM scored QUALIFY rk <= 3 ORDER BY qid, rk""")),
+
+    // ── corpus mixture report: per (source, lang) doc/token counts and
+    //    token share — the mixture-weights table a training-data pipeline
+    //    reads before sampling sources ───────────────────────────────────────
+    Q(
+      "q_corpus_mixture",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val agg = d
+          .select(col("source"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        val total = agg.agg(sum(col("n_tokens")).as("total_tokens"))
+        agg.crossJoin(broadcast(total))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") /
+              col("total_tokens").cast("double"), 6).as("token_share"),
+            round(col("n_tokens").cast("double") /
+              col("n_docs").cast("double"), 4).as("mean_tokens"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH agg AS (SELECT source, lang, COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1, 2)
+        SELECT source, lang, n_docs, n_tokens,
+          ROUND(CAST(n_tokens AS DOUBLE) /
+            CAST((SELECT SUM(n_tokens) FROM agg) AS DOUBLE), 6) AS token_share,
+          ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens
+        FROM agg ORDER BY source, lang""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",

@@ -505,6 +505,28 @@ class ExtensionsSpec extends AnyFunSuite {
     qz.unpersist()
   }
 
+  test("int8 top-k cosine tracks the exact double kernel") {
+    val emb = Tables(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, qs, 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val int8 = Similarity.cosineTopKInt8(emb, qs, 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(int8.length == exact.size && int8.nonEmpty)
+    // every int8 winner's true cosine is within 0.02 of the exact kernel's
+    // k-th best — quantization may swap near-ties but not lose neighbors
+    val kthBest = exact.groupBy(_._1._1).map { case (q, m) => q -> m.values.min }
+    val trueCos = Similarity.cosineTopK(emb, qs, Int.MaxValue - 1)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    int8.foreach { case (qid, cid, c8, _) =>
+      val t = trueCos((qid, cid))
+      assert(math.abs(c8 - t) <= 0.02, s"int8 cos $c8 vs true $t for ($qid,$cid)")
+      assert(t >= kthBest(qid) - 0.02, s"($qid,$cid) not a near-top-k neighbor")
+    }
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet

@@ -15,11 +15,13 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljAllowed: Map[String, String] = Map(
     "q_disjunctive_join" -> "OR-join over a BROADCAST dim (nation, 25 rows) — the disjunction itself is the operator under test",
     "q_embed_knn" -> "brute-force KNN broadcasts the tiny query set; corpus side never shuffles",
+    "q_embed_knn_int8" -> "int8 KNN: same broadcast-query-side shape as q_embed_knn, integer scoring kernel",
     "q_like_computed" -> "computed LIKE pattern join over a broadcast side (reference OBJNR-prefix semantics)",
     "q_embed_ann_ivf" -> "IVF cell scoring broadcast-crosses the <=16 coarse centroids against each vector — constant-size broadcast side by construction",
     "q_tfidf_keywords" -> "corpus-size N is a ONE-ROW aggregate broadcast-crossed into the scored table — the in-plan alternative to an eager driver count",
     "q_vocab_topk" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the (post-aggregation) term table",
-    "q_boilerplate_ngrams" -> "corpus doc count is a ONE-ROW aggregate broadcast-crossed into the shingle-frequency table")
+    "q_boilerplate_ngrams" -> "corpus doc count is a ONE-ROW aggregate broadcast-crossed into the shingle-frequency table",
+    "q_corpus_mixture" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the per-(source,lang) mixture table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
