@@ -335,6 +335,168 @@ object Extensions {
           ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_tokens
         FROM agg ORDER BY source, lang""")),
 
+    // ── unigram-LM negative log-likelihood: the perplexity-proxy quality
+    //    filter (CCNet-style) — corpus unigram frequencies, then each doc
+    //    scored by mean -ln p(token). Per-token scores are rounded then
+    //    decimal-summed so the aggregate is order-independent ───────────────
+    Q(
+      "q_unigram_logprob",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        val total = toks.agg(count(lit(1)).cast("double").as("total_toks"))
+        val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val scored = toks.join(freq, Seq("term"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"),
+            round(-log(col("cnt").cast("double") / col("total_toks")), 6)
+              .cast(DecimalType(28, 6)).as("nll"))
+        scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("sum_dec"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("sum_dec").cast("double"), 6).as("sum_nll"),
+            round(col("sum_dec").cast("double") /
+              col("n_tokens").cast("double"), 6).as("mean_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total_toks FROM toks),
+        scored AS (SELECT doc_id,
+            CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / total_toks), 6) AS DECIMAL(28,6)) AS nll
+          FROM toks JOIN freq USING (term) CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          ROUND(CAST(SUM(nll) AS DOUBLE), 6) AS sum_nll,
+          ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+        FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── temperature-scaled source sampling: inverse-sqrt (τ=0.5) mixture
+    //    weights over per-source token mass — sqrt is correctly-rounded
+    //    IEEE on any engine (pow is NOT, so τ is fixed at 0.5), and the
+    //    weight normalizer is decimal-summed for order independence ─────────
+    Q(
+      "q_mixture_sample_rates",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val agg = d
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        val tot = agg.agg(sum(col("n_tokens")).cast("double").as("total_tokens"))
+        val sh = agg.crossJoin(broadcast(tot))
+          .withColumn("share", col("n_tokens").cast("double") / col("total_tokens"))
+          .withColumn("w", round(sqrt(col("share")), 10))
+        val wsum = sh.agg(
+          sum(col("w").cast(DecimalType(28, 10))).cast("double").as("w_sum"))
+        sh.crossJoin(broadcast(wsum))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 6).as("token_share"),
+            round(col("w") / col("w_sum"), 6).as("sample_p"))
+          .withColumn("epochs_10m",
+            round(lit(1.0e7) * col("sample_p") / col("n_tokens").cast("double"), 4))
+          .orderBy(col("source"))
+      },
+      Some("""WITH agg AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens FROM agg),
+        sh AS (SELECT source, n_docs, n_tokens,
+            CAST(n_tokens AS DOUBLE) / total_tokens AS share,
+            ROUND(SQRT(CAST(n_tokens AS DOUBLE) / total_tokens), 10) AS w
+          FROM agg CROSS JOIN tot),
+        ws AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS w_sum FROM sh)
+        SELECT source, n_docs, n_tokens,
+          ROUND(share, 6) AS token_share,
+          ROUND(w / w_sum, 6) AS sample_p,
+          ROUND(1e7 * ROUND(w / w_sum, 6) / n_tokens, 4) AS epochs_10m
+        FROM sh CROSS JOIN ws ORDER BY source""")),
+
+    // ── time-range rolling window: per-user 7-day rolling event count and
+    //    spend over DAILY pre-aggregates — the range frame runs on integer
+    //    epoch-days (identical frame semantics on any engine), and the
+    //    pre-aggregation keeps the window input small at scale ───────────────
+    Q(
+      "q_events_rolling_7d",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val daily = e
+          .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).as("dv"))
+          .withColumn("day_n",
+            datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+          .rangeBetween(-6, 0)
+        daily.select(col("user_id"), col("day"), col("n"),
+            sum(col("n")).over(w).as("n_7d"),
+            col("dv").cast("double").as("day_value"),
+            sum(col("dv")).over(w).cast("double").as("value_7d"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+            SUM(CAST(value AS DECIMAL(18,6))) AS dv
+          FROM events GROUP BY 1, 2),
+        d2 AS (SELECT *, DATEDIFF('day', DATE '1970-01-01', day) AS day_n FROM daily)
+        SELECT user_id, day, n,
+          CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+          CAST(dv AS DOUBLE) AS day_value,
+          CAST(SUM(dv) OVER w AS DOUBLE) AS value_7d
+        FROM d2
+        WINDOW w AS (PARTITION BY user_id ORDER BY day_n
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, day""")),
+
+    // ── per-source quality deciles: NTILE(10) partitioned by source (the
+    //    partition keeps the sort distributed — no global single-partition
+    //    window), total-ordered by (n_chars, doc_id) so bucket assignment
+    //    is engine-independent ──────────────────────────────────────────────
+    Q(
+      "q_quality_ntile",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        d.select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy(col("source"), col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("source"), col("decile"))
+      },
+      Some("""WITH ranked AS (SELECT source, doc_id, n_chars,
+            CAST(NTILE(10) OVER (PARTITION BY source
+              ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+          FROM documents)
+        SELECT source, decile, COUNT(*) AS n_docs,
+          MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM ranked GROUP BY 1, 2 ORDER BY source, decile""")),
+
+    // ── salted skew aggregation: two-stage groupBy — stage 1 fans the hot
+    //    key across 16 salt buckets (xxhash64 of the row id), stage 2
+    //    combines partials. The oracle is the PLAIN aggregate: salting must
+    //    be invisible in the result (decimal partials make it exact) ─────────
+    Q(
+      "q_skew_salted_agg",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val partials = e
+          .select(col("event_type"),
+            pmod(xxhash64(col("event_id")), lit(16)).as("salt"),
+            col("value").cast(DecimalType(18, 6)).as("v"))
+          .groupBy(col("event_type"), col("salt"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        partials.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("sv")).cast("double").as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1 ORDER BY event_type""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
