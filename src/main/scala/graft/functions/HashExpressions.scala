@@ -221,6 +221,110 @@ case class MinHashSigAgg(
     copy(child = c)
 }
 
+/** Misra–Gries (space-saving) heavy-hitters sketch over a string column:
+  * one bounded map of `capacity` counters per aggregation buffer. Any term
+  * with true frequency > N/(capacity+1) is GUARANTEED to survive (the
+  * classic MG bound), so downstream exact verification over the candidate
+  * set yields the exact heavy-hitter answer without a full-vocabulary
+  * aggregate — the sketch→verify pattern this repo uses for MinHash too.
+  *
+  * Merge follows the mergeable-summaries construction (Agarwal et al.,
+  * PODS'12): sum counters by key, then subtract the (capacity+1)-th
+  * largest counter from all and drop the non-positives. Partial (map-side)
+  * aggregation therefore stays correct under any partitioning.
+  *
+  * Counts in the sketch are LOWER BOUNDS, not exact frequencies — callers
+  * should treat the output as a candidate set.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
+    scala.collection.mutable.HashMap[String, Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(capacity > 0)
+
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  override def createAggregationBuffer(): Buf = scala.collection.mutable.HashMap.empty
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val term = v.asInstanceOf[UTF8String].toString
+      buf.get(term) match {
+        case Some(c) => buf.update(term, c + 1)
+        case None if buf.size < capacity => buf.update(term, 1L)
+        case None => // decrement-all step: every live counter pays one
+          val dead = List.newBuilder[String]
+          buf.mapValuesInPlace { (k, c) => if (c == 1) { dead += k; 0L } else c - 1 }
+          dead.result().foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest count from everyone
+      val cut = a.values.toArray.sortBy(-_).apply(capacity)
+      val dead = List.newBuilder[String]
+      a.mapValuesInPlace { (k, c) => if (c <= cut) { dead += k; 0L } else c - cut }
+      dead.result().foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val sorted = buf.toArray.sortBy { case (t, c) => (-c, t) }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sorted.map { case (t, c) =>
+      InternalRow(UTF8String.fromString(t), c)
+    })
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toArray
+    val byteArrs = entries.map { case (t, _) => t.getBytes("UTF-8") }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + byteArrs.map(_.length + 12).sum)
+    bb.putInt(entries.length)
+    entries.zip(byteArrs).foreach { case ((_, c), tb) =>
+      bb.putInt(tb.length); bb.put(tb); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf: Buf = scala.collection.mutable.HashMap.empty
+    var i = 0
+    while (i < n) {
+      val tb = new Array[Byte](bb.getInt)
+      bb.get(tb)
+      buf.update(new String(tb, "UTF-8"), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): MisraGriesAgg =
+    copy(child = c)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -245,6 +349,14 @@ object HashFunctions {
   def minhashSig(baseHash: Column, k: Int): Column =
     ColumnBridge.column(
       MinHashSigAgg(ColumnBridge.expression(baseHash), k).toAggregateExpression())
+
+  /** Misra–Gries heavy-hitters candidate sketch: array<struct<term,cnt>>
+    * of at most `capacity` candidates; every term with true frequency
+    * > N/(capacity+1) is guaranteed present. Counts are lower bounds —
+    * join back to exact counts for the final answer. */
+  def misraGries(term: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(term), capacity).toAggregateExpression())
 
   /** Hamming distance between two 64-bit signatures (composed built-ins —
     * stays inside codegen). */

@@ -497,6 +497,39 @@ object Extensions {
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1 ORDER BY event_type""")),
 
+    // ── heavy hitters: Misra–Gries candidate sketch (capacity 32, one
+    //    bounded buffer per partition, map-side mergeable) → exact count of
+    //    CANDIDATE terms only → threshold cnt·33 > N. The MG bound makes
+    //    the candidate set a guaranteed superset of every term with
+    //    freq > N/33, so the result equals the full-vocabulary aggregate
+    //    the oracle runs — without ever shuffling the full vocabulary ───────
+    Q(
+      "q_heavy_hitters",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        def toks = d.select(explode(split(lower(col("text")), " ")).as("term"))
+        val cands = toks
+          .agg(graft.functions.HashFunctions.misraGries(col("term"), 32).as("mg"))
+          .select(explode(col("mg")).as("c"))
+          .select(col("c.term").as("term"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        toks.join(broadcast(cands), Seq("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 33 > col("total"))
+          .select(col("term"), col("cnt"),
+            round(col("cnt").cast("double") / col("total").cast("double"), 6)
+              .as("share"))
+          .orderBy(desc("cnt"), col("term"))
+      },
+      Some("""WITH toks AS (SELECT UNNEST(string_split(lower(text), ' ')) AS term
+          FROM documents),
+        freq AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total FROM toks)
+        SELECT term, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
+        FROM freq CROSS JOIN tot WHERE cnt * 33 > total
+        ORDER BY cnt DESC, term""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",

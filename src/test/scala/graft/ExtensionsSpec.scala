@@ -527,6 +527,30 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries sketch is a guaranteed heavy-hitter superset under any partitioning") {
+    val d = Tables(spark, sf, "documents")
+    val toks = d.select(explode(split(lower(col("text")), " ")).as("term"))
+    val total = toks.count()
+    val cap = 32
+    val exactHH = toks.groupBy("term").count()
+      .filter(col("count") * (cap + 1) > total)
+      .as[(String, Long)].collect().toMap
+    assert(exactHH.nonEmpty, "fixture has no heavy hitters — threshold too high")
+    for (parts <- Seq(1, 7, 32)) {
+      val sketch = toks.repartition(parts)
+        .agg(graft.functions.HashFunctions.misraGries(col("term"), cap).as("mg"))
+        .select(explode(col("mg")).as("c"))
+        .select(col("c.term"), col("c.cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(sketch.size <= cap)
+      // MG bound: every true heavy hitter survives, with a lower-bound count
+      exactHH.foreach { case (term, cnt) =>
+        assert(sketch.contains(term), s"heavy hitter '$term' lost at parts=$parts")
+        assert(sketch(term) <= cnt, s"sketch count exceeds exact for '$term'")
+      }
+    }
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet

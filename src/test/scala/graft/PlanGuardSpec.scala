@@ -23,7 +23,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_boilerplate_ngrams" -> "corpus doc count is a ONE-ROW aggregate broadcast-crossed into the shingle-frequency table",
     "q_corpus_mixture" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the per-(source,lang) mixture table",
     "q_unigram_logprob" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the token-score table",
-    "q_mixture_sample_rates" -> "token total and weight normalizer are ONE-ROW aggregates broadcast-crossed into the tiny per-source table")
+    "q_mixture_sample_rates" -> "token total and weight normalizer are ONE-ROW aggregates broadcast-crossed into the tiny per-source table",
+    "q_heavy_hitters" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the <=32-row candidate-count table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
