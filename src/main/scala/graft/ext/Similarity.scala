@@ -26,6 +26,17 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
+  /** Shared ranking tail for every KNN kernel: per-`qid` row_number over
+    * (score DESC, `cid`), capped at k. The `cid` tie-break, the
+    * `.cast("long")` on rk, and the column order are oracle-parity-critical
+    * — keep exactly one copy. */
+  private def topKByScore(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(desc(scoreCol), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", scoreCol, "rk")
+  }
+
   /** Exact top-k cosine neighbors of each query vector over the corpus.
     * `queries` is expected to be small (broadcast side). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -35,10 +46,7 @@ object Similarity {
       .select(col("qid"), col("cid"),
         (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
           + lit(0.0)).as("cos")) // + 0.0 folds IEEE -0.0 to 0.0 (oracle parity)
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "cos", "rk")
+    topKByScore(scored, "cos", k)
   }
 
   /** Symmetric per-vector int8 quantization: scale = max |x_i|, each element
@@ -73,7 +81,9 @@ object Similarity {
     * shuffled. A zero vector scores 0 against everything. */
   def cosineTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def quantized(df: DataFrame, idAs: String, qAs: String) =
-      quantizeInt8(df, "vec_id", "embedding")
+      // empty vectors are excluded, matching the per-element-expansion oracle
+      // (UNNEST emits no rows for them, so they never reach nsq/dots there)
+      quantizeInt8(df.filter(size(col("embedding")) > 0), "vec_id", "embedding")
         .select(col("vec_id").as(idAs), col("q").as(qAs),
           expr("aggregate(q, 0L, (acc, v) -> acc + v * v)").as(s"${qAs}_nsq"))
     val c = quantized(corpus, "cid", "cq")
@@ -85,10 +95,7 @@ object Similarity {
           .otherwise(qdot.cast("double") /
             (sqrt(col("qq_nsq").cast("double")) * sqrt(col("cq_nsq").cast("double")))), 6)
           + lit(0.0)).as("cos_q")) // + 0.0 folds IEEE -0.0 (oracle parity)
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos_q"), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "cos_q", "rk")
+    topKByScore(scored, "cos_q", k)
   }
 
   /** Deterministic random-hyperplane signs for `planes` hyperplanes in
@@ -133,10 +140,7 @@ object Similarity {
     val scored = cands.select(col("qid"), col("cid"),
       (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
         + lit(0.0)).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "cos", "rk")
+    topKByScore(scored, "cos", k)
   }
 
   /** Per-label centroids: element-wise mean via posexplode + one shuffle on
@@ -221,9 +225,6 @@ object Similarity {
       .select(col("qid"), col("vec_id").as("cid"),
         (round(dot(col("qe"), col("embedding")) /
           (l2norm(col("qe")) * l2norm(col("embedding"))), 6) + lit(0.0)).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "cos", "rk")
+    topKByScore(scored, "cos", k)
   }
 }

@@ -221,7 +221,9 @@ case class MinHashSigAgg(
     copy(child = c)
 }
 
-/** Misra–Gries (space-saving) heavy-hitters sketch over a string column:
+/** Misra–Gries heavy-hitters sketch over a string column (NOT Space-Saving:
+  * MG decrements all counters and its counts are LOWER bounds; Space-Saving
+  * replaces the min counter and over-estimates — don't swap the semantics):
   * one bounded map of `capacity` counters per aggregation buffer. Any term
   * with true frequency > N/(capacity+1) is GUARANTEED to survive (the
   * classic MG bound), so downstream exact verification over the candidate

@@ -507,16 +507,20 @@ object Extensions {
       "q_heavy_hitters",
       (s, dir) => {
         val d = t(s, dir, "documents")
+        // threshold multiplier (cap+1) is tied to the sketch capacity: MG
+        // guarantees exactly the freq > N/(cap+1) superset — keep in sync
+        // with the literal 33 in the oracle SQL below
+        val cap = 32
         def toks = d.select(explode(split(lower(col("text")), " ")).as("term"))
         val cands = toks
-          .agg(graft.functions.HashFunctions.misraGries(col("term"), 32).as("mg"))
+          .agg(graft.functions.HashFunctions.misraGries(col("term"), cap).as("mg"))
           .select(explode(col("mg")).as("c"))
           .select(col("c.term").as("term"))
         val total = toks.agg(count(lit(1)).as("total"))
         toks.join(broadcast(cands), Seq("term"))
           .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
           .crossJoin(broadcast(total))
-          .filter(col("cnt") * 33 > col("total"))
+          .filter(col("cnt") * (cap + 1) > col("total"))
           .select(col("term"), col("cnt"),
             round(col("cnt").cast("double") / col("total").cast("double"), 6)
               .as("share"))
