@@ -20,6 +20,19 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write `df` as a hive-partitioned parquet directory tree
+    * (`.../col=value/part-*.parquet`). At 100 TB the partition columns are
+    * the coarse pruning axes a corpus is always filtered on (source, lang,
+    * snapshot date): a reader filtering on them touches only the matching
+    * directories — zero I/O for the rest, before any row-group statistics
+    * apply. Keep partition cardinality bounded (≤ thousands of directories);
+    * high-cardinality keys belong in bucketing, not partitioning. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Co-located equi-join of two same-bucketed tables. */
   def colocatedJoin(spark: org.apache.spark.sql.SparkSession,
       left: String, right: String, keys: Seq[String]): DataFrame =

@@ -29,6 +29,20 @@ class ScanPruningSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("partitioned write prunes non-matching directories at read time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = Tables(spark, sf, "documents")
+    graft.perf.Bucketing.writePartitioned(docs, dir, Seq("source", "lang"))
+    val read = spark.read.parquet(dir).filter(
+      org.apache.spark.sql.functions.col("source") === "web")
+    val plan = read.queryExecution.executedPlan.toString
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("source"), plan.take(2000))
+    // row parity with the unpartitioned filter
+    assert(read.count() == docs.filter(
+      org.apache.spark.sql.functions.col("source") === "web").count())
+  }
+
   test("every registry query prunes lineitem scans below the full schema") {
     // any query reading lineitem must not scan all 16 columns
     for (q <- Registry.all) {
