@@ -534,6 +534,43 @@ object Extensions {
         FROM freq CROSS JOIN tot WHERE cnt * 33 > total
         ORDER BY cnt DESC, term""")),
 
+    // ── winsorized mean: clamp each value into [P05, P95] then average —
+    //    the outlier-robust statistic pipelines use before z-scoring. Clamp
+    //    bounds are rounded to 6 dp on BOTH engines (removes interpolation
+    //    ulp risk), clamped values decimal-summed; NULL values are filtered
+    //    up front because LEAST/GREATEST null semantics differ by engine ────
+    Q(
+      "q_winsorized_mean",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+        val pct = e.groupBy(col("event_type"))
+          .agg(expr("percentile(value, array(0.05, 0.95))").as("p"))
+          .select(col("event_type"),
+            round(element_at(col("p"), 1), 6).as("p05"),
+            round(element_at(col("p"), 2), 6).as("p95"))
+        e.join(broadcast(pct), Seq("event_type"))
+          .select(col("event_type"),
+            least(greatest(col("value"), col("p05")), col("p95"))
+              .cast(DecimalType(18, 6)).as("wv"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("wv")).as("sw"))
+          .select(col("event_type"), col("n"),
+            round(col("sw").cast("double") / col("n").cast("double"), 6)
+              .as("winsorized_mean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        pct AS (SELECT event_type,
+            ROUND(quantile_cont(value, 0.05), 6) AS p05,
+            ROUND(quantile_cont(value, 0.95), 6) AS p95
+          FROM e GROUP BY 1),
+        w AS (SELECT e.event_type,
+            CAST(LEAST(GREATEST(e.value, p05), p95) AS DECIMAL(18,6)) AS wv
+          FROM e JOIN pct USING (event_type))
+        SELECT event_type, COUNT(*) AS n,
+          ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+        FROM w GROUP BY 1 ORDER BY event_type""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
