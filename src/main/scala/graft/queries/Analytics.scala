@@ -413,6 +413,54 @@ object Analytics {
         FROM orders GROUP BY ROLLUP(1, o_orderstatus)
         ORDER BY y NULLS FIRST, o_orderstatus NULLS FIRST""")),
 
+    // ── OLAP breadth: CUBE — all 2^k grouping combinations ───────────────
+    Q(
+      "q_cube",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(money(col("o_totalprice"))).cast("double").as("total"))
+          .orderBy(asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+
+    // ── UNPIVOT: wide period columns → long (stage, value) rows — the
+    //    inverse of the pivot-by-CASE operator, via Spark's stack() ─────────
+    Q(
+      "q_unpivot",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val one = lit(1).cast(DecimalType(18, 2))
+        val wide = l.groupBy(col("l_returnflag"))
+          .agg(sum(money(col("l_extendedprice"))).cast("double").as("gross"),
+            sum(money(col("l_extendedprice")) * (one - money(col("l_discount"))))
+              .cast("double").as("discounted"),
+            sum(money(col("l_extendedprice")) * (one - money(col("l_discount")))
+              * (one + money(col("l_tax")))).cast("double").as("charged"))
+        wide.select(col("l_returnflag"),
+            expr("""stack(3, 'gross', gross, 'discounted', discounted,
+              'charged', charged) AS (measure, amount)"""))
+          .orderBy(col("l_returnflag"), col("measure"))
+      },
+      Some("""WITH wide AS (SELECT l_returnflag,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS DOUBLE) AS discounted,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+              (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+              AS DOUBLE) AS charged
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, measure, amount
+        FROM wide UNPIVOT (amount FOR measure IN (gross, discounted, charged))
+        ORDER BY l_returnflag, measure""")),
+
     // ── OLAP breadth: GROUPING SETS through spark.sql ────────────────────
     Q(
       "q_grouping_sets",
