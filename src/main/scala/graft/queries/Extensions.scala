@@ -571,6 +571,67 @@ object Extensions {
           ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
         FROM w GROUP BY 1 ORDER BY event_type""")),
 
+    // ── k-anonymity small-cell suppression: aggregate cells with fewer
+    //    than k members are merged into one '__suppressed__' bucket — the
+    //    release-safe face of a grouped report (complements the plan-level
+    //    PiiGate, which forces aggregation in the first place) ───────────────
+    Q(
+      "q_kanon_suppress",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val k = 5
+        val cells = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+        cells
+          .select(
+            when(col("n") >= k, col("source")).otherwise(lit("__suppressed__"))
+              .as("source"),
+            when(col("n") >= k, col("lang")).otherwise(lit("__suppressed__"))
+              .as("lang"),
+            col("n"))
+          .groupBy(col("source"), col("lang"))
+          .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_cells"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH cells AS (SELECT source, lang, COUNT(*) AS n
+          FROM documents GROUP BY 1, 2),
+        relabeled AS (SELECT
+            CASE WHEN n >= 5 THEN source ELSE '__suppressed__' END AS source,
+            CASE WHEN n >= 5 THEN lang ELSE '__suppressed__' END AS lang, n
+          FROM cells)
+        SELECT source, lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+          COUNT(*) AS n_cells
+        FROM relabeled GROUP BY 1, 2 ORDER BY source, lang""")),
+
+    // ── referential-integrity audit: documents ↔ embeddings coverage via
+    //    two anti-joins and one semi-join, stacked as labeled counts — the
+    //    check a pipeline runs before joining text to vectors at scale ───────
+    Q(
+      "q_docs_integrity",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val e = t(s, dir, "embeddings").select(col("vec_id"))
+        val matched = d.join(e, col("doc_id") === col("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("matched").as("check_name"), col("n"))
+        val noVec = d.join(e, col("doc_id") === col("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("docs_without_vector").as("check_name"), col("n"))
+        val orphan = e.join(d, col("doc_id") === col("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("orphan_vectors").as("check_name"), col("n"))
+        matched.unionAll(noVec).unionAll(orphan).orderBy(col("check_name"))
+      },
+      Some("""SELECT 'matched' AS check_name, COUNT(*) AS n FROM documents d
+          WHERE EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        UNION ALL
+        SELECT 'docs_without_vector', COUNT(*) FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        UNION ALL
+        SELECT 'orphan_vectors', COUNT(*) FROM embeddings e
+          WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+        ORDER BY check_name""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
