@@ -1164,6 +1164,29 @@ object Extensions {
           ON p.user_id = v.user_id AND v.ts <= p.ts
         ORDER BY p.event_id""")),
 
+    // ── forward as-of join: each purchase attaches the user's EARLIEST
+    //    at-or-after view (the "next event after" lookup), mirrored
+    //    union+window construction — one shuffle on the key ─────────────────
+    Q(
+      "q_asof_forward",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+        graft.ext.AsOfJoin.asofJoinForward(purchases, views, Seq("user_id"),
+            "p_us", "v_us", Nil)
+          .select(col("event_id"), col("user_id"), col("p_us"),
+            col("asof_v_us").as("v_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts >= p.ts
+        ORDER BY p.event_id""")),
+
     // ── range join: views within the hour before each purchase
     //    (bucketized construction — no nested-loop cross product; the
     //    oracle is DuckDB's plain inequality join) ───────────────────────────
