@@ -56,4 +56,45 @@ object DocsStream {
   def ingest(docs: DataFrame, minTokens: Long = 5): DataFrame =
     dedupByContent(enrich(docs))
       .filter(col("n_tokens") >= minTokens)
+
+  /** Continuous growing-corpus ingest with near-dup screening: every
+    * micro-batch is (1) exact-deduplicated within itself (first doc_id per
+    * content hash wins), (2) anti-joined against the accepted corpus on
+    * content hash, (3) screened for near-duplicates against the corpus via
+    * MinHash-banded candidates + exact-Jaccard verification
+    * ([[graft.ext.Dedup.incrementalMinhashPairs]] — delta×corpus only,
+    * never corpus²), and survivors are appended to `corpusPath`.
+    *
+    * Near-identical documents arriving in the SAME batch both survive
+    * (batch-local near-dup resolution is a policy choice — compose
+    * `Dedup.minhashDedup` over the batch first if it matters). The
+    * checkpoint makes ingest exactly-once per input file across restarts;
+    * at scale the corpus side's signatures are precomputed and stored
+    * rather than derived per batch. */
+  def ingestNearDup(docs: DataFrame, corpusPath: String, checkpoint: String,
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = { (batch, _) =>
+      val spark = batch.sparkSession
+      val inBatch = graft.ext.Dedup.exact(enrich(batch), Seq("content_hash"), "doc_id")
+      val hasCorpus = new java.io.File(corpusPath).exists() // Hadoop FS at scale
+      val survivors =
+        if (!hasCorpus) inBatch
+        else {
+          val corpus = spark.read.parquet(corpusPath)
+          val afterExact =
+            graft.ext.Dedup.incrementalExact(inBatch, corpus, Seq("content_hash"))
+          val nearDup = graft.ext.Dedup
+            .incrementalMinhashPairs(afterExact, corpus, "doc_id", "text", threshold)
+            .select(col("delta_id")).distinct()
+          afterExact.join(nearDup,
+            afterExact("doc_id") === nearDup("delta_id"), "left_anti")
+        }
+      survivors.write.mode("append").parquet(corpusPath)
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(step)
+      .start()
+  }
 }

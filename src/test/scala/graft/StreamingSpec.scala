@@ -141,4 +141,45 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${out.count()} vs batch-distinct $expected (doubled input deduped)")
     assert(out.columns.contains("lang_id") && out.columns.contains("fingerprint"))
   }
+
+  test("continuous near-dup ingest grows the corpus without exact or near duplicates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val corpusPath = root.resolve("corpus").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    def stage(file: String, docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.parquet(root.resolve(s"tmp-$file").toString) // then move the part file in atomically
+        .ensuring { _ =>
+          val part = java.nio.file.Files.list(root.resolve(s"tmp-$file"))
+            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
+          java.nio.file.Files.move(part, inDir.resolve(s"$file.parquet")); true
+        }
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    stage("b1", Seq(1L -> base, 2L -> "completely different words about spark shuffles and joins here"))
+    def run(): Unit = {
+      val q = DocsStream.ingestNearDup(
+        DocsStream.read(spark, inDir.toString), corpusPath, ckpt, 0.6)
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(corpusPath).count() == 2)
+
+    stage("b2", Seq(
+      3L -> base,                                   // exact duplicate of doc 1
+      4L -> (base + " extra"),                      // near-dup of doc 1 (high shingle overlap)
+      5L -> "entirely novel content with nothing shared among previous documents at all"))
+    run()
+    val corpus = spark.read.parquet(corpusPath)
+    val ids = corpus.select("doc_id").as[Long].collect().sorted.toList
+    assert(ids == List(1L, 2L, 5L), s"corpus ids $ids — 3 (exact) and 4 (near-dup) must be dropped")
+    // the accepted corpus itself stays near-dup-free at the same threshold
+    val sh = graft.ext.Dedup.shingles(corpus, "doc_id", "text", 3)
+    assert(graft.ext.Dedup.jaccardPairs(sh, 0.6).count() == 0)
+  }
 }
