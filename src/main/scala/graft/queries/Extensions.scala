@@ -632,6 +632,48 @@ object Extensions {
           WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
         ORDER BY check_name""")),
 
+    // ── z-score outliers: per-type mean/stddev from exact decimal sums
+    //    (the q_agg_stddev formula), each value standardized against its
+    //    group, |z| > 3 kept — the anomaly screen run before training-data
+    //    aggregation. The quantized vq = double(decimal6(value)) makes the
+    //    numerator bit-identical on both engines ─────────────────────────────
+    Q(
+      "q_zscore_outliers",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+        def v6 = col("value").cast(DecimalType(18, 6))
+        val stats = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(v6).as("s1"),
+          sum((v6 * v6).cast(DecimalType(28, 12))).as("s2"))
+        val nd = col("n").cast("double")
+        val s1d = col("s1").cast("double")
+        val s2d = col("s2").cast("double")
+        val zs = (v6.cast("double") - s1d / col("n")) /
+          sqrt((s2d * col("n") - s1d * s1d) / (nd * (col("n") - 1)))
+        e.join(broadcast(stats), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("value"), zs.as("zs"))
+          .filter(abs(col("zs")) > 3)
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("zs"), 4).as("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, value,
+            CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS vq
+          FROM events WHERE value IS NOT NULL),
+        st AS (SELECT event_type, COUNT(*) AS n,
+            SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+            SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+              AS DECIMAL(28,12))) AS s2
+          FROM e GROUP BY 1),
+        z AS (SELECT e.event_id, e.event_type, e.value,
+            (e.vq - CAST(s1 AS DOUBLE) / n) /
+              SQRT((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1))) AS zs
+          FROM e JOIN st USING (event_type))
+        SELECT event_id, event_type, value, ROUND(zs, 4) AS z
+        FROM z WHERE ABS(zs) > 3 ORDER BY event_id""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
