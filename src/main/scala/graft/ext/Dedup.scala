@@ -333,13 +333,23 @@ object Dedup {
     * precomputed once and stored — here they are derived inline. */
   def incrementalMinhashPairs(delta: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      n: Int = 3, k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame = {
+      n: Int = 3, k: Int = 64, bands: Int = 16, rows: Int = 4): DataFrame =
+    incrementalMinhashPairsManaged(delta, corpus, idCol, textCol, threshold,
+      n, k, bands, rows)._1
+
+  /** [[incrementalMinhashPairs]] plus a cleanup thunk that unpersists the
+    * two internal shingle caches. REPEATED callers (a foreachBatch ingest
+    * loop) must invoke the cleanup after their terminal action, or every
+    * batch pins another corpus-sized cache until the session dies. */
+  def incrementalMinhashPairsManaged(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      rows: Int = 4): (DataFrame, () => Unit) = {
     // one cached shingle relation per side feeds BOTH the signature/banding
     // stage and the verification joins — shingling the corpus is the
     // expensive part of an ingest batch, and must run once, not twice.
-    // (The caches stay for the life of the returned plan, like
-    // minhashDedup's; a production ingest loop precomputes and stores the
-    // corpus signatures instead of deriving them per batch.)
+    // (A production ingest loop precomputes and stores the corpus
+    // signatures instead of deriving them per batch.)
     val shD = hashedShingles(delta, idCol, textCol, n).cache()
     val shC = hashedShingles(corpus, idCol, textCol, n).cache()
     def banded(sh: DataFrame) = {
@@ -355,7 +365,8 @@ object Dedup {
         .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
         Seq("band", "bucket"))
       .select("delta_id", "corpus_id").distinct()
-    jaccardVerify(cands, shD, shC, "delta_id", "corpus_id", threshold)
+    (jaccardVerify(cands, shD, shC, "delta_id", "corpus_id", threshold),
+      () => { shD.unpersist(); shC.unpersist(); () })
   }
 
   /** Train/eval contamination check: the fraction of each eval document's

@@ -555,8 +555,8 @@ object Extensions {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("wv")).as("sw"))
           .select(col("event_type"), col("n"),
-            round(col("sw").cast("double") / col("n").cast("double"), 6)
-              .as("winsorized_mean"))
+            (round(col("sw").cast("double") / col("n").cast("double"), 6)
+              + lit(0.0)).as("winsorized_mean")) // + 0.0 folds IEEE -0.0
           .orderBy(col("event_type"))
       },
       Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
@@ -568,7 +568,7 @@ object Extensions {
             CAST(LEAST(GREATEST(e.value, p05), p95) AS DECIMAL(18,6)) AS wv
           FROM e JOIN pct USING (event_type))
         SELECT event_type, COUNT(*) AS n,
-          ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+          ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) + 0 AS winsorized_mean
         FROM w GROUP BY 1 ORDER BY event_type""")),
 
     // ── k-anonymity small-cell suppression: aggregate cells with fewer
@@ -642,15 +642,20 @@ object Extensions {
       (s, dir) => {
         val e = t(s, dir, "events").filter(col("value").isNotNull)
         def v6 = col("value").cast(DecimalType(18, 6))
-        val stats = e.groupBy(col("event_type")).agg(
-          count(lit(1)).as("n"),
-          sum(v6).as("s1"),
-          sum((v6 * v6).cast(DecimalType(28, 12))).as("s2"))
         val nd = col("n").cast("double")
         val s1d = col("s1").cast("double")
         val s2d = col("s2").cast("double")
-        val zs = (v6.cast("double") - s1d / col("n")) /
-          sqrt((s2d * col("n") - s1d * s1d) / (nd * (col("n") - 1)))
+        // vr > 0 guard: a constant group has zero variance (division would
+        // make every row ±Inf), and fp cancellation can drive the numerator
+        // a hair negative (Spark sqrt→NaN but DuckDB sqrt→error) — identical
+        // filter on both engines keeps them aligned
+        val stats = e.groupBy(col("event_type")).agg(
+            count(lit(1)).as("n"),
+            sum(v6).as("s1"),
+            sum((v6 * v6).cast(DecimalType(28, 12))).as("s2"))
+          .withColumn("vr", (s2d * col("n") - s1d * s1d) / (nd * (col("n") - 1)))
+          .filter(col("vr") > 0)
+        val zs = (v6.cast("double") - s1d / col("n")) / sqrt(col("vr"))
         e.join(broadcast(stats), Seq("event_type"))
           .select(col("event_id"), col("event_type"), col("value"), zs.as("zs"))
           .filter(abs(col("zs")) > 3)
@@ -661,15 +666,18 @@ object Extensions {
       Some("""WITH e AS (SELECT event_id, event_type, value,
             CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS vq
           FROM events WHERE value IS NOT NULL),
-        st AS (SELECT event_type, COUNT(*) AS n,
+        st0 AS (SELECT event_type, COUNT(*) AS n,
             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
             SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
               AS DECIMAL(28,12))) AS s2
           FROM e GROUP BY 1),
+        st AS (SELECT *,
+            (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (n - 1)) AS vr
+          FROM st0 WHERE (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * (n - 1)) > 0),
         z AS (SELECT e.event_id, e.event_type, e.value,
-            (e.vq - CAST(s1 AS DOUBLE) / n) /
-              SQRT((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                / (CAST(n AS DOUBLE) * (n - 1))) AS zs
+            (e.vq - CAST(s1 AS DOUBLE) / n) / SQRT(vr) AS zs
           FROM e JOIN st USING (event_type))
         SELECT event_id, event_type, value, ROUND(zs, 4) AS z
         FROM z WHERE ABS(zs) > 3 ORDER BY event_id""")),

@@ -76,20 +76,26 @@ object DocsStream {
     val step: (DataFrame, Long) => Unit = { (batch, _) =>
       val spark = batch.sparkSession
       val inBatch = graft.ext.Dedup.exact(enrich(batch), Seq("content_hash"), "doc_id")
-      val hasCorpus = new java.io.File(corpusPath).exists() // Hadoop FS at scale
-      val survivors =
-        if (!hasCorpus) inBatch
+      // a previous empty append leaves a directory with no part files, which
+      // spark.read.parquet cannot infer a schema from — require actual data
+      // files, not just the directory (Hadoop FS listing at scale)
+      val corpusFiles = Option(new java.io.File(corpusPath).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      val hasCorpus = corpusFiles.exists(_.getName.endsWith(".parquet"))
+      val (survivors, cleanup) =
+        if (!hasCorpus) (inBatch, () => ())
         else {
           val corpus = spark.read.parquet(corpusPath)
           val afterExact =
             graft.ext.Dedup.incrementalExact(inBatch, corpus, Seq("content_hash"))
-          val nearDup = graft.ext.Dedup
-            .incrementalMinhashPairs(afterExact, corpus, "doc_id", "text", threshold)
-            .select(col("delta_id")).distinct()
-          afterExact.join(nearDup,
-            afterExact("doc_id") === nearDup("delta_id"), "left_anti")
+          val (pairs, release) = graft.ext.Dedup.incrementalMinhashPairsManaged(
+            afterExact, corpus, "doc_id", "text", threshold)
+          val nearDup = pairs.select(col("delta_id")).distinct()
+          (afterExact.join(nearDup,
+            afterExact("doc_id") === nearDup("delta_id"), "left_anti"), release)
         }
-      survivors.write.mode("append").parquet(corpusPath)
+      try survivors.write.mode("append").parquet(corpusPath)
+      finally cleanup()
     }
     docs.writeStream
       .option("checkpointLocation", checkpoint)

@@ -122,6 +122,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!out.contains(3L)) // user 20's only view is after the purchase
   }
 
+  test("forward asof join picks earliest at-or-after; tied timestamps resolve deterministically") {
+    val purchases = Seq((1L, 10L, 100L), (2L, 10L, 130L), (3L, 20L, 50L))
+      .toDF("event_id", "user_id", "p_us")
+    val views = Seq((10L, 90L), (10L, 100L), (10L, 120L), (20L, 40L))
+      .toDF("user_id", "v_us")
+    val out = graft.ext.AsOfJoin
+      .asofJoinForward(purchases, views, Seq("user_id"), "p_us", "v_us", Nil)
+      .select("event_id", "asof_v_us").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 100L) // >= semantics: equal timestamp matches
+    assert(!out.contains(2L)) // no view at or after 130 → dropped (inner)
+    assert(!out.contains(3L)) // user 20's only view precedes the purchase
+    // duplicate right timestamps with DIFFERENT payloads: the payload struct
+    // is the final sort key, so both directions pick deterministically —
+    // forward the smallest payload, backward the largest
+    val dupViews = Seq((10L, 100L, "b"), (10L, 100L, "a"), (10L, 100L, "c"))
+      .toDF("user_id", "v_us", "tag")
+    val fwd = graft.ext.AsOfJoin.asofJoinForward(
+        purchases.filter(col("event_id") === 1), dupViews,
+        Seq("user_id"), "p_us", "v_us", Seq("tag"))
+      .select("asof_tag").as[String].collect().toList
+    assert(fwd == List("a"))
+    val bwd = graft.ext.AsOfJoin.asofJoin(
+        purchases.filter(col("event_id") === 1), dupViews,
+        Seq("user_id"), "p_us", "v_us", Seq("tag"))
+      .select("asof_tag").as[String].collect().toList
+    assert(bwd == List("c"))
+  }
+
   test("hll approx distinct stays within the configured error bound") {
     val r = graft.queries.Registry.byName("q_approx_distinct")
       .build(spark, sf).as[(String, Long, Long)].collect()

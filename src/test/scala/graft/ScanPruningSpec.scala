@@ -36,8 +36,11 @@ class ScanPruningSpec extends AnyFunSuite {
     val read = spark.read.parquet(dir).filter(
       org.apache.spark.sql.functions.col("source") === "web")
     val plan = read.queryExecution.executedPlan.toString
-    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(partLine.contains("source"), plan.take(2000))
+    // assert inside the PartitionFilters bracket specifically — 'source'
+    // appearing only in DataFilters on the same line would mean pruning is
+    // NOT happening
+    assert("PartitionFilters: \\[[^\\]]*source".r.findFirstIn(plan).isDefined,
+      plan.linesIterator.filter(_.contains("Filters")).mkString("\n"))
     // row parity with the unpartitioned filter
     assert(read.count() == docs.filter(
       org.apache.spark.sql.functions.col("source") === "web").count())

@@ -149,16 +149,19 @@ class StreamingSpec extends AnyFunSuite {
     val corpusPath = root.resolve("corpus").toString
     val ckpt = root.resolve("ckpt").toString
 
-    def stage(file: String, docs: Seq[(Long, String)]): Unit =
+    def stage(file: String, docs: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(s"tmp-$file")
       docs.toDF("doc_id", "text")
         .withColumn("lang", lit("en")).withColumn("source", lit("t"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-        .coalesce(1).write.parquet(root.resolve(s"tmp-$file").toString) // then move the part file in atomically
-        .ensuring { _ =>
-          val part = java.nio.file.Files.list(root.resolve(s"tmp-$file"))
-            .filter(p => p.toString.endsWith(".parquet")).findFirst.get
-          java.nio.file.Files.move(part, inDir.resolve(s"$file.parquet")); true
-        }
+        .coalesce(1).write.parquet(tmp.toString)
+      // move the single part file into the watched dir atomically
+      val listing = java.nio.file.Files.list(tmp)
+      try {
+        val part = listing.filter(p => p.toString.endsWith(".parquet")).findFirst.get
+        java.nio.file.Files.move(part, inDir.resolve(s"$file.parquet"))
+      } finally listing.close()
+    }
 
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     stage("b1", Seq(1L -> base, 2L -> "completely different words about spark shuffles and joins here"))
