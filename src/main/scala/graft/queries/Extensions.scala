@@ -682,6 +682,34 @@ object Extensions {
         SELECT event_id, event_type, value, ROUND(zs, 4) AS z
         FROM z WHERE ABS(zs) > 3 ORDER BY event_id""")),
 
+    // ── token-length histogram in power-of-two buckets: the corpus shape
+    //    report behind sequence-packing/batching decisions. Integer log2 is
+    //    computed as length(bin(n)) - 1 — exact and identical on both
+    //    engines, no floating log ─────────────────────────────────────────────
+    Q(
+      "q_length_histogram",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .filter(col("n_toks") > 0)
+          .withColumn("bucket", (length(bin(col("n_toks"))) - 1).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_toks")).as("min_toks"), max(col("n_toks")).as("max_toks"),
+            sum(col("n_toks")).as("total_toks"))
+          .withColumn("bucket_lo",
+            expr("cast(shiftleft(1L, cast(bucket as int)) as bigint)"))
+          .select("bucket", "bucket_lo", "n_docs", "min_toks", "max_toks", "total_toks")
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents WHERE len(string_split(text, ' ')) > 0),
+        b AS (SELECT n_toks, CAST(LENGTH(BIN(n_toks)) - 1 AS BIGINT) AS bucket FROM n)
+        SELECT bucket, CAST(1 << bucket AS BIGINT) AS bucket_lo,
+          COUNT(*) AS n_docs, MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks,
+          CAST(SUM(n_toks) AS BIGINT) AS total_toks
+        FROM b GROUP BY 1 ORDER BY bucket""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
