@@ -710,6 +710,31 @@ object Extensions {
           CAST(SUM(n_toks) AS BIGINT) AS total_toks
         FROM b GROUP BY 1 ORDER BY bucket""")),
 
+    // ── top adjacent token pairs: the highest-frequency merge candidates —
+    //    literally the first iteration of a BPE merge loop, run corpus-wide.
+    //    One shuffle on the pair key, then TakeOrderedAndProject (global
+    //    top-k without a global sort) ───────────────────────────────────────
+    Q(
+      "q_top_bigrams",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(split(lower(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+            .as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("pair"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+        pairs AS (SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1])) AS pair FROM toks)
+        SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1
+        ORDER BY cnt DESC, pair LIMIT 20""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
