@@ -50,6 +50,34 @@ object CorpusPipeline {
     graft.functions.HashFunctions.mulShiftBucket(
       id.bitwiseXOR(lit(ShuffleSalt)), BucketMult, 33, Int.MaxValue)
 
+  /** Running total of `value` (a long column) over the global (keys) order
+    * WITHOUT a single-partition window: range-repartition on the keys, run
+    * the sum within each partition, and add broadcast per-partition offsets
+    * — the only global step is a window over the ≤`partitions`-row offsets
+    * table. Range partitioning guarantees every row in partition i orders
+    * before every row in partition i+1, so the result is exactly
+    * `sum(value) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)` while each
+    * executor only ever sorts its own range — the shape that survives
+    * 100 TB. Keys must be a total order (include a unique tiebreak). */
+  def globalRunningSum(df: DataFrame, value: org.apache.spark.sql.Column,
+      keys: Seq[org.apache.spark.sql.Column], outCol: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.withColumn("__v", value)
+      .repartitionByRange(partitions, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__pt"))
+      .select(col("__pid"),
+        coalesce(sum(col("__pt")).over(wOff), lit(0L)).as("__offset"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    parted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__offset") + sum(col("__v")).over(wIn))
+      .drop("__pid", "__v")
+  }
+
   /** Pack documents into fixed token-budget training sequences: documents
     * stream in deterministic shuffle order and each is assigned to the
     * sequence its cumulative token offset falls in (concat-stream packing —
@@ -59,18 +87,15 @@ object CorpusPipeline {
     * seq_id is the budget window containing the document's START offset —
     * a document longer than the budget spans into following windows, so
     * consecutive emitted seq_ids may skip (those windows hold only the
-    * middle of the long document). The running sum is a single global
-    * range-sort here; at scale assign per-partition offsets instead
-    * (sortWithinPartitions + cumulative partition sizes) — seq_id
-    * arithmetic is unchanged. */
+    * middle of the long document). The running token offset comes from
+    * [[globalRunningSum]] — range-partitioned, never a single-partition
+    * window. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(shuffleKey(col(idCol)), col(idCol))
-    docs
-      .withColumn("n_tokens",
-        size(split(col(textCol), " ")).cast("long"))
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+    val withTok = docs.withColumn("n_tokens",
+      size(split(col(textCol), " ")).cast("long"))
+    globalRunningSum(withTok, col("n_tokens"),
+        Seq(shuffleKey(col(idCol)), col(idCol)), "__cum")
       .withColumn("seq_id",
         expr(s"(__cum - n_tokens) div $budgetTokens"))
       .drop("__cum")

@@ -1050,10 +1050,11 @@ object Extensions {
       (s, dir) => {
         val d = t(s, dir, "documents")
         val key = graft.ext.CorpusPipeline.shuffleKey(col("doc_id"))
-        d.select(col("doc_id"), key.as("shuffle_key"))
-          .withColumn("position",
-            row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id")))
-              .cast("long"))
+        // position = running count over the shuffle order, computed with the
+        // range-partitioned running sum (no single-partition window)
+        graft.ext.CorpusPipeline.globalRunningSum(
+            d.select(col("doc_id"), key.as("shuffle_key")), lit(1L),
+            Seq(col("shuffle_key"), col("doc_id")), "position")
           .select(col("position"), col("doc_id"))
           .orderBy(col("position"))
       },
