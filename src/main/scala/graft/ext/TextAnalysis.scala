@@ -152,12 +152,15 @@ object TextAnalysis {
     val cum = ord.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
-    terms.crossJoin(broadcast(total))
+    // cum_frac only needs the ordered TOP-K prefix, so truncate FIRST with
+    // a distributed top-k (TakeOrderedAndProject) — the global window then
+    // runs over at most topK rows by construction, never the full vocabulary
+    terms.orderBy(desc("tf"), col("term")).limit(topK)
+      .crossJoin(broadcast(total))
       .withColumn("rk", row_number().over(ord).cast("long"))
       .withColumn("cum_frac", round(
         sum(col("tf")).over(cum).cast("double") /
           col("total_tokens").cast("double"), 6))
-      .filter(col("rk") <= topK)
       .select(col("rk"), col("term"), col("tf"), col("df"), col("cum_frac"))
   }
 
