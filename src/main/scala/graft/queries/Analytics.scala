@@ -297,6 +297,8 @@ object Analytics {
         val l = t(s, dir, "lineitem")
         val monthly = l.groupBy(trunc(to_date(col("l_shipdate")), "MM").as("ship_month"))
           .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
+        // global window is safe here: input is the month-grain AGGREGATE
+        // (bounded by calendar months in the corpus, not by corpus size)
         val w = Window.orderBy(col("ship_month"))
         monthly.select(col("ship_month"),
             col("rev_dec").cast("double").as("revenue"),
