@@ -735,6 +735,37 @@ object Extensions {
         SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1
         ORDER BY cnt DESC, pair LIMIT 20""")),
 
+    // ── character-entropy quality score: Shannon entropy of each doc's
+    //    char distribution (low entropy = repetitive/degenerate text) —
+    //    computed entirely with array lambdas per doc: NO explode, NO
+    //    (doc, char) shuffle, pure narrow map. Per-char terms are scaled to
+    //    integers before the array sum so summation order cannot matter ─────
+    Q(
+      "q_text_entropy",
+      (s, dir) => {
+        val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+        d.select(col("doc_id"), expr("split(text, '')").as("ch"))
+          .withColumn("n", size(col("ch")).cast("double"))
+          .withColumn("terms", expr(
+            """transform(array_distinct(ch),
+              c2 -> cast(round(-(size(filter(ch, x -> x = c2)) / n) *
+                ln(size(filter(ch, x -> x = c2)) / n) * 1e10) as bigint))"""))
+          .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+            round(expr("aggregate(terms, 0L, (a, t) -> a + t)").cast("double")
+              / lit(1e10), 6).as("entropy_nats"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id, string_split(text, '') AS ch,
+            CAST(len(string_split(text, '')) AS DOUBLE) AS n
+          FROM documents WHERE len(text) > 0),
+        t AS (SELECT doc_id, n, list_transform(list_distinct(ch),
+            c2 -> CAST(ROUND(-(len(list_filter(ch, x -> x = c2)) / n) *
+              LN(len(list_filter(ch, x -> x = c2)) / n) * 1e10) AS BIGINT)) AS terms
+          FROM c)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+          ROUND(CAST(list_sum(terms) AS DOUBLE) / 1e10, 6) AS entropy_nats
+        FROM t ORDER BY doc_id""")),
+
     // ── language ID via stopword-hit scoring (n-gram heuristic) ──────────
     Q(
       "q_text_langid",
