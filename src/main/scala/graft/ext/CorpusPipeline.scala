@@ -50,32 +50,47 @@ object CorpusPipeline {
     graft.functions.HashFunctions.mulShiftBucket(
       id.bitwiseXOR(lit(ShuffleSalt)), BucketMult, 33, Int.MaxValue)
 
-  /** Running total of `value` (a long column) over the global (keys) order
-    * WITHOUT a single-partition window: range-repartition on the keys, run
-    * the sum within each partition, and add broadcast per-partition offsets
-    * — the only global step is a window over the ≤`partitions`-row offsets
-    * table. Range partitioning guarantees every row in partition i orders
-    * before every row in partition i+1, so the result is exactly
-    * `sum(value) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)` while each
-    * executor only ever sorts its own range — the shape that survives
-    * 100 TB. Keys must be a total order (include a unique tiebreak). */
+  /** Running total of `value` (a long column) over the global
+    * (bucketKey, tiebreaks) order WITHOUT a single-partition window.
+    *
+    * The partition id is a DETERMINISTIC equi-width bucket of `bucketKey`
+    * (`key div ceil(keySpace/partitions)`), NOT `repartitionByRange`:
+    * RangePartitioner samples boundaries with a seed derived from the RDD
+    * id, so the offsets branch and the data branch — two physical plans —
+    * can sample DIFFERENT boundaries once partitions exceed the reservoir
+    * (column pruning defeats exchange reuse), silently corrupting every
+    * offset. A pure function of the key cannot diverge between branches,
+    * at any scale. `bucketKey` must be in [0, keySpace) and near-uniform
+    * ([[shuffleKey]] is, by construction) for even partition load.
+    *
+    * Shuffle shape: the data moves ONCE (hash on the bucket id; the
+    * within-bucket window reuses that clustering), plus a tiny partial-agg
+    * pass for the ≤`partitions`-row offsets table, which is broadcast
+    * back. Buckets are contiguous key ranges, so the result is exactly
+    * `sum(value) OVER (ORDER BY bucketKey, tiebreaks ROWS UNBOUNDED
+    * PRECEDING)` — verified against the single-window form above the
+    * reservoir regime in ExtensionsSpec. */
   def globalRunningSum(df: DataFrame, value: org.apache.spark.sql.Column,
-      keys: Seq[org.apache.spark.sql.Column], outCol: String,
+      bucketKey: org.apache.spark.sql.Column, keySpace: Long,
+      tiebreaks: Seq[org.apache.spark.sql.Column], outCol: String,
       partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val parted = df.withColumn("__v", value)
-      .repartitionByRange(partitions, keys: _*)
-      .withColumn("__pid", spark_partition_id())
+    val width = (keySpace + partitions - 1) / partitions
+    val withPid = df.withColumn("__v", value)
+      .withColumn("__key", bucketKey)
+      .withColumn("__pid", expr(s"__key div ${width}L"))
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy(col("__pid"))
+    val offsets = withPid.groupBy(col("__pid"))
       .agg(sum(col("__v")).as("__pt"))
       .select(col("__pid"),
         coalesce(sum(col("__pt")).over(wOff), lit(0L)).as("__offset"))
-    val wIn = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-    parted.join(broadcast(offsets), Seq("__pid"))
+    val wIn = Window.partitionBy(col("__pid"))
+      .orderBy(col("__key") +: tiebreaks: _*)
+    withPid.repartition(partitions, col("__pid"))
+      .join(broadcast(offsets), Seq("__pid"))
       .withColumn(outCol, col("__offset") + sum(col("__v")).over(wIn))
-      .drop("__pid", "__v")
+      .drop("__pid", "__key", "__v")
   }
 
   /** Pack documents into fixed token-budget training sequences: documents
@@ -95,7 +110,7 @@ object CorpusPipeline {
     val withTok = docs.withColumn("n_tokens",
       size(split(col(textCol), " ")).cast("long"))
     globalRunningSum(withTok, col("n_tokens"),
-        Seq(shuffleKey(col(idCol)), col(idCol)), "__cum")
+        shuffleKey(col(idCol)), Int.MaxValue, Seq(col(idCol)), "__cum")
       .withColumn("seq_id",
         expr(s"(__cum - n_tokens) div $budgetTokens"))
       .drop("__cum")

@@ -133,11 +133,11 @@ object TextAnalysis {
     * document frequency and cumulative token-coverage fraction — the
     * term-statistics pass a tokenizer build (BPE seed vocab, stopword list,
     * coverage target) starts from. Two shuffles: per-(doc, term) counts with
-    * map-side partial aggregation, then per-term totals. The rank/coverage
-    * window is global but runs AFTER aggregation, over one row per distinct
-    * term — vocabulary size, not corpus size (a few million rows at 100 TB,
-    * one partition is fine). Corpus token total rides in-plan as a one-row
-    * broadcast aggregate. Returns (rk, term, tf, df, cum_frac). */
+    * map-side partial aggregation, then per-term totals. The top-K prefix
+    * is taken FIRST with a distributed top-k (TakeOrderedAndProject), so
+    * the rank/coverage window runs over at most topK rows by construction
+    * — never the full vocabulary. Corpus token total rides in-plan as a
+    * one-row broadcast aggregate. Returns (rk, term, tf, df, cum_frac). */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val perDoc = docs

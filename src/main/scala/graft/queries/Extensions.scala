@@ -746,10 +746,12 @@ object Extensions {
         val d = t(s, dir, "documents").filter(length(col("text")) > 0)
         d.select(col("doc_id"), expr("split(text, '')").as("ch"))
           .withColumn("n", size(col("ch")).cast("double"))
+          // counts first, then the entropy term — ONE filter scan per
+          // distinct char, not two
           .withColumn("terms", expr(
-            """transform(array_distinct(ch),
-              c2 -> cast(round(-(size(filter(ch, x -> x = c2)) / n) *
-                ln(size(filter(ch, x -> x = c2)) / n) * 1e10) as bigint))"""))
+            """transform(
+              transform(array_distinct(ch), c2 -> size(filter(ch, x -> x = c2))),
+              c -> cast(round(-(c / n) * ln(c / n) * 1e10) as bigint))"""))
           .select(col("doc_id"), col("n").cast("long").as("n_chars"),
             round(expr("aggregate(terms, 0L, (a, t) -> a + t)").cast("double")
               / lit(1e10), 6).as("entropy_nats"))
@@ -758,9 +760,9 @@ object Extensions {
       Some("""WITH c AS (SELECT doc_id, string_split(text, '') AS ch,
             CAST(len(string_split(text, '')) AS DOUBLE) AS n
           FROM documents WHERE len(text) > 0),
-        t AS (SELECT doc_id, n, list_transform(list_distinct(ch),
-            c2 -> CAST(ROUND(-(len(list_filter(ch, x -> x = c2)) / n) *
-              LN(len(list_filter(ch, x -> x = c2)) / n) * 1e10) AS BIGINT)) AS terms
+        t AS (SELECT doc_id, n, list_transform(
+            list_transform(list_distinct(ch), c2 -> len(list_filter(ch, x -> x = c2))),
+            c -> CAST(ROUND(-(c / n) * LN(c / n) * 1e10) AS BIGINT)) AS terms
           FROM c)
         SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
           ROUND(CAST(list_sum(terms) AS DOUBLE) / 1e10, 6) AS entropy_nats
@@ -1085,7 +1087,7 @@ object Extensions {
         // range-partitioned running sum (no single-partition window)
         graft.ext.CorpusPipeline.globalRunningSum(
             d.select(col("doc_id"), key.as("shuffle_key")), lit(1L),
-            Seq(col("shuffle_key"), col("doc_id")), "position")
+            col("shuffle_key"), Int.MaxValue, Seq(col("doc_id")), "position")
           .select(col("position"), col("doc_id"))
           .orderBy(col("position"))
       },

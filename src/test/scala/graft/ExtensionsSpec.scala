@@ -579,6 +579,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("globalRunningSum matches the single-window form above the sampling-reservoir regime") {
+    // 200k rows: far beyond RangePartitioner's reservoir, the regime where
+    // the old range-sampled implementation silently diverged between its
+    // two plan branches. Deterministic bucketing must match exactly.
+    val df = spark.range(200000L).toDF("doc_id")
+      .withColumn("w", (pmod(col("doc_id") * 2654435761L, lit(97)) + 1).cast("long"))
+    val key = graft.ext.CorpusPipeline.shuffleKey(col("doc_id"))
+    val got = graft.ext.CorpusPipeline.globalRunningSum(
+        df.withColumn("k", key), col("w"), col("k"), Int.MaxValue,
+        Seq(col("doc_id")), "cum")
+      .select(col("doc_id"), col("cum"))
+    val wRef = org.apache.spark.sql.expressions.Window
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = df.withColumn("k", key)
+      .withColumn("cum", sum(col("w")).over(wRef))
+      .select(col("doc_id"), col("cum").as("cum_ref"))
+    val wrong = got.join(ref, "doc_id")
+      .filter(col("cum") =!= col("cum_ref")).count()
+    assert(wrong == 0, s"$wrong of 200000 rows diverge from the single-window reference")
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
