@@ -11,15 +11,28 @@ object PlanDigest {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = Registry.all.filter(_.bench).map(_.name)
     for (name <- names) {
-      val plan = Registry.byName(name).build(spark, sf)
-        .queryExecution.executedPlan.toString
+      val df = Registry.byName(name).build(spark, sf)
+      // AQE only finalizes query stages (and their codegen markers) during
+      // execution — run through the no-op sink first, then read the plan
+      // execute THIS df's own QueryExecution (df.write would plan a separate
+      // one, leaving these AQE stages unfinalized)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString // unwrap: the AQE wrapper's toString hides *(n) markers
+        case p => p.toString
+      }
       def n(p: String) = p.r.findAllIn(plan).size
       val shuffles = n("Exchange hashpartitioning") + n("Exchange rangepartitioning") +
         n("Exchange SinglePartition")
+      // codegen spans render as "*(n)" stage prefixes in the compact tree
+      // (not literal WholeStageCodegen nodes) — count distinct stage ids
+      val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       val digest = Seq(
         "shuffles" -> shuffles,
         "broadcasts" -> n("BroadcastExchange"),
-        "codegen_spans" -> n("WholeStageCodegen"),
+        "codegen_spans" -> codegenSpans,
         "sorts" -> n("\\bSort\\b"),
         "bnlj" -> n("BroadcastNestedLoop"),
         "cartesian" -> n("CartesianProduct"))
