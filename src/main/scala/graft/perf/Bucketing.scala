@@ -33,6 +33,25 @@ object Bucketing {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Idempotent partitioned write: DYNAMIC partition overwrite replaces
+    * only the partitions present in `df`, leaving the rest of the tree
+    * untouched — re-running a failed or duplicated batch converges to the
+    * same state instead of appending twice (the exactly-once story for
+    * batch corpus refreshes; streaming ingest gets it from checkpoints).
+    * The conf is set per-write and restored afterwards. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Co-located equi-join of two same-bucketed tables. */
   def colocatedJoin(spark: org.apache.spark.sql.SparkSession,
       left: String, right: String, keys: Seq[String]): DataFrame =

@@ -46,6 +46,24 @@ class ScanPruningSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("source") === "web").count())
   }
 
+  test("dynamic partition overwrite is idempotent and only touches written partitions") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynpart").toString
+    val docs = Tables(spark, sf, "documents")
+    graft.perf.Bucketing.overwritePartitions(docs, dir, Seq("source"))
+    val n1 = spark.read.parquet(dir).count()
+    // re-running the SAME batch must converge, not append
+    graft.perf.Bucketing.overwritePartitions(docs, dir, Seq("source"))
+    assert(spark.read.parquet(dir).count() == n1)
+    // rewriting ONE partition leaves the others untouched
+    val one = docs.filter(col("source") === "web").limit(5)
+    graft.perf.Bucketing.overwritePartitions(one, dir, Seq("source"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("source") === "web").count() == one.count())
+    assert(after.filter(col("source") =!= "web").count() ==
+      docs.filter(col("source") =!= "web").count())
+  }
+
   test("every registry query prunes lineitem scans below the full schema") {
     // any query reading lineitem must not scan all 16 columns
     for (q <- Registry.all) {
