@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream analytics beyond the reference surface (round 4): the
+  * queries a training-data/telemetry pipeline runs against an append-only
+  * event log — latest-state extraction, cohort retention, activity streaks,
+  * semi-structured JSON properties, exact correlation. All are single-pass
+  * DataFrame plans: aggregations pre-shrink inputs before any join or
+  * window, so each op is one or two key-shuffles regardless of corpus size.
+  */
+object EventsAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Total-order key for "latest event wins": zero-padded fixed-width
+    * (epoch_us, event_id) string — lexicographic == numeric, and both
+    * engines' max_by/arg_max accept a string ordering key (neither accepts
+    * a struct). event_id breaks duplicate-timestamp ties deterministically.
+    */
+  private def touchKey(us: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lpad(us.cast("string"), 20, "0"), lpad(id.cast("string"), 12, "0"))
+
+  val queries: Seq[Q] = Seq(
+    // ── latest-state extraction: one row per user with the last event's
+    //    attributes via max_by (single partial-aggregable pass — no sort,
+    //    no window; the 100 TB shape for "current state from a log") ──────
+    Q(
+      "q_events_last_touch",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("us"))
+        val key = touchKey(col("us"), col("event_id"))
+        e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("first_us"),
+            max(col("us")).as("last_us"),
+            max_by(col("event_type"), key).as("last_type"),
+            max_by(col("value"), key).as("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us,
+            concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                   lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_events,
+          MIN(us) AS first_us, MAX(us) AS last_us,
+          arg_max(event_type, k) AS last_type,
+          arg_max(value, k) AS last_value
+        FROM ev GROUP BY user_id ORDER BY user_id""")),
+
+    // ── weekly cohort retention: users bucketed by first-active week; for
+    //    each (cohort, week offset) the share still active. Input shrinks to
+    //    distinct (user, week) BEFORE the self-join, so the join is over
+    //    user-weeks, not raw events ────────────────────────────────────────
+    Q(
+      "q_events_retention",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val userWeeks = e.select(col("user_id"),
+            expr("datediff(cast(ts as date), date '1970-01-01') div 7").as("wk"))
+          .distinct()
+        val cohorts = userWeeks.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        val joined = userWeeks.join(cohorts, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+          .agg(count(lit(1)).as("n_users"))
+        val wSize = Window.partitionBy(col("cohort_wk"))
+        joined
+          .withColumn("cohort_size",
+            max(when(col("wk_offset") === 0L, col("n_users"))).over(wSize))
+          .select(col("cohort_wk"), col("wk_offset"), col("n_users"),
+            col("cohort_size"),
+            round(col("n_users").cast("double") / col("cohort_size").cast("double"), 6)
+              .as("retention"))
+          .orderBy(col("cohort_wk"), col("wk_offset"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+            DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+          FROM events),
+        cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1),
+        g AS (SELECT cohort_wk, wk - cohort_wk AS wk_offset, COUNT(*) AS n_users
+          FROM uw JOIN cohorts USING (user_id) GROUP BY 1, 2)
+        SELECT cohort_wk, wk_offset, n_users,
+          MAX(CASE WHEN wk_offset = 0 THEN n_users END)
+            OVER (PARTITION BY cohort_wk) AS cohort_size,
+          ROUND(CAST(n_users AS DOUBLE) /
+            CAST(MAX(CASE WHEN wk_offset = 0 THEN n_users END)
+              OVER (PARTITION BY cohort_wk) AS DOUBLE), 6) AS retention
+        FROM g ORDER BY cohort_wk, wk_offset""")),
+
+    // ── gaps-and-islands: consecutive-day activity streaks per user.
+    //    day_n − row_number() is constant within a run of consecutive days;
+    //    the window runs over per-user DISTINCT days (bounded, pre-shrunk) ─
+    Q(
+      "q_events_streaks",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val days = e.select(col("user_id"),
+            datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("day_n"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+        val streaks = days
+          .withColumn("grp", col("day_n") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        streaks.groupBy(col("user_id"))
+          .agg(sum(col("len")).as("active_days"),
+            count(lit(1)).as("n_streaks"),
+            max(col("len")).as("longest_streak"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+            DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_n
+          FROM events),
+        marked AS (SELECT user_id, day_n,
+            day_n - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_n) AS grp
+          FROM days),
+        streaks AS (SELECT user_id, grp, COUNT(*) AS len
+          FROM marked GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+          COUNT(*) AS n_streaks, MAX(len) AS longest_streak
+        FROM streaks GROUP BY user_id ORDER BY user_id""")),
+
+    // ── semi-structured properties: pull a typed value out of the JSON
+    //    props column (codegen'd path expression — no UDF) and aggregate.
+    //    At 100 TB the extraction is a narrow map fused into the scan ──────
+    Q(
+      "q_json_extract",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            countDistinct(col("k")).as("distinct_k"),
+            round(sum(col("k")).cast("double") / count(lit(1)).cast("double"), 6)
+              .as("avg_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        SELECT event_type, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+          COUNT(DISTINCT k) AS distinct_k,
+          ROUND(CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_k
+        FROM ev GROUP BY event_type ORDER BY event_type""")),
+
+    // ── exact Pearson correlation (value vs hour-of-day) from exact power
+    //    sums: integer/decimal partials are order-independent, so the
+    //    result is identical under any partitioning; the IEEE tail is the
+    //    same expression shape on both engines ─────────────────────────────
+    Q(
+      "q_corr",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            hour(col("ts")).cast("long").as("h"),
+            col("value").cast(DecimalType(18, 6)).as("v"))
+        val sums = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h")).as("sh"),
+            sum(col("h") * col("h")).as("shh"),
+            sum(col("v")).as("sv"),
+            sum((col("v") * col("v")).cast(DecimalType(38, 12))).as("svv"),
+            sum((col("h").cast(DecimalType(18, 6)) * col("v"))
+              .cast(DecimalType(38, 12))).as("shv"))
+        sums.select(col("event_type"), col("n"),
+            round(
+              (col("n").cast("double") * col("shv").cast("double") -
+                col("sh").cast("double") * col("sv").cast("double")) /
+              sqrt(
+                (col("n").cast("double") * col("shh").cast("double") -
+                  col("sh").cast("double") * col("sh").cast("double")) *
+                (col("n").cast("double") * col("svv").cast("double") -
+                  col("sv").cast("double") * col("sv").cast("double"))), 6)
+              .as("corr_h_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+            CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        sums AS (SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(h*h) AS BIGINT) AS shh,
+            SUM(v) AS sv,
+            SUM(CAST(v*v AS DECIMAL(38,12))) AS svv,
+            SUM(CAST(CAST(h AS DECIMAL(18,6)) * v AS DECIMAL(38,12))) AS shv
+          FROM ev GROUP BY 1)
+        SELECT event_type, n,
+          ROUND((CAST(n AS DOUBLE) * CAST(shv AS DOUBLE) -
+                 CAST(sh AS DOUBLE) * CAST(sv AS DOUBLE)) /
+            SQRT((CAST(n AS DOUBLE) * CAST(shh AS DOUBLE) -
+                  CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)) *
+                 (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) -
+                  CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) AS corr_h_value
+        FROM sums ORDER BY event_type"""))
+  )
+}

@@ -20,7 +20,7 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Analytics.queries ++ Extensions.queries ++
-      TemplateAnalogs.queries
+      EventsAnalytics.queries ++ TemplateAnalogs.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
