@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Corpus-health analytics (round 4, beyond the reference surface): the
+  * audit queries a training-data pipeline runs between ingestion and
+  * training — snapshot diffing, split drift, robust outlier screens,
+  * bigram LM scoring, embedding health, engagement metrics, and corpus
+  * balance. Every query pre-shrinks with aggregation before joining and
+  * keeps windows partitioned (or bounded), so each plan survives a 100×
+  * scale-up: no global sorts over raw rows, no cartesian products, no
+  * driver-side state.
+  *
+  * Determinism policy (shared with Extensions): exact integer/decimal
+  * arithmetic everywhere order can vary; IEEE double math only in final
+  * per-row expressions whose shape is identical on both engines; `round`
+  * before any cross-engine hash comparison of a float.
+  */
+object CorpusAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** HUGEINT replication of MulShiftBucket for oracle SQL (wrapped 64-bit
+    * multiply, unsigned shift by 33, mod 100 — see CorpusPipeline). */
+  private val OracleSplitBucket =
+    "((CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 100"
+
+  val queries: Seq[Q] = Seq(
+    // ── corpus snapshot diff: classify every doc across two corpus versions
+    //    as added/removed/changed/unchanged by CONTENT HASH — the digests
+    //    (64 bytes), not the documents, flow through the full-outer join, so
+    //    the diff of two 100 TB snapshots shuffles only ids+hashes. Versions
+    //    are derived deterministically from the corpus for the oracle ───────
+    Q(
+      "q_corpus_diff",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val vOld = d.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), sha2(encode(col("text"), "UTF-8"), 256).as("h_old"))
+        val vNew = d.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), sha2(encode(
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")), "UTF-8"), 256).as("h_new"))
+        vOld.join(vNew, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("h_old").isNull, lit("added"))
+              .when(col("h_new").isNull, lit("removed"))
+              .when(col("h_old") =!= col("h_new"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("status")
+      },
+      Some("""WITH v_old AS (SELECT doc_id, sha256(text) AS h_old
+            FROM documents WHERE doc_id % 7 <> 0),
+          v_new AS (SELECT doc_id,
+              sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h_new
+            FROM documents WHERE doc_id % 5 <> 0)
+          SELECT CASE WHEN h_old IS NULL THEN 'added'
+                      WHEN h_new IS NULL THEN 'removed'
+                      WHEN h_old <> h_new THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+            COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          FROM v_old FULL OUTER JOIN v_new USING (doc_id)
+          GROUP BY 1 ORDER BY status""")),
+
+    // ── split drift (PSI): population stability index of the token-length
+    //    distribution between the train and test splits — the standard
+    //    "did my split skew a feature" check. Buckets are exact integer
+    //    log2 lengths; shares are Laplace-smoothed so ln() never sees 0;
+    //    PSI terms are rounded then DECIMAL-summed (order-independent);
+    //    the one unpartitioned window runs over ≤64 bucket rows (bounded
+    //    domain — a power-of-two bucket index of a 64-bit count) ────────────
+    Q(
+      "q_split_drift",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val sb = graft.ext.CorpusPipeline.splitBucket(col("doc_id"))
+        val bucketed = d
+          .select(sb.as("sb"),
+            (length(bin(size(split(col("text"), " ")).cast("long"))) - 1)
+              .cast("long").as("bucket"))
+          .filter(col("sb") < 90 || col("sb") >= 95)
+          .select(when(col("sb") < 90, "train").otherwise("test").as("split"),
+            col("bucket"))
+        val counts = bucketed.groupBy("bucket")
+          .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        val k = counts.agg(count(lit(1)).as("k"),
+          sum(col("n_train")).as("tot_train"), sum(col("n_test")).as("tot_test"))
+        counts.crossJoin(broadcast(k))
+          .select(col("bucket"), col("n_train"), col("n_test"),
+            ((col("n_train") + 1).cast("double") /
+              (col("tot_train") + col("k")).cast("double")).as("p"),
+            ((col("n_test") + 1).cast("double") /
+              (col("tot_test") + col("k")).cast("double")).as("q"))
+          .select(col("bucket"), col("n_train"), col("n_test"),
+            round(col("p"), 6).as("p_train"), round(col("q"), 6).as("p_test"),
+            round((col("p") - col("q")) * log(col("p") / col("q")), 9)
+              .cast(DecimalType(28, 9)).as("term"))
+          .withColumn("psi", round(sum(col("term")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .cast("double"), 6))
+          .select(col("bucket"), col("n_train"), col("n_test"),
+            col("p_train"), col("p_test"),
+            round(col("term").cast("double"), 6).as("psi_term"), col("psi"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH b AS (SELECT
+            CASE WHEN $OracleSplitBucket < 90 THEN 'train'
+                 WHEN $OracleSplitBucket >= 95 THEN 'test' END AS split,
+            CAST(LENGTH(BIN(CAST(len(string_split(text, ' ')) AS BIGINT))) - 1
+              AS BIGINT) AS bucket
+          FROM documents),
+        c AS (SELECT bucket,
+            CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+            CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+          FROM b WHERE split IS NOT NULL GROUP BY 1),
+        k AS (SELECT COUNT(*) AS k, SUM(n_train) AS tot_train,
+            SUM(n_test) AS tot_test FROM c),
+        p AS (SELECT bucket, n_train, n_test,
+            CAST(n_train + 1 AS DOUBLE) / CAST(tot_train + k AS DOUBLE) AS p,
+            CAST(n_test + 1 AS DOUBLE) / CAST(tot_test + k AS DOUBLE) AS q
+          FROM c CROSS JOIN k),
+        tm AS (SELECT bucket, n_train, n_test,
+            ROUND(p, 6) AS p_train, ROUND(q, 6) AS p_test,
+            CAST(ROUND((p - q) * LN(p / q), 9) AS DECIMAL(28,9)) AS term FROM p)
+        SELECT bucket, n_train, n_test, p_train, p_test,
+          ROUND(CAST(term AS DOUBLE), 6) AS psi_term,
+          ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi
+        FROM tm ORDER BY bucket""")),
+
+    // ── bigram LM quality score: per-doc mean −ln P(wᵢ|wᵢ₋₁) with add-one
+    //    smoothing — the conditional complement of q_unigram_logprob (a
+    //    repetitive doc scores LOW here even when its unigrams are common).
+    //    Bigrams via transform(sequence(...)) — no positional self-join;
+    //    per-token rounds DECIMAL-summed for order independence ─────────────
+    Q(
+      "q_bigram_logprob",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toks = d.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+        val uni = toks.select(explode(col("t")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bg = toks.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        bg.join(bgc, Seq("w1", "w2")).join(uni, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            round(-log((col("c12") + 1).cast("double") /
+              (col("c1") + col("v")).cast("double")), 6)
+              .cast(DecimalType(28, 6)).as("nll"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("sum_dec"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sum_dec").cast("double") /
+              col("n_bigrams").cast("double"), 6).as("mean_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+          uni AS (SELECT w1, COUNT(*) AS c1 FROM
+            (SELECT UNNEST(t) AS w1 FROM toks) GROUP BY 1),
+          voc AS (SELECT COUNT(*) AS v FROM uni),
+          bge AS (SELECT doc_id,
+              UNNEST(list_transform(generate_series(1, len(t)-1), i -> t[i])) AS w1,
+              UNNEST(list_transform(generate_series(1, len(t)-1), i -> t[i+1])) AS w2
+            FROM toks WHERE len(t) >= 2),
+          bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bge GROUP BY 1, 2),
+          scored AS (SELECT doc_id,
+              CAST(ROUND(-LN(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)), 6)
+                AS DECIMAL(28,6)) AS nll
+            FROM bge JOIN bgc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc)
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+          FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── MAD outlier screen: median/median-absolute-deviation per event
+    //    type — the robust complement of q_zscore_outliers (a single wild
+    //    value cannot move the estimator). Exact interpolated percentiles;
+    //    the 3σ-equivalent threshold 4.4478 = 3·1.4826 is one literal so
+    //    both engines evaluate the identical IEEE expression ────────────────
+    Q(
+      "q_mad_outliers",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val med = e.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = e.join(med, Seq("event_type"))
+          .withColumn("absdev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(absdev, 0.5)").as("mad"))
+        dev.join(mad, Seq("event_type"))
+          .withColumn("is_out",
+            (col("absdev") > lit(4.4478) * col("mad")).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("med")), 6).as("median_v"),
+            round(min(col("mad")), 6).as("mad_v"),
+            sum(col("is_out")).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+          dev AS (SELECT e.event_type, ABS(e.value - m.med) AS absdev, m.med
+            FROM events e JOIN med m USING (event_type)),
+          mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+          SELECT d.event_type, COUNT(*) AS n,
+            ROUND(MIN(d.med), 6) AS median_v,
+            ROUND(MIN(m.mad), 6) AS mad_v,
+            CAST(SUM(CASE WHEN d.absdev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+          FROM dev d JOIN mad m USING (event_type)
+          GROUP BY 1 ORDER BY d.event_type""")),
+
+    // ── embedding health audit: per-label vector counts, zero-norm
+    //    vectors (dead encoders), and norm spread — the sanity gate before
+    //    any ANN index build. Norms per vector from one posexplode pass;
+    //    the label mean uses the decimal-sum pattern ─────────────────────────
+    Q(
+      "q_embed_audit",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val norms = e
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("label"), col("x").cast("double").as("x"))
+          .groupBy("vec_id", "label")
+          .agg(sqrt(sum(col("x") * col("x"))).as("nv"))
+        norms.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("nv") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+            round(min(col("nv")), 6).as("min_norm"),
+            round(max(col("nv")), 6).as("max_norm"),
+            round(sum(round(col("nv"), 9).cast(DecimalType(28, 9)))
+              .cast("double") / count(lit(1)), 6).as("mean_norm"))
+          .orderBy("label")
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN
+              UNNEST(generate_series(1, len(embedding))) AS s(i)),
+          nrm AS (SELECT vec_id, label, SQRT(SUM(x*x)) AS nv
+            FROM ex GROUP BY 1, 2)
+          SELECT label, COUNT(*) AS n_vecs,
+            CAST(SUM(CASE WHEN nv = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+            ROUND(MIN(nv), 6) AS min_norm, ROUND(MAX(nv), 6) AS max_norm,
+            ROUND(CAST(SUM(CAST(ROUND(nv, 9) AS DECIMAL(28,9))) AS DOUBLE)
+              / COUNT(*), 6) AS mean_norm
+          FROM nrm GROUP BY label ORDER BY label""")),
+
+    // ── DAU/WAU stickiness: rolling 7-day distinct users per day. The
+    //    trailing-distinct is NOT decomposable from daily distincts, so each
+    //    active (user, day) fans out to the ≤7 cover days it supports — a
+    //    bounded explode + one distinct, never a day×user broadcast or a
+    //    range self-join (the 100 TB shape for rolling UNIQUE counts) ────────
+    Q(
+      "q_events_dau_wau",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val userDays = e
+          .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+        val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+        val cover = userDays
+          .select(col("user_id"), explode(expr("sequence(0, 6)")).as("i"), col("day"))
+          .select(col("user_id"), expr("date_add(day, i)").as("day"))
+          .distinct()
+        val wau = cover.groupBy("day").agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau").cast("double"), 6)
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+          cover AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+            FROM ud CROSS JOIN UNNEST(generate_series(0, 6)) AS s(i)),
+          wau AS (SELECT day, COUNT(*) AS wau FROM cover GROUP BY 1)
+          SELECT day, dau, wau,
+            ROUND(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+          FROM dau JOIN wau USING (day) ORDER BY day""")),
+
+    // ── corpus balance: per-source Gini coefficient of document token
+    //    counts (G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over the within-source
+    //    ascending sort). Rank windows are PARTITIONED by source — a
+    //    distributed sort, no global window; every sum is exact integer/
+    //    decimal so the only float math is the final ratio ──────────────────
+    Q(
+      "q_source_gini",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val nt = d.select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("x"))
+        val w = Window.partitionBy("source").orderBy(col("x"), col("doc_id"))
+        nt.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum((col("i") * col("x")).cast(DecimalType(38, 0))).as("six"))
+          .select(col("source"), col("n").as("n_docs"), col("sx").as("total_toks"),
+            round((lit(2.0) * col("six").cast("double") -
+              (col("n") + 1).cast("double") * col("sx").cast("double")) /
+              (col("n").cast("double") * col("sx").cast("double")), 6).as("gini"))
+          .orderBy("source")
+      },
+      Some("""WITH nt AS (SELECT source, doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+          r AS (SELECT source, x,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id)
+              AS BIGINT) AS i FROM nt),
+          a AS (SELECT source, COUNT(*) AS n, SUM(x) AS sx,
+            SUM(CAST(i * x AS DECIMAL(38,0))) AS six FROM r GROUP BY 1)
+          SELECT source, CAST(n AS BIGINT) AS n_docs,
+            CAST(sx AS BIGINT) AS total_toks,
+            ROUND((2.0 * CAST(six AS DOUBLE) -
+              CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+          FROM a ORDER BY source"""))
+  )
+}

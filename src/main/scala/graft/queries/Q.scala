@@ -20,7 +20,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Analytics.queries ++ Extensions.queries ++
-      EventsAnalytics.queries ++ TemplateAnalogs.queries
+      EventsAnalytics.queries ++ CorpusAnalytics.queries ++
+      TemplateAnalogs.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -24,7 +24,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_corpus_mixture" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the per-(source,lang) mixture table",
     "q_unigram_logprob" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the token-score table",
     "q_mixture_sample_rates" -> "token total and weight normalizer are ONE-ROW aggregates broadcast-crossed into the tiny per-source table",
-    "q_heavy_hitters" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the <=32-row candidate-count table")
+    "q_heavy_hitters" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the <=32-row candidate-count table",
+    "q_split_drift" -> "bucket-count/total normalizers are a ONE-ROW aggregate broadcast-crossed into the <=64-row bucket table",
+    "q_bigram_logprob" -> "vocabulary size is a ONE-ROW aggregate broadcast-crossed into the bigram-score table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
