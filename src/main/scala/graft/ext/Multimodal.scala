@@ -112,6 +112,87 @@ object Multimodal {
         newW.cast("int").as("width"), newH.cast("int").as("height")).as("meta"))
   }
 
+  /** Perceptual fingerprint per media row: aHash (average-pool to 64 cells,
+    * mean-threshold — the public aHash construction) over the payload via
+    * the native codegen'd [[graft.functions.MediaHash64]] expression. Narrow
+    * map; the 8-byte hash, not the payload, flows into any downstream
+    * comparison. */
+  def perceptualHash(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.HashFunctions.mediaHash(col("payload")).as("phash"))
+
+  /** Near-duplicate media pairs by perceptual hash: 4×16-bit banding (any
+    * pair within Hamming distance 3 shares ≥1 band — pigeonhole), verified
+    * with an exact popcount ≤ maxHamming. Identical shape to text
+    * SimHash dedup: bucketed candidates, never an all-pairs join, payloads
+    * never leave the scan. */
+  def phashNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16 banding guarantees candidate recall only for Hamming <= 3")
+    val sigs = perceptualHash(media)
+    val banded = sigs.select(col("media_id"), col("phash"), posexplode(expr(
+      "transform(sequence(0, 3), j -> (phash >> (j * 16)) & 65535)"))
+      .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("media_id").as("id_a"), col("phash").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("media_id").as("id_b"), col("phash").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.HashFunctions.hamming64(col("sig_a"), col("sig_b"))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audio frame energy over raw PCM16LE payloads: one row per
+    * `samplesPerFrame`-sample frame with RMS amplitude and peak. This is
+    * REAL signal processing, not a stub — interpreting a binary column as
+    * little-endian 16-bit PCM needs no codec; a compressed container would
+    * swap a decoder in front of the same frame loop. Narrow map
+    * (mapPartitions), integer power sums per frame, nothing on the
+    * driver. */
+  def audioFrameEnergy(media: DataFrame, samplesPerFrame: Int): DataFrame = {
+    require(samplesPerFrame > 0)
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null || payload.length < 2) Iterator.empty
+          else {
+            val nSamples = payload.length / 2
+            val nFrames = (nSamples + samplesPerFrame - 1) / samplesPerFrame
+            (0 until nFrames).iterator.map { f =>
+              var s = f * samplesPerFrame
+              val end = math.min(nSamples, s + samplesPerFrame)
+              val n = end - s
+              var sum2 = 0L
+              var peak = 0L
+              while (s < end) {
+                // little-endian int16: sign-extended high byte | low byte
+                val v = (payload(2 * s + 1).toInt << 8) | (payload(2 * s) & 0xff)
+                sum2 += v.toLong * v
+                val a = math.abs(v.toLong)
+                if (a > peak) peak = a
+                s += 1
+              }
+              Row(r.getLong(0), f.toLong, n.toLong,
+                math.sqrt(sum2.toDouble / n), peak)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Video frame sampling plumbing: one payload → every nth "frame" as its
     * own row (media_id, frame_no, frame binary). The codec is STUBBED as a
     * fixed-size byte chunker; the Spark shape — explode to frame granularity

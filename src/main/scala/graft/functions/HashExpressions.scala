@@ -114,6 +114,51 @@ case class RollingMinHash64(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Average-hash (aHash) perceptual fingerprint of a binary media payload:
+  * the payload is average-pooled into 64 cells (the stand-in for an 8×8
+  * grayscale downsample — with real codecs the pooling would run over
+  * decoded pixels; the pooling/threshold shape is the actual aHash
+  * algorithm, public and standard) and each cell emits one bit by
+  * comparing its mean against the global mean. Local edits perturb few
+  * cells, so near-identical media land at small Hamming distance —
+  * the binary-payload analog of SimHash for text. */
+object MediaHashImpl {
+  def aHash(payload: Array[Byte]): Long = {
+    if (payload == null || payload.length == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Int](64)
+    val len = payload.length
+    var i = 0
+    while (i < len) {
+      val c = ((i.toLong * 64) / len).toInt
+      sums(c) += (payload(i) & 0xff)
+      counts(c) += 1
+      i += 1
+    }
+    var total = 0L
+    var c = 0
+    while (c < 64) { total += sums(c); c += 1 }
+    val globalMean = total.toDouble / len
+    var out = 0L
+    c = 0
+    while (c < 64) {
+      if (counts(c) > 0 && sums(c).toDouble / counts(c) > globalMean)
+        out |= (1L << c)
+      c += 1
+    }
+    out
+  }
+}
+
+case class MediaHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    MediaHashImpl.aHash(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MediaHashImpl.aHash($c)")
+  override protected def withNewChildInternal(c: Expression): MediaHash64 = copy(c)
+}
+
 /** Multiply-shift bucket: `((x * mult) >>> shift) % mod` in WRAPPING 64-bit
   * arithmetic (Knuth multiplicative hashing — the well-mixed HIGH bits of
   * the product). A native expression rather than column arithmetic because
@@ -238,6 +283,38 @@ case class MinHashSigAgg(
   * Counts in the sketch are LOWER BOUNDS, not exact frequencies — callers
   * should treat the output as a candidate set.
   */
+/** Shared Misra–Gries row kernels — used by both the batch typed aggregate
+  * ([[MisraGriesAgg]]) and the streaming state machine
+  * (graft.streaming.EventsStream.heavyHitters), so batch and stream apply
+  * ONE sketch semantics. */
+object MisraGries {
+  type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  /** One MG increment: bump, insert under capacity, else decrement-all. */
+  def add(buf: Buf, term: String, capacity: Int): Unit =
+    buf.get(term) match {
+      case Some(c) => buf.update(term, c + 1)
+      case None if buf.size < capacity => buf.update(term, 1L)
+      case None => // decrement-all step: every live counter pays one
+        val dead = List.newBuilder[String]
+        buf.mapValuesInPlace { (k, c) => if (c == 1) { dead += k; 0L } else c - 1 }
+        dead.result().foreach(buf.remove)
+    }
+
+  /** Mergeable-summaries combine (Agarwal et al., PODS'12): sum by key,
+    * subtract the (capacity+1)-th largest counter, drop non-positives. */
+  def mergeInto(a: Buf, b: Buf, capacity: Int): Buf = {
+    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+    if (a.size > capacity) {
+      val cut = a.values.toArray.sortBy(-_).apply(capacity)
+      val dead = List.newBuilder[String]
+      a.mapValuesInPlace { (k, c) => if (c <= cut) { dead += k; 0L } else c - cut }
+      dead.result().foreach(a.remove)
+    }
+    a
+  }
+}
+
 case class MisraGriesAgg(
     child: Expression,
     capacity: Int,
@@ -254,31 +331,11 @@ case class MisraGriesAgg(
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
-    if (v != null) {
-      val term = v.asInstanceOf[UTF8String].toString
-      buf.get(term) match {
-        case Some(c) => buf.update(term, c + 1)
-        case None if buf.size < capacity => buf.update(term, 1L)
-        case None => // decrement-all step: every live counter pays one
-          val dead = List.newBuilder[String]
-          buf.mapValuesInPlace { (k, c) => if (c == 1) { dead += k; 0L } else c - 1 }
-          dead.result().foreach(buf.remove)
-      }
-    }
+    if (v != null) MisraGries.add(buf, v.asInstanceOf[UTF8String].toString, capacity)
     buf
   }
 
-  override def merge(a: Buf, b: Buf): Buf = {
-    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
-    if (a.size > capacity) {
-      // subtract the (capacity+1)-th largest count from everyone
-      val cut = a.values.toArray.sortBy(-_).apply(capacity)
-      val dead = List.newBuilder[String]
-      a.mapValuesInPlace { (k, c) => if (c <= cut) { dead += k; 0L } else c - cut }
-      dead.result().foreach(a.remove)
-    }
-    a
-  }
+  override def merge(a: Buf, b: Buf): Buf = MisraGries.mergeInto(a, b, capacity)
 
   override def eval(buf: Buf): Any = {
     val sorted = buf.toArray.sortBy { case (t, c) => (-c, t) }
@@ -337,6 +394,10 @@ object HashFunctions {
   /** Winnowing-style rolling min-hash fingerprint of a string column. */
   def fingerprint(text: Column, k: Int = 16): Column =
     ColumnBridge.column(RollingMinHash64(ColumnBridge.expression(text), k))
+
+  /** aHash perceptual fingerprint of a binary media payload. */
+  def mediaHash(payload: Column): Column =
+    ColumnBridge.column(MediaHash64(ColumnBridge.expression(payload)))
 
   /** Overflow-safe multiply-shift bucket in [0, mod). The input is coerced
     * to LongType at the Column layer so interpreted and codegen'd paths see

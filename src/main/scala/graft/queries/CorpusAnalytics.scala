@@ -328,6 +328,144 @@ object CorpusAnalytics {
             ROUND((2.0 * CAST(six AS DOUBLE) -
               CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE)) /
               (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
-          FROM a ORDER BY source"""))
+          FROM a ORDER BY source""")),
+
+    // ── label-noise audit: confusion matrix between the corpus's claimed
+    //    language label and the engine's language ID — the standard screen
+    //    for mislabeled training data. Share is within the claimed label
+    //    (window over the post-aggregation confusion cells — bounded by
+    //    #langs², never the corpus) ──────────────────────────────────────────
+    Q(
+      "q_lang_confusion",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cells = d
+          .select(col("lang").as("lang_given"),
+            graft.ext.TextAnalysis.langId(col("text")).as("lang_pred"))
+          .groupBy("lang_given", "lang_pred")
+          .agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("lang_given")
+        cells
+          .withColumn("share",
+            round(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 6))
+          .withColumn("is_match", (col("lang_given") === col("lang_pred")).cast("long"))
+          .orderBy("lang_given", "lang_pred")
+      },
+      Some("""WITH scored AS (SELECT lang AS lang_given,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['the','and','of','to','a','in','is','that'], x))) AS BIGINT) AS he,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['der','die','das','und','ist','von','nicht','ein'], x))) AS BIGINT) AS hd,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['le','la','les','et','est','de','un','une'], x))) AS BIGINT) AS hf,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['el','la','los','y','es','de','un','que'], x))) AS BIGINT) AS hs
+          FROM documents),
+        pred AS (SELECT lang_given,
+            CASE WHEN GREATEST(he, hd, hf, hs) = 0 THEN 'und'
+                 WHEN hf = GREATEST(he, hd, hf, hs) THEN 'fr'
+                 WHEN hs = GREATEST(he, hd, hf, hs) THEN 'es'
+                 WHEN he = GREATEST(he, hd, hf, hs) THEN 'en'
+                 ELSE 'de' END AS lang_pred
+          FROM scored),
+        cells AS (SELECT lang_given, lang_pred, COUNT(*) AS n_docs
+          FROM pred GROUP BY 1, 2)
+        SELECT lang_given, lang_pred, n_docs,
+          ROUND(CAST(n_docs AS DOUBLE) /
+            SUM(n_docs) OVER (PARTITION BY lang_given), 6) AS share,
+          CAST(CASE WHEN lang_given = lang_pred THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        FROM cells ORDER BY lang_given, lang_pred""")),
+
+    // ── event-rate anomaly detection: hourly counts per type vs the
+    //    trailing 24-hour window (RANGE frame over integer epoch-hours on
+    //    PRE-AGGREGATED hourly counts — the window never sees raw events).
+    //    Mean/std from exact integer power sums inside the frame, so the
+    //    z-score is partitioning-independent; stddev_samp would not be ───────
+    Q(
+      "q_events_anomaly",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val hourly = e
+          .select(col("event_type"), (unix_micros(col("ts")) / 3600000000L)
+            .cast("long").as("hr"))
+          .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rangeBetween(-24, -1)
+        hourly
+          .withColumn("np", count(lit(1)).over(w))
+          .withColumn("sp", sum(col("n")).over(w))
+          .withColumn("spp", sum(col("n") * col("n")).over(w))
+          .filter(col("np") >= 12)
+          .withColumn("mean_prev",
+            col("sp").cast("double") / col("np").cast("double"))
+          .withColumn("var_prev",
+            (col("spp").cast("double") - col("sp").cast("double") *
+              col("sp").cast("double") / col("np").cast("double")) /
+              (col("np") - 1).cast("double"))
+          .withColumn("z", (col("n").cast("double") - col("mean_prev")) /
+            sqrt(col("var_prev")))
+          .filter(col("var_prev") > 0.0)
+          .select(col("event_type"), col("hr"), col("n"), col("np").as("n_prev_hours"),
+            round(col("mean_prev"), 6).as("mean_prev"),
+            round(col("z"), 6).as("z"),
+            (abs(col("z")) > 3.0).cast("long").as("is_anomaly"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+            CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        fr AS (SELECT event_type, hr, n,
+            COUNT(*) OVER w AS np,
+            SUM(n) OVER w AS sp,
+            SUM(n * n) OVER w AS spp
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        st AS (SELECT event_type, hr, n, np,
+            CAST(sp AS DOUBLE) / CAST(np AS DOUBLE) AS mean_prev,
+            (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+              / CAST(np AS DOUBLE)) / CAST(np - 1 AS DOUBLE) AS var_prev
+          FROM fr WHERE np >= 12)
+        SELECT event_type, hr, n, CAST(np AS BIGINT) AS n_prev_hours,
+          ROUND(mean_prev, 6) AS mean_prev,
+          ROUND((CAST(n AS DOUBLE) - mean_prev) / SQRT(var_prev), 6) AS z,
+          CAST(CASE WHEN ABS((CAST(n AS DOUBLE) - mean_prev) / SQRT(var_prev)) > 3.0
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM st WHERE var_prev > 0.0 ORDER BY event_type, hr""")),
+
+    // ── out-of-vocabulary rate: share of each doc's tokens outside the
+    //    top-1000 corpus vocabulary — the tokenizer-coverage screen run
+    //    before committing a vocab. The vocab cut is a deterministic
+    //    (count DESC, term) top-k via TakeOrderedAndProject; docs join it
+    //    BROADCAST (1000 rows however big the corpus) ────────────────────────
+    Q(
+      "q_oov_rate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toks = d.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("term")).limit(1000)
+          .select(col("term"), lit(1L).as("in_v"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+          .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+            round(lit(1.0) - col("n_in_vocab").cast("double") /
+              col("n_tokens").cast("double"), 6).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            UNNEST(string_split(lower(text), ' ')) AS term FROM documents),
+          v AS (SELECT term FROM (SELECT term, COUNT(*) AS cnt FROM toks
+            GROUP BY 1 ORDER BY cnt DESC, term LIMIT 1000)),
+          j AS (SELECT t.doc_id,
+              CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS iv
+            FROM toks t LEFT JOIN v ON t.term = v.term)
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(SUM(iv) AS BIGINT) AS n_in_vocab,
+            ROUND(1.0 - CAST(SUM(iv) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+          FROM j GROUP BY 1 ORDER BY doc_id"""))
   )
 }

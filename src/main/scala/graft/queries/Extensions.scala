@@ -1258,6 +1258,45 @@ object Extensions {
           CAST(n_frames * 256 AS BIGINT) AS frame_bytes, last_frame
         FROM f ORDER BY media_id""")),
 
+    // ── perceptual-duplicate media groups: aHash fingerprint (native
+    //    codegen'd expression over the payload) grouped on the 8-byte hash —
+    //    identical payloads collide exactly, near-identical media land
+    //    within small Hamming distance (pair path: Multimodal.phashNearDups,
+    //    recall pinned in ScalaTest). No oracle: DuckDB cannot index blob
+    //    bytes; determinism pinned by the ScalaTest double-run ──────────────
+    Q(
+      "q_media_phash_groups",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val media = graft.ext.Multimodal.withBinaryPayload(d)
+        graft.ext.Multimodal.perceptualHash(media)
+          .groupBy(col("phash"))
+          .agg(count(lit(1)).as("n_media"),
+            min(col("media_id")).as("first_id"), max(col("media_id")).as("last_id"))
+          .filter(col("n_media") > 1)
+          .orderBy(col("phash"))
+      },
+      None),
+
+    // ── audio frame energy: REAL PCM16LE DSP over the binary payload
+    //    (no codec needed for raw PCM — a compressed container would swap a
+    //    decoder in front of the same frame loop). Per-media roll-up of
+    //    frame RMS/peak; integer power sums per frame keep it exact ──────────
+    Q(
+      "q_media_audio_energy",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val media = graft.ext.Multimodal.withBinaryPayload(d)
+        graft.ext.Multimodal.audioFrameEnergy(media, 128)
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("n_samples")).as("n_samples"),
+            round(max(col("rms")), 6).as("max_rms"),
+            max(col("peak")).as("peak"))
+          .orderBy(col("media_id"))
+      },
+      None),
+
     // ── event analytics: tumbling-window aggregation (batch analog of the
     //    streaming windowedCounts; 1-hour windows via date_trunc) ──────────
     Q(

@@ -146,6 +146,40 @@ object EventsStream {
       .toDF()
   }
 
+  case class MGOut(event_type: String, term: String, cnt_lb: Long, rk: Long)
+
+  /** Streaming heavy-hitter candidates per event type: a Misra–Gries sketch
+    * held in per-key state (the SAME kernel as the batch `MisraGriesAgg` —
+    * one sketch semantics for both engines' faces). Each micro-batch folds
+    * its rows into the bounded counter map and emits the current candidate
+    * ranking in Update mode; any term with true frequency > N/(capacity+1)
+    * is guaranteed present (the MG bound), so downstream exact verification
+    * can produce the exact streaming top-k without unbounded state. State is
+    * one ≤capacity-entry map per event type. */
+  def heavyHitters(events: DataFrame, capacity: Int = 16,
+      topK: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("user_id").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[(String, String)],
+            state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap
+            .from(state.getOption.getOrElse(Map.empty[String, Long]))
+          rows.foreach { case (_, term) =>
+            graft.functions.MisraGries.add(buf, term, capacity)
+          }
+          state.update(buf.toMap)
+          buf.toSeq.sortBy { case (t, c) => (-c, t) }.take(topK)
+            .zipWithIndex.iterator
+            .map { case ((term, cnt), i) => MGOut(typ, term, cnt, i + 1L) }
+      }
+      .toDF()
+  }
+
   /** Stream-stream interval join: attribute each purchase to any signup of
     * the same user within `windowSeconds` BEFORE it. Both sides carry
     * watermarks so the join state is bounded — Spark retains a signup only

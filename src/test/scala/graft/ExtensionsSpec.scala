@@ -210,6 +210,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nos.forall(_ % 2 == 0))
   }
 
+  test("multimodal: perceptual hash groups identical payloads; banding finds pairs") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val df = Seq(
+      (1L, base), (2L, base),                            // identical payloads
+      (3L, base.replaceFirst("lazy", "hazy")),           // one-byte edit
+      (4L, "completely different content entirely unrelated words " * 6))
+      .toDF("doc_id", "text")
+    val media = Multimodal.withBinaryPayload(df)
+    val h = Multimodal.perceptualHash(media).as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L), "identical payloads must collide exactly")
+    val d13 = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    val d14 = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(d13 < d14, "a one-byte edit must stay closer than unrelated content")
+    // banded pair path surfaces the exact-duplicate pair at distance 0
+    val pairs = Multimodal.phashNearDups(media).as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // expression path agrees with the row kernel
+    assert(h(1L) == graft.functions.MediaHashImpl.aHash(base.getBytes("UTF-8")))
+  }
+
+  test("multimodal: audio frame energy computes exact RMS over PCM16LE") {
+    // 256 samples of a ±1000 square wave, then 64 samples of silence
+    val bb = java.nio.ByteBuffer.allocate((256 + 64) * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 256).foreach(i => bb.putShort(if (i % 2 == 0) 1000 else -1000))
+    (0 until 64).foreach(_ => bb.putShort(0))
+    val media = Seq((7L, bb.array())).toDF("media_id", "payload")
+    val frames = Multimodal.audioFrameEnergy(media, 128).orderBy("frame_no").collect()
+    assert(frames.length == 3, "128 + 128 + 64-sample partial frame")
+    assert(frames(0).getDouble(3) == 1000.0, "RMS of a ±1000 square wave is exactly 1000")
+    assert(frames(0).getLong(4) == 1000L)
+    assert(frames(2).getLong(2) == 64L, "last frame is partial")
+    assert(frames(2).getDouble(3) == 0.0)
+    assert(frames(2).getLong(4) == 0L)
+  }
+
   test("embedding dedup: dim-join form is exact and cartesian-free") {
     val emb = Tables(spark, sf, "embeddings")
     // all-pairs theta join — the test-only baseline the operator used to be

@@ -53,6 +53,30 @@ class StreamingSpec extends AnyFunSuite {
       Set("user_id", "session_start", "n_events", "duration_s"))
   }
 
+  test("streaming heavy hitters surface a planted majority user per type") {
+    val sp = spark
+    import sp.implicits._
+    // user 42 produces 50% of all clicks; 37 other users share the rest
+    val n = 400
+    val rows = (0 until n).map { i =>
+      val user = if (i % 2 == 0) 42L else 100L + i % 37
+      (i.toLong, i.toLong * 1000000000L, user, "click", 1.0, "{}")
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-hh")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    val out = EventsStream.runToMemory(
+      EventsStream.heavyHitters(EventsStream.read(spark, d.toString), capacity = 8),
+      "hh_stream", OutputMode.Update())
+    val cands = out.filter(col("event_type") === "click").orderBy("rk").collect()
+    assert(cands.nonEmpty && cands.length <= 8)
+    // MG guarantee: true frequency 200 > N/(capacity+1) ⇒ user 42 survives,
+    // and with half of all arrivals it must rank first
+    assert(cands.head.getString(1) == "42")
+    val lb = cands.head.getLong(2)
+    assert(lb > 0L && lb <= 200L, "MG counts are lower bounds")
+  }
+
   test("streaming funnel matches the batch signup→purchase conversions") {
     val stream = EventsStream.read(spark, eventsDir)
     val out = EventsStream.runToMemory(
