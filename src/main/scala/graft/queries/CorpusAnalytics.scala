@@ -466,6 +466,74 @@ object CorpusAnalytics {
           SELECT doc_id, COUNT(*) AS n_tokens,
             CAST(SUM(iv) AS BIGINT) AS n_in_vocab,
             ROUND(1.0 - CAST(SUM(iv) AS DOUBLE) / COUNT(*), 6) AS oov_rate
-          FROM j GROUP BY 1 ORDER BY doc_id"""))
+          FROM j GROUP BY 1 ORDER BY doc_id""")),
+
+    // ── table profile: per-column null count, distinct count, min/max —
+    //    the first audit run against any newly landed table. ONE scan: all
+    //    24 aggregates compute in a single pass (Spark plans the multi-
+    //    countDistinct as one Expand ×6 — at 100 TB swap countDistinct for
+    //    approx_count_distinct to drop the expansion; the operator shape is
+    //    unchanged). Numeric and temporal min/max are typed apart from
+    //    string min/max so every value compares exactly across engines ─────
+    Q(
+      "q_profile_orders",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+        val strCols = Seq("o_orderstatus", "o_orderpriority")
+        val aggs = numCols.flatMap(c => Seq(
+            count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("double").as(s"min_$c"),
+            max(col(c)).cast("double").as(s"max_$c"))) ++
+          strCols.flatMap(c => Seq(
+            count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))) ++
+          Seq(
+            count(col("o_orderdate")).as("cnt_o_orderdate"),
+            countDistinct(col("o_orderdate")).as("nd_o_orderdate"),
+            date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+              .as("min_o_orderdate"),
+            date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+              .as("max_o_orderdate"))
+        val one = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        def rowOf(c: String, num: Boolean) = struct(
+          lit(c).as("col_name"),
+          (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+          col(s"nd_$c").as("n_distinct"),
+          (if (num) col(s"min_$c") else lit(null).cast("double")).as("min_num"),
+          (if (num) col(s"max_$c") else lit(null).cast("double")).as("max_num"),
+          (if (num) lit(null).cast("string") else col(s"min_$c").cast("string"))
+            .as("min_str"),
+          (if (num) lit(null).cast("string") else col(s"max_$c").cast("string"))
+            .as("max_str"))
+        val rows = numCols.map(rowOf(_, num = true)) ++
+          (strCols :+ "o_orderdate").map(rowOf(_, num = false))
+        one.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.*")).orderBy(col("col_name"))
+      },
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+             COUNT(DISTINCT $c) AS n_distinct,
+             CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             FROM orders"""
+        def str(c: String, mn: String, mx: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) - COUNT($c) AS n_nulls,
+             COUNT(DISTINCT $c) AS n_distinct,
+             CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             $mn AS min_str, $mx AS max_str FROM orders"""
+        val parts =
+          Seq("o_orderkey", "o_custkey", "o_totalprice").map(num) ++
+          Seq("o_orderstatus", "o_orderpriority").map(c =>
+            str(c, s"MIN($c)", s"MAX($c)")) :+
+          str("o_orderdate",
+            "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+            "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')")
+        s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) ORDER BY col_name"
+      })
   )
 }

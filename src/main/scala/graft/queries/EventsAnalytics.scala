@@ -202,6 +202,75 @@ object EventsAnalytics {
                   CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)) *
                  (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) -
                   CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) AS corr_h_value
-        FROM sums ORDER BY event_type"""))
+        FROM sums ORDER BY event_type""")),
+
+    // ── event-transition matrix: first-order Markov counts/probabilities
+    //    between consecutive event types per user. The window is partitioned
+    //    by user (never global) and the transition table it feeds is bounded
+    //    by |event_type|² — the navigation/behavior model a telemetry
+    //    pipeline derives from a raw log ───────────────────────────────────
+    Q(
+      "q_events_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val pairs = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val cnt = pairs
+          .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = Window.partitionBy(col("from_type"))
+        cnt
+          .withColumn("p",
+            round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH ordered AS (SELECT user_id, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev
+          FROM events),
+        cnt AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+          FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+          ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM cnt ORDER BY from_type, to_type""")),
+
+    // ── duplicate-event screen: at-least-once delivery leaves near-identical
+    //    retransmissions — count events arriving within 1 s of the previous
+    //    SAME (user, type) event. One window partitioned by (user, type);
+    //    output is bounded by |event_type| ──────────────────────────────────
+    Q(
+      "q_events_dup_screen",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("dt_us", col("us") - lag(col("us"), 1).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("dt_us") <= 1000000L, 1L).otherwise(0L)).as("n_dups"))
+          .select(col("event_type"), col("n_events"), col("n_dups"),
+            round(col("n_dups").cast("double") /
+              col("n_events").cast("double"), 6).as("dup_rate"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+            epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY epoch_us(ts), event_id) AS dt_us
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(COALESCE(SUM(CASE WHEN dt_us <= 1000000 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_dups,
+          ROUND(CAST(COALESCE(SUM(CASE WHEN dt_us <= 1000000 THEN 1 ELSE 0 END), 0)
+              AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        FROM d GROUP BY event_type ORDER BY event_type"""))
   )
 }

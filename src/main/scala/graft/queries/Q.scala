@@ -21,7 +21,7 @@ object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Analytics.queries ++ Extensions.queries ++
       EventsAnalytics.queries ++ CorpusAnalytics.queries ++
-      TemplateAnalogs.queries
+      SearchAnalytics.queries ++ TemplateAnalogs.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
