@@ -534,6 +534,100 @@ object CorpusAnalytics {
             "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
             "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')")
         s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) ORDER BY col_name"
-      })
+      }),
+
+    // ── PMI collocations: adjacent pairs scored by pointwise mutual
+    //    information ln(p(ab)/(p(a)p(b))) — the statistically-surprising
+    //    merges, vs q_top_bigrams' raw-frequency merges. Unigram/bigram
+    //    tables are vocabulary-bounded; totals enter as ONE-ROW broadcast
+    //    crosses; ln is applied once to an identically-associated IEEE
+    //    expression then rounded, so top-k order is engine-stable ───────────
+    Q(
+      "q_pmi_bigrams",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toksArr = d.select(split(lower(col("text")), " ").as("toks"))
+        val uni = toksArr.select(explode(col("toks")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        val totU = uni.agg(sum(col("cnt")).cast("double").as("tu"))
+        val bi = toksArr.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""))
+            .as("p"))
+          .select(col("p.w1"), col("p.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+        val totB = bi.agg(sum(col("nab")).cast("double").as("tb"))
+        bi.filter(col("nab") >= 50)
+          .join(broadcast(uni.select(col("term").as("w1"), col("cnt").as("na"))), Seq("w1"))
+          .join(broadcast(uni.select(col("term").as("w2"), col("cnt").as("nb"))), Seq("w2"))
+          .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+          .select(col("w1"), col("w2"), col("nab"),
+            round(log((col("nab").cast("double") / col("tb")) /
+              ((col("na").cast("double") / col("tu")) *
+               (col("nb").cast("double") / col("tu")))), 6).as("pmi"))
+          .orderBy(desc("pmi"), col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+          uni AS (SELECT term, COUNT(*) AS cnt FROM
+            (SELECT UNNEST(t) AS term FROM toks) GROUP BY 1),
+          tu AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tu FROM uni),
+          pairs AS (SELECT UNNEST(list_transform(generate_series(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1])) AS pair FROM toks WHERE len(t) >= 2),
+          bi AS (SELECT string_split(pair, ' ')[1] AS w1,
+              string_split(pair, ' ')[2] AS w2, COUNT(*) AS nab
+            FROM pairs GROUP BY 1, 2),
+          tb AS (SELECT CAST(SUM(nab) AS DOUBLE) AS tb FROM bi)
+        SELECT b.w1, b.w2, b.nab,
+          ROUND(LN((CAST(b.nab AS DOUBLE) / tb) /
+            ((CAST(u1.cnt AS DOUBLE) / tu) * (CAST(u2.cnt AS DOUBLE) / tu))), 6) AS pmi
+        FROM bi b JOIN uni u1 ON b.w1 = u1.term JOIN uni u2 ON b.w2 = u2.term
+        CROSS JOIN tu CROSS JOIN tb
+        WHERE b.nab >= 50
+        ORDER BY pmi DESC, w1, w2 LIMIT 20""")),
+
+    // ── cross-source vocabulary overlap: pairwise Jaccard between each
+    //    source's distinct term set. The corpus shrinks to distinct
+    //    (source, term) FIRST, so the term self-join fans out at most
+    //    |sources| rows per term — bounded by |sources|² overall, never
+    //    corpus² (the source-similarity matrix behind mixture design) ───────
+    Q(
+      "q_vocab_jaccard",
+      (s, dir) => {
+        val st = t(s, dir, "documents")
+          .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+          .distinct()
+        val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val a = st.select(col("source").as("source_a"), col("term"))
+        val b = st.select(col("source").as("source_b"), col("term"))
+        a.join(b, Seq("term"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("n").as("na"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("n").as("nb"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+            col("n_both"),
+            round(col("n_both").cast("double") /
+              (col("na") + col("nb") - col("n_both")), 6).as("jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH st AS (SELECT DISTINCT source, term FROM
+            (SELECT source, UNNEST(string_split(lower(text), ' ')) AS term
+             FROM documents)),
+          sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+          inter AS (SELECT a.source AS source_a, b.source AS source_b,
+              COUNT(*) AS n_both
+            FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2)
+        SELECT source_a, source_b, sa.n AS na, sb.n AS nb, n_both,
+          ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+        ORDER BY source_a, source_b"""))
   )
 }

@@ -271,6 +271,85 @@ object EventsAnalytics {
             AS BIGINT) AS n_dups,
           ROUND(CAST(COALESCE(SUM(CASE WHEN dt_us <= 1000000 THEN 1 ELSE 0 END), 0)
               AS DOUBLE) / COUNT(*), 6) AS dup_rate
-        FROM d GROUP BY event_type ORDER BY event_type"""))
+        FROM d GROUP BY event_type ORDER BY event_type""")),
+
+    // ── out-of-orderness audit: how late do events arrive behind the
+    //    per-user high-water mark (event_id = arrival order)? The lateness
+    //    distribution is what a watermark delay is CHOSEN from — p95/max
+    //    here bound the state a streaming job must retain. Window is
+    //    user-partitioned (never global); percentiles run on the tiny
+    //    per-type aggregate ─────────────────────────────────────────────────
+    Q(
+      "q_events_lateness",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("late_us",
+            greatest(lit(0L), coalesce(max(col("us")).over(w), col("us")) - col("us")))
+        late.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+            round(percentile(col("late_us"), lit(0.5)), 4).as("p50_late_us"),
+            round(percentile(col("late_us"), lit(0.95)), 4).as("p95_late_us"),
+            max(col("late_us")).as("max_late_us"))
+          .withColumn("late_rate",
+            round(col("n_late").cast("double") / col("n_events").cast("double"), 6))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH lat AS (SELECT event_type,
+            GREATEST(0, COALESCE(MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              epoch_us(ts)) - epoch_us(ts)) AS late_us
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_events,
+          CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+          ROUND(quantile_cont(late_us, 0.5), 4) AS p50_late_us,
+          ROUND(quantile_cont(late_us, 0.95), 4) AS p95_late_us,
+          MAX(late_us) AS max_late_us,
+          ROUND(CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS late_rate
+        FROM lat GROUP BY event_type ORDER BY event_type""")),
+
+    // ── time-to-conversion distribution: delay between each user's first
+    //    signup and first post-signup purchase. Both sides pre-shrink to one
+    //    row per user (min_by aggregates — no window over raw events); the
+    //    percentile runs over the converted-user table ──────────────────────
+    Q(
+      "q_time_to_convert",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+        // earliest purchase STRICTLY AFTER the signup: join then aggregate
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(signups, Seq("user_id"))
+          .filter(col("us") > col("signup_us"))
+          .groupBy(col("user_id"), col("signup_us"))
+          .agg(min(col("us")).as("purchase_us"))
+          .withColumn("delay_h",
+            (col("purchase_us") - col("signup_us")).cast("double") / lit(3.6e9))
+        conv.agg(count(lit(1)).as("n_converted"),
+            round(percentile(col("delay_h"), lit(0.5)), 4).as("p50_h"),
+            round(percentile(col("delay_h"), lit(0.9)), 4).as("p90_h"),
+            round(max(col("delay_h")), 4).as("max_h"))
+      },
+      Some("""WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+            FROM events WHERE event_type = 'signup' GROUP BY 1),
+          conv AS (SELECT e.user_id, s.signup_us, MIN(epoch_us(e.ts)) AS purchase_us
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.signup_us
+            GROUP BY 1, 2),
+          d AS (SELECT CAST(purchase_us - signup_us AS DOUBLE) / 3.6e9 AS delay_h
+            FROM conv)
+        SELECT COUNT(*) AS n_converted,
+          ROUND(quantile_cont(delay_h, 0.5), 4) AS p50_h,
+          ROUND(quantile_cont(delay_h, 0.9), 4) AS p90_h,
+          ROUND(MAX(delay_h), 4) AS max_h
+        FROM d"""))
   )
 }
