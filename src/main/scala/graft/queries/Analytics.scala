@@ -626,6 +626,109 @@ object Analytics {
           JOIN nation ON s_nationkey = n_nationkey
           GROUP BY n_name, s_suppkey, s_name))
         WHERE rk <= 2 ORDER BY n_name, rk"""),
-      bench = true)
+      bench = true),
+
+    // ── RFM segmentation (beyond reference): customers bucketed by
+    //    recency/frequency/monetary QUARTILE THRESHOLDS, not NTILE — a
+    //    global NTILE is a single-partition sort over every customer, while
+    //    three interpolated percentiles are one tiny aggregate broadcast
+    //    back, so the segmentation scales. Monetary sums stay decimal until
+    //    the final double cast; segment output is ≤64 rows ─────────────────
+    Q(
+      "q_rfm_segments",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cust = o.groupBy(col("o_custkey"))
+          .agg(datediff(to_date(lit("1999-01-01")),
+              max(to_date(col("o_orderdate")))).cast("long").as("r_days"),
+            count(lit(1)).as("f"),
+            sum(money(col("o_totalprice"))).as("m_dec"))
+          .withColumn("m", col("m_dec").cast("double"))
+        val th = cust.agg(
+          percentile(col("r_days").cast("double"), lit(0.25)).as("r1"),
+          percentile(col("r_days").cast("double"), lit(0.5)).as("r2"),
+          percentile(col("r_days").cast("double"), lit(0.75)).as("r3"),
+          percentile(col("f").cast("double"), lit(0.25)).as("f1"),
+          percentile(col("f").cast("double"), lit(0.5)).as("f2"),
+          percentile(col("f").cast("double"), lit(0.75)).as("f3"),
+          percentile(col("m"), lit(0.25)).as("m1"),
+          percentile(col("m"), lit(0.5)).as("m2"),
+          percentile(col("m"), lit(0.75)).as("m3"))
+        def quart(c: org.apache.spark.sql.Column, t1: String, t2: String,
+            t3: String) =
+          lit(1L) + (c > col(t1)).cast("long") + (c > col(t2)).cast("long") +
+            (c > col(t3)).cast("long")
+        cust.crossJoin(broadcast(th))
+          .select(
+            quart(col("r_days").cast("double"), "r1", "r2", "r3").as("r_q"),
+            quart(col("f").cast("double"), "f1", "f2", "f3").as("f_q"),
+            quart(col("m"), "m1", "m2", "m3").as("m_q"),
+            col("m_dec"))
+          .groupBy(col("r_q"), col("f_q"), col("m_q"))
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum(col("m_dec")).cast("double") / count(lit(1)), 2).as("avg_m"))
+          .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      },
+      Some("""WITH cust AS (SELECT o_custkey,
+            CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+              DATE '1999-01-01') AS BIGINT) AS r_days,
+            COUNT(*) AS f,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
+          FROM orders GROUP BY 1),
+        th AS (SELECT
+            quantile_cont(CAST(r_days AS DOUBLE), 0.25) AS r1,
+            quantile_cont(CAST(r_days AS DOUBLE), 0.5) AS r2,
+            quantile_cont(CAST(r_days AS DOUBLE), 0.75) AS r3,
+            quantile_cont(CAST(f AS DOUBLE), 0.25) AS f1,
+            quantile_cont(CAST(f AS DOUBLE), 0.5) AS f2,
+            quantile_cont(CAST(f AS DOUBLE), 0.75) AS f3,
+            quantile_cont(m, 0.25) AS m1,
+            quantile_cont(m, 0.5) AS m2,
+            quantile_cont(m, 0.75) AS m3
+          FROM cust),
+        b AS (SELECT
+            1 + CAST(CAST(r_days AS DOUBLE) > r1 AS BIGINT)
+              + CAST(CAST(r_days AS DOUBLE) > r2 AS BIGINT)
+              + CAST(CAST(r_days AS DOUBLE) > r3 AS BIGINT) AS r_q,
+            1 + CAST(CAST(f AS DOUBLE) > f1 AS BIGINT)
+              + CAST(CAST(f AS DOUBLE) > f2 AS BIGINT)
+              + CAST(CAST(f AS DOUBLE) > f3 AS BIGINT) AS f_q,
+            1 + CAST(m > m1 AS BIGINT) + CAST(m > m2 AS BIGINT)
+              + CAST(m > m3 AS BIGINT) AS m_q,
+            m_dec
+          FROM cust CROSS JOIN th)
+        SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+          ROUND(CAST(SUM(m_dec) AS DOUBLE) / COUNT(*), 2) AS avg_m
+        FROM b GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""")),
+
+    // ── market-basket pair co-occurrence (beyond reference): parts bought
+    //    together in one order. The self-join is keyed on the ORDER (never a
+    //    part×part cross): fan-out per order is items², bounded by the
+    //    line-count cap per order (7 in TPC-H shapes) — at 100 TB a wide-
+    //    basket corpus would pre-cap items per basket before pairing. Global
+    //    top-k compiles to TakeOrderedAndProject, no full sort ──────────────
+    Q(
+      "q_basket_pairs",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+          .limit(25)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              COUNT(*) AS n_orders
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2)
+        SELECT part_a, part_b, n_orders FROM p
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 25"""))
   )
 }

@@ -26,6 +26,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_inverted_index" -> "corpus doc count is a ONE-ROW aggregate broadcast-crossed into the term-frequency table to express the stopword df bound",
     "q_search_bm25" -> "corpus (N, avgdl) stats are a ONE-ROW aggregate broadcast-crossed into the per-(doc,term) tf table",
     "q_pmi_bigrams" -> "unigram/bigram totals are ONE-ROW aggregates broadcast-crossed into the (pre-filtered) bigram table",
+    "q_rfm_segments" -> "the nine quartile thresholds are a ONE-ROW aggregate broadcast-crossed into the per-customer table",
     "q_mixture_sample_rates" -> "token total and weight normalizer are ONE-ROW aggregates broadcast-crossed into the tiny per-source table",
     "q_heavy_hitters" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the <=32-row candidate-count table",
     "q_split_drift" -> "bucket-count/total normalizers are a ONE-ROW aggregate broadcast-crossed into the <=64-row bucket table",
