@@ -151,6 +151,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact set-similarity join (the AllPairs/PPJoin
+    * candidate scheme, Bayardo et al., WWW'07; reference computes near-dup
+    * over full shingle sets): identical output to [[jaccardPairs]] at the
+    * same threshold, but candidates come from an equi-join restricted to
+    * each doc's PREFIX — its (n − ⌈τ·n⌉ + 1) globally-rarest shingles.
+    * Any pair with Jaccard ≥ τ must share a prefix shingle (pigeonhole on
+    * the required overlap), so the candidate set is a superset and the
+    * per-candidate exact verification makes the result exact. Common
+    * shingles never drive the join, so the quadratic blow-up of the naive
+    * self-join on stop-shingles disappears while exactness is kept — this
+    * is the 100 TB face of exact-threshold dedup (the approximate face is
+    * MinHash+LSH below).
+    *
+    * The threshold is taken as the rational tNum/tDen so the prefix bound
+    * uses exact integer ceilings — an IEEE `ceil(0.8 × n)` can land on
+    * n·τ + ε and silently shorten the prefix, breaking completeness.
+    */
+  def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val threshold = tNum.toDouble / tDen
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // per-doc shingles ordered rarest-first; keep only the prefix
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("__pos", row_number().over(w))
+      .join(counts, "doc_id")
+      .filter(col("__pos") <=
+        col("n_sh") - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1)
+      .select(col("doc_id"), col("shingle"), col("n_sh"))
+    val cand = prefix.select(col("doc_id").as("id_a"), col("shingle"), col("n_sh").as("na"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("shingle"), col("n_sh").as("nb")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      // size filter: τ ≤ na/nb ≤ 1/τ is necessary for J ≥ τ
+      .filter(col("na") * tNum <= col("nb") * tDen &&
+        col("nb") * tNum <= col("na") * tDen)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact verification on candidates only
+    val common = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("na") + col("nb") - col("common")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"), col("jaccard"))
+  }
+
   /** MinHash signatures: k hash-function mins per doc in ONE typed
     * aggregate. The shingle is hashed once (codegen'd xxhash64); the k
     * per-position hashes derive from that base as a splitmix64 stream inside

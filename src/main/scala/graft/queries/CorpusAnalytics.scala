@@ -628,6 +628,110 @@ object CorpusAnalytics {
         FROM inter
         JOIN sizes sa ON sa.source = source_a
         JOIN sizes sb ON sb.source = source_b
-        ORDER BY source_a, source_b"""))
+        ORDER BY source_a, source_b""")),
+
+    // ── typo-pair mining via deletion neighborhoods (SymSpell): terms
+    //    within Levenshtein distance ≤ 2 found by equi-joining delete-≤2
+    //    variants — vocabulary-bounded candidate generation (≤ 1+L+L²/2
+    //    variants per term), exact-distance verification on candidates
+    //    only. The oracle brute-forces all pairs; the Spark side never
+    //    does ────────────────────────────────────────────────────────────────
+    Q(
+      "q_typo_pairs",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val terms = d
+          .select(explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term").rlike("^[a-z]{3,12}$"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        graft.ext.FuzzyMatch.typoPairs(terms)
+          .orderBy(col("term_a"), col("term_b"))
+      },
+      Some("""WITH toks AS (SELECT UNNEST(string_split(lower(text), ' ')) AS w
+            FROM documents),
+          v AS (SELECT w AS term, COUNT(*) AS freq FROM toks
+            WHERE regexp_matches(w, '^[a-z]{3,12}$') GROUP BY 1)
+        SELECT a.term AS term_a, b.term AS term_b,
+          CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist,
+          a.freq AS freq_a, b.freq AS freq_b
+        FROM v a JOIN v b ON a.term < b.term
+        WHERE levenshtein(a.term, b.term) <= 2
+        ORDER BY term_a, term_b""")),
+
+    // ── prefix-filtered exact set-similarity self-join (AllPairs/PPJoin):
+    //    the same pair set as q_dedup_ngram_jaccard, but candidates come
+    //    only from each doc's (n − ⌈τn⌉ + 1) globally-rarest shingles, so
+    //    stop-shingles never drive the join — the exact-threshold dedup
+    //    shape that survives 100 TB (equality with the naive self-join is
+    //    also pinned in ScalaTest) ───────────────────────────────────────────
+    Q(
+      "q_setsim_prefix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ext.Dedup
+          .jaccardPairsPrefix(graft.ext.Dedup.shingles(d, "doc_id", "text", 3), 4, 5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, common, ca.n AS na, cb.n AS nb,
+          ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+        FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.8
+        ORDER BY id_a, id_b""")),
+
+    // ── per-source document cap: keep at most K docs per source in the
+    //    deterministic shuffle order (the downsampling half of mixture
+    //    rebalancing — q_mixture_sample_rates computes rates, this applies
+    //    a hard ceiling). One source-partitioned window over a pure hash
+    //    key; no RNG, stable across engines and cluster sizes ────────────────
+    Q(
+      "q_source_cap",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val key = graft.ext.CorpusPipeline.shuffleKey(col("doc_id"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(key, col("doc_id"))
+        d.select(col("source"), col("doc_id"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 40)
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""SELECT source, doc_id, rn FROM (
+          SELECT source, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ((CAST(xor(doc_id, 1013904242) AS HUGEINT) * 2654435761)
+              % 18446744073709551616) // 8589934592 % 2147483647,
+            doc_id) AS BIGINT) AS rn
+          FROM documents)
+        WHERE rn <= 40 ORDER BY source, rn""")),
+
+    // ── l-diversity audit: distinct sensitive values per quasi-identifier
+    //    group — the release gate that k-anonymity (q_kanon_suppress) does
+    //    not cover: a large group whose sensitive attribute is constant
+    //    still leaks. One aggregate; flags groups below l = 3 ────────────────
+    Q(
+      "q_ldiversity",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.groupBy(col("o_orderstatus"),
+            month(col("o_orderdate")).cast("long").as("order_month"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("o_orderpriority")).as("l_distinct"))
+          .withColumn("below_l3", col("l_distinct") < 3)
+          .orderBy(col("o_orderstatus"), col("order_month"))
+      },
+      Some("""SELECT o_orderstatus, CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+            AS order_month, COUNT(*) AS n,
+          COUNT(DISTINCT o_orderpriority) AS l_distinct,
+          (COUNT(DISTINCT o_orderpriority) < 3) AS below_l3
+        FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_month"""))
   )
 }

@@ -350,6 +350,178 @@ object EventsAnalytics {
           ROUND(quantile_cont(delay_h, 0.5), 4) AS p50_h,
           ROUND(quantile_cont(delay_h, 0.9), 4) AS p90_h,
           ROUND(MAX(delay_h), 4) AS max_h
-        FROM d"""))
+        FROM d""")),
+
+    // ── SCD Type-2 history: compress the per-user change log into validity
+    //    intervals [valid_from, valid_to) with a current flag — the
+    //    dimension-history build every warehouse runs on a CDC feed. One
+    //    user-partitioned window pass over (us, event_id)-total-ordered
+    //    events; no self-join ───────────────────────────────────────────────
+    Q(
+      "q_events_scd2",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val runs = e
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
+              .otherwise(0L))
+          .withColumn("version",
+            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val hist = runs.groupBy(col("user_id"), col("version"))
+          .agg(max(col("event_type")).as("state"),
+            min(col("us")).as("valid_from_us"),
+            count(lit(1)).as("n_events"))
+        val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        hist
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .select(col("user_id"), col("version"), col("state"),
+            col("valid_from_us"), col("valid_to_us"), col("n_events"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("version"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+            FROM events),
+          r AS (SELECT *, CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY us, event_id)
+                IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+          runs AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS version FROM r),
+          hist AS (SELECT user_id, version, MAX(event_type) AS state,
+              MIN(us) AS valid_from_us, COUNT(*) AS n_events
+            FROM runs GROUP BY 1, 2)
+        SELECT user_id, version, state, valid_from_us,
+          lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+            AS valid_to_us,
+          n_events,
+          (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+            IS NULL) AS is_current
+        FROM hist ORDER BY user_id, version""")),
+
+    // ── calendar gap-fill: daily counts per type with missing days emitted
+    //    as zero — the resample step before any time-series model. The spine
+    //    is a ONE-ROW (min,max) aggregate exploded through sequence(); its
+    //    cross with the |types|-row dimension is bounded by definition ──────
+    Q(
+      "q_events_gapfill",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val daily = e.groupBy(col("ts").cast("date").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val days = e.agg(min(col("ts").cast("date")).as("lo"),
+            max(col("ts").cast("date")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val types = e.select(col("event_type")).distinct()
+        days.crossJoin(broadcast(types))
+          .join(daily, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS lo,
+              MAX(CAST(ts AS DATE)) AS hi FROM events),
+          days AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+              INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+          types AS (SELECT DISTINCT event_type FROM events),
+          daily AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT d.day AS day, t.event_type, COALESCE(daily.n, 0) AS n
+        FROM days d CROSS JOIN types t
+        LEFT JOIN daily ON daily.day = d.day AND daily.event_type = t.event_type
+        ORDER BY d.day, t.event_type""")),
+
+    // ── time-weighted average: each observation holds until the next one,
+    //    so the mean weights values by their holding time — the correct
+    //    summary for irregularly-sampled state (sensor readings, balances).
+    //    One user-partitioned lead() window; decimal-summed numerator ───────
+    Q(
+      "q_events_twa",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val dt = e.withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+          .filter(col("dt").isNotNull)
+        dt.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dt")).as("span_us"),
+            sum((col("value").cast(DecimalType(18, 6)) * col("dt"))
+              .cast(DecimalType(38, 6))).as("num"))
+          .select(col("user_id"), col("n_intervals"), col("span_us"),
+            round(col("num").cast("double") / col("span_us").cast("double"), 6)
+              .as("twa_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, value, epoch_us(ts) AS us, event_id
+            FROM events),
+          d AS (SELECT user_id, value,
+              lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+                AS dt
+            FROM e),
+          k AS (SELECT * FROM d WHERE dt IS NOT NULL)
+        SELECT user_id, COUNT(*) AS n_intervals,
+          CAST(SUM(dt) AS BIGINT) AS span_us,
+          ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * dt
+              AS DECIMAL(38,6))) AS DOUBLE)
+            / CAST(SUM(dt) AS DOUBLE), 6) AS twa_value
+        FROM k GROUP BY user_id ORDER BY user_id""")),
+
+    // ── PageRank centrality of the event-type transition graph (which
+    //    state is the user flow's hub). Edge extraction is one window pass
+    //    over the log; the iteration runs on the |types|²-bounded edge
+    //    list in scaled-integer arithmetic (bit-identical across engines
+    //    and partitionings — see graft.ext.GraphOps). Oracle: the same 10
+    //    supersteps unrolled as chained CTEs ────────────────────────────────
+    Q(
+      "q_events_pagerank",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val edges = e.withColumn("src", lag(col("event_type"), 1).over(w))
+          .filter(col("src").isNotNull)
+          .groupBy(col("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).as("w"))
+        graft.ext.GraphOps.pageRankScaled(edges, iters = 10, dampPct = 85)
+          .select(col("node").as("event_type"),
+            (col("r").cast("double") / lit(1e12)).as("rank"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val base = """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+              event_id FROM events),
+          tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS src, event_type AS dst FROM e),
+          ed AS (SELECT src, dst, COUNT(*) AS w FROM tr
+            WHERE src IS NOT NULL GROUP BY 1, 2),
+          outw AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY 1),
+          p AS (SELECT ed.src, ed.dst, (ed.w * 1000000) // outw.ow AS p6
+            FROM ed JOIN outw USING (src)),
+          nodes AS (SELECT src AS node FROM ed
+            UNION SELECT dst FROM ed),
+          nn AS (SELECT COUNT(*) AS n FROM nodes),
+          it0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+            FROM nodes)"""
+        val iters = (1 to 10).map { k =>
+          s"""it$k AS (SELECT nd.node,
+              15000000000000 // (100 * (SELECT n FROM nn)) +
+              ((COALESCE(s.s18, 0) // 1000000) * 85) // 100 AS r
+            FROM nodes nd LEFT JOIN (
+              SELECT p.dst AS node, SUM(p.p6 * prev.r) AS s18
+              FROM p JOIN it${k - 1} prev ON prev.node = p.src
+              GROUP BY p.dst) s ON s.node = nd.node)"""
+        }.mkString(",\n          ")
+        base + ",\n          " + iters +
+          """
+        SELECT node AS event_type, CAST(r AS DOUBLE) / 1e12 AS rank
+        FROM it10 ORDER BY event_type"""
+      })
   )
 }

@@ -643,4 +643,56 @@ class ExtensionsSpec extends AnyFunSuite {
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "k1"), (2L, "k2")))
   }
+
+  test("prefix-filtered set-similarity join equals the naive self-join exactly") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val naive = Dedup.jaccardPairs(sh, 0.8)
+      .select("id_a", "id_b", "common").as[(Long, Long, Long)].collect().toSet
+    val prefix = Dedup.jaccardPairsPrefix(sh, 4, 5)
+      .select("id_a", "id_b", "common").as[(Long, Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "corpus should contain planted near-dups")
+    assert(prefix == naive)
+  }
+
+  test("symspell delete-neighborhood join finds every levenshtein<=2 pair") {
+    val terms = docs
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").rlike("^[a-z]{3,12}$"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .cache()
+    val got = graft.ext.FuzzyMatch.typoPairs(terms)
+      .select("term_a", "term_b").as[(String, String)].collect().toSet
+    val vocab = terms.select("term").as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "vocabulary should contain close pairs")
+    assert(got == brute)
+  }
+
+  test("scaled-integer pagerank conserves mass and is deterministic") {
+    // star graph: everything points at 'hub', hub points at 'a'
+    val edges = Seq(("a", "hub", 3L), ("b", "hub", 1L), ("c", "hub", 2L),
+      ("hub", "a", 4L)).toDF("src", "dst", "w")
+    val r1 = graft.ext.GraphOps.pageRankScaled(edges, iters = 10)
+      .as[(String, Long)].collect().toMap
+    val r2 = graft.ext.GraphOps.pageRankScaled(edges, iters = 10)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == r2, "two runs must be bit-identical")
+    // total mass stays ~1.0 (floor divisions each lose <1e-12 per node/iter)
+    val total = r1.values.sum
+    assert(math.abs(total - graft.ext.GraphOps.RankScale) < 1000000L,
+      s"mass drifted: $total")
+    // the hub receives mass from three nodes and must outrank the leaves
+    assert(r1("hub") > r1("b") && r1("hub") > r1("c"))
+  }
 }

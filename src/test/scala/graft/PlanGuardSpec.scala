@@ -30,7 +30,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_mixture_sample_rates" -> "token total and weight normalizer are ONE-ROW aggregates broadcast-crossed into the tiny per-source table",
     "q_heavy_hitters" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the <=32-row candidate-count table",
     "q_split_drift" -> "bucket-count/total normalizers are a ONE-ROW aggregate broadcast-crossed into the <=64-row bucket table",
-    "q_bigram_logprob" -> "vocabulary size is a ONE-ROW aggregate broadcast-crossed into the bigram-score table")
+    "q_bigram_logprob" -> "vocabulary size is a ONE-ROW aggregate broadcast-crossed into the bigram-score table",
+    "q_events_gapfill" -> "calendar spine (exploded from a ONE-ROW min/max aggregate) crossed with the |types|-row dimension — the fill target is their bounded product by definition",
+    "q_events_pagerank" -> "node count is a ONE-ROW aggregate broadcast-crossed into the |types|-bounded rank table each superstep")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
