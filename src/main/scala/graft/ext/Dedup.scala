@@ -206,6 +206,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** Asymmetric containment detection: ordered pairs where contained doc
+    * A has |A∩B|/|A| ≥ cNum/cDen — the quote/snippet/subset-document case
+    * that symmetric Jaccard misses (a 50-shingle doc fully inside a
+    * 5000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). Candidates
+    * come from joining A's (na − ⌈c·na⌉ + 1) rarest shingles against the
+    * full shingle table (prefix principle applies to the contained side
+    * only — the container side has no size bound), then exact verification
+    * on candidates. `minShingles` drops docs too small for containment to
+    * be meaningful. */
+  def containmentPairs(sh: DataFrame, cNum: Int, cDen: Int,
+      minShingles: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val threshold = cNum.toDouble / cDen
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
+    val prefixA = sh.join(dfreq, "shingle")
+      .withColumn("__pos", row_number().over(w))
+      .join(counts, "doc_id")
+      .filter(col("n_sh") >= minShingles)
+      .filter(col("__pos") <=
+        col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1)
+      .select(col("doc_id").as("id_a"), col("shingle"))
+    val cand = prefixA
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("common").cast("double") / col("na").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"),
+        col("containment"))
+  }
+
   /** MinHash signatures: k hash-function mins per doc in ONE typed
     * aggregate. The shingle is hashed once (codegen'd xxhash64); the k
     * per-position hashes derive from that base as a splitmix64 stream inside

@@ -729,6 +729,79 @@ object Analytics {
               AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2)
         SELECT part_a, part_b, n_orders FROM p
-        ORDER BY n_orders DESC, part_a, part_b LIMIT 25"""))
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 25""")),
+
+    // ── deterministic list aggregation: top-5 customers per nation by
+    //    spend, folded into one ordered CSV per nation. collect_list has no
+    //    cross-partition order, so the list is sorted by an explicit
+    //    (rank) key before joining — never by arrival order. Spend in
+    //    integer cents from a decimal sum; ranks resolve ties by key ────────
+    Q(
+      "q_string_agg",
+      (s, dir) => {
+        val spend = t(s, dir, "orders")
+          .join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast("long").as("cents"))
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(desc("cents"), col("c_custkey"))
+        spend.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_top"),
+            sum(col("cents")).as("top_cents"),
+            array_join(expr("transform(array_sort(collect_list(struct(rk, c_name))), x -> x.c_name)"), ",")
+              .as("top_customers"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH spend AS (SELECT n_name, c_custkey, c_name,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2, 3),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+              ORDER BY cents DESC, c_custkey) AS rk FROM spend)
+        SELECT n_name, COUNT(*) AS n_top, CAST(SUM(cents) AS BIGINT) AS top_cents,
+          string_agg(c_name, ',' ORDER BY rk) AS top_customers
+        FROM ranked WHERE rk <= 5 GROUP BY n_name ORDER BY n_name""")),
+
+    // ── equi-width value histogram: 20 bins over the global [min,max],
+    //    bounds from a ONE-ROW aggregate broadcast back — one scan for
+    //    bounds, one for binning (swap in fixed bounds to make it a single
+    //    pass at scale). Bin edges are the same IEEE expression on both
+    //    engines ─────────────────────────────────────────────────────────────
+    Q(
+      "q_value_histogram",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        e.select(col("value")).crossJoin(broadcast(bounds))
+          .select(least(lit(19L),
+            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+              .cast("long")).as("bin"),
+            col("lo"), col("hi"))
+          .groupBy(col("bin"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("bin"), col("n"),
+            round(col("lo") + (col("hi") - col("lo")) / 20 * col("bin"), 6)
+              .as("lo_edge"),
+            round(col("lo") + (col("hi") - col("lo")) / 20 * (col("bin") + 1), 6)
+              .as("hi_edge"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+          binned AS (SELECT LEAST(19, CAST(FLOOR((value - lo) / (hi - lo) * 20)
+                AS BIGINT)) AS bin, lo, hi
+            FROM events CROSS JOIN b)
+        SELECT bin, COUNT(*) AS n,
+          ROUND(lo + (hi - lo) / 20 * bin, 6) AS lo_edge,
+          ROUND(lo + (hi - lo) / 20 * (bin + 1), 6) AS hi_edge
+        FROM binned GROUP BY bin, lo, hi ORDER BY bin"""))
   )
 }

@@ -732,6 +732,39 @@ object CorpusAnalytics {
             AS order_month, COUNT(*) AS n,
           COUNT(DISTINCT o_orderpriority) AS l_distinct,
           (COUNT(DISTINCT o_orderpriority) < 3) AS below_l3
-        FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_month"""))
+        FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_month""")),
+
+    // ── asymmetric containment: ordered pairs where ≥80% of doc A's
+    //    shingles appear in doc B — catches quotes/snippets/subset docs that
+    //    symmetric Jaccard misses entirely. Candidates from A's rarest-
+    //    shingle prefix joined against the full shingle table (the prefix
+    //    principle applies to the contained side; the container has no size
+    //    bound), exact verification on candidates only ──────────────────────
+    Q(
+      "q_doc_containment",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.ext.Dedup
+          .containmentPairs(graft.ext.Dedup.shingles(d, "doc_id", "text", 3),
+            4, 5, minShingles = 10)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, common, ca.n AS na, cb.n AS nb,
+          ROUND(CAST(common AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) AS containment
+        FROM pairs
+        JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        WHERE ca.n >= 10
+          AND ROUND(CAST(common AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) >= 0.8
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -522,6 +522,79 @@ object EventsAnalytics {
           """
         SELECT node AS event_type, CAST(r AS DOUBLE) / 1e12 AS rank
         FROM it10 ORDER BY event_type"""
-      })
+      }),
+
+    // ── bucketized interval-overlap join: per-user daily activity spans
+    //    against a derived nightly maintenance window [02:00, 04:00) — the
+    //    "which sessions does the deploy window hit" query. Both interval
+    //    sets carry their day as an equi-key, so the overlap test runs
+    //    inside a hash join partition — no inequality-driven nested loop,
+    //    the same bucketing idea as graft.ext.RangeJoin ─────────────────────
+    Q(
+      "q_interval_overlap",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val spans = e.groupBy(col("user_id"), col("ts").cast("date").as("day"))
+          .agg(min(unix_micros(col("ts"))).as("lo"),
+            max(unix_micros(col("ts"))).as("hi"))
+        val win = spans.select(col("day")).distinct()
+          .select(col("day"),
+            (unix_micros(col("day").cast("timestamp")) + lit(7200000000L)).as("win_lo"),
+            (unix_micros(col("day").cast("timestamp")) + lit(14400000000L)).as("win_hi"))
+        spans.join(win, Seq("day"))
+          .filter(col("lo") < col("win_hi") && col("win_lo") < col("hi"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_affected"),
+            sum(least(col("hi"), col("win_hi")) - greatest(col("lo"), col("win_lo")))
+              .as("total_overlap_us"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH spans AS (SELECT user_id, CAST(ts AS DATE) AS day,
+              MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+            FROM events GROUP BY 1, 2),
+          win AS (SELECT DISTINCT day,
+              epoch_us(CAST(day AS TIMESTAMP)) + 7200000000 AS win_lo,
+              epoch_us(CAST(day AS TIMESTAMP)) + 14400000000 AS win_hi
+            FROM spans)
+        SELECT s.day AS day, COUNT(*) AS n_affected,
+          CAST(SUM(LEAST(s.hi, w.win_hi) - GREATEST(s.lo, w.win_lo)) AS BIGINT)
+            AS total_overlap_us
+        FROM spans s JOIN win w ON s.day = w.day
+        WHERE s.lo < w.win_hi AND w.win_lo < s.hi
+        GROUP BY s.day ORDER BY s.day""")),
+
+    // ── windowed funnel: signup → purchase within 72 h (attribution
+    //    window) — unlike q_time_to_convert, a late purchase does NOT
+    //    count. Both sides pre-shrink to one row per user before the
+    //    join ────────────────────────────────────────────────────────────────
+    Q(
+      "q_funnel_window_72h",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+        val converted = ev.filter(col("event_type") === "purchase")
+          .join(signups, Seq("user_id"))
+          .filter(col("us") > col("signup_us") &&
+            col("us") <= col("signup_us") + lit(259200000000L))
+          .select(col("user_id")).distinct()
+        signups.agg(count(lit(1)).as("n_signups"))
+          .crossJoin(broadcast(converted.agg(count(lit(1)).as("n_converted"))))
+          .select(col("n_signups"), col("n_converted"),
+            round(col("n_converted").cast("double") /
+              col("n_signups").cast("double"), 6).as("conversion_72h"))
+      },
+      Some("""WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+            FROM events WHERE event_type = 'signup' GROUP BY 1),
+          c AS (SELECT COUNT(DISTINCT e.user_id) AS n_converted
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) > s.signup_us
+              AND epoch_us(e.ts) <= s.signup_us + 259200000000)
+        SELECT (SELECT COUNT(*) FROM s) AS n_signups, c.n_converted,
+          ROUND(CAST(c.n_converted AS DOUBLE) /
+            CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6) AS conversion_72h
+        FROM c"""))
   )
 }

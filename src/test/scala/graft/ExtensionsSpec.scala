@@ -679,6 +679,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("containment pairs catch a planted subset doc that jaccard misses") {
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, body), // fully contained in 2
+      (2L, body + " " + (100 to 160).map(i => s"pad$i").mkString(" ")),
+      (3L, (200 to 240).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docsDf, "doc_id", "text", 3)
+    val cont = Dedup.containmentPairs(sh, 4, 5, minShingles = 10)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cont.contains((1L, 2L)) && cont((1L, 2L)) == 1.0,
+      s"planted containment missing: $cont")
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the symmetric jaccard of the planted pair is far below threshold
+    val jac = Dedup.jaccardPairs(sh, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("scaled-integer pagerank conserves mass and is deterministic") {
     // star graph: everything points at 'hub', hub points at 'a'
     val edges = Seq(("a", "hub", 3L), ("b", "hub", 1L), ("c", "hub", 2L),

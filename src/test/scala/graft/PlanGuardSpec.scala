@@ -32,7 +32,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_split_drift" -> "bucket-count/total normalizers are a ONE-ROW aggregate broadcast-crossed into the <=64-row bucket table",
     "q_bigram_logprob" -> "vocabulary size is a ONE-ROW aggregate broadcast-crossed into the bigram-score table",
     "q_events_gapfill" -> "calendar spine (exploded from a ONE-ROW min/max aggregate) crossed with the |types|-row dimension — the fill target is their bounded product by definition",
-    "q_events_pagerank" -> "node count is a ONE-ROW aggregate broadcast-crossed into the |types|-bounded rank table each superstep")
+    "q_events_pagerank" -> "node count is a ONE-ROW aggregate broadcast-crossed into the |types|-bounded rank table each superstep",
+    "q_value_histogram" -> "global (min,max) bounds are a ONE-ROW aggregate broadcast-crossed into the scan before binning",
+    "q_funnel_window_72h" -> "two ONE-ROW funnel-stage counts crossed into the single summary row")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
