@@ -765,6 +765,49 @@ object CorpusAnalytics {
         JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
         WHERE ca.n >= 10
           AND ROUND(CAST(common AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) >= 0.8
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ── near-dup provenance matrix: exact Jaccard pairs joined back to the
+    //    source dimension — which source pairs generate the duplication
+    //    (cross-source dup means scraper overlap; within-source means
+    //    template spam). Only ids flow through the enrichment joins ─────────
+    Q(
+      "q_dup_rate_by_source",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = graft.ext.Dedup
+          .jaccardPairs(graft.ext.Dedup.shingles(d, "doc_id", "text", 3), 0.8)
+          .select(col("id_a"), col("id_b"))
+        val src = d.select(col("doc_id"), col("source"))
+        pairs
+          .join(broadcast(src.select(col("doc_id").as("id_a"),
+            col("source").as("source_a"))), Seq("id_a"))
+          .join(broadcast(src.select(col("doc_id").as("id_b"),
+            col("source").as("source_b"))), Seq("id_b"))
+          .groupBy(least(col("source_a"), col("source_b")).as("source_lo"),
+            greatest(col("source_a"), col("source_b")).as("source_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_lo"), col("source_hi"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM pr
+          JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+          WHERE ROUND(CAST(common AS DOUBLE)
+            / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.8)
+        SELECT LEAST(da.source, db.source) AS source_lo,
+          GREATEST(da.source, db.source) AS source_hi, COUNT(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON pairs.id_a = da.doc_id
+        JOIN documents db ON pairs.id_b = db.doc_id
+        GROUP BY 1, 2 ORDER BY source_lo, source_hi"""))
   )
 }

@@ -595,6 +595,151 @@ object EventsAnalytics {
         SELECT (SELECT COUNT(*) FROM s) AS n_signups, c.n_converted,
           ROUND(CAST(c.n_converted AS DOUBLE) /
             CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6) AS conversion_72h
-        FROM c"""))
+        FROM c""")),
+
+    // ── weekly churn: users active in week w with no activity in w+1.
+    //    Input pre-shrinks to distinct user-weeks; churn is one anti-join
+    //    against the same table shifted a week. The last observed week is
+    //    excluded (its successor is unobservable, not churned) ──────────────
+    Q(
+      "q_events_churn",
+      (s, dir) => {
+        val uw = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("datediff(cast(ts as date), date '1970-01-01') div 7").as("wk"))
+          .distinct()
+        val nextWk = uw.select(col("user_id"), (col("wk") - 1L).as("wk"))
+        val churned = uw.join(nextWk, Seq("user_id", "wk"), "left_anti")
+          .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+        val active = uw.groupBy(col("wk")).agg(count(lit(1)).as("n_active"))
+        val maxWk = uw.agg(max(col("wk")).as("max_wk"))
+        active.join(churned, Seq("wk"), "left")
+          .crossJoin(broadcast(maxWk))
+          .filter(col("wk") < col("max_wk"))
+          .select(col("wk"), col("n_active"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+            round(coalesce(col("n_churned"), lit(0L)).cast("double") /
+              col("n_active").cast("double"), 6).as("churn_rate"))
+          .orderBy(col("wk"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+              DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+            FROM events),
+          ch AS (SELECT a.wk, COUNT(*) AS n_churned FROM uw a
+            LEFT JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+            WHERE b.user_id IS NULL GROUP BY 1),
+          act AS (SELECT wk, COUNT(*) AS n_active FROM uw GROUP BY 1)
+        SELECT act.wk AS wk, n_active, COALESCE(ch.n_churned, 0) AS n_churned,
+          ROUND(CAST(COALESCE(ch.n_churned, 0) AS DOUBLE)
+            / CAST(n_active AS DOUBLE), 6) AS churn_rate
+        FROM act LEFT JOIN ch ON act.wk = ch.wk
+        WHERE act.wk < (SELECT MAX(wk) FROM uw) ORDER BY wk""")),
+
+    // ── new vs returning users per day: one distinct (user, day) pass plus
+    //    a broadcast of per-user first-seen days — the daily growth
+    //    decomposition every product dashboard leads with ────────────────────
+    Q(
+      "q_events_new_returning",
+      (s, dir) => {
+        val ud = t(s, dir, "events")
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+        ud.join(first, Seq("user_id"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+          .select(col("day"), col("n_users"), col("n_new"),
+            (col("n_users") - col("n_new")).as("n_returning"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+        SELECT day, COUNT(*) AS n_users,
+          CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_new,
+          COUNT(*) - CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+        FROM ud JOIN f USING (user_id)
+        GROUP BY day ORDER BY day""")),
+
+    // ── audience overlap between event types: distinct (type, user) pairs
+    //    self-joined on user — the fan-out per user is ≤ |types|, so the
+    //    join is corpus-linear; output is |types|²-bounded. Jaccard and
+    //    overlap coefficient per type pair ──────────────────────────────────
+    Q(
+      "q_audience_overlap",
+      (s, dir) => {
+        val tu = t(s, dir, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+        val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+        a.join(b, Seq("user_id"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sizes.select(col("event_type").as("type_a"),
+            col("n").as("na"))), Seq("type_a"))
+          .join(broadcast(sizes.select(col("event_type").as("type_b"),
+            col("n").as("nb"))), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("na"), col("nb"), col("n_both"),
+            round(col("n_both").cast("double") /
+              (col("na") + col("nb") - col("n_both")).cast("double"), 6).as("jaccard"),
+            round(col("n_both").cast("double") /
+              least(col("na"), col("nb")).cast("double"), 6).as("overlap_coef"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+          sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+          ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              COUNT(*) AS n_both
+            FROM tu a JOIN tu b ON a.user_id = b.user_id
+              AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT type_a, type_b, sa.n AS na, sb.n AS nb, n_both,
+          ROUND(CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE), 6)
+            AS jaccard,
+          ROUND(CAST(n_both AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+            AS overlap_coef
+        FROM ov JOIN sz sa ON sa.event_type = type_a
+        JOIN sz sb ON sb.event_type = type_b
+        ORDER BY type_a, type_b""")),
+
+    // ── activity concentration (Pareto): share of all events generated by
+    //    users at or above the P90 per-user event count. Per-user counts are
+    //    one shuffle; the threshold is a ONE-ROW exact percentile broadcast
+    //    back — no global sort of users ─────────────────────────────────────
+    Q(
+      "q_pareto_concentration",
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        val thr = cnt.agg(
+          round(percentile(col("cnt"), lit(0.9)), 4).as("p90"),
+          count(lit(1)).as("n_users"),
+          sum(col("cnt")).as("n_events"))
+        cnt.crossJoin(broadcast(thr))
+          .filter(col("cnt").cast("double") >= col("p90"))
+          .groupBy(col("p90"), col("n_users"), col("n_events"))
+          .agg(count(lit(1)).as("n_top_users"),
+            sum(col("cnt")).as("top_events"))
+          .select(col("p90"), col("n_users"), col("n_top_users"),
+            round(col("top_events").cast("double") /
+              col("n_events").cast("double"), 6).as("event_share"))
+      },
+      Some("""WITH cnt AS (SELECT user_id, COUNT(*) AS cnt FROM events
+            GROUP BY 1),
+          thr AS (SELECT ROUND(quantile_cont(cnt, 0.9), 4) AS p90,
+              COUNT(*) AS n_users, CAST(SUM(cnt) AS BIGINT) AS n_events
+            FROM cnt)
+        SELECT thr.p90, thr.n_users,
+          COUNT(*) AS n_top_users,
+          ROUND(CAST(SUM(cnt.cnt) AS DOUBLE) / CAST(thr.n_events AS DOUBLE), 6)
+            AS event_share
+        FROM cnt CROSS JOIN thr
+        WHERE CAST(cnt.cnt AS DOUBLE) >= thr.p90
+        GROUP BY thr.p90, thr.n_users, thr.n_events"""))
   )
 }

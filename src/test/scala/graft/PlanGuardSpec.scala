@@ -34,7 +34,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_events_gapfill" -> "calendar spine (exploded from a ONE-ROW min/max aggregate) crossed with the |types|-row dimension — the fill target is their bounded product by definition",
     "q_events_pagerank" -> "node count is a ONE-ROW aggregate broadcast-crossed into the |types|-bounded rank table each superstep",
     "q_value_histogram" -> "global (min,max) bounds are a ONE-ROW aggregate broadcast-crossed into the scan before binning",
-    "q_funnel_window_72h" -> "two ONE-ROW funnel-stage counts crossed into the single summary row")
+    "q_funnel_window_72h" -> "two ONE-ROW funnel-stage counts crossed into the single summary row",
+    "q_events_churn" -> "max observed week is a ONE-ROW aggregate broadcast-crossed into the <=weeks-sized activity table",
+    "q_pareto_concentration" -> "P90 threshold and totals are a ONE-ROW aggregate broadcast-crossed into the per-user count table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
