@@ -802,6 +802,59 @@ object Analytics {
         SELECT bin, COUNT(*) AS n,
           ROUND(lo + (hi - lo) / 20 * bin, 6) AS lo_edge,
           ROUND(lo + (hi - lo) / 20 * (bin + 1), 6) AS hi_edge
-        FROM binned GROUP BY bin, lo, hi ORDER BY bin"""))
+        FROM binned GROUP BY bin, lo, hi ORDER BY bin""")),
+
+    // ── triangle census of the co-purchase graph: edges are part pairs
+    //    sharing an order (basket-bounded fan-out), canonically oriented
+    //    u < v so each triangle (a<b<c) is counted exactly once by the
+    //    two-hop join + closing-edge semi-join. At 100 TB the orientation
+    //    key becomes (degree, id) instead of raw id — same count, but the
+    //    two-out-edge node of every triangle is then its LOWEST-degree
+    //    node, which bounds the wedge join's per-key fan-out on skewed
+    //    (celebrity) nodes. Global clustering = 3·triangles / wedges ────────
+    Q(
+      "q_graph_triangles",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+            Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v")).distinct()
+        val deg = e.select(col("u").as("node"))
+          .union(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2)
+          .cast("long").as("n_wedges"),
+          count(lit(1)).as("n_nodes"))
+        val tri = e.select(col("u").as("a"), col("v").as("b"))
+          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+          .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        wedges.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+          .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+            round(col("n_triangles").cast("double") * 3 /
+              col("n_wedges").cast("double"), 6).as("clustering"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+          deg AS (SELECT node, COUNT(*) AS deg FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+          wd AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+              COUNT(*) AS n_nodes FROM deg),
+          tri AS (SELECT COUNT(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+            WHERE EXISTS (SELECT 1 FROM e e3
+              WHERE e3.u = e1.u AND e3.v = e2.v)),
+          ec AS (SELECT COUNT(*) AS n_edges FROM e)
+        SELECT wd.n_nodes, ec.n_edges, tri.n_triangles,
+          ROUND(CAST(tri.n_triangles AS DOUBLE) * 3
+            / CAST(wd.n_wedges AS DOUBLE), 6) AS clustering
+        FROM wd CROSS JOIN ec CROSS JOIN tri"""))
   )
 }

@@ -808,6 +808,44 @@ object CorpusAnalytics {
         FROM pairs
         JOIN documents da ON pairs.id_a = da.doc_id
         JOIN documents db ON pairs.id_b = db.doc_id
-        GROUP BY 1, 2 ORDER BY source_lo, source_hi"""))
+        GROUP BY 1, 2 ORDER BY source_lo, source_hi""")),
+
+    // ── token-weighted length quantiles: the doc length below which half
+    //    (90%) of all TOKENS sit — the batching-relevant median, which the
+    //    unweighted doc median misstates badly under long-tail lengths.
+    //    Lengths collapse to one row per distinct length before the
+    //    cumulative window, so the window input is bounded by the length
+    //    domain, not the corpus ─────────────────────────────────────────────
+    Q(
+      "q_weighted_median_len",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(size(split(col("text"), " ")).cast("long").as("len"))
+        val perLen = d.groupBy(col("len"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("toks"))
+        val w = Window.orderBy(col("len"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = perLen.withColumn("cum_toks", sum(col("toks")).over(w))
+        val total = perLen.agg(sum(col("toks")).as("total_toks"))
+        cum.crossJoin(broadcast(total))
+          .agg(max(col("total_toks")).as("total_tokens"),
+            min(when(col("cum_toks") * 2 >= col("total_toks"), col("len")))
+              .as("w_median_len"),
+            min(when(col("cum_toks") * 10 >= col("total_toks") * 9, col("len")))
+              .as("w_p90_len"))
+      },
+      Some("""WITH lens AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+              AS len FROM documents),
+          perlen AS (SELECT len, COUNT(*) AS n_docs,
+              CAST(SUM(len) AS BIGINT) AS toks FROM lens GROUP BY 1),
+          cum AS (SELECT len, toks, CAST(SUM(toks) OVER (ORDER BY len
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks FROM perlen),
+          tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks FROM perlen)
+        SELECT MAX(total_toks) AS total_tokens,
+          MIN(CASE WHEN cum_toks * 2 >= total_toks THEN len END)
+            AS w_median_len,
+          MIN(CASE WHEN cum_toks * 10 >= total_toks * 9 THEN len END)
+            AS w_p90_len
+        FROM cum CROSS JOIN tot"""))
   )
 }

@@ -36,7 +36,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_value_histogram" -> "global (min,max) bounds are a ONE-ROW aggregate broadcast-crossed into the scan before binning",
     "q_funnel_window_72h" -> "two ONE-ROW funnel-stage counts crossed into the single summary row",
     "q_events_churn" -> "max observed week is a ONE-ROW aggregate broadcast-crossed into the <=weeks-sized activity table",
-    "q_pareto_concentration" -> "P90 threshold and totals are a ONE-ROW aggregate broadcast-crossed into the per-user count table")
+    "q_pareto_concentration" -> "P90 threshold and totals are a ONE-ROW aggregate broadcast-crossed into the per-user count table",
+    "q_graph_triangles" -> "three ONE-ROW census aggregates (wedges, edges, triangles) crossed into the single summary row",
+    "q_weighted_median_len" -> "token total is a ONE-ROW aggregate broadcast-crossed into the length-domain-bounded cumulative table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
