@@ -180,6 +180,59 @@ object EventsStream {
       .toDF()
   }
 
+  case class Scd2State(state: String, validFromUs: Long, lastUs: Long,
+      lastId: Long, nEvents: Long, version: Long)
+  case class Scd2Out(user_id: Long, version: Long, state: String,
+      valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
+  /** Streaming SCD Type-2 history: per-user state machine that emits a
+    * CLOSED version row [valid_from, valid_to) whenever the tracked
+    * attribute changes — the continuous face of the batch `q_events_scd2`
+    * (the batch query additionally shows the still-open version, which a
+    * stream by definition has not closed yet). State per user is one small
+    * record: current attribute value, its start, the last-applied
+    * (us, event_id) position, and the version counter.
+    *
+    * Ordering: rows are applied in (us, event_id) order within each
+    * micro-batch; a cross-batch regression (an event older than the last
+    * applied position) cannot be spliced into already-emitted history with
+    * bounded state, so it is dropped — the same contract as a CDC consumer
+    * reading a partially-ordered log with a watermark. */
+  def scd2(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[Scd2State]) =>
+          var closed = List.empty[Scd2Out]
+          var cur = state.getOption
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, typ, us, id) =>
+            cur match {
+              case Some(st) if us < st.lastUs ||
+                  (us == st.lastUs && id <= st.lastId) =>
+                () // late regression below the applied position: dropped
+              case Some(st) if typ == st.state =>
+                cur = Some(st.copy(lastUs = us, lastId = id,
+                  nEvents = st.nEvents + 1))
+              case Some(st) =>
+                closed ::= Scd2Out(user, st.version, st.state,
+                  st.validFromUs, us, st.nEvents)
+                cur = Some(Scd2State(typ, us, us, id, 1L, st.version + 1))
+              case None =>
+                cur = Some(Scd2State(typ, us, us, id, 1L, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverse.iterator
+      }
+      .toDF()
+  }
+
   /** Stream-stream interval join: attribute each purchase to any signup of
     * the same user within `windowSeconds` BEFORE it. Both sides carry
     * watermarks so the join state is bounded — Spark retains a signup only

@@ -209,4 +209,20 @@ class StreamingSpec extends AnyFunSuite {
     val sh = graft.ext.Dedup.shingles(corpus, "doc_id", "text", 3)
     assert(graft.ext.Dedup.jaccardPairs(sh, 0.6).count() == 0)
   }
+
+  test("streaming scd2 closed versions equal the batch history exactly") {
+    import spark.implicits._
+    val stream = EventsStream.read(spark, eventsDir)
+    val out = EventsStream.runToMemory(
+      EventsStream.scd2(stream), "scd2_stream", OutputMode.Append())
+    val cols = Seq("user_id", "version", "state", "valid_from_us",
+      "valid_to_us", "n_events").map(col)
+    val streamed = out.select(cols: _*)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    val batch = graft.queries.Registry.byName("q_events_scd2").build(spark, sf)
+      .filter(col("valid_to_us").isNotNull)
+      .select(cols: _*)
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
