@@ -855,6 +855,92 @@ object Analytics {
         SELECT wd.n_nodes, ec.n_edges, tri.n_triangles,
           ROUND(CAST(tri.n_triangles AS DOUBLE) * 3
             / CAST(wd.n_wedges AS DOUBLE), 6) AS clustering
-        FROM wd CROSS JOIN ec CROSS JOIN tri"""))
+        FROM wd CROSS JOIN ec CROSS JOIN tri""")),
+
+    // ── relative-rank windows: percent_rank and cume_dist of customer
+    //    balance within each market segment — the remaining rank-family
+    //    window functions (row_number/rank/ntile are covered elsewhere).
+    //    Ties share a rank in both engines by definition, so double order
+    //    keys are safe here ─────────────────────────────────────────────────
+    Q(
+      "q_percent_rank",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+        c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+          ROUND(percent_rank() OVER w, 6) AS pct_rank,
+          ROUND(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        ORDER BY c_mktsegment, c_acctbal, c_custkey""")),
+
+    // ── value-extraction windows: first/last/nth event type per user over
+    //    the full-partition frame (last_value needs the UNBOUNDED FOLLOWING
+    //    frame — the default frame stops at CURRENT ROW and silently returns
+    //    the current row's value). One row per user via row_number ──────────
+    Q(
+      "q_window_firstlast",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        e.withColumn("first_type", first(col("event_type")).over(full))
+          .withColumn("last_type", last(col("event_type")).over(full))
+          .withColumn("second_type", nth_value(col("event_type"), 2).over(full))
+          .withColumn("rn", row_number().over(ord))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("first_type"), col("second_type"),
+            col("last_type"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (SELECT user_id,
+            first_value(event_type) OVER w AS first_type,
+            nth_value(event_type, 2) OVER w AS second_type,
+            last_value(event_type) OVER w AS last_type,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT user_id, first_type, second_type, last_type
+        FROM v WHERE rn = 1 ORDER BY user_id""")),
+
+    // ── degree distribution of the co-purchase graph: power-of-two degree
+    //    buckets (the q_length_histogram integer-log2 idiom) — the shape
+    //    check run before choosing a graph partitioning strategy ────────────
+    Q(
+      "q_graph_degree_dist",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+            Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v")).distinct()
+        e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .withColumn("bucket", (length(bin(col("deg"))) - 1).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+          deg AS (SELECT node, COUNT(*) AS deg FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        SELECT CAST(LENGTH(BIN(deg)) - 1 AS BIGINT) AS bucket,
+          COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        FROM deg GROUP BY 1 ORDER BY bucket"""))
   )
 }

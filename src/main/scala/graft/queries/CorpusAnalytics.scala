@@ -846,6 +846,60 @@ object CorpusAnalytics {
             AS w_median_len,
           MIN(CASE WHEN cum_toks * 10 >= total_toks * 9 THEN len END)
             AS w_p90_len
-        FROM cum CROSS JOIN tot"""))
+        FROM cum CROSS JOIN tot""")),
+
+    // ── chi-square independence test: is document language independent of
+    //    source? Statistic from the |sources|×|langs|-bounded contingency
+    //    table; per-cell terms rounded then decimal-summed so the result is
+    //    order-independent. The pre-training question this answers: do
+    //    sources need per-language mixture weights or one global set ────────
+    Q(
+      "q_chisq_source_lang",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cells = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("row_n"))
+        val cols_ = cells.groupBy(col("lang")).agg(sum(col("o")).as("col_n"))
+        val total = cells.agg(sum(col("o")).as("n"))
+        cells.join(broadcast(rows), Seq("source"))
+          .join(broadcast(cols_), Seq("lang"))
+          .crossJoin(broadcast(total))
+          .withColumn("e",
+            col("row_n").cast("double") * col("col_n").cast("double") /
+              col("n").cast("double"))
+          .withColumn("term",
+            round((col("o").cast("double") - col("e")) *
+              (col("o").cast("double") - col("e")) / col("e"), 9)
+              .cast(DecimalType(28, 12)))
+          .groupBy(col("n"))
+          .agg(sum(col("term")).cast("double").as("chi2"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"))
+          .select(col("n"), col("n_sources"), col("n_langs"),
+            ((col("n_sources") - 1) * (col("n_langs") - 1)).as("dof"),
+            col("chi2"))
+      },
+      Some("""WITH cells AS (SELECT source, lang, COUNT(*) AS o
+            FROM documents GROUP BY 1, 2),
+          r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS row_n
+            FROM cells GROUP BY 1),
+          c AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS col_n
+            FROM cells GROUP BY 1),
+          tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+          terms AS (SELECT cells.source, cells.lang, tot.n,
+              CAST(ROUND((CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE)
+                  * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE)
+                  * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))
+                / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 9) AS DECIMAL(28,12)) AS term
+            FROM cells JOIN r USING (source) JOIN c USING (lang)
+            CROSS JOIN tot)
+        SELECT n, COUNT(DISTINCT source) AS n_sources,
+          COUNT(DISTINCT lang) AS n_langs,
+          (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
+          CAST(SUM(term) AS DOUBLE) AS chi2
+        FROM terms GROUP BY n"""))
   )
 }

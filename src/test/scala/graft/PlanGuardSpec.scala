@@ -38,7 +38,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_events_churn" -> "max observed week is a ONE-ROW aggregate broadcast-crossed into the <=weeks-sized activity table",
     "q_pareto_concentration" -> "P90 threshold and totals are a ONE-ROW aggregate broadcast-crossed into the per-user count table",
     "q_graph_triangles" -> "three ONE-ROW census aggregates (wedges, edges, triangles) crossed into the single summary row",
-    "q_weighted_median_len" -> "token total is a ONE-ROW aggregate broadcast-crossed into the length-domain-bounded cumulative table")
+    "q_weighted_median_len" -> "token total is a ONE-ROW aggregate broadcast-crossed into the length-domain-bounded cumulative table",
+    "q_chisq_source_lang" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the |sources|x|langs|-bounded contingency table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
