@@ -740,6 +740,152 @@ object EventsAnalytics {
             AS event_share
         FROM cnt CROSS JOIN thr
         WHERE CAST(cnt.cnt AS DOUBLE) >= thr.p90
-        GROUP BY thr.p90, thr.n_users, thr.n_events"""))
+        GROUP BY thr.p90, thr.n_users, thr.n_events""")),
+
+    // ── per-type OLS trend: slope/intercept/R² of value over epoch day,
+    //    from exact integer/decimal power sums (one partial-aggregable
+    //    pass — the q_corr pattern extended to the full regression line).
+    //    The IEEE tail runs the identical expression on both engines ────────
+    Q(
+      "q_trend_slope",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            // day index from the corpus epoch (2024-01-01), not 1970: keeps
+            // the x·v decimal product inside DuckDB's DECIMAL(18) multiply
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"),
+            col("value").cast(DecimalType(18, 6)).as("v"))
+        val sums = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("v")).as("sv"),
+            sum((col("v") * col("v")).cast(DecimalType(38, 12))).as("svv"),
+            sum((col("x").cast(DecimalType(18, 6)) * col("v"))
+              .cast(DecimalType(38, 12))).as("sxv"))
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
+        val sv = col("sv").cast("double"); val svv = col("svv").cast("double")
+        val sxv = col("sxv").cast("double")
+        sums.select(col("event_type"), col("n"),
+            round((n * sxv - sx * sv) / (n * sxx - sx * sx), 6).as("slope"),
+            round((sv * sxx - sx * sxv) / (n * sxx - sx * sx), 6).as("intercept"),
+            round((n * sxv - sx * sv) * (n * sxv - sx * sv) /
+              ((n * sxx - sx * sx) * (n * svv - sv * sv)), 6).as("r2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+            DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+            CAST(value AS DECIMAL(18,6)) AS v FROM events),
+          sums AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+              SUM(v) AS sv,
+              SUM(CAST(v*v AS DECIMAL(38,12))) AS svv,
+              SUM(CAST(CAST(x AS DECIMAL(18,6)) * v AS DECIMAL(38,12))) AS sxv
+            FROM ev GROUP BY 1)
+        SELECT event_type, n,
+          ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+          ROUND((CAST(sv AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sxv AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept,
+          ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) AS r2
+        FROM sums ORDER BY event_type""")),
+
+    // ── two-proportion z-test (A/B): heavy-purchaser conversion (≥14
+    //    purchases) of the even user-id cohort vs the odd one. All inputs
+    //    are exact integer counts from one per-user pass; the z statistic's
+    //    IEEE tail is the same expression on both engines, and degenerate
+    //    pools (p = 0 or 1, zero pooled variance) emit NULL instead of a
+    //    division error. The experimentation primitive every product
+    //    pipeline ends at ────────────────────────────────────────────────────
+    Q(
+      "q_ab_test",
+      (s, dir) => {
+        val pu = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+          .select(pmod(col("user_id"), lit(2)).as("variant"),
+            when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+        val agg = pu.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        val ca = col("conv_a").cast("double"); val cb = col("conv_b").cast("double")
+        val pooled = (ca + cb) / (na + nb)
+        agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          when(col("conv_a") + col("conv_b") > 0L &&
+              col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+            round((ca / na - cb / nb) /
+              sqrt(pooled * (lit(1.0) - pooled) *
+                (lit(1.0) / na + lit(1.0) / nb)), 4))
+            .as("z"))
+      },
+      Some("""WITH pu AS (SELECT user_id % 2 AS variant,
+              CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                >= 14 THEN 1 ELSE 0 END AS conv
+            FROM events GROUP BY user_id),
+          agg AS (SELECT
+              CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+              CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+            FROM pu)
+        SELECT n_a, conv_a, n_b, conv_b,
+          CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+            ROUND((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / SQRT((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
+          END AS z
+        FROM agg""")),
+
+    // ── EWMA smoothing of daily counts per type, α = 1/4 in scaled-integer
+    //    recursion (sₜ = (xₜ·10⁶ + 3·sₜ₋₁) div 4) — deterministic where a
+    //    float recursion is not. The fold runs over the ≤|days| per-type
+    //    daily aggregate collected into one bounded array, not over raw
+    //    events ──────────────────────────────────────────────────────────────
+    Q(
+      "q_ewma_daily",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            expr("""aggregate(
+                transform(array_sort(collect_list(struct(day, cnt))), p -> p.cnt),
+                -1L,
+                (acc, x) -> IF(acc < 0L, x * 1000000L,
+                  (x * 1000000L + 3L * acc) div 4L))""").as("s_scaled"))
+          .select(col("event_type"), col("n_days"),
+            round(col("s_scaled").cast("double") / lit(1e6), 6).as("ewma_last"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+        SELECT event_type, COUNT(*) AS n_days,
+          ROUND(CAST(list_reduce(list_prepend(-1, list(cnt ORDER BY day)),
+              (acc, x) -> CASE WHEN acc < 0 THEN x * 1000000
+                ELSE (x * 1000000 + 3 * acc) // 4 END) AS DOUBLE)
+            / 1e6, 6) AS ewma_last
+        FROM daily GROUP BY event_type ORDER BY event_type"""))
   )
 }
