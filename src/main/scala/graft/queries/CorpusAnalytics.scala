@@ -900,6 +900,64 @@ object CorpusAnalytics {
           COUNT(DISTINCT lang) AS n_langs,
           (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
           CAST(SUM(term) AS DOUBLE) AS chi2
-        FROM terms GROUP BY n"""))
+        FROM terms GROUP BY n""")),
+
+    // ── nearest-centroid classifier eval: assign every vector to its
+    //    closest label centroid (cosine), emit the label×assigned confusion
+    //    matrix — the fastest possible label-quality smoke for an embedding
+    //    corpus. Centroids are the 4-dp decimal means (q_embed_centroid),
+    //    so both engines score against identical prototypes; the dim join
+    //    fans out ≤|labels| per (vector, dim) row ───────────────────────────
+    Q(
+      "q_centroid_confusion",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cent = graft.ext.Similarity.labelCentroids(e)
+          .select(col("label").cast("long").as("clabel"),
+            col("dim"), col("centroid"))
+        val cn = cent.groupBy(col("clabel"))
+          .agg(sqrt(sum(col("centroid") * col("centroid"))).as("cnorm"))
+        val ex = e.select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            col("xf").cast("double").as("x"))
+        val vn = ex.groupBy(col("vec_id")).agg(sqrt(sum(col("x") * col("x"))).as("vnorm"))
+        val scored = ex.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum(col("x") * col("centroid")).as("dot"))
+          .join(vn, Seq("vec_id"))
+          .join(broadcast(cn), Seq("clabel"))
+          .withColumn("cos", round(col("dot") / (col("vnorm") * col("cnorm")), 6))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(desc("cos"), col("clabel"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .groupBy(col("label"), col("clabel").as("assigned"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label"), col("assigned"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+              CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x,
+              CAST(embedding[i] AS DECIMAL(28,10)) AS xd
+            FROM embeddings CROSS JOIN
+              UNNEST(generate_series(1, len(embedding))) AS s(i)),
+          cent AS (SELECT label AS clabel, dim,
+              ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 4) + 0 AS centroid
+            FROM ex GROUP BY 1, 2),
+          cn AS (SELECT clabel, SQRT(SUM(centroid * centroid)) AS cnorm
+            FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, SQRT(SUM(x * x)) AS vnorm FROM ex GROUP BY 1),
+          scored AS (SELECT ex.vec_id, ex.label, cent.clabel,
+              ROUND(SUM(ex.x * cent.centroid)
+                / (MAX(vn.vnorm) * MAX(cn.cnorm)), 6) AS cos
+            FROM ex JOIN cent USING (dim)
+            JOIN vn ON vn.vec_id = ex.vec_id
+            JOIN cn ON cn.clabel = cent.clabel
+            GROUP BY 1, 2, 3),
+          best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos DESC, clabel) AS rk FROM scored)
+        SELECT label, clabel AS assigned, COUNT(*) AS n
+        FROM best WHERE rk = 1
+        GROUP BY 1, 2 ORDER BY label, assigned"""))
   )
 }

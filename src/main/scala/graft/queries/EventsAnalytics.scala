@@ -886,6 +886,38 @@ object EventsAnalytics {
               (acc, x) -> CASE WHEN acc < 0 THEN x * 1000000
                 ELSE (x * 1000000 + 3 * acc) // 4 END) AS DOUBLE)
             / 1e6, 6) AS ewma_last
-        FROM daily GROUP BY event_type ORDER BY event_type"""))
+        FROM daily GROUP BY event_type ORDER BY event_type""")),
+
+    // ── day-of-week seasonality profile: share of each type's events per
+    //    weekday. The weekday comes from pure integer arithmetic
+    //    ((epoch_day + 4) mod 7, 0 = Sunday) — engine dow functions
+    //    disagree on numbering, integers cannot ─────────────────────────────
+    Q(
+      "q_events_seasonality",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            pmod(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long") + 4L, lit(7L)).as("dow"))
+        val byDow = e.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"))
+        val tot = byDow.groupBy(col("event_type")).agg(sum(col("n")).as("n_type"))
+        byDow.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("dow"), col("n"),
+            round(col("n").cast("double") / col("n_type").cast("double"), 6)
+              .as("share"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+              (DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+                AS dow
+            FROM events),
+          d AS (SELECT event_type, dow, COUNT(*) AS n FROM e GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+            FROM d GROUP BY 1)
+        SELECT event_type, dow, n,
+          ROUND(CAST(n AS DOUBLE) / CAST(n_type AS DOUBLE), 6) AS share
+        FROM d JOIN tot USING (event_type)
+        ORDER BY event_type, dow"""))
   )
 }
