@@ -918,6 +918,86 @@ object EventsAnalytics {
         SELECT event_type, dow, n,
           ROUND(CAST(n AS DOUBLE) / CAST(n_type AS DOUBLE), 6) AS share
         FROM d JOIN tot USING (event_type)
-        ORDER BY event_type, dow"""))
+        ORDER BY event_type, dow""")),
+
+    // ── peak concurrency sweep-line: sessions (the q_events_sessionize
+    //    30-min-gap definition) become ±1 boundary events; the running sum
+    //    of boundaries in time order is the live-session count and its max
+    //    is the day's peak. Sessions are clipped to days (bounded fan-out
+    //    over covered days) so the sweep window is DAY-partitioned — never
+    //    one global sort. Starts sort before ends at the same microsecond,
+    //    so a one-event session still registers ────────────────────────────
+    Q(
+      "q_sessions_concurrency",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = e
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wc))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        val dayUs = 86400000000L
+        val clipped = sess
+          .select(col("user_id"), col("sess_id"), col("s_us"), col("e_us"),
+            explode(sequence(expr(s"s_us div ${dayUs}L"),
+              expr(s"e_us div ${dayUs}L"))).as("d"))
+          .select(col("user_id"), col("sess_id"), col("d"),
+            greatest(col("s_us"), col("d") * dayUs).as("lo"),
+            least(col("e_us"), col("d") * dayUs + (dayUs - 1)).as("hi"))
+        val pts = clipped
+          .select(col("d"), col("lo").as("us"), lit(1L).as("delta"),
+            col("user_id"), col("sess_id"))
+          .union(clipped.select(col("d"), col("hi").as("us"),
+            lit(-1L).as("delta"), col("user_id"), col("sess_id")))
+        val sweep = Window.partitionBy(col("d"))
+          .orderBy(col("us"), desc("delta"), col("user_id"), col("sess_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pts.withColumn("live", sum(col("delta")).over(sweep))
+          .groupBy(col("d"))
+          .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+            max(col("live")).as("peak_concurrent"))
+          .select(date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+            .as("day"), col("n_sessions"), col("peak_concurrent"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events),
+        marked AS (SELECT user_id, event_id, us,
+            CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM ev),
+        sess0 AS (SELECT user_id, event_id, us,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS sess_id
+          FROM marked),
+        sess AS (SELECT user_id, sess_id, MIN(us) AS s_us, MAX(us) AS e_us
+          FROM sess0 GROUP BY 1, 2),
+        clipped AS (SELECT user_id, sess_id, d,
+            GREATEST(s_us, d * 86400000000) AS lo,
+            LEAST(e_us, d * 86400000000 + 86399999999) AS hi
+          FROM sess CROSS JOIN
+            UNNEST(generate_series(s_us // 86400000000, e_us // 86400000000))
+              AS g(d)),
+        pts AS (SELECT d, lo AS us, 1 AS delta, user_id, sess_id FROM clipped
+          UNION ALL
+          SELECT d, hi, -1, user_id, sess_id FROM clipped),
+        sw AS (SELECT d, CAST(SUM(delta) OVER (PARTITION BY d
+              ORDER BY us, delta DESC, user_id, sess_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS live
+          FROM pts)
+        SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
+          CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
+          MAX(live) AS peak_concurrent
+        FROM sw GROUP BY d ORDER BY day"""))
   )
 }
