@@ -941,6 +941,35 @@ object Analytics {
             (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
         SELECT CAST(LENGTH(BIN(deg)) - 1 AS BIGINT) AS bucket,
           COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
-        FROM deg GROUP BY 1 ORDER BY bucket"""))
+        FROM deg GROUP BY 1 ORDER BY bucket""")),
+
+    // ── relational division: customers whose orders cover EVERY priority
+    //    class — the "for all" query shape (suppliers stocking every part
+    //    type, users hitting every feature). Expressed as count-distinct
+    //    equality against the ONE-ROW universe size, not nested NOT EXISTS
+    //    — one aggregate per side, no correlated subquery ───────────────────
+    Q(
+      "q_relational_division",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val universe = o.select(col("o_orderpriority")).distinct()
+          .agg(count(lit(1)).as("n_priorities"))
+        val perCust = o.groupBy(col("o_custkey"))
+          .agg(countDistinct(col("o_orderpriority")).as("n_pr"))
+        perCust.crossJoin(broadcast(universe))
+          .agg(max(col("n_priorities")).as("n_priorities"),
+            count(lit(1)).as("n_customers_with_orders"),
+            sum(when(col("n_pr") === col("n_priorities"), 1L).otherwise(0L))
+              .as("n_covering"))
+      },
+      Some("""WITH u AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_priorities
+            FROM orders),
+          pc AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_pr
+            FROM orders GROUP BY 1)
+        SELECT MAX(u.n_priorities) AS n_priorities,
+          COUNT(*) AS n_customers_with_orders,
+          CAST(SUM(CASE WHEN n_pr = u.n_priorities THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_covering
+        FROM pc CROSS JOIN u"""))
   )
 }

@@ -958,6 +958,56 @@ object CorpusAnalytics {
               ORDER BY cos DESC, clabel) AS rk FROM scored)
         SELECT label, clabel AS assigned, COUNT(*) AS n
         FROM best WHERE rk = 1
-        GROUP BY 1, 2 ORDER BY label, assigned"""))
+        GROUP BY 1, 2 ORDER BY label, assigned""")),
+
+    // ── Zipf fit: OLS slope of ln(freq) on ln(rank) over the term table —
+    //    how power-law the vocabulary is (natural corpora sit near −1;
+    //    synthetic/templated text does not). ln values are rounded to 9 dp
+    //    then decimal-summed, so libm vs engine ln differences below the
+    //    rounding grain cannot reach the statistic; the window runs over
+    //    the vocabulary, not the corpus ─────────────────────────────────────
+    Q(
+      "q_zipf_slope",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val terms = d
+          .select(explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term").rlike("^[a-z]+$"))
+          .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        val w = Window.orderBy(desc("freq"), col("term"))
+        val xy = terms.withColumn("rank", row_number().over(w).cast("long"))
+          .select(
+            round(log(col("rank").cast("double")), 9)
+              .cast(DecimalType(18, 9)).as("x"),
+            round(log(col("freq").cast("double")), 9)
+              .cast(DecimalType(18, 9)).as("y"))
+        val sums = xy.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 18))).as("sxx"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 18))).as("sxy"))
+        val n = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+        sums.select(col("n").as("n_terms"),
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("zipf_slope"))
+      },
+      Some("""WITH terms AS (SELECT w AS term, COUNT(*) AS freq FROM
+            (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1),
+          xy AS (SELECT
+              CAST(ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term)
+                AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+              CAST(ROUND(LN(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+            FROM terms),
+          sums AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+              SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy
+            FROM xy)
+        SELECT n AS n_terms,
+          ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+        FROM sums"""))
   )
 }

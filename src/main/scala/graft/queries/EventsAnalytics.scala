@@ -998,6 +998,104 @@ object EventsAnalytics {
         SELECT DATE '1970-01-01' + CAST(d AS INTEGER) AS day,
           CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions,
           MAX(live) AS peak_concurrent
-        FROM sw GROUP BY d ORDER BY day"""))
+        FROM sw GROUP BY d ORDER BY day""")),
+
+    // ── ordered 3-step funnel: signup → first LATER click → first LATER
+    //    purchase, strict event-time ordering at every step (an early
+    //    purchase before the click does not count). Each step pre-shrinks
+    //    to one row per user before the next join — three broadcast-sized
+    //    joins, no window over raw events ───────────────────────────────────
+    Q(
+      "q_funnel_steps",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("s1_us"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("us") > col("s1_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("s2_us"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("us") > col("s2_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("s3_us"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("s2_us")).as("n_click_after"),
+            count(col("s3_us")).as("n_purchase_after"))
+          .select(col("n_signup"), col("n_click_after"), col("n_purchase_after"),
+            round(col("n_click_after").cast("double") /
+              col("n_signup").cast("double"), 6).as("step2_rate"),
+            round(col("n_purchase_after").cast("double") /
+              col("n_signup").cast("double"), 6).as("step3_rate"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+            FROM events),
+          s1 AS (SELECT user_id, MIN(us) AS s1_us FROM ev
+            WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT ev.user_id, MIN(us) AS s2_us FROM ev JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND us > s1_us GROUP BY 1),
+          s3 AS (SELECT ev.user_id, MIN(us) AS s3_us FROM ev JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND us > s2_us GROUP BY 1)
+        SELECT COUNT(*) AS n_signup,
+          COUNT(s2_us) AS n_click_after,
+          COUNT(s3_us) AS n_purchase_after,
+          ROUND(CAST(COUNT(s2_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS step2_rate,
+          ROUND(CAST(COUNT(s3_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS step3_rate
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
+    // ── top session journeys: the first three event types of each session
+    //    (q_events_sessionize's 30-min-gap definition) folded into a path
+    //    string, ranked by frequency — the "common user journeys" view.
+    //    Paths are built from an explicit rank key, never collect order ─────
+    Q(
+      "q_session_paths",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = e
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(wc))
+        val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+          .orderBy(col("us"), col("event_id"))
+        sess.withColumn("rn", row_number().over(ws))
+          .filter(col("rn") <= 3)
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(array_join(expr(
+            "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+            ">").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(desc("n_sessions"), col("path"))
+          .limit(20)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+            LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events),
+        marked AS (SELECT *, CASE WHEN prev_us IS NULL
+              OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM ev),
+        sess AS (SELECT user_id, event_id, event_type, us,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS sess_id
+          FROM marked),
+        rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+              ORDER BY us, event_id) AS rn FROM sess),
+        paths AS (SELECT user_id, sess_id,
+            string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM rn WHERE rn <= 3 GROUP BY 1, 2)
+        SELECT path, COUNT(*) AS n_sessions FROM paths
+        GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""))
   )
 }

@@ -39,7 +39,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_pareto_concentration" -> "P90 threshold and totals are a ONE-ROW aggregate broadcast-crossed into the per-user count table",
     "q_graph_triangles" -> "three ONE-ROW census aggregates (wedges, edges, triangles) crossed into the single summary row",
     "q_weighted_median_len" -> "token total is a ONE-ROW aggregate broadcast-crossed into the length-domain-bounded cumulative table",
-    "q_chisq_source_lang" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the |sources|x|langs|-bounded contingency table")
+    "q_chisq_source_lang" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the |sources|x|langs|-bounded contingency table",
+    "q_relational_division" -> "the priority-universe size is a ONE-ROW aggregate broadcast-crossed into the per-customer coverage table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
