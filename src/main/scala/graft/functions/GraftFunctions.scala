@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SQL-surface registration for the engine's native Catalyst expressions:
+  * after `install`, pure-SQL users (spark.sql, the CLI, the HTTP API) can
+  * call the same codegen'd kernels the DataFrame API uses — no UDF wrapper,
+  * no serialization boundary. Installed automatically by
+  * [[graft.GraftExtensions]] next to the HANA dialect functions.
+  *
+  * Static parameters (k, capacity, multiplier…) must be literals: these
+  * expressions specialize their buffers and codegen on the constant, so a
+  * column-valued parameter cannot be supported.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $other")
+  }
+
+  private def longLit(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got: $other")
+  }
+
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def register(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+    // simhash64(tokens array<string>) → bigint
+    register("simhash64")(e => SimHash64(e.head))
+
+    // rolling_minhash64(text[, k]) → bigint (winnowing fingerprint)
+    register("rolling_minhash64") {
+      case Seq(text) => RollingMinHash64(text, 16)
+      case Seq(text, k) => RollingMinHash64(text, intLit(k, "k"))
+      case e => throw new IllegalArgumentException(
+        s"rolling_minhash64 expects 1-2 args, got ${e.size}")
+    }
+
+    // media_hash64(payload binary) → bigint (aHash perceptual fingerprint)
+    register("media_hash64")(e => MediaHash64(e.head))
+
+    // mulshift_bucket(x, mult, shift, mod) → int in [0, mod)
+    register("mulshift_bucket")(e =>
+      MulShiftBucket(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e(0), org.apache.spark.sql.types.LongType),
+        longLit(e(1), "mult"), intLit(e(2), "shift"), intLit(e(3), "mod")))
+
+    // minhash_sig(base_hash, k) → array<bigint>: aggregate, k mins
+    register("minhash_sig")(e => MinHashSigAgg(e(0), intLit(e(1), "k")))
+
+    // misra_gries(term, capacity) → array<struct<term,cnt>>: aggregate
+    register("misra_gries")(e => MisraGriesAgg(e(0), intLit(e(1), "capacity")))
+  }
+}

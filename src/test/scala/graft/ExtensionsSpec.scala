@@ -700,6 +700,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("native kernels are SQL-callable and match the column API") {
+    graft.functions.GraftFunctions.install(spark)
+    val df = Seq((7L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("gf_docs")
+    val sqlRow = spark.sql("""SELECT simhash64(split(text, ' ')) AS sh,
+        rolling_minhash64(text, 16) AS fp,
+        mulshift_bucket(id, 2654435761L, 33, 100) AS b
+      FROM gf_docs""").collect()(0)
+    val apiRow = df.select(
+      HashFunctions.simhash(split(col("text"), " ")).as("sh"),
+      HashFunctions.fingerprint(col("text"), 16).as("fp"),
+      HashFunctions.mulShiftBucket(col("id"), 2654435761L, 33, 100).as("b"))
+      .collect()(0)
+    assert(sqlRow == apiRow)
+
+    val sh = Dedup.shingles(docs.limit(50), "doc_id", "text", 3)
+    sh.createOrReplaceTempView("gf_sh")
+    val sqlSig = spark.sql(
+      "SELECT doc_id, minhash_sig(xxhash64(shingle), 16) AS sig " +
+        "FROM gf_sh GROUP BY doc_id")
+      .as[(Long, Seq[Long])].collect().toMap
+    val apiSig = sh.groupBy("doc_id")
+      .agg(HashFunctions.minhashSig(xxhash64(col("shingle")), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sqlSig.nonEmpty && sqlSig == apiSig)
+  }
+
   test("scaled-integer pagerank conserves mass and is deterministic") {
     // star graph: everything points at 'hub', hub points at 'a'
     val edges = Seq(("a", "hub", 3L), ("b", "hub", 1L), ("c", "hub", 2L),
