@@ -700,6 +700,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("bloom prefilter: no false negatives, equals plain anti-join") {
+    import graft.ext.Bloom
+    val corpus = spark.range(0, 5000).toDF("id")
+      .select(concat(lit("doc-"), col("id")).as("key"))
+    val delta = spark.range(4000, 12000).toDF("id")
+      .select(concat(lit("doc-"), col("id")).as("key"))
+    val m = 1 << 16
+    val bs = Bloom.build(corpus, col("key"), m, 4)
+    // every corpus key must probe true (no false negatives)
+    val missed = corpus.filter(!Bloom.mightContain(bs, m, 4)(col("key"))).count()
+    assert(missed == 0, s"$missed corpus keys rejected by their own filter")
+    // incremental dedup equals the plain anti-join exactly
+    val got = Bloom.incrementalExact(delta, corpus, Seq("key"), m, 4)
+      .as[String].collect().toSet
+    val want = delta.join(corpus, Seq("key"), "left_anti")
+      .as[String].collect().toSet
+    assert(got == want)
+    // the prefilter must actually reject most genuinely-new keys
+    val rejected = delta.filter(!Bloom.mightContain(bs, m, 4)(col("key"))).count()
+    assert(rejected > 5000, s"only $rejected of 7000 new keys skipped the join")
+  }
+
   test("native kernels are SQL-callable and match the column API") {
     graft.functions.GraftFunctions.install(spark)
     val df = Seq((7L, "the quick brown fox jumps over the lazy dog again"))
