@@ -40,13 +40,17 @@ object GraphOps {
       .union(edges.select(col("dst").as("node")))
       .distinct()
     val nRow = nodes.agg(count(lit(1)).as("n"))
-    val withN = nodes.crossJoin(broadcast(nRow))
+    // loop-invariant tables are cached: every superstep references them,
+    // and without materialization the plan re-derives the edge subtree
+    // once per iteration (10× the scan work, 10× the tree)
+    val withN = nodes.crossJoin(broadcast(nRow)).cache()
 
     // per-edge transition probability at 1e6: floor((w * 1e6) / out_w)
     val out = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val p6 = edges.join(out, "src")
       .select(col("src"), col("dst"),
         expr(s"(w * $ProbScale) div out_w").as("p6"))
+      .cache()
 
     var rank = withN.select(col("node"), col("n"),
       expr(s"${RankScale}L div n").as("r"))

@@ -9,7 +9,10 @@ object PlanDigest {
   def main(args: Array[String]): Unit = {
     val spark = Tables.session("digest", "8")
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = Registry.all.filter(_.bench).map(_.name)
+    // extra args select queries by name; default = the bench headline set
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Registry.all.filter(_.bench).map(_.name)
     for (name <- names) {
       val df = Registry.byName(name).build(spark, sf)
       // AQE only finalizes query stages (and their codegen markers) during
