@@ -51,6 +51,17 @@ object EventsStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Stream-static enrichment: attach a batch-computed dimension (user
+    * cohort, account tier, model split…) to the live stream by key. The
+    * static side is re-planned each micro-batch — a dimension refreshed in
+    * place is picked up without restarting the query — and broadcast, so
+    * the stream side never shuffles. The third join family next to the
+    * stateful stream-stream interval join ([[purchaseAttribution]]) and
+    * the foreachBatch stream-batch pattern (DocsStream.ingestNearDup). */
+  def enrich(events: DataFrame, dim: DataFrame,
+      keys: Seq[String] = Seq("user_id")): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, duration_s: Long)

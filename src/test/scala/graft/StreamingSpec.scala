@@ -210,6 +210,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.jaccardPairs(sh, 0.6).count() == 0)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    import spark.implicits._
+    val batch = Tables(spark, sf, "events")
+    val dim = batch.groupBy("user_id")
+      .agg(min(col("ts").cast("date")).as("cohort_day"))
+    val stream = EventsStream.read(spark, eventsDir)
+    val out = EventsStream.runToMemory(
+      EventsStream.enrich(stream, dim)
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n")),
+      "enriched", OutputMode.Complete())
+    val streamed = out.select("cohort_day", "n")
+      .as[(java.sql.Date, Long)].collect().toMap
+    val expected = batch.join(dim, Seq("user_id"), "left")
+      .groupBy("cohort_day").agg(count(lit(1)).as("n"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(streamed.nonEmpty && streamed == expected)
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
