@@ -1008,6 +1008,86 @@ object CorpusAnalytics {
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
-        FROM sums"""))
+        FROM sums""")),
+
+    // ── dead-dimension audit: per-dimension mean/variance of the embedding
+    //    corpus from exact decimal power sums — a dimension whose variance
+    //    collapses carries no information and signals a broken encoder or a
+    //    truncated export. Complements q_embed_audit's per-label norms ──────
+    Q(
+      "q_embed_dim_variance",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        // (18,10) inputs keep the square exact at (37,20) — wider inputs
+        // would force Spark's precision-loss scale reduction and desync
+        // the two engines' sums
+        val ex = e.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("dim").cast("long").as("dim"),
+            col("xf").cast(DecimalType(18, 10)).as("x"))
+        ex.groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum((col("x") * col("x")).cast(DecimalType(38, 20))).as("sxx"))
+          .select(col("dim"),
+            round(col("sx").cast("double") / col("n").cast("double"), 6)
+              .as("mean"),
+            round(col("sxx").cast("double") / col("n").cast("double") -
+              (col("sx").cast("double") / col("n").cast("double")) *
+              (col("sx").cast("double") / col("n").cast("double")), 6)
+              .as("variance"))
+          .withColumn("is_dead", col("variance") < 0.0001)
+          .orderBy(col("dim"))
+      },
+      Some("""WITH ex AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+              CAST(embedding[i] AS DECIMAL(18,10)) AS x
+            FROM embeddings CROSS JOIN
+              UNNEST(generate_series(1, len(embedding))) AS s(i)),
+          sums AS (SELECT dim, COUNT(*) AS n, SUM(x) AS sx,
+              SUM(CAST(x * x AS DECIMAL(38,20))) AS sxx
+            FROM ex GROUP BY 1)
+        SELECT dim,
+          ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+          ROUND(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS variance,
+          (ROUND(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) < 0.0001)
+            AS is_dead
+        FROM sums ORDER BY dim""")),
+
+    // ── lexical diversity: per-source mean type-token ratio (distinct
+    //    tokens / tokens per doc) — templated or spam-heavy sources sit far
+    //    below organic text. Per-doc ratios are rounded then decimal-summed
+    //    so the source mean is aggregation-order-free ───────────────────────
+    Q(
+      "q_lexical_diversity",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("source"), split(lower(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("source"),
+            round(size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")).cast("double"), 9)
+              .cast(DecimalType(18, 12)).as("ttr"),
+            size(col("toks")).cast("long").as("n_toks"))
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            round(sum(col("ttr")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_ttr"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source,
+              CAST(ROUND(CAST(len(list_distinct(string_split(lower(text), ' ')))
+                  AS DOUBLE)
+                / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 9)
+                AS DECIMAL(18,12)) AS ttr,
+              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+            FROM documents WHERE len(string_split(lower(text), ' ')) > 0)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(ttr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS mean_ttr
+        FROM d GROUP BY source ORDER BY source"""))
   )
 }
