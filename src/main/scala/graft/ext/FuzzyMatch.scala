@@ -17,7 +17,7 @@ object FuzzyMatch {
   /** SQL for all strings obtained from `in` by deleting one character. */
   private def del1Sql(in: String): String =
     s"transform(sequence(1, length($in)), i -> " +
-      s"concat(substring($in, 1, i - 1), substring($in, i + 1, 1000)))"
+      s"concat(substring($in, 1, i - 1), substring($in, i + 1, length($in))))"
 
   /** Distinct delete-0/1/2 neighborhood of the string column `colName`. */
   def deleteNeighborhood2(colName: String): Column = {

@@ -17,10 +17,17 @@ object GraftFunctions {
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) =>
+      if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+        s"$name out of int range: $v")
+      else v.toInt
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got: $other")
   }
+
+  private def arity(name: String, want: Int, e: Seq[Expression]): Unit =
+    if (e.size != want) throw new IllegalArgumentException(
+      s"$name expects $want args, got ${e.size}")
 
   private def longLit(e: Expression, name: String): Long = e match {
     case Literal(v: Int, _) => v.toLong
@@ -35,7 +42,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
 
     // simhash64(tokens array<string>) → bigint
-    register("simhash64")(e => SimHash64(e.head))
+    register("simhash64") { e => arity("simhash64", 1, e); SimHash64(e.head) }
 
     // rolling_minhash64(text[, k]) → bigint (winnowing fingerprint)
     register("rolling_minhash64") {
@@ -46,19 +53,25 @@ object GraftFunctions {
     }
 
     // media_hash64(payload binary) → bigint (aHash perceptual fingerprint)
-    register("media_hash64")(e => MediaHash64(e.head))
+    register("media_hash64") { e => arity("media_hash64", 1, e); MediaHash64(e.head) }
 
     // mulshift_bucket(x, mult, shift, mod) → int in [0, mod)
-    register("mulshift_bucket")(e =>
+    register("mulshift_bucket") { e =>
+      arity("mulshift_bucket", 4, e)
       MulShiftBucket(
         org.apache.spark.sql.catalyst.expressions.Cast(
           e(0), org.apache.spark.sql.types.LongType),
-        longLit(e(1), "mult"), intLit(e(2), "shift"), intLit(e(3), "mod")))
+        longLit(e(1), "mult"), intLit(e(2), "shift"), intLit(e(3), "mod"))
+    }
 
     // minhash_sig(base_hash, k) → array<bigint>: aggregate, k mins
-    register("minhash_sig")(e => MinHashSigAgg(e(0), intLit(e(1), "k")))
+    register("minhash_sig") { e =>
+      arity("minhash_sig", 2, e); MinHashSigAgg(e(0), intLit(e(1), "k"))
+    }
 
     // misra_gries(term, capacity) → array<struct<term,cnt>>: aggregate
-    register("misra_gries")(e => MisraGriesAgg(e(0), intLit(e(1), "capacity")))
+    register("misra_gries") { e =>
+      arity("misra_gries", 2, e); MisraGriesAgg(e(0), intLit(e(1), "capacity"))
+    }
   }
 }

@@ -17,6 +17,19 @@ object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Distinct co-purchase edges (u < v part pairs sharing an order) — ONE
+    * graph definition shared by the triangle census and the degree
+    * distribution, so they can never drift onto different graphs. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+        Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
   /** Fixed "as-of" date for aging — the reference pins 'now' for determinism
     * (expand_sap_test_db.py:102 pins 2026-03-06). */
   val AsOf = "2001-06-01"
@@ -782,9 +795,12 @@ object Analytics {
         val e = t(s, dir, "events")
         val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
         e.select(col("value")).crossJoin(broadcast(bounds))
-          .select(least(lit(19L),
-            floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
-              .cast("long")).as("bin"),
+          .select(
+            // hi == lo (all values identical) would make the ratio NaN;
+            // a degenerate range is one bin by definition
+            when(col("hi") === col("lo"), 0L).otherwise(least(lit(19L),
+              floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+                .cast("long"))).as("bin"),
             col("lo"), col("hi"))
           .groupBy(col("bin"), col("lo"), col("hi"))
           .agg(count(lit(1)).as("n"))
@@ -796,8 +812,9 @@ object Analytics {
           .orderBy(col("bin"))
       },
       Some("""WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
-          binned AS (SELECT LEAST(19, CAST(FLOOR((value - lo) / (hi - lo) * 20)
-                AS BIGINT)) AS bin, lo, hi
+          binned AS (SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST(19, CAST(FLOOR((value - lo) / (hi - lo) * 20)
+                AS BIGINT)) END AS bin, lo, hi
             FROM events CROSS JOIN b)
         SELECT bin, COUNT(*) AS n,
           ROUND(lo + (hi - lo) / 20 * bin, 6) AS lo_edge,
@@ -815,13 +832,7 @@ object Analytics {
     Q(
       "q_graph_triangles",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
-            Seq("l_orderkey"))
-          .filter(col("u") < col("v"))
-          .select(col("u"), col("v")).distinct()
+        val e = coPurchaseEdges(s, dir)
         val deg = e.select(col("u").as("node"))
           .union(e.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -918,13 +929,7 @@ object Analytics {
     Q(
       "q_graph_degree_dist",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val e = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
-            Seq("l_orderkey"))
-          .filter(col("u") < col("v"))
-          .select(col("u"), col("v")).distinct()
+        val e = coPurchaseEdges(s, dir)
         e.select(col("u").as("node")).union(e.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
           .withColumn("bucket", (length(bin(col("deg"))) - 1).cast("long"))

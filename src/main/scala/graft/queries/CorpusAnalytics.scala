@@ -778,12 +778,15 @@ object CorpusAnalytics {
         val pairs = graft.ext.Dedup
           .jaccardPairs(graft.ext.Dedup.shingles(d, "doc_id", "text", 3), 0.8)
           .select(col("id_a"), col("id_b"))
+        // plain shuffle joins: the pair set is tiny but the (doc_id,
+        // source) dimension is corpus-sized — broadcasting it would not
+        // survive the 100 TB framing (AQE demotes to broadcast at small SF)
         val src = d.select(col("doc_id"), col("source"))
         pairs
-          .join(broadcast(src.select(col("doc_id").as("id_a"),
-            col("source").as("source_a"))), Seq("id_a"))
-          .join(broadcast(src.select(col("doc_id").as("id_b"),
-            col("source").as("source_b"))), Seq("id_b"))
+          .join(src.select(col("doc_id").as("id_a"),
+            col("source").as("source_a")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"),
+            col("source").as("source_b")), Seq("id_b"))
           .groupBy(least(col("source_a"), col("source_b")).as("source_lo"),
             greatest(col("source_a"), col("source_b")).as("source_hi"))
           .agg(count(lit(1)).as("n_pairs"))
@@ -912,22 +915,29 @@ object CorpusAnalytics {
       "q_centroid_confusion",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+        // all sums run in exact decimals ((18,10) inputs → exact (37,20)
+        // products): an argmax fed by order-dependent double sums could
+        // flip the winner at a rounding boundary between engines/runs
         val cent = graft.ext.Similarity.labelCentroids(e)
-          .select(col("label").cast("long").as("clabel"),
-            col("dim"), col("centroid"))
+          .select(col("label").cast("long").as("clabel"), col("dim"),
+            col("centroid").cast(DecimalType(18, 10)).as("c"))
         val cn = cent.groupBy(col("clabel"))
-          .agg(sqrt(sum(col("centroid") * col("centroid"))).as("cnorm"))
+          .agg(sqrt(sum((col("c") * col("c")).cast(DecimalType(38, 20)))
+            .cast("double")).as("cnorm"))
         val ex = e.select(col("vec_id"), col("label").cast("long").as("label"),
           posexplode(col("embedding")).as(Seq("dim", "xf")))
           .select(col("vec_id"), col("label"), col("dim"),
-            col("xf").cast("double").as("x"))
-        val vn = ex.groupBy(col("vec_id")).agg(sqrt(sum(col("x") * col("x"))).as("vnorm"))
+            col("xf").cast(DecimalType(18, 10)).as("x"))
+        val vn = ex.groupBy(col("vec_id"))
+          .agg(sqrt(sum((col("x") * col("x")).cast(DecimalType(38, 20)))
+            .cast("double")).as("vnorm"))
         val scored = ex.join(broadcast(cent), Seq("dim"))
           .groupBy(col("vec_id"), col("label"), col("clabel"))
-          .agg(sum(col("x") * col("centroid")).as("dot"))
+          .agg(sum((col("x") * col("c")).cast(DecimalType(38, 20))).as("dot"))
           .join(vn, Seq("vec_id"))
           .join(broadcast(cn), Seq("clabel"))
-          .withColumn("cos", round(col("dot") / (col("vnorm") * col("cnorm")), 6))
+          .withColumn("cos",
+            round(col("dot").cast("double") / (col("vnorm") * col("cnorm")), 6))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(desc("cos"), col("clabel"))
         scored.withColumn("rk", row_number().over(w))
@@ -937,18 +947,23 @@ object CorpusAnalytics {
           .orderBy(col("label"), col("assigned"))
       },
       Some("""WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-              CAST(i - 1 AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS x,
+              CAST(i - 1 AS BIGINT) AS dim,
+              CAST(embedding[i] AS DECIMAL(18,10)) AS x,
               CAST(embedding[i] AS DECIMAL(28,10)) AS xd
             FROM embeddings CROSS JOIN
               UNNEST(generate_series(1, len(embedding))) AS s(i)),
           cent AS (SELECT label AS clabel, dim,
-              ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 4) + 0 AS centroid
+              CAST(ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 4) + 0
+                AS DECIMAL(18,10)) AS c
             FROM ex GROUP BY 1, 2),
-          cn AS (SELECT clabel, SQRT(SUM(centroid * centroid)) AS cnorm
+          cn AS (SELECT clabel,
+              SQRT(CAST(SUM(CAST(c * c AS DECIMAL(38,20))) AS DOUBLE)) AS cnorm
             FROM cent GROUP BY 1),
-          vn AS (SELECT vec_id, SQRT(SUM(x * x)) AS vnorm FROM ex GROUP BY 1),
+          vn AS (SELECT vec_id,
+              SQRT(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE)) AS vnorm
+            FROM ex GROUP BY 1),
           scored AS (SELECT ex.vec_id, ex.label, cent.clabel,
-              ROUND(SUM(ex.x * cent.centroid)
+              ROUND(CAST(SUM(CAST(ex.x * cent.c AS DECIMAL(38,20))) AS DOUBLE)
                 / (MAX(vn.vnorm) * MAX(cn.cnorm)), 6) AS cos
             FROM ex JOIN cent USING (dim)
             JOIN vn ON vn.vec_id = ex.vec_id
@@ -988,8 +1003,11 @@ object CorpusAnalytics {
         val n = col("n").cast("double")
         val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
         val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+        // rank is distinct per term, so the denominator is zero only for a
+        // single-term vocabulary — NULL, not a division error
         sums.select(col("n").as("n_terms"),
-          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("zipf_slope"))
+          when(col("n") > 1,
+            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)).as("zipf_slope"))
       },
       Some("""WITH terms AS (SELECT w AS term, COUNT(*) AS freq FROM
             (SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
@@ -1004,10 +1022,11 @@ object CorpusAnalytics {
               SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy
             FROM xy)
         SELECT n AS n_terms,
-          ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+          CASE WHEN n > 1 THEN
+            ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS zipf_slope
         FROM sums""")),
 
     // ── dead-dimension audit: per-dimension mean/variance of the embedding

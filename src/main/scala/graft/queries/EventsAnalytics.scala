@@ -763,16 +763,23 @@ object EventsAnalytics {
             sum(col("v")).as("sv"),
             sum((col("v") * col("v")).cast(DecimalType(38, 12))).as("svv"),
             sum((col("x").cast(DecimalType(18, 6)) * col("v"))
-              .cast(DecimalType(38, 12))).as("sxv"))
+              .cast(DecimalType(38, 12))).as("sxv"),
+            countDistinct(col("x")).as("ndx"),
+            countDistinct(col("v")).as("ndv"))
         val n = col("n").cast("double")
         val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
         val sv = col("sv").cast("double"); val svv = col("svv").cast("double")
         val sxv = col("sxv").cast("double")
+        // a type observed on a single day (or with constant value) has no
+        // defined regression line — emit NULL, not Inf/NaN
         sums.select(col("event_type"), col("n"),
-            round((n * sxv - sx * sv) / (n * sxx - sx * sx), 6).as("slope"),
-            round((sv * sxx - sx * sxv) / (n * sxx - sx * sx), 6).as("intercept"),
-            round((n * sxv - sx * sv) * (n * sxv - sx * sv) /
-              ((n * sxx - sx * sx) * (n * svv - sv * sv)), 6).as("r2"))
+            when(col("ndx") > 1,
+              round((n * sxv - sx * sv) / (n * sxx - sx * sx), 6)).as("slope"),
+            when(col("ndx") > 1,
+              round((sv * sxx - sx * sxv) / (n * sxx - sx * sx), 6)).as("intercept"),
+            when(col("ndx") > 1 && col("ndv") > 1,
+              round((n * sxv - sx * sv) * (n * sxv - sx * sv) /
+                ((n * sxx - sx * sx) * (n * svv - sv * sv)), 6)).as("r2"))
           .orderBy(col("event_type"))
       },
       Some("""WITH ev AS (SELECT event_type,
@@ -782,25 +789,29 @@ object EventsAnalytics {
               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
               SUM(v) AS sv,
               SUM(CAST(v*v AS DECIMAL(38,12))) AS svv,
-              SUM(CAST(CAST(x AS DECIMAL(18,6)) * v AS DECIMAL(38,12))) AS sxv
+              SUM(CAST(CAST(x AS DECIMAL(18,6)) * v AS DECIMAL(38,12))) AS sxv,
+              COUNT(DISTINCT x) AS ndx, COUNT(DISTINCT v) AS ndv
             FROM ev GROUP BY 1)
         SELECT event_type, n,
-          ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
-            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-          ROUND((CAST(sv AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sxv AS DOUBLE))
-            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept,
-          ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
-            * (CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
-            / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
-                - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) AS r2
+          CASE WHEN ndx > 1 THEN
+            ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
+          CASE WHEN ndx > 1 THEN
+            ROUND((CAST(sv AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sxv AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS intercept,
+          CASE WHEN ndx > 1 AND ndv > 1 THEN
+            ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+              / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) END AS r2
         FROM sums ORDER BY event_type""")),
 
     // ── two-proportion z-test (A/B): heavy-purchaser conversion (≥14
@@ -931,15 +942,8 @@ object EventsAnalytics {
       "q_sessions_concurrency",
       (s, dir) => {
         val e = t(s, dir, "events")
-        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val sess = e
-          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-          .withColumn("prev_us", lag(col("us"), 1).over(w))
-          .withColumn("new_sess",
-            when(col("prev_us").isNull ||
-              col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
-          .withColumn("sess_id", sum(col("new_sess")).over(wc))
+        val sess = graft.ext.Sessionize.withSessionIds(
+          e.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")))
           .groupBy(col("user_id"), col("sess_id"))
           .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
         val dayUs = 86400000000L
@@ -1055,16 +1059,9 @@ object EventsAnalytics {
       "q_session_paths",
       (s, dir) => {
         val e = t(s, dir, "events")
-        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val sess = e
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
-          .withColumn("prev_us", lag(col("us"), 1).over(w))
-          .withColumn("new_sess",
-            when(col("prev_us").isNull ||
-              col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
-          .withColumn("sess_id", sum(col("new_sess")).over(wc))
+        val sess = graft.ext.Sessionize.withSessionIds(
+          e.select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")))
         val ws = Window.partitionBy(col("user_id"), col("sess_id"))
           .orderBy(col("us"), col("event_id"))
         sess.withColumn("rn", row_number().over(ws))

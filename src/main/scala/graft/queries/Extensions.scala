@@ -1454,15 +1454,8 @@ object Extensions {
       "q_events_sessionize",
       (s, dir) => {
         val e = t(s, dir, "events")
-        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        val wc = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        e.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-          .withColumn("prev_us", lag(col("us"), 1).over(w))
-          .withColumn("new_sess",
-            when(col("prev_us").isNull ||
-              col("us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
-          .withColumn("sess_id", sum(col("new_sess")).over(wc))
+        graft.ext.Sessionize.withSessionIds(
+          e.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")))
           .groupBy(col("user_id"), col("sess_id"))
           .agg(count(lit(1)).as("n_events"),
             (max(col("us")) - min(col("us"))).as("dur_us"))
