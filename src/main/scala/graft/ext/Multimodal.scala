@@ -193,6 +193,26 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Scene-cut detection over sampled frames: hash every frame with the
+    * aHash perceptual fingerprint, then flag frames whose Hamming distance
+    * to the PREVIOUS frame exceeds the threshold — the shot-boundary
+    * detector a video pipeline runs before per-scene sampling. Pure
+    * codegen'd column ops over the frame rows (hash + one media-partitioned
+    * lag window + bit_count); the only stub is upstream frame DECODING
+    * ([[sampleFrames]]), not this detector. */
+  def sceneCuts(frames: DataFrame, minCutHamming: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_no"))
+    frames
+      .withColumn("h", graft.functions.HashFunctions.mediaHash(col("frame")))
+      .withColumn("prev_h", lag(col("h"), 1).over(w))
+      .withColumn("dist",
+        when(col("prev_h").isNotNull,
+          bit_count(col("h").bitwiseXOR(col("prev_h")))).cast("long"))
+      .withColumn("is_cut", coalesce(col("dist") >= minCutHamming, lit(false)))
+      .select(col("media_id"), col("frame_no"), col("dist"), col("is_cut"))
+  }
+
   /** Video frame sampling plumbing: one payload → every nth "frame" as its
     * own row (media_id, frame_no, frame binary). The codec is STUBBED as a
     * fixed-size byte chunker; the Spark shape — explode to frame granularity

@@ -210,6 +210,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nos.forall(_ % 2 == 0))
   }
 
+  test("multimodal: scene cuts fire exactly at the planted shot boundary") {
+    val chunkA = Array.tabulate(64)(i => (i * 7).toByte)
+    val chunkB = Array.tabulate(64)(i => (i * 13 + 101).toByte)
+    val payload = Array.fill(4)(chunkA).flatten ++ Array.fill(4)(chunkB).flatten
+    val media = Seq((1L, payload)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 1)
+    val cuts = Multimodal.sceneCuts(frames, minCutHamming = 10)
+      .orderBy("frame_no").collect()
+    assert(cuts.length == 8)
+    assert(cuts.head.isNullAt(2), "first frame has no predecessor distance")
+    val cutFrames = cuts.filter(_.getBoolean(3)).map(_.getLong(1)).toList
+    assert(cutFrames == List(4L),
+      s"expected one cut at the A→B boundary, got $cutFrames")
+    // identical consecutive frames have distance 0
+    assert(cuts.drop(1).filterNot(_.getBoolean(3)).forall(_.getLong(2) == 0L))
+  }
+
   test("multimodal: perceptual hash groups identical payloads; banding finds pairs") {
     val base = "the quick brown fox jumps over the lazy dog " * 8
     val df = Seq(
