@@ -717,6 +717,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("jsonl ingest quarantines malformed lines without losing them") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good one"}""",
+      """{"doc_id": 2, "text": "also good"}""",
+      """{"doc_id": 3 "text": "missing comma"}""",
+      """not json at all""",
+      """{"doc_id": 4, "text": "fine again"}""")
+    java.nio.file.Files.write(dir.resolve("batch.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, quarantined) =
+      graft.ext.Ingest.jsonlWithQuarantine(spark, dir.toString, schema)
+    assert(clean.count() == 3)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toList ==
+      List(1L, 2L, 4L))
+    val bad = quarantined.as[String].collect()
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("missing comma")) &&
+      bad.exists(_.contains("not json")))
+  }
+
   test("bloom prefilter: no false negatives, equals plain anti-join") {
     import graft.ext.Bloom
     val corpus = spark.range(0, 5000).toDF("id")
