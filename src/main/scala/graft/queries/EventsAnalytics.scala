@@ -1093,6 +1093,81 @@ object EventsAnalytics {
             string_agg(event_type, '>' ORDER BY rn) AS path
           FROM rn WHERE rn <= 3 GROUP BY 1, 2)
         SELECT path, COUNT(*) AS n_sessions FROM paths
-        GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""))
+        GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""")),
+
+    // ── inter-arrival distribution: per-type gaps between consecutive
+    //    events of the SAME user — the empirical base for retry budgets and
+    //    watermark delays (q_events_lateness measures disorder; this
+    //    measures cadence). One user+type-partitioned lag window ────────────
+    Q(
+      "q_events_interarrival",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = e.withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            round(percentile(col("gap_us").cast("double"), lit(0.5)), 4)
+              .as("p50_gap_us"),
+            round(percentile(col("gap_us").cast("double"), lit(0.95)), 4)
+              .as("p95_gap_us"),
+            max(col("gap_us")).as("max_gap_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+              event_id FROM events),
+          g AS (SELECT event_type,
+              us - lag(us) OVER (PARTITION BY user_id, event_type
+                ORDER BY us, event_id) AS gap_us
+            FROM e),
+          k AS (SELECT * FROM g WHERE gap_us IS NOT NULL)
+        SELECT event_type, COUNT(*) AS n_gaps,
+          ROUND(quantile_cont(CAST(gap_us AS DOUBLE), 0.5), 4) AS p50_gap_us,
+          ROUND(quantile_cont(CAST(gap_us AS DOUBLE), 0.95), 4) AS p95_gap_us,
+          MAX(gap_us) AS max_gap_us
+        FROM k GROUP BY event_type ORDER BY event_type""")),
+
+    // ── burstiness (Fano factor): variance/mean of per-day counts per
+    //    type — 1 for a Poisson arrival process, ≫1 for bursty traffic.
+    //    Exact integer power sums over the ≤|days| daily table; population
+    //    variance so the ratio is defined from two days up ──────────────────
+    Q(
+      "q_events_fano",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("c"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .select(col("event_type"), col("n_days"),
+            round(col("sc").cast("double") / col("n_days").cast("double"), 4)
+              .as("mean_daily"),
+            when(col("n_days") > 1 && col("sc") > 0,
+              round((col("scc").cast("double") / col("n_days").cast("double") -
+                (col("sc").cast("double") / col("n_days").cast("double")) *
+                (col("sc").cast("double") / col("n_days").cast("double"))) /
+                (col("sc").cast("double") / col("n_days").cast("double")), 4))
+              .as("fano"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              COUNT(*) AS c FROM events GROUP BY 1, 2),
+          s AS (SELECT event_type, COUNT(*) AS n_days,
+              CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c*c) AS BIGINT) AS scc
+            FROM daily GROUP BY 1)
+        SELECT event_type, n_days,
+          ROUND(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS mean_daily,
+          CASE WHEN n_days > 1 AND sc > 0 THEN
+            ROUND((CAST(scc AS DOUBLE) / CAST(n_days AS DOUBLE)
+                - (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
+                  * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))
+              / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)), 4) END AS fano
+        FROM s ORDER BY event_type"""))
   )
 }
