@@ -168,10 +168,10 @@ object Dedup {
     * uses exact integer ceilings — an IEEE `ceil(0.8 × n)` can land on
     * n·τ + ε and silently shorten the prefix, breaking completeness.
     * Because the verification predicate matches the baseline's ROUNDED
-    * comparison (round(J, 6) ≥ τ admits true J as low as τ − 5·10⁻⁷), the
-    * prefix length and size filter each carry one unit of slack: that
-    * covers every boundary pair up to ~10⁶ shingles per doc, so output
-    * equality with [[jaccardPairs]] holds for any real document.
+    * comparison (round(J, 6) ≥ τ admits true J as low as τ − ε with
+    * ε = 5·10⁻⁷), the prefix length and size filter carry ⌈ε·n⌉ units of
+    * slack — computed per doc, so output equality with [[jaccardPairs]]
+    * holds at EVERY set size, not just below 1/ε shingles.
     */
   def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -179,22 +179,26 @@ object Dedup {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     // per-doc shingles ordered rarest-first; keep only the prefix
-    // (+1 slack beyond n − ⌈τn⌉ + 1 for the rounded-threshold epsilon)
+    // (n − ⌈τn⌉ + 1, plus ⌈ε·n⌉ slack for the rounded-threshold epsilon;
+    // ε = 5e-7 → slack = ceil(n / 2e6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
     val prefix = sh.join(dfreq, "shingle")
       .withColumn("__pos", row_number().over(w))
       .join(counts, "doc_id")
       .filter(col("__pos") <=
-        col("n_sh") - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 2)
+        col("n_sh") - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1 +
+        expr("(n_sh + 1999999) div 2000000"))
       .select(col("doc_id"), col("shingle"), col("n_sh"))
     val cand = prefix.select(col("doc_id").as("id_a"), col("shingle"), col("n_sh").as("na"))
       .join(prefix.select(col("doc_id").as("id_b"), col("shingle"), col("n_sh").as("nb")),
         Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      // size filter: τ ≤ na/nb ≤ 1/τ is necessary for true J ≥ τ; one
-      // tDen unit of slack keeps rounded-boundary pairs
-      .filter(col("na") * tNum <= col("nb") * tDen + tDen &&
-        col("nb") * tNum <= col("na") * tDen + tDen)
+      // size filter: τ ≤ na/nb ≤ 1/τ is necessary for true J ≥ τ;
+      // ⌈ε·n⌉ tDen-units of slack keep rounded-boundary pairs at any size
+      .filter(col("na") * tNum <=
+        col("nb") * tDen + expr(s"$tDen * ((na + 1999999) div 2000000)") &&
+        col("nb") * tNum <=
+          col("na") * tDen + expr(s"$tDen * ((nb + 1999999) div 2000000)"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // exact verification on candidates only
@@ -233,10 +237,11 @@ object Dedup {
       .withColumn("__pos", row_number().over(w))
       .join(counts, "doc_id")
       .filter(col("n_sh") >= minShingles)
-      // +1 slack beyond n − ⌈c·n⌉ + 1: the verification compares the
+      // ⌈ε·n⌉ slack beyond n − ⌈c·n⌉ + 1: the verification compares the
       // ROUNDED containment, which admits true C down to c − 5e-7
       .filter(col("__pos") <=
-        col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 2)
+        col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1 +
+        expr("(n_sh + 1999999) div 2000000"))
       .select(col("doc_id").as("id_a"), col("shingle"))
     val cand = prefixA
       .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))

@@ -796,11 +796,14 @@ object Analytics {
         val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
         e.select(col("value")).crossJoin(broadcast(bounds))
           .select(
-            // hi == lo (all values identical) would make the ratio NaN;
-            // a degenerate range is one bin by definition
-            when(col("hi") === col("lo"), 0L).otherwise(least(lit(19L),
-              floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
-                .cast("long"))).as("bin"),
+            // hi == lo (all values identical) would make the ratio NaN; a
+            // degenerate range is one bin by definition. NULL values keep
+            // their own NULL bin in BOTH regimes
+            when(col("value").isNull, lit(null))
+              .when(col("hi") === col("lo"), 0L)
+              .otherwise(least(lit(19L),
+                floor((col("value") - col("lo")) / (col("hi") - col("lo")) * 20)
+                  .cast("long"))).as("bin"),
             col("lo"), col("hi"))
           .groupBy(col("bin"), col("lo"), col("hi"))
           .agg(count(lit(1)).as("n"))
@@ -812,7 +815,8 @@ object Analytics {
           .orderBy(col("bin"))
       },
       Some("""WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
-          binned AS (SELECT CASE WHEN hi = lo THEN 0
+          binned AS (SELECT CASE WHEN value IS NULL THEN NULL
+              WHEN hi = lo THEN 0
               ELSE LEAST(19, CAST(FLOOR((value - lo) / (hi - lo) * 20)
                 AS BIGINT)) END AS bin, lo, hi
             FROM events CROSS JOIN b)

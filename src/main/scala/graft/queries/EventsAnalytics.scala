@@ -764,8 +764,10 @@ object EventsAnalytics {
             sum((col("v") * col("v")).cast(DecimalType(38, 12))).as("svv"),
             sum((col("x").cast(DecimalType(18, 6)) * col("v"))
               .cast(DecimalType(38, 12))).as("sxv"),
-            countDistinct(col("x")).as("ndx"),
-            countDistinct(col("v")).as("ndv"))
+            // variance guards as min/max equality — countDistinct would
+            // force an Expand that replicates the aggregation input
+            (min(col("x")) < max(col("x"))).as("vx"),
+            (min(col("v")) < max(col("v"))).as("vv"))
         val n = col("n").cast("double")
         val sx = col("sx").cast("double"); val sxx = col("sxx").cast("double")
         val sv = col("sv").cast("double"); val svv = col("svv").cast("double")
@@ -773,11 +775,11 @@ object EventsAnalytics {
         // a type observed on a single day (or with constant value) has no
         // defined regression line — emit NULL, not Inf/NaN
         sums.select(col("event_type"), col("n"),
-            when(col("ndx") > 1,
+            when(col("vx"),
               round((n * sxv - sx * sv) / (n * sxx - sx * sx), 6)).as("slope"),
-            when(col("ndx") > 1,
+            when(col("vx"),
               round((sv * sxx - sx * sxv) / (n * sxx - sx * sx), 6)).as("intercept"),
-            when(col("ndx") > 1 && col("ndv") > 1,
+            when(col("vx") && col("vv"),
               round((n * sxv - sx * sv) * (n * sxv - sx * sv) /
                 ((n * sxx - sx * sx) * (n * svv - sv * sv)), 6)).as("r2"))
           .orderBy(col("event_type"))
@@ -790,20 +792,20 @@ object EventsAnalytics {
               SUM(v) AS sv,
               SUM(CAST(v*v AS DECIMAL(38,12))) AS svv,
               SUM(CAST(CAST(x AS DECIMAL(18,6)) * v AS DECIMAL(38,12))) AS sxv,
-              COUNT(DISTINCT x) AS ndx, COUNT(DISTINCT v) AS ndv
+              (MIN(x) < MAX(x)) AS vx, (MIN(v) < MAX(v)) AS vv
             FROM ev GROUP BY 1)
         SELECT event_type, n,
-          CASE WHEN ndx > 1 THEN
+          CASE WHEN vx THEN
             ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
-          CASE WHEN ndx > 1 THEN
+          CASE WHEN vx THEN
             ROUND((CAST(sv AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sxv AS DOUBLE))
               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS intercept,
-          CASE WHEN ndx > 1 AND ndv > 1 THEN
+          CASE WHEN vx AND vv THEN
             ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
               * (CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
@@ -1134,7 +1136,9 @@ object EventsAnalytics {
     // ── burstiness (Fano factor): variance/mean of per-day counts per
     //    type — 1 for a Poisson arrival process, ≫1 for bursty traffic.
     //    Exact integer power sums over the ≤|days| daily table; population
-    //    variance so the ratio is defined from two days up ──────────────────
+    //    variance, defined from two observed days up. Days with ZERO events
+    //    are absent from the daily table and hence from the variance —
+    //    compose with q_events_gapfill first to count them ──────────────────
     Q(
       "q_events_fano",
       (s, dir) => {
@@ -1148,7 +1152,7 @@ object EventsAnalytics {
           .select(col("event_type"), col("n_days"),
             round(col("sc").cast("double") / col("n_days").cast("double"), 4)
               .as("mean_daily"),
-            when(col("n_days") > 1 && col("sc") > 0,
+            when(col("n_days") > 1,
               round((col("scc").cast("double") / col("n_days").cast("double") -
                 (col("sc").cast("double") / col("n_days").cast("double")) *
                 (col("sc").cast("double") / col("n_days").cast("double"))) /
@@ -1163,7 +1167,7 @@ object EventsAnalytics {
             FROM daily GROUP BY 1)
         SELECT event_type, n_days,
           ROUND(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS mean_daily,
-          CASE WHEN n_days > 1 AND sc > 0 THEN
+          CASE WHEN n_days > 1 THEN
             ROUND((CAST(scc AS DOUBLE) / CAST(n_days AS DOUBLE)
                 - (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
                   * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))

@@ -730,15 +730,17 @@ class ExtensionsSpec extends AnyFunSuite {
       String.join("\n", lines: _*).getBytes("UTF-8"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val (clean, quarantined) =
+    val batch =
       graft.ext.Ingest.jsonlWithQuarantine(spark, dir.toString, schema)
-    assert(clean.count() == 3)
-    assert(clean.select("doc_id").as[Long].collect().sorted.toList ==
-      List(1L, 2L, 4L))
-    val bad = quarantined.as[String].collect()
-    assert(bad.length == 2)
-    assert(bad.exists(_.contains("missing comma")) &&
-      bad.exists(_.contains("not json")))
+    try {
+      assert(batch.clean.count() == 3)
+      assert(batch.clean.select("doc_id").as[Long].collect().sorted.toList ==
+        List(1L, 2L, 4L))
+      val bad = batch.quarantined.as[String].collect()
+      assert(bad.length == 2)
+      assert(bad.exists(_.contains("missing comma")) &&
+        bad.exists(_.contains("not json")))
+    } finally batch.release()
   }
 
   test("bloom prefilter: no false negatives, equals plain anti-join") {
