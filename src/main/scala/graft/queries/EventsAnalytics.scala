@@ -1172,6 +1172,54 @@ object EventsAnalytics {
                 - (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE))
                   * (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)))
               / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)), 4) END AS fano
-        FROM s ORDER BY event_type"""))
+        FROM s ORDER BY event_type""")),
+
+    // ── session-duration distribution: one summary row over per-session
+    //    durations and sizes (the shared graft.ext.Sessionize definition) —
+    //    the engagement health-check next to the per-session listing
+    //    (q_events_sessionize). Percentiles run over the session table, not
+    //    raw events ──────────────────────────────────────────────────────────
+    Q(
+      "q_session_duration_dist",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val sess = graft.ext.Sessionize.withSessionIds(
+          e.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("us")) - min(col("us"))).as("dur_us"))
+        sess.agg(count(lit(1)).as("n_sessions"),
+            round(percentile(col("dur_us").cast("double"), lit(0.5)), 4)
+              .as("p50_dur_us"),
+            round(percentile(col("dur_us").cast("double"), lit(0.95)), 4)
+              .as("p95_dur_us"),
+            max(col("dur_us")).as("max_dur_us"),
+            round(percentile(col("n_events").cast("double"), lit(0.5)), 4)
+              .as("p50_events"),
+            max(col("n_events")).as("max_events"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+            LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events),
+        marked AS (SELECT user_id, event_id, us,
+            CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM ev),
+        sess0 AS (SELECT user_id, us,
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS sess_id
+          FROM marked),
+        sess AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+            MAX(us) - MIN(us) AS dur_us
+          FROM sess0 GROUP BY 1, 2)
+        SELECT COUNT(*) AS n_sessions,
+          ROUND(quantile_cont(CAST(dur_us AS DOUBLE), 0.5), 4) AS p50_dur_us,
+          ROUND(quantile_cont(CAST(dur_us AS DOUBLE), 0.95), 4) AS p95_dur_us,
+          MAX(dur_us) AS max_dur_us,
+          ROUND(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 4) AS p50_events,
+          MAX(n_events) AS max_events
+        FROM sess"""))
   )
 }
