@@ -161,6 +161,10 @@ object HanaDialect {
     * reference's entire translate-then-execute layer. */
   def sql(spark: SparkSession, hanaSql: String): DataFrame = {
     install(spark)
+    // the engine's native kernels ride the same execute path, so CLI and
+    // /api/execute SQL can call simhash64/minhash_sig/… without the
+    // session extension being configured
+    graft.functions.GraftFunctions.install(spark)
     spark.sql(rewrite(hanaSql))
   }
 }
