@@ -1107,6 +1107,66 @@ object CorpusAnalytics {
           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
           ROUND(CAST(SUM(ttr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
             AS mean_ttr
-        FROM d GROUP BY source ORDER BY source"""))
+        FROM d GROUP BY source ORDER BY source""")),
+
+    // ── k-fold assignment: deterministic 5-fold partition from the same
+    //    multiply-shift bucketing as the train/eval/test split — stable as
+    //    the corpus grows, disjoint and exhaustive by construction. One
+    //    narrow map + one aggregate ─────────────────────────────────────────
+    Q(
+      "q_cv_folds",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val fold = pmod(graft.ext.CorpusPipeline.splitBucket(col("doc_id")),
+          lit(5)).cast("long")
+        d.select(fold.as("fold"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+          .groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("fold"))
+      },
+      Some("""SELECT
+          CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
+              % 18446744073709551616) // 8589934592 % 100 % 5 AS BIGINT)
+            AS fold,
+          COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          MIN(doc_id) AS first_doc
+        FROM documents GROUP BY 1 ORDER BY fold""")),
+
+    // ── per-split label balance: does the deterministic split preserve the
+    //    label mix? Share of each label inside train/eval/test of the
+    //    embedding corpus, with the global share alongside — the eval-
+    //    hygiene check before trusting any split metric ─────────────────────
+    Q(
+      "q_split_label_balance",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            graft.ext.CorpusPipeline.splitColumn(col("vec_id")).as("split"))
+        val bySplit = e.groupBy(col("split"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val splitTot = bySplit.groupBy(col("split")).agg(sum(col("n")).as("n_split"))
+        bySplit.join(broadcast(splitTot), Seq("split"))
+          .select(col("split"), col("label"), col("n"),
+            round(col("n").cast("double") / col("n_split").cast("double"), 6)
+              .as("share"))
+          .orderBy(col("split"), col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+            CASE WHEN ((CAST(vec_id AS HUGEINT) * 2654435761)
+                % 18446744073709551616) // 8589934592 % 100 < 90 THEN 'train'
+              WHEN ((CAST(vec_id AS HUGEINT) * 2654435761)
+                % 18446744073709551616) // 8589934592 % 100 < 95 THEN 'eval'
+              ELSE 'test' END AS split
+            FROM embeddings),
+          bs AS (SELECT split, label, COUNT(*) AS n FROM e GROUP BY 1, 2),
+          st AS (SELECT split, CAST(SUM(n) AS BIGINT) AS n_split
+            FROM bs GROUP BY 1)
+        SELECT split, label, n,
+          ROUND(CAST(n AS DOUBLE) / CAST(n_split AS DOUBLE), 6) AS share
+        FROM bs JOIN st USING (split)
+        ORDER BY split, label"""))
   )
 }
