@@ -551,6 +551,32 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style cluster-bounded semantic near-dup pairs (Abbas et al.
+    * 2023, arXiv:2303.09540): exact threshold-cosine pairs computed ONLY
+    * within a cluster — the pair join is keyed on `clusterCol`, so per-key
+    * fan-out is cluster-size², never corpus². The cluster id is whatever
+    * upstream assignment exists (k-means cell, IVF cell via
+    * [[Similarity.ivfAssign]], or a label); at 100 TB the cluster count
+    * scales with the corpus so cluster size — and thus join fan-out —
+    * stays bounded. Cross-cluster near-dups are out of contract by design
+    * (that is SemDeDup's accepted recall trade for near-linear cost).
+    * Returns (cluster, id_a, id_b, cos) with id_a < id_b; dropping every
+    * id_b is the keep-lowest-id prune. */
+  def clusterNearDupPairs(emb: DataFrame, clusterCol: String, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    val v = emb.select(col(clusterCol).as("cluster"), col(idCol).as("id"),
+      col(embCol).as("e"))
+    v.select(col("cluster"), col("id").as("id_a"), col("e").as("ea"))
+      .join(v.select(col("cluster"), col("id").as("id_b"), col("e").as("eb")),
+        Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        (round(Similarity.dot(col("ea"), col("eb")) /
+          (Similarity.l2norm(col("ea")) * Similarity.l2norm(col("eb"))), 6)
+          + lit(0.0)).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Scale-path embedding dedup: multi-table sign-LSH candidates → exact
     * cosine verification of candidates only (the 100 TB shape: bucketing is
     * a narrow map, candidates come from a bucket-key self-equi-join, and

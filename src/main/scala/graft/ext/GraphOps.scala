@@ -68,4 +68,43 @@ object GraphOps {
     }
     rank.select(col("node"), col("r"))
   }
+
+  /** Breadth-first hop distance from a seed set, `maxHops` synchronous
+    * supersteps — the bounded-depth stand-in for a recursive CTE (which
+    * Spark lacks). Each superstep expands ONLY the previous frontier (one
+    * src-keyed join) and anti-joins the visited set, so total work is
+    * O(edges touched), not O(edges × hops); with integer hop labels the
+    * result is engine- and partitioning-independent.
+    *
+    * At cluster scale the edge table stays hash-partitioned by `src`
+    * across supersteps (a bucketed edge table never reshuffles) and only
+    * frontier/visited tables — bounded by |nodes| — move. The loop count
+    * is a plan-depth constant, the same contract as [[pageRankScaled]].
+    *
+    * @param edges directed (src, dst) pairs; symmetrize before calling for
+    *              an undirected graph
+    * @param seeds one column `node`
+    * @return (node, hops) for every node within `maxHops` of a seed;
+    *         seeds themselves at hops = 0
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src"), col("dst")).cache()
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0L)).cache()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      // cache each level: later levels and the final union re-read it, and
+      // an uncached frontier would re-derive the whole lineage per superstep
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .cache()
+      visited = visited.union(next).cache()
+      frontier = next
+    }
+    visited
+  }
 }

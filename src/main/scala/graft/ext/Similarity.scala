@@ -49,6 +49,28 @@ object Similarity {
     topKByScore(scored, "cos", k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-k most cosine-similar CROSS-LABEL vectors — near the anchor in
+    * embedding space but of a different class, the negatives that carry
+    * training signal. Same broadcast shape as [[cosineTopK]] (small query
+    * side broadcast, corpus never shuffled); the label inequality rides the
+    * join condition, so same-label candidates are dropped before scoring. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("label").as("qlabel"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("label").as("clabel"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("qlabel"), col("cid"),
+        (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
+          + lit(0.0)).as("cos")) // + 0.0 folds IEEE -0.0 to 0.0 (oracle parity)
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "qlabel", "cid", "cos", "rk")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max |x_i|, each element
     * maps to round-half-up(x / scale · 127) ∈ [-127, 127] (the storage form
     * that shrinks an embedding corpus 4× and feeds int8 SIMD distance

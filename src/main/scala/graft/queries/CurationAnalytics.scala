@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ext.{Dedup, GraphOps, Merge, Similarity}
+
+/** Round-5 data-curation operators (beyond the reference surface): targeted
+  * data selection (DSIR), contrastive-mining hard negatives, cluster-bounded
+  * semantic dedup (SemDeDup), change-log merge, bounded-depth graph
+  * reachability, and a two-sample distribution test — the selection /
+  * maintenance half of a training-data pipeline, built on the same
+  * determinism policy as the rest of the repo (per-term rounds
+  * decimal-summed, integer hop labels, rounded scores with id tie-breaks).
+  */
+object CurationAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Target slice for the DSIR importance weights (the "high-quality"
+    * distribution the raw corpus is resampled toward). */
+  private val DsirTargetSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Within-cluster cosine threshold for the SemDeDup prune. */
+  private val SemDedupTau = 0.35
+
+  /** CDC merge cutoff: 2024-01-15T00:00:00Z in epoch micros — events before
+    * it build the snapshot, events at/after it are the change log. */
+  private val MergeCutoffUs = 1705276800000000L
+
+  /** Total-order key for "latest event per user": (µs, event_id)
+    * zero-padded — same construction as EventsAnalytics.touchKey. */
+  private def touchKey(us: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lpad(us.cast("string"), 20, "0"), lpad(id.cast("string"), 12, "0"))
+
+  val queries: Seq[Q] = Seq(
+    // ── DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    //    per-doc mean log-likelihood ratio between a TARGET distribution
+    //    (docs from the curated sources) and the RAW corpus, unigram
+    //    features with add-one smoothing. Docs scoring high look like the
+    //    target — the importance-resampling score data selection keeps.
+    //    Both term tables are vocabulary-bounded; the doc-side join is a
+    //    term-keyed equi-join (at 100 TB, hash terms into a fixed feature
+    //    space — 10⁴ buckets — so the score table is constant-size and
+    //    broadcastable). Per-term log-ratios are rounded then decimal-
+    //    summed per doc: order-independent, engine-stable ──────────────────
+    Q(
+      "q_dsir_weights",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        def toks(df: DataFrame) = df
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .filter(length(col("term")) >= 2)
+        val all = toks(d)
+        val raw = all.groupBy("term").agg(count(lit(1)).as("cr"))
+        val tgt = toks(d.filter(col("source").isin(DsirTargetSources: _*)))
+          .groupBy("term").agg(count(lit(1)).as("ct"))
+        val stats = raw.join(tgt, Seq("term"), "left")
+          .select(col("term"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+        val tot = stats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+          count(lit(1)).as("v"))
+        val lr = stats.crossJoin(broadcast(tot))
+          .select(col("term"),
+            round(log((col("ct") + 1).cast("double") / (col("tt") + col("v")).cast("double"))
+              - log((col("cr") + 1).cast("double") / (col("tr") + col("v")).cast("double")), 6)
+              .cast(DecimalType(28, 6)).as("lr"))
+        all.join(lr, Seq("term"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum(col("lr")).as("sdec"))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("sdec").cast("double") / col("n_toks").cast("double"), 6)
+              .as("dsir_logw"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, term FROM
+            (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+             FROM documents) WHERE len(term) >= 2),
+          ttoks AS (SELECT t.doc_id, t.term FROM toks t
+            JOIN documents d ON t.doc_id = d.doc_id
+            WHERE d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+          raw AS (SELECT term, COUNT(*) AS cr FROM toks GROUP BY 1),
+          tgt AS (SELECT term, COUNT(*) AS ct FROM ttoks GROUP BY 1),
+          stats AS (SELECT term, cr, COALESCE(ct, 0) AS ct
+            FROM raw LEFT JOIN tgt USING (term)),
+          tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt, COUNT(*) AS v FROM stats),
+          lr AS (SELECT term,
+              CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))
+                - LN(CAST(cr + 1 AS DOUBLE) / CAST(tr + v AS DOUBLE)), 6)
+                AS DECIMAL(28,6)) AS lr
+            FROM stats CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_toks,
+          ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 6) AS dsir_logw
+        FROM toks JOIN lr USING (term)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── hard-negative mining: top-3 most-similar CROSS-LABEL vectors per
+    //    query — near the anchor but of a different class, the negatives a
+    //    contrastive trainer wants. Broadcast query side, corpus never
+    //    shuffled; label inequality rides the join condition ────────────────
+    Q(
+      "q_hard_negatives",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH ex AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM ex GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS cid,
+            SUM(a.x * b.x) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 10
+            AND a.vec_id <> b.vec_id AND a.label <> b.label
+          GROUP BY 1, 2, 3)
+        SELECT qid, qlabel, cid, ROUND(dot / (na.nv * nb.nv), 6) + 0 AS cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY ROUND(dot / (na.nv * nb.nv), 6) DESC, cid) AS BIGINT) AS rk
+        FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON cid = nb.vec_id
+        QUALIFY rk <= 3 ORDER BY qid, rk""")),
+
+    // ── SemDeDup prune summary: within-cluster cosine near-dup pairs
+    //    (cluster = label here; an IVF cell in an unlabeled corpus), drop
+    //    the higher id of each pair. The pair join is keyed on the cluster,
+    //    so fan-out is cluster-size², never corpus² — SemDeDup's near-linear
+    //    trade (cross-cluster dups are out of contract) ─────────────────────
+    Q(
+      "q_semdedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val dropped = Dedup
+          .clusterNearDupPairs(e, "label", "vec_id", "embedding", SemDedupTau)
+          .select(col("cluster").as("label"), col("id_b")).distinct()
+          .groupBy("label").agg(count(lit(1)).as("n_dropped"))
+        e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+          .join(dropped, Seq("label"), "left")
+          .select(col("label"), col("n_vecs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+          .orderBy("label")
+      },
+      Some(s"""WITH ex AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM ex GROUP BY vec_id),
+        dots AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+            SUM(a.x * b.x) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.label = b.label
+            AND a.vec_id < b.vec_id
+          GROUP BY 1, 2, 3),
+        drp AS (SELECT label, COUNT(DISTINCT id_b) AS n_dropped
+          FROM dots JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id
+          WHERE ROUND(dot / (na.nv * nb.nv), 6) >= $SemDedupTau
+          GROUP BY 1),
+        base AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+        SELECT label, n_vecs, COALESCE(n_dropped, 0) AS n_dropped,
+          n_vecs - COALESCE(n_dropped, 0) AS n_kept
+        FROM base LEFT JOIN drp USING (label) ORDER BY label""")),
+
+    // ── CDC merge: fold the post-cutoff change log into the pre-cutoff
+    //    state table (latest purchase value per user), latest change wins,
+    //    an 'error' tombstone deletes the key. Both sides pre-shrink to one
+    //    row per key via max_by (partial-aggregable, no window) before the
+    //    single key-partitioned full-outer join — the MERGE INTO shape that
+    //    keeps a bucketed 100 TB snapshot co-located and idempotent ─────────
+    Q(
+      "q_cdc_merge",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("event_id"), unix_micros(col("ts")).as("us"))
+        val key = touchKey(col("us"), col("event_id"))
+        val snapshot = ev
+          .filter(col("us") < MergeCutoffUs && col("event_type") === "purchase")
+          .groupBy("user_id").agg(max_by(col("value"), key).as("value"))
+        val changes = ev.filter(col("us") >= MergeCutoffUs)
+        Merge.upsertLatest(snapshot, changes, "user_id", "value",
+            key, col("event_type") === "error")
+          .orderBy("user_id")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us,
+            concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+                   lpad(CAST(event_id AS VARCHAR), 12, '0')) AS k
+          FROM events WHERE event_type IN ('purchase', 'error')),
+        snap AS (SELECT user_id, arg_max(value, k) AS old_value FROM ev
+          WHERE us < $MergeCutoffUs AND event_type = 'purchase' GROUP BY 1),
+        delta AS (SELECT user_id, arg_max(value, k) AS new_value,
+            arg_max(event_type = 'error', k) AS deleted
+          FROM ev WHERE us >= $MergeCutoffUs GROUP BY 1)
+        SELECT user_id, COALESCE(new_value, old_value) AS value,
+          CASE WHEN old_value IS NULL THEN 'inserted'
+               WHEN new_value IS NULL THEN 'kept'
+               ELSE 'updated' END AS op
+        FROM snap FULL OUTER JOIN delta USING (user_id)
+        WHERE deleted IS NULL OR NOT deleted
+        ORDER BY user_id""")),
+
+    // ── bounded-depth reachability: BFS hop distance ≤ 3 from the
+    //    lowest-keyed part over the (symmetrized) co-purchase graph —
+    //    the recursive-CTE workload Spark lacks, as frontier-only joins
+    //    (one src-keyed join + visited anti-join per superstep). Oracle IS
+    //    a recursive CTE ─────────────────────────────────────────────────────
+    Q(
+      "q_graph_reachability",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e0 = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+            Seq("l_orderkey"))
+          .filter(col("u") < col("v"))
+          .select("u", "v").distinct()
+        val edges = e0.select(col("u").as("src"), col("v").as("dst"))
+          .union(e0.select(col("v").as("src"), col("u").as("dst")))
+        val seeds = li.agg(min(col("l_partkey")).as("node"))
+        GraphOps.bfsHops(edges, seeds, 3)
+          .select(col("node").as("part_id"), col("hops"))
+          .orderBy("hops", "part_id")
+      },
+      Some("""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+          e AS (SELECT u AS src, v AS dst FROM e0
+            UNION ALL SELECT v, u FROM e0),
+          seed AS (SELECT MIN(l_partkey) AS node FROM lineitem),
+          bfs AS (SELECT node, 0 AS hops FROM seed
+            UNION
+            SELECT e.dst, b.hops + 1 FROM bfs b
+            JOIN e ON b.node = e.src WHERE b.hops < 3)
+        SELECT node AS part_id, CAST(MIN(hops) AS BIGINT) AS hops
+        FROM bfs GROUP BY node ORDER BY hops, part_id""")),
+
+    // ── two-sample Kolmogorov–Smirnov statistic: urgent vs non-urgent
+    //    order totals, ECDFs on a binned value grid (floor(price/1000) —
+    //    ~500 bins, so the cumulative window runs over a BOUNDED domain,
+    //    the same contract as the other global-window queries; at 100 TB
+    //    the grid is fixed a priori and the window range-partitions).
+    //    Counts stay integer until the final share division ─────────────────
+    Q(
+      "q_ks_test",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          floor(col("o_totalprice") / 1000.0).cast("long").as("bin"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("isa"))
+        val bins = o.groupBy("bin")
+          .agg(sum(col("isa")).as("na"), sum(lit(1L) - col("isa")).as("nb"))
+        val tot = bins.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+        val w = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bins
+          .withColumn("ca", sum(col("na")).over(w))
+          .withColumn("cb", sum(col("nb")).over(w))
+          .crossJoin(broadcast(tot))
+          .agg(max(col("ta")).as("n_urgent"), max(col("tb")).as("n_other"),
+            count(lit(1)).as("n_bins"),
+            max(round(abs(col("ca").cast("double") / col("ta").cast("double")
+              - col("cb").cast("double") / col("tb").cast("double")), 6)).as("ks_d"))
+      },
+      Some("""WITH b AS (SELECT CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bin,
+            COUNT(*) AS n,
+            SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS na
+          FROM orders GROUP BY 1),
+        b2 AS (SELECT bin, CAST(na AS BIGINT) AS na, CAST(n - na AS BIGINT) AS nb FROM b),
+        tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM b2),
+        cum AS (SELECT bin, na, nb,
+            SUM(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+            SUM(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+          FROM b2)
+        SELECT MAX(ta) AS n_urgent, MAX(tb) AS n_other,
+          COUNT(*) AS n_bins,
+          MAX(ROUND(ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+            - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6)) AS ks_d
+        FROM cum CROSS JOIN tot"""))
+  )
+}

@@ -21,7 +21,8 @@ object Registry {
   def all: Seq[Q] =
     Relational.queries ++ Analytics.queries ++ Extensions.queries ++
       EventsAnalytics.queries ++ CorpusAnalytics.queries ++
-      SearchAnalytics.queries ++ TemplateAnalogs.queries
+      SearchAnalytics.queries ++ CurationAnalytics.queries ++
+      TemplateAnalogs.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

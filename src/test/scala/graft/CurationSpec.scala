@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, GraphOps, Merge, Similarity}
+
+/** Round-5 curation kernels: BFS reachability, CDC merge semantics,
+  * hard-negative mining, cluster-bounded semantic dedup. */
+class CurationSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("bfsHops: hop distances on a hand-built graph, frontier never revisits") {
+    // 1-2-3-4 path plus a 1-5 spur and a disconnected 9-10 edge
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (9L, 10L))
+      .toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphOps.bfsHops(edges, seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L))
+    // maxHops bounds the expansion: node 4 (3 hops out) is not reached
+    assert(!got.contains(4L) && !got.contains(9L))
+  }
+
+  test("bfsHops: a node reachable two ways gets its MINIMUM hop count") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val got = GraphOps.bfsHops(edges, Seq(1L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) == 1L) // direct edge wins over the 2-hop path
+  }
+
+  test("upsertLatest: insert / update / keep / delete branches all fire") {
+    val snapshot = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    // key 1: updated twice, latest wins; key 2: deleted; key 4: fresh insert;
+    // key 3: untouched
+    val changes = Seq(
+      (1L, 1L, 11.0, false), (1L, 2L, 12.0, false),
+      (2L, 1L, 99.0, false), (2L, 2L, 0.0, true),
+      (4L, 1L, 40.0, false)
+    ).toDF("k", "ord", "v", "del")
+    val got = Merge.upsertLatest(snapshot, changes, "k", "v",
+        col("ord"), col("del"))
+      .as[(Long, Double, String)].collect()
+      .map { case (k, v, op) => k -> ((v, op)) }.toMap
+    assert(got == Map(
+      1L -> ((12.0, "updated")),
+      3L -> ((30.0, "kept")),
+      4L -> ((40.0, "inserted"))))
+  }
+
+  test("upsertLatest: re-applying the same delta is idempotent") {
+    val snapshot = Seq((1L, 10.0)).toDF("k", "v")
+    val changes = Seq((1L, 1L, 11.0, false)).toDF("k", "ord", "v", "del")
+    val once = Merge.upsertLatest(snapshot, changes, "k", "v",
+      col("ord"), col("del"))
+    val twice = Merge.upsertLatest(once.select(col("k"), col("v")), changes,
+      "k", "v", col("ord"), col("del"))
+    assert(twice.as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 11.0, "updated")))
+  }
+
+  test("hardNegatives excludes same-label candidates and ranks by cosine") {
+    val emb = Tables(spark, sf, "embeddings")
+    val got = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), 3)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // no returned negative shares the query's label
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(2))
+      assert(labels(qid.toInt) != labels(cid.toInt),
+        s"negative $cid shares label with query $qid")
+    }
+    // per query: scores are non-increasing in rank
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("clusterNearDupPairs agrees with the global exact pairs inside a cluster") {
+    val emb = Tables(spark, sf, "embeddings")
+    val tau = 0.3
+    val within = Dedup
+      .clusterNearDupPairs(emb, "label", "vec_id", "embedding", tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force baseline, restricted to same-label pairs
+    val global = Dedup.embeddingNearDups(emb, "vec_id", "embedding", tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val sameLabelGlobal = global.filter { case (a, b) => labels(a) == labels(b) }
+    assert(within == sameLabelGlobal)
+  }
+}
