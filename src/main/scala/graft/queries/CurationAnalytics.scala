@@ -275,6 +275,196 @@ object CurationAnalytics {
           COUNT(*) AS n_bins,
           MAX(ROUND(ABS(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
             - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6)) AS ks_d
-        FROM cum CROSS JOIN tot"""))
+        FROM cum CROSS JOIN tot""")),
+
+    // ── JL random projection: 64-dim embeddings sketched to 16 dims with a
+    //    deterministic ±1 LCG sign matrix (Achlioptas form) — the
+    //    dimensionality cut that makes downstream pair work 4× cheaper.
+    //    Narrow 64×16 fan-out per vector + one (vec_id, j) aggregation;
+    //    per-term decimal casts keep the sums partitioning-independent ──────
+    Q(
+      "q_random_projection",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.randomProjectLong(e.filter(col("vec_id") < 50), 16)
+          .orderBy("vec_id", "j")
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)
+          WHERE vec_id < 50),
+        fan AS (SELECT vec_id, i, x, j,
+            (CAST(i - 1 AS BIGINT) * 16 + j) * 48271 % 2147483647 AS h1
+          FROM ex CROSS JOIN UNNEST(generate_series(1, 16)) AS t(j)),
+        terms AS (SELECT vec_id, CAST(j AS BIGINT) AS j,
+            CAST(x * CAST(1 - 2 * ((h1 * h1 % 2147483647) % 2)
+              AS DOUBLE) AS DECIMAL(28,10)) AS term
+          FROM fan)
+        SELECT vec_id, j, ROUND(CAST(SUM(term) AS DOUBLE) / 4.0, 6) AS y
+        FROM terms GROUP BY vec_id, j ORDER BY vec_id, j""")),
+
+    // ── Kaplan–Meier survival of user activity: duration = days between a
+    //    user's first and last event; users quiet > 7 days before the
+    //    observation end are churn events, the rest are censored. S(t) =
+    //    Π(1 − dᵢ/nᵢ) over event times ≤ t, computed as exp of a decimal
+    //    sum of per-time rounded ln terms (order-independent). Windows run
+    //    over the DURATION domain (≤ observation-span rows, bounded);
+    //    the d = n terminal collapse row is excluded (ln 0) ─────────────────
+    Q(
+      "q_survival_km",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+        val span = ev.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val obsEnd = ev.agg(max(col("day")).as("obs_end"))
+        val durs = span.crossJoin(broadcast(obsEnd))
+          .select((col("d1") - col("d0")).as("dur"),
+            when(col("obs_end") - col("d1") > 7, 1L).otherwise(0L).as("churned"))
+        val tot = durs.agg(count(lit(1)).as("n_total"))
+        val byDur = durs.groupBy("dur")
+          .agg(count(lit(1)).as("n_all"), sum(col("churned")).as("d"))
+        val wPrev = Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDur.crossJoin(broadcast(tot))
+          .withColumn("n_risk",
+            col("n_total") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+          .filter(col("d") > 0 && col("d") < col("n_risk"))
+          .withColumn("term",
+            round(log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 6)
+              .cast(DecimalType(28, 6)))
+          .select(col("dur").as("t"), col("n_risk"), col("d"),
+            round(exp(sum(col("term")).over(wCum).cast("double")), 6).as("surv"))
+          .orderBy("t")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events),
+          span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM ev GROUP BY 1),
+          oe AS (SELECT MAX(day) AS obs_end FROM ev),
+          durs AS (SELECT d1 - d0 AS dur,
+              CASE WHEN obs_end - d1 > 7 THEN 1 ELSE 0 END AS churned
+            FROM span CROSS JOIN oe),
+          tot AS (SELECT COUNT(*) AS n_total FROM durs),
+          bd AS (SELECT dur, COUNT(*) AS n_all, CAST(SUM(churned) AS BIGINT) AS d
+            FROM durs GROUP BY 1),
+          risk AS (SELECT dur, d, CAST(n_total - COALESCE(SUM(n_all) OVER
+                (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+            FROM bd CROSS JOIN tot),
+          evt AS (SELECT dur, d, n_risk,
+              CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 6)
+                AS DECIMAL(28,6)) AS term
+            FROM risk WHERE d > 0 AND d < n_risk)
+        SELECT dur AS t, n_risk, d,
+          ROUND(EXP(CAST(SUM(term) OVER (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS surv
+        FROM evt ORDER BY t""")),
+
+    // ── Benford first-digit screen: distribution of the leading digit of
+    //    order totals vs Benford's law — the classic fabricated-amounts
+    //    audit. The digit comes from the INTEGER cents string (double
+    //    formatting never touches the comparison); expected share =
+    //    ln(1+1/d)/ln(10). One aggregation, 9-row output ─────────────────────
+    Q(
+      "q_benford_digits",
+      (s, dir) => {
+        val digits = t(s, dir, "orders")
+          .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+        val tot = digits.agg(count(lit(1)).as("n_total"))
+        digits.groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("n_total").cast("double"), 6)
+              .as("share"),
+            round(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+              / log(lit(10.0)), 6).as("benford"),
+            round(abs(round(col("n").cast("double") / col("n_total").cast("double"), 6)
+              - round(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+                / log(lit(10.0)), 6)), 6).as("abs_dev"))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0)
+              AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders),
+          tot AS (SELECT COUNT(*) AS n_total FROM d),
+          g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+        SELECT digit, n,
+          ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+          ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6) AS benford,
+          ROUND(ABS(ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+            - ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6)), 6)
+            AS abs_dev
+        FROM g CROSS JOIN tot ORDER BY digit""")),
+
+    // ── leakage-safe temporal split: train strictly before the embargo
+    //    window, test after it, the 2-day gap DROPPED — lagged features and
+    //    attribution windows can't straddle the boundary (the purged split;
+    //    the id-hash q_dataset_split is the i.i.d. complement). Pure column
+    //    function of event time, no RNG ─────────────────────────────────────
+    Q(
+      "q_temporal_split",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.withColumn("split", graft.ext.CorpusPipeline.temporalSplit(
+            col("ts"), "2024-01-20 00:00:00", "2024-01-22 00:00:00"))
+          .filter(col("split").isNotNull)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            min(expr("unix_micros(ts) div 86400000000")).as("min_day"),
+            max(expr("unix_micros(ts) div 86400000000")).as("max_day"))
+          .orderBy("split")
+      },
+      Some("""WITH sp AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                 WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+            END AS split
+          FROM events)
+        SELECT split, COUNT(*) AS n_events,
+          COUNT(DISTINCT user_id) AS n_users,
+          MIN(day) AS min_day, MAX(day) AS max_day
+        FROM sp WHERE split IS NOT NULL
+        GROUP BY split ORDER BY split""")),
+
+    // ── event debouncing: collapse each ≤1 s same-(user,type) burst to its
+    //    first event — the keep-first complement of q_events_dup_screen's
+    //    count. Burst ids are a cumulative gap>1s flag sum per (user,type)
+    //    (one partitioned window, total order (us, event_id)); output is
+    //    the per-type raw/kept/dropped census ───────────────────────────────
+    Q(
+      "q_events_debounce",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+        val wo = Window.partitionBy("user_id", "event_type")
+          .orderBy("us", "event_id")
+        val flagged = ev.withColumn("new_burst",
+          when(lag(col("us"), 1).over(wo).isNull
+            || col("us") - lag(col("us"), 1).over(wo) > 1000000L, 1L)
+            .otherwise(0L))
+        flagged
+          .withColumn("kept", col("new_burst"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_raw"), sum(col("kept")).as("n_kept"),
+            (count(lit(1)) - sum(col("kept"))).as("n_dropped"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+            FROM events),
+          f AS (SELECT event_type,
+              CASE WHEN LAG(us) OVER (PARTITION BY user_id, event_type
+                  ORDER BY us, event_id) IS NULL
+                OR us - LAG(us) OVER (PARTITION BY user_id, event_type
+                  ORDER BY us, event_id) > 1000000 THEN 1 ELSE 0 END AS kept
+            FROM ev)
+        SELECT event_type, COUNT(*) AS n_raw,
+          CAST(SUM(kept) AS BIGINT) AS n_kept,
+          CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+        FROM f GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -82,6 +82,46 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("randomProjectLong roughly preserves pairwise distances (JL property)") {
+    val emb = Tables(spark, sf, "embeddings").filter(col("vec_id") < 30)
+    val proj = Similarity.randomProjectLong(emb, 16)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3)
+      }
+    val orig = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      num = d2(proj(i), proj(j)); den = d2(orig(i), orig(j)) if den > 1e-9
+    } yield num / den
+    // ±1 projections to k=16 dims: E[ratio]=1 over matrices, but ONE fixed
+    // matrix applied to correlated vectors realizes a shared ~χ²₁₆/16
+    // factor (sd ≈ 0.35), so the pair-mean itself wanders — bound loosely.
+    // The real JL claim is that no pair collapses to 0 or explodes.
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"mean distortion $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"distortion out of range: min=${ratios.min} max=${ratios.max}")
+  }
+
+  test("temporalSplit: train/test windows exclude the embargo gap") {
+    val df = Seq(
+      ("2024-01-19 23:59:59", 1L), ("2024-01-20 00:00:00", 2L),
+      ("2024-01-21 12:00:00", 3L), ("2024-01-22 00:00:00", 4L)
+    ).toDF("t", "id").select(to_timestamp(col("t")).as("ts"), col("id"))
+    val got = df.withColumn("split", graft.ext.CorpusPipeline.temporalSplit(
+        col("ts"), "2024-01-20 00:00:00", "2024-01-22 00:00:00"))
+      .select(col("id"), col("split"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("train"), 2L -> None, 3L -> None,
+      4L -> Some("test")))
+  }
+
   test("clusterNearDupPairs agrees with the global exact pairs inside a cluster") {
     val emb = Tables(spark, sf, "embeddings")
     val tau = 0.3
