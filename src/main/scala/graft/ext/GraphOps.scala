@@ -90,21 +90,34 @@ object GraphOps {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col("src"), col("dst")).cache()
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0L)).cache()
-    var frontier = visited
-    for (h <- 1 to maxHops) {
-      // cache each level: later levels and the final union re-read it, and
-      // an uncached frontier would re-derive the whole lineage per superstep
-      val next = frontier
-        .join(e, frontier("node") === e("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(h.toLong))
-        .cache()
-      visited = visited.union(next).cache()
-      frontier = next
+    // cache each level: later levels and the final union re-read it, and an
+    // uncached frontier would re-derive the whole lineage per superstep
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      var visited = seeds.select(col("node")).distinct()
+        .withColumn("hops", lit(0L)).cache()
+      cached += visited
+      var frontier = visited
+      for (h <- 1 to maxHops) {
+        val next = frontier
+          .join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("hops", lit(h.toLong))
+          .cache()
+        visited = visited.union(next).cache()
+        cached += next
+        cached += visited
+        frontier = next
+      }
+      // materialize, then release the loop's cache — repeated calls on a
+      // long-lived session must not strand storage memory (the
+      // connectedComponents contract); checkpointing also truncates the
+      // per-level nested lineage
+      visited.localCheckpoint(true)
+    } finally {
+      cached.foreach(_.unpersist())
+      e.unpersist()
     }
-    visited
   }
 }

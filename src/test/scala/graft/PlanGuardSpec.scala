@@ -40,7 +40,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_graph_triangles" -> "three ONE-ROW census aggregates (wedges, edges, triangles) crossed into the single summary row",
     "q_weighted_median_len" -> "token total is a ONE-ROW aggregate broadcast-crossed into the length-domain-bounded cumulative table",
     "q_chisq_source_lang" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the |sources|x|langs|-bounded contingency table",
-    "q_relational_division" -> "the priority-universe size is a ONE-ROW aggregate broadcast-crossed into the per-customer coverage table")
+    "q_relational_division" -> "the priority-universe size is a ONE-ROW aggregate broadcast-crossed into the per-customer coverage table",
+    "q_dsir_weights" -> "(target,raw) token totals and vocab size are a ONE-ROW aggregate broadcast-crossed into the vocabulary-bounded score table",
+    "q_hard_negatives" -> "broadcast-query-side KNN (q_embed_knn shape); the label inequality rides the broadcast join condition",
+    "q_ks_test" -> "group totals are a ONE-ROW aggregate broadcast-crossed into the ~bounded value-grid table",
+    "q_survival_km" -> "observation end and cohort size are ONE-ROW aggregates broadcast-crossed into the duration-domain-bounded table",
+    "q_benford_digits" -> "order count is a ONE-ROW aggregate broadcast-crossed into the 9-row digit table")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
