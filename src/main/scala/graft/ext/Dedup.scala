@@ -577,6 +577,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Longest shared token spans between document pairs — the exact-substring
+    * dedup signal (Lee et al. 2022, arXiv:2107.06499 find 50-token repeats;
+    * this is the join-based form): positionally shingle each doc, equi-join
+    * on the shingle, then gaps-and-islands per (pair, diagonal) turns
+    * consecutive matching positions into runs of length run+n−1 tokens.
+    *
+    * Scale shape: the only corpus-sized join is shingle-keyed; shingles in
+    * more than `maxDocFreq` docs (boilerplate) are dropped BEFORE the join,
+    * bounding per-key fan-out. Windows partition by (pair, diagonal) —
+    * bounded by the shorter doc. Returns (id_a, id_b, n_matches,
+    * max_span_tokens) with id_a < id_b. */
+  def sharedSpanRuns(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxDocFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("t"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, greatest(size(t) - ${n - 1}, 0))," +
+          s" i -> concat_ws(' ', slice(t, i, $n)))")).as(Seq("p0", "sh")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("sh"))
+    val rare = sh.select(col("sh"), col("id")).distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("sh")
+    val kept = sh.join(rare, Seq("sh"))
+    val pairs = kept.select(col("sh"), col("id").as("id_a"), col("pos").as("pa"))
+      .join(kept.select(col("sh"), col("id").as("id_b"), col("pos").as("pb")),
+        Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("d"))
+    val w = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+    pairs
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "d", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("run")).as("n_matches"),
+        (max(col("run")) + lit(n - 1)).as("max_span_tokens"))
+  }
+
   /** Scale-path embedding dedup: multi-table sign-LSH candidates → exact
     * cosine verification of candidates only (the 100 TB shape: bucketing is
     * a narrow map, candidates come from a bucket-key self-equi-join, and

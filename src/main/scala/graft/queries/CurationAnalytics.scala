@@ -465,6 +465,221 @@ object CurationAnalytics {
         SELECT event_type, COUNT(*) AS n_raw,
           CAST(SUM(kept) AS BIGINT) AS n_kept,
           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
-        FROM f GROUP BY event_type ORDER BY event_type"""))
+        FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // ── NDCG@3 retrieval evaluation: same-label = relevant, judge the
+    //    exact KNN top-3. Rank-position weights 1/log₂(rk+1) are 6-dp
+    //    decimal LITERALS (rk ≤ 3), gains decimal-summed; ideal DCG from
+    //    the per-label corpus count. The eval-operator complement of the
+    //    KNN/ANN kernels — what a retrieval pipeline reports ────────────────
+    Q(
+      "q_ndcg_eval",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val lbl = e.select(col("vec_id"), col("label"))
+        val knn = Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), 3)
+        val gains = knn
+          .join(lbl.select(col("vec_id").as("qid"), col("label").as("qlabel")),
+            Seq("qid"))
+          .join(lbl.select(col("vec_id").as("cid"), col("label").as("clabel")),
+            Seq("cid"))
+          .select(col("qid"), col("qlabel"),
+            when(col("qlabel") === col("clabel"), 1L).otherwise(0L).as("rel"),
+            expr("""CASE WHEN qlabel = clabel THEN
+                CAST(CASE rk WHEN 1 THEN 1.0 WHEN 2 THEN 0.630930 ELSE 0.5 END
+                  AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END""").as("g"))
+        val lc = e.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+        gains.groupBy(col("qid"), col("qlabel"))
+          .agg(sum(col("rel")).as("n_rel_at3"), sum(col("g")).as("dcg"))
+          .join(broadcast(lc), col("qlabel") === col("label"))
+          .select(col("qid"), col("qlabel"), col("n_rel_at3"),
+            round(col("dcg").cast("double") /
+              expr("""CAST(CASE WHEN n_lab - 1 >= 3 THEN 2.130930
+                  WHEN n_lab - 1 = 2 THEN 1.630930
+                  WHEN n_lab - 1 = 1 THEN 1.0 END AS DECIMAL(18,6))""")
+                .cast("double"), 6).as("ndcg"))
+          .orderBy("qid")
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM ex GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, SUM(a.x * b.x) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        knn AS (SELECT qid, cid,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ROUND(dot / (na.nv * nb.nv), 6) DESC, cid) AS BIGINT) AS rk
+          FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON cid = nb.vec_id
+          QUALIFY rk <= 3),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        gains AS (SELECT k.qid, ql.label AS qlabel,
+            CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel,
+            CASE WHEN ql.label = cl.label THEN
+              CAST(CASE k.rk WHEN 1 THEN 1.0 WHEN 2 THEN 0.630930 ELSE 0.5 END
+                AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END AS g
+          FROM knn k JOIN lab ql ON k.qid = ql.vec_id
+          JOIN lab cl ON k.cid = cl.vec_id),
+        lc AS (SELECT label, COUNT(*) AS n_lab FROM embeddings GROUP BY 1),
+        byq AS (SELECT qid, qlabel, CAST(SUM(rel) AS BIGINT) AS n_rel_at3,
+            SUM(g) AS dcg
+          FROM gains GROUP BY 1, 2)
+        SELECT q.qid, q.qlabel, q.n_rel_at3,
+          ROUND(CAST(q.dcg AS DOUBLE) / CAST(
+            CAST(CASE WHEN lc.n_lab - 1 >= 3 THEN 2.130930
+                 WHEN lc.n_lab - 1 = 2 THEN 1.630930
+                 WHEN lc.n_lab - 1 = 1 THEN 1.0 END AS DECIMAL(18,6))
+            AS DOUBLE), 6) AS ndcg
+        FROM byq q JOIN lc ON q.qlabel = lc.label
+        ORDER BY q.qid""")),
+
+    // ── semi-supervised label propagation: seed labels (vec_id < 50)
+    //    spread 2 supersteps over the cosine ≥ 0.3 near-dup graph, each
+    //    unlabeled node taking the MINIMUM neighbor label (deterministic
+    //    tie-break; majority voting ties are partitioning-dependent). Edge
+    //    generation is the exact dimension-join baseline — at corpus scale
+    //    the same propagation runs over LSH candidate edges ─────────────────
+    Q(
+      "q_label_spread",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val p = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.3)
+          .select("id_a", "id_b")
+        val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val seeds = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("node"), col("label").as("lbl"))
+        val r1 = edges
+          .join(seeds.withColumnRenamed("node", "src"), Seq("src"))
+          .join(seeds.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("lbl")).as("lbl"))
+          .withColumn("hop", lit(1L))
+        val l1 = seeds.union(r1.select("node", "lbl"))
+        val r2 = edges
+          .join(l1.withColumnRenamed("node", "src")
+            .withColumnRenamed("lbl", "slbl"), Seq("src"))
+          .join(l1.select(col("node").as("dst")), Seq("dst"), "left_anti")
+          .groupBy(col("dst").as("node"))
+          .agg(min(col("slbl")).as("lbl"))
+          .withColumn("hop", lit(2L))
+        r1.union(r2)
+          .select(col("node").as("vec_id"), col("lbl").as("spread_label"),
+            col("hop"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+        nrm AS (SELECT vec_id, SQRT(SUM(x*x)) AS nv FROM ex GROUP BY vec_id),
+        dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+          FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        p AS (SELECT id_a, id_b
+          FROM dots JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id
+          WHERE ROUND(dot / (na.nv * nb.nv), 6) >= 0.3),
+        e2 AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+        seeds AS (SELECT vec_id AS node, label AS lbl FROM embeddings
+          WHERE vec_id < 50),
+        r1 AS (SELECT e2.dst AS node, MIN(s.lbl) AS lbl, CAST(1 AS BIGINT) AS hop
+          FROM e2 JOIN seeds s ON e2.src = s.node
+          LEFT JOIN seeds x ON e2.dst = x.node
+          WHERE x.node IS NULL GROUP BY e2.dst),
+        l1 AS (SELECT node, lbl FROM seeds UNION ALL SELECT node, lbl FROM r1),
+        r2 AS (SELECT e2.dst AS node, MIN(l.lbl) AS lbl, CAST(2 AS BIGINT) AS hop
+          FROM e2 JOIN l1 l ON e2.src = l.node
+          LEFT JOIN l1 x ON e2.dst = x.node
+          WHERE x.node IS NULL GROUP BY e2.dst)
+        SELECT node AS vec_id, lbl AS spread_label, hop FROM r1
+        UNION ALL SELECT node, lbl, hop FROM r2 ORDER BY vec_id""")),
+
+    // ── longest shared token spans (exact-substring dedup signal): top-20
+    //    doc pairs by their longest run of consecutive matching 8-token
+    //    shingles. Boilerplate shingles (df > 50) are dropped BEFORE the
+    //    join; islands run per (pair, diagonal) ─────────────────────────────
+    Q(
+      "q_shared_spans",
+      (s, dir) => {
+        Dedup.sharedSpanRuns(t(s, dir, "documents"), "doc_id", "text", 8, 50)
+          .orderBy(desc("max_span_tokens"), col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+          sh AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS sh
+            FROM tk CROSS JOIN
+              UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)),
+          rare AS (SELECT sh FROM
+            (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+            WHERE df <= 50),
+          kept AS (SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN rare USING (sh)),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              a.pos AS pa, a.pos - b.pos AS d
+            FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          runs AS (SELECT id_a, id_b, COUNT(*) AS run FROM
+            (SELECT id_a, id_b, d, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d
+                 ORDER BY pa) AS grp
+             FROM pairs)
+            GROUP BY id_a, id_b, d, grp)
+        SELECT id_a, id_b, CAST(SUM(run) AS BIGINT) AS n_matches,
+          CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens
+        FROM runs GROUP BY 1, 2
+        ORDER BY max_span_tokens DESC, id_a, id_b LIMIT 20""")),
+
+    // ── embedding whitening (z-score per dimension): standardize each
+    //    coordinate by the CORPUS per-dim mean/std (the q_embed_dim_variance
+    //    sums, rounded once so both engines take identical sqrt inputs) —
+    //    the pre-index normalization that stops high-variance dims from
+    //    dominating cosine/L2. Sample output: vecs with id < 20 ──────────────
+    Q(
+      "q_embed_whiten",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val ex = e.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("dim").cast("long").as("dim"),
+            col("xf").cast(DecimalType(18, 10)).as("x"))
+        val stats = ex.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum((col("x") * col("x")).cast(DecimalType(38, 20))).as("sxx"))
+          .select(col("dim"),
+            round(col("sx").cast("double") / col("n").cast("double"), 6)
+              .as("mean"),
+            round(col("sxx").cast("double") / col("n").cast("double") -
+              (col("sx").cast("double") / col("n").cast("double")) *
+              (col("sx").cast("double") / col("n").cast("double")), 6)
+              .as("variance"))
+        val sample = e.filter(col("vec_id") < 20)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            col("xf").cast("double").as("x"))
+        sample.join(broadcast(stats), Seq("dim"))
+          .select(col("vec_id"), col("dim"),
+            when(col("variance") > 0,
+              round((col("x") - col("mean")) / sqrt(col("variance")), 6))
+              .otherwise(lit(0.0)).as("z"))
+          .orderBy("vec_id", "dim")
+      },
+      Some("""WITH ex AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+              CAST(embedding[i] AS DECIMAL(18,10)) AS x
+            FROM embeddings CROSS JOIN
+              UNNEST(generate_series(1, len(embedding))) AS s(i)),
+          stats AS (SELECT dim,
+              ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean,
+              ROUND(CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*)
+                - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                  * (CAST(SUM(x) AS DOUBLE) / COUNT(*)), 6) AS variance
+            FROM ex GROUP BY 1),
+          sample AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+              CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN
+              UNNEST(generate_series(1, len(embedding))) AS s(i)
+            WHERE vec_id < 20)
+        SELECT vec_id, dim,
+          CASE WHEN variance > 0
+            THEN ROUND((x - mean) / SQRT(variance), 6) ELSE 0.0 END AS z
+        FROM sample JOIN stats USING (dim)
+        ORDER BY vec_id, dim"""))
   )
 }

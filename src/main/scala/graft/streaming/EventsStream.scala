@@ -244,6 +244,50 @@ object EventsStream {
       .toDF()
   }
 
+  case class DebounceState(lastUs: Long, lastId: Long)
+  case class DebounceOut(user_id: Long, event_type: String, event_id: Long,
+      us: Long)
+
+  /** Streaming debounce via flatMapGroupsWithState: emit only the FIRST
+    * event of each same-(user, type) burst, where a burst is a CHAIN of
+    * events each ≤`gapMicros` from the previous one — exactly the batch
+    * `q_events_debounce` rule (gap from the previous RAW event, not from
+    * the last kept one, which would be a throttle and diverge on chains
+    * like 0 s, 0.9 s, 1.8 s). State per key is one tiny record (last
+    * applied position); rows are applied in (us, event_id) order within a
+    * micro-batch, and a cross-batch regression below the applied position
+    * is dropped — the same partially-ordered-log contract as [[scd2]]. */
+  def debounce(events: DataFrame, gapMicros: Long = 1000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[DebounceState]) =>
+          var kept = List.empty[DebounceOut]
+          var cur = state.getOption
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, _, us, id) =>
+            cur match {
+              case Some(st) if us < st.lastUs ||
+                  (us == st.lastUs && id <= st.lastId) =>
+                () // late regression below the applied position: dropped
+              case Some(st) if us - st.lastUs <= gapMicros =>
+                cur = Some(DebounceState(us, id)) // burst continues: drop
+              case _ =>
+                kept ::= DebounceOut(key._1, key._2, id, us)
+                cur = Some(DebounceState(us, id))
+            }
+          }
+          cur.foreach(state.update)
+          kept.reverse.iterator
+      }
+      .toDF()
+  }
+
   /** Stream-stream interval join: attribute each purchase to any signup of
     * the same user within `windowSeconds` BEFORE it. Both sides carry
     * watermarks so the join state is bounded — Spark retains a signup only

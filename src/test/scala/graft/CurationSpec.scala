@@ -122,6 +122,21 @@ class CurationSpec extends AnyFunSuite {
       4L -> Some("test")))
   }
 
+  test("sharedSpanRuns finds a planted 12-token overlap and nothing else") {
+    val mk = (id: Long, text: String) => (id, text)
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      mk(1L, s"alpha beta $shared gamma delta"),
+      mk(2L, s"one two three $shared four"),
+      mk(3L, "completely different words with no overlap at all here okay")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpanRuns(docs, "doc_id", "text", 8, 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the only pair sharing an 8-shingle run is (1,2); a 12-token overlap
+    // yields 12-8+1 = 5 consecutive shingles → max span 5+7 = 12 tokens
+    assert(got == Seq((1L, 2L, 5L, 12L)))
+  }
+
   test("clusterNearDupPairs agrees with the global exact pairs inside a cluster") {
     val emb = Tables(spark, sf, "embeddings")
     val tau = 0.3

@@ -45,7 +45,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_hard_negatives" -> "broadcast-query-side KNN (q_embed_knn shape); the label inequality rides the broadcast join condition",
     "q_ks_test" -> "group totals are a ONE-ROW aggregate broadcast-crossed into the ~bounded value-grid table",
     "q_survival_km" -> "observation end and cohort size are ONE-ROW aggregates broadcast-crossed into the duration-domain-bounded table",
-    "q_benford_digits" -> "order count is a ONE-ROW aggregate broadcast-crossed into the 9-row digit table")
+    "q_benford_digits" -> "order count is a ONE-ROW aggregate broadcast-crossed into the 9-row digit table",
+    "q_ndcg_eval" -> "judges the broadcast-query-side KNN kernel (q_embed_knn shape)")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {

@@ -229,6 +229,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == expected)
   }
 
+  test("streaming debounce keeps exactly the batch burst-first events") {
+    import spark.implicits._
+    val stream = EventsStream.read(spark, eventsDir)
+    val out = EventsStream.runToMemory(
+      EventsStream.debounce(stream), "debounce_stream", OutputMode.Append())
+    val streamed = out.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"))
+      .as[(String, Long)].collect().toMap
+    val batch = graft.queries.Registry.byName("q_events_debounce")
+      .build(spark, sf)
+      .select(col("event_type"), col("n_kept"))
+      .as[(String, Long)].collect().toMap
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
