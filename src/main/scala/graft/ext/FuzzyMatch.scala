@@ -26,6 +26,32 @@ object FuzzyMatch {
       s"flatten(transform($d1, v -> ${del1Sql("v")}))))")
   }
 
+  /** Distinct delete-0/1 neighborhood of the string column `colName`. */
+  def deleteNeighborhood1(colName: String): Column =
+    expr(s"array_distinct(concat(array($colName), ${del1Sql(colName)}))")
+
+  /** Entity-resolution duplicate candidates: pairs of rows whose NAME is
+    * within Levenshtein distance 1, found by equi-joining delete-≤1
+    * neighborhoods (complete by the SymSpell guarantee: lev ≤ 1 ⇒ a shared
+    * variant) and verifying candidates with the exact distance — the
+    * blocking step of master-data dedup, never an all-pairs name cross.
+    * Variant fan-out per row is length+1; the join key space is bounded by
+    * |entities|·(L+1) regardless of corpus size. */
+  def entityDupPairs(entities: DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val base = entities.select(col(idCol).as("id"), col(nameCol).as("name"))
+    val variants = base.select(col("id"), col("name"),
+      explode(deleteNeighborhood1("name")).as("v"))
+    variants.select(col("id").as("id_a"), col("name").as("name_a"), col("v"))
+      .join(variants.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("v")), Seq("v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+
   /** Candidate typo pairs among `terms` (columns `term`, `freq`): pairs of
     * distinct terms within Levenshtein distance ≤ 2, found by joining
     * delete-≤2 neighborhoods and verifying candidates with the exact

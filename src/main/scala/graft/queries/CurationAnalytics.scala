@@ -680,6 +680,155 @@ object CurationAnalytics {
           CASE WHEN variance > 0
             THEN ROUND((x - mean) / SQRT(variance), 6) ELSE 0.0 END AS z
         FROM sample JOIN stats USING (dim)
-        ORDER BY vec_id, dim"""))
+        ORDER BY vec_id, dim""")),
+
+    // ── deterministic weighted sampling (Efraimidis–Spirakis exponential
+    //    clocks): key = −ln(u)/w with u from the salted multiply-shift
+    //    grid — P(selected) ∝ token count, yet reproducible with no RNG
+    //    (re-runs and engines agree). Keep the 25 smallest keys; at 100 TB
+    //    the top-k compiles to TakeOrderedAndProject, no global sort ────────
+    Q(
+      "q_weighted_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val b = graft.functions.HashFunctions.mulShiftBucket(
+          col("doc_id").bitwiseXOR(lit(1540483477L)), 2654435761L, 33, 1048576)
+        d.select(col("doc_id"), col("source"),
+            greatest(size(split(col("text"), " ")), lit(1)).cast("long")
+              .as("n_toks"),
+            b.as("b"))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            round(negate(log((col("b") + 1).cast("double") / lit(1048577.0)))
+              / col("n_toks").cast("double"), 6).as("samp_key"))
+          .orderBy(col("samp_key"), col("doc_id"))
+          .limit(25)
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+            CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT) AS n_toks,
+            ((CAST(xor(doc_id, 1540483477) AS HUGEINT) * 2654435761)
+              % 18446744073709551616) // 8589934592 % 1048576 AS b
+          FROM documents)
+        SELECT doc_id, source, n_toks,
+          ROUND(-LN(CAST(b + 1 AS DOUBLE) / 1048577.0)
+            / CAST(n_toks AS DOUBLE), 6) AS samp_key
+        FROM w ORDER BY samp_key, doc_id LIMIT 25""")),
+
+    // ── entity-resolution name dedup: customer-master pairs within
+    //    Levenshtein 1, blocked by delete-≤1 neighborhoods (complete by the
+    //    SymSpell guarantee) and verified exactly — never an all-pairs name
+    //    cross. The oracle IS the brute-force theta-join, so the check pins
+    //    blocking completeness on the full table ────────────────────────────
+    Q(
+      "q_entity_dup_names",
+      (s, dir) => {
+        val pairs = graft.ext.FuzzyMatch
+          .entityDupPairs(t(s, dir, "customer"), "c_custkey", "c_name")
+        val np = pairs.agg(count(lit(1)).as("n_pairs"))
+        val ne = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+          .agg(countDistinct(col("id")).as("n_entities"))
+        np.crossJoin(broadcast(ne))
+      },
+      Some("""WITH p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM customer a JOIN customer b
+            ON a.c_custkey < b.c_custkey
+            AND levenshtein(a.c_name, b.c_name) <= 1)
+        SELECT (SELECT COUNT(*) FROM p) AS n_pairs,
+          (SELECT COUNT(DISTINCT id) FROM
+            (SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p))
+            AS n_entities""")),
+
+    // ── cohort lifetime value: cumulative purchase revenue per first-active
+    //    weekly cohort, normalized per user — the revenue complement of
+    //    q_events_retention (same cohort definition). Revenue decimal-summed;
+    //    the cumulative window partitions by cohort (≤ observation weeks) ────
+    Q(
+      "q_cohort_ltv",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val wk = expr("datediff(cast(ts as date), date '1970-01-01') div 7")
+        val cohorts = e.select(col("user_id"), wk.as("wk"))
+          .groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        val sizes = cohorts.groupBy("cohort_wk")
+          .agg(count(lit(1)).as("n_users"))
+        val rev = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), wk.as("wk"),
+            col("value").cast(DecimalType(18, 6)).as("v"))
+          .join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+          .agg(sum(col("v")).as("rev_dec"))
+        val wCum = Window.partitionBy("cohort_wk").orderBy("wk_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.join(broadcast(sizes), Seq("cohort_wk"))
+          .withColumn("cum_dec", sum(col("rev_dec")).over(wCum))
+          .select(col("cohort_wk"), col("wk_offset"), col("n_users"),
+            round(col("cum_dec").cast("double"), 2).as("cum_revenue"),
+            round(col("cum_dec").cast("double") / col("n_users").cast("double"), 6)
+              .as("ltv_per_user"))
+          .orderBy("cohort_wk", "wk_offset")
+      },
+      Some("""WITH uw AS (SELECT user_id,
+            DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+            event_type, value
+          FROM events),
+        cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1),
+        sizes AS (SELECT cohort_wk, COUNT(*) AS n_users FROM cohorts GROUP BY 1),
+        rev AS (SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+            SUM(CAST(value AS DECIMAL(18,6))) AS rev_dec
+          FROM uw JOIN cohorts USING (user_id)
+          WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT cohort_wk, wk_offset, n_users,
+          ROUND(CAST(SUM(rev_dec) OVER (PARTITION BY cohort_wk ORDER BY wk_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+            AS cum_revenue,
+          ROUND(CAST(SUM(rev_dec) OVER (PARTITION BY cohort_wk ORDER BY wk_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(n_users AS DOUBLE), 6) AS ltv_per_user
+        FROM rev JOIN sizes USING (cohort_wk)
+        ORDER BY cohort_wk, wk_offset""")),
+
+    // ── corpus data card: the one-look summary read before any curation
+    //    decision — doc/token/source/language counts, mean doc length, and
+    //    the exact-duplicate rate (by content sha256), computed in a SINGLE
+    //    scan and unpivoted to (metric, value) rows ─────────────────────────
+    Q(
+      "q_corpus_datacard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.agg(
+            count(lit(1)).cast("double").as("n_docs"),
+            sum(size(split(col("text"), " "))).cast("double").as("n_tokens"),
+            countDistinct(col("source")).cast("double").as("n_sources"),
+            countDistinct(col("lang")).cast("double").as("n_langs"),
+            round(sum(size(split(col("text"), " "))).cast("double") /
+              count(lit(1)).cast("double"), 2).as("mean_doc_tokens"),
+            round(lit(1.0) - countDistinct(sha2(col("text"), 256)).cast("double") /
+              count(lit(1)).cast("double"), 6).as("exact_dup_rate"))
+          .select(expr("""stack(6,
+              'exact_dup_rate', exact_dup_rate,
+              'mean_doc_tokens', mean_doc_tokens,
+              'n_docs', n_docs,
+              'n_langs', n_langs,
+              'n_sources', n_sources,
+              'n_tokens', n_tokens) AS (metric, value)"""))
+          .orderBy("metric")
+      },
+      Some("""WITH a AS (SELECT
+            CAST(COUNT(*) AS DOUBLE) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
+            CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+            CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+            ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+              / COUNT(*), 2) AS mean_doc_tokens,
+            ROUND(1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE)
+              / COUNT(*), 6) AS exact_dup_rate
+          FROM documents)
+        SELECT 'exact_dup_rate' AS metric, exact_dup_rate AS value FROM a
+        UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM a
+        UNION ALL SELECT 'n_docs', n_docs FROM a
+        UNION ALL SELECT 'n_langs', n_langs FROM a
+        UNION ALL SELECT 'n_sources', n_sources FROM a
+        UNION ALL SELECT 'n_tokens', n_tokens FROM a
+        ORDER BY metric"""))
   )
 }

@@ -137,6 +137,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 5L, 12L)))
   }
 
+  test("entityDupPairs equals the brute-force lev<=1 pairs on a synthetic master") {
+    val rows = Seq(
+      (1L, "acme corp"), (2L, "acme c0rp"), // substitution: dist 1
+      (3L, "acme cor"),                     // deletion vs 1: dist 1
+      (4L, "acme corporation"),             // dist > 1 from all
+      (5L, "zenith"), (6L, "zenith")        // identical: dist 0
+    )
+    val df = rows.toDF("id", "name")
+    val got = graft.ext.FuzzyMatch.entityDupPairs(df, "id", "name")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, na) <- rows; (ib, nb) <- rows if ia < ib
+      d = {
+        // textbook Levenshtein for the oracle side of the spec
+        val m = Array.tabulate(na.length + 1, nb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to na.length; j <- 1 to nb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (na(i - 1) == nb(j - 1)) 0 else 1))
+        m(na.length)(nb.length)
+      } if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute && got.contains((1L, 2L, 1L)) && got.contains((5L, 6L, 0L)))
+  }
+
   test("clusterNearDupPairs agrees with the global exact pairs inside a cluster") {
     val emb = Tables(spark, sf, "embeddings")
     val tau = 0.3
