@@ -829,6 +829,97 @@ object CurationAnalytics {
         UNION ALL SELECT 'n_langs', n_langs FROM a
         UNION ALL SELECT 'n_sources', n_sources FROM a
         UNION ALL SELECT 'n_tokens', n_tokens FROM a
-        ORDER BY metric"""))
+        ORDER BY metric""")),
+
+    // ── classical seasonal decomposition of the daily event series: trend =
+    //    centered 7-day moving average (full windows only), seasonal =
+    //    per-(type, weekday) mean of the detrended series, residual =
+    //    observed − trend − seasonal. ALL arithmetic in scaled 64-bit
+    //    integers (micro-units, explicit half-away rounding) — the
+    //    detrended values are exact 6-dp decimals, so their means land on
+    //    exact half-boundaries where Spark (shortest-repr HALF_UP) and
+    //    DuckDB (binary-value) double rounding disagree; integers cannot.
+    //    ROWS windows per type over the bounded day domain; compose with
+    //    q_events_gapfill first when a sparse type can skip days ─────────────
+    Q(
+      "q_seasonal_decompose",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("w_cnt", count(lit(1)).over(w7))
+          .withColumn("s7", sum(col("n")).over(w7))
+          .filter(col("w_cnt") === 7)
+          .withColumn("t6", expr("(2 * s7 * 1000000 + 7) div 14")) // half-up /7
+          .withColumn("dow", (col("day") + 4) % 7)
+          .withColumn("d6", col("n") * 1000000L - col("t6"))
+        val seas = det.groupBy("event_type", "dow")
+          .agg(sum(col("d6")).as("sd"), count(lit(1)).as("c"))
+          .select(col("event_type"), col("dow"), expr(
+            """CASE WHEN sd >= 0 THEN (2 * sd + c) div (2 * c)
+              |ELSE -((2 * -sd + c) div (2 * c)) END""".stripMargin).as("s6"))
+        det.join(broadcast(seas), Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("dow"), col("n"),
+            (col("t6").cast("double") / 1000000.0).as("trend"),
+            (col("s6").cast("double") / 1000000.0).as("seasonal"),
+            ((col("n") * 1000000L - col("t6") - col("s6")).cast("double")
+              / 1000000.0).as("resid"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        t7 AS (SELECT event_type, day, n,
+            COUNT(*) OVER w AS w_cnt, SUM(n) OVER w AS s7
+          FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        det AS (SELECT event_type, day, (day + 4) % 7 AS dow, n,
+            CAST((2 * s7 * 1000000 + 7) // 14 AS BIGINT) AS t6,
+            CAST(n * 1000000 - (2 * s7 * 1000000 + 7) // 14 AS BIGINT) AS d6
+          FROM t7 WHERE w_cnt = 7),
+        seas AS (SELECT event_type, dow,
+            CAST(CASE WHEN SUM(d6) >= 0
+              THEN (2 * SUM(d6) + COUNT(*)) // (2 * COUNT(*))
+              ELSE -((2 * -SUM(d6) + COUNT(*)) // (2 * COUNT(*))) END
+              AS BIGINT) AS s6
+          FROM det GROUP BY 1, 2)
+        SELECT d.event_type, d.day, d.dow, d.n,
+          CAST(d.t6 AS DOUBLE) / 1000000.0 AS trend,
+          CAST(s.s6 AS DOUBLE) / 1000000.0 AS seasonal,
+          CAST(d.n * 1000000 - d.t6 - s.s6 AS DOUBLE) / 1000000.0 AS resid
+        FROM det d JOIN seas s USING (event_type, dow)
+        ORDER BY d.event_type, d.day""")),
+
+    // ── GDPR erasure audit: hard-delete two data subjects from the event
+    //    log and emit the one-scan evidence row (before/removed/after counts,
+    //    subjects hit) plus the post-erase residual — which the oracle
+    //    independently recomputes, pinning that erase() removed EXACTLY the
+    //    subjects' rows and nothing else ─────────────────────────────────────
+    Q(
+      "q_gdpr_erasure",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val ids = Seq(7L, 11L)
+        val residual = graft.governance.Forget.erase(ev, "user_id", ids)
+          .filter(col("user_id").isin(ids: _*))
+          .agg(count(lit(1)).as("residual_rows"))
+        graft.governance.Forget.auditCounts(ev, "user_id", ids)
+          .crossJoin(broadcast(residual))
+      },
+      Some("""SELECT COUNT(*) AS rows_before,
+          CAST(SUM(CASE WHEN user_id IN (7, 11) THEN 1 ELSE 0 END) AS BIGINT)
+            AS rows_removed,
+          CAST(COUNT(*) - SUM(CASE WHEN user_id IN (7, 11) THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_after,
+          COUNT(DISTINCT CASE WHEN user_id IN (7, 11) THEN user_id END)
+            AS subjects_erased,
+          (SELECT COUNT(*) FROM events
+           WHERE user_id NOT IN (7, 11) AND user_id IN (7, 11))
+            AS residual_rows
+        FROM events"""))
   )
 }

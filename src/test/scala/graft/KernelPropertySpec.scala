@@ -72,6 +72,108 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bfsHops equals reference BFS distances on random graphs") {
+    import graft.ext.GraphOps
+    val edgeGen = for {
+      n <- Gen.choose(6, 14)
+      m <- Gen.choose(5, 25)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.filter { case (a, b) => a != b }.distinct
+    for (round <- 1 to 6) {
+      val es = sample(edgeGen, 4000L + round)
+      if (es.nonEmpty) {
+        val edges = es.toDF("src", "dst")
+        val seed = es.map(_._1).min
+        val got = GraphOps.bfsHops(edges, Seq(seed).toDF("node"), 3)
+          .as[(Long, Long)].collect().toMap
+        // reference BFS over the directed adjacency
+        val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var ref = Map(seed -> 0L)
+        var frontier = Set(seed)
+        for (h <- 1L to 3L) {
+          val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+            .diff(ref.keySet)
+          ref ++= next.map(_ -> h)
+          frontier = next
+        }
+        assert(got == ref, s"round=$round got=$got ref=$ref edges=$es")
+      }
+    }
+  }
+
+  test("upsertLatest: latest change wins and reapplication is a fixpoint") {
+    import graft.ext.Merge
+    val changeGen = for {
+      n <- Gen.choose(1, 30)
+      cs <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 6L)
+        v <- Gen.choose(0.0, 100.0)
+        del <- Gen.frequency(4 -> Gen.const(false), 1 -> Gen.const(true))
+      } yield (k, v, del))
+    } yield cs.zipWithIndex.map { case ((k, v, d), i) => (k, i.toLong, v, d) }
+    for (round <- 1 to 6) {
+      val snapshot = (1L to 3L).map(k => (k, k * 10.0)).toDF("k", "v")
+      val cs = sample(changeGen, 5000L + round)
+      val changes = cs.toDF("k", "ord", "v", "del")
+      val got = Merge.upsertLatest(snapshot, changes, "k", "v",
+          col("ord"), col("del"))
+        .as[(Long, Double, String)].collect()
+        .map { case (k, v, op) => k -> ((v, op)) }.toMap
+      // reference: latest change per key by ord, tombstone deletes
+      val last = cs.groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(_._2)
+      }
+      val ref = ((1L to 3L).flatMap { k =>
+        last.get(k) match {
+          case Some((_, _, _, true)) => None
+          case Some((_, _, v, false)) => Some(k -> ((v, "updated")))
+          case None => Some(k -> ((k * 10.0, "kept")))
+        }
+      } ++ last.collect {
+        case (k, (_, _, v, false)) if k > 3L => k -> ((v, "inserted"))
+      }).toMap
+      assert(got == ref, s"round=$round got=$got ref=$ref changes=$cs")
+      // fixpoint: applying the same delta to the merged state changes nothing
+      val once = got.map { case (k, (v, _)) => (k, v) }.toSeq.toDF("k", "v")
+      val twice = Merge.upsertLatest(once, changes, "k", "v",
+          col("ord"), col("del"))
+        .select("k", "v").as[(Long, Double)].collect().toMap
+      assert(twice == got.map { case (k, (v, _)) => k -> v })
+    }
+  }
+
+  test("sharedSpanRuns max span equals brute-force longest common run") {
+    val doc: Gen[List[String]] =
+      for {
+        n <- Gen.choose(6, 25)
+        ws <- Gen.listOfN(n, word)
+      } yield ws
+    for (round <- 1 to 5) {
+      val docs = sample(Gen.listOfN(6, doc), 6000L + round)
+      val n = 3
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.sharedSpanRuns(df, "doc_id", "text", n, 1000)
+        .select("id_a", "id_b", "max_span_tokens")
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, s) => (a, b) -> s }.toMap
+      // brute force: longest common contiguous token run >= n per pair
+      val ref = (for {
+        a <- docs.indices; b <- docs.indices if a < b
+        runs = for {
+          i <- docs(a).indices; j <- docs(b).indices
+          if docs(a)(i) == docs(b)(j) && (i == 0 || j == 0 ||
+            docs(a)(i - 1) != docs(b)(j - 1))
+        } yield Iterator.from(0)
+          .takeWhile(k => i + k < docs(a).length && j + k < docs(b).length &&
+            docs(a)(i + k) == docs(b)(j + k)).size
+        best = if (runs.isEmpty) 0 else runs.max
+        if best >= n
+      } yield (a.toLong, b.toLong) -> best.toLong).toMap
+      assert(got == ref, s"round=$round got=$got ref=$ref docs=$docs")
+    }
+  }
+
   test("bloom filter never rejects an inserted key") {
     for (round <- 1 to 5) {
       val keys = sample(Gen.listOfN(200, Gen.long), 3000L + round).distinct
