@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-5 behavioral / time-series operators: interval coverage merging
+  * (gaps-and-islands), trailing-window burst profiling, CUSUM change-point
+  * detection, daily-series autocorrelation, and per-user behavioral
+  * entropy. Same determinism policy as the rest of the repo: integer power
+  * sums until the one final double division, ln-terms scaled to integers
+  * before summation, explicit tie-breaks on every argmax.
+  */
+object BehaviorAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+    // ── gaps-and-islands: merge each customer's overlapping 30-day order
+    //    coverage windows [o_orderdate, +30d) into maximal islands — the
+    //    classic interval-union (subscription coverage, validity ranges).
+    //    One customer-partitioned sort; island boundary = start strictly
+    //    after the running max of all previous ends (contiguous intervals
+    //    merge). Equal (start, end) duplicates make the running max
+    //    order-insensitive, so the flags are deterministic ─────────────────
+    Q(
+      "q_interval_merge",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderdate").cast("date").as("start_d"),
+          date_add(col("o_orderdate").cast("date"), 30).as("end_d"))
+        val w = Window.partitionBy("o_custkey").orderBy("start_d", "end_d")
+        val prevMax = max(col("end_d"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val isl = o
+          .withColumn("new_island",
+            when(prevMax.isNull || col("start_d") > prevMax, 1L).otherwise(0L))
+          .withColumn("island",
+            sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("o_custkey", "island")
+          .agg(min("start_d").as("i_start"), max("end_d").as("i_end"))
+        isl.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(datediff(col("i_end"), col("i_start")).cast("long"))
+              .as("covered_days"),
+            min("i_start").as("first_start"), max("i_end").as("last_end"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH iv AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS start_d,
+              CAST(o_orderdate AS DATE) + 30 AS end_d FROM orders),
+          f AS (SELECT o_custkey, start_d, end_d,
+              CASE WHEN MAX(end_d) OVER (PARTITION BY o_custkey
+                  ORDER BY start_d, end_d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR start_d > MAX(end_d) OVER (PARTITION BY o_custkey
+                  ORDER BY start_d, end_d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+            FROM iv),
+          g AS (SELECT o_custkey, start_d, end_d,
+              SUM(new_island) OVER (PARTITION BY o_custkey
+                ORDER BY start_d, end_d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM f),
+          i AS (SELECT o_custkey, island, MIN(start_d) AS i_start,
+              MAX(end_d) AS i_end
+            FROM g GROUP BY 1, 2)
+        SELECT o_custkey, COUNT(*) AS n_islands,
+          CAST(SUM(datediff('day', i_start, i_end)) AS BIGINT) AS covered_days,
+          MIN(i_start) AS first_start, MAX(i_end) AS last_end
+        FROM i GROUP BY 1 ORDER BY o_custkey""")),
+
+    // ── trailing-1h burst profile: each user's max event count in any
+    //    trailing 3600 s window, and when that peak first occurred — the
+    //    rate-anomaly / bot screen. A RANGE frame on epoch micros (counts
+    //    every row in (t−1h, t], duplicate timestamps included, so the
+    //    value is order-independent); peak time = MIN(us) at the max,
+    //    an explicit total-order tie-break ──────────────────────────────────
+    Q(
+      "q_user_burst",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3599999999L, 0)
+        val b = e.withColumn("burst", count(lit(1)).over(w))
+          .withColumn("mb", max(col("burst")).over(Window.partitionBy("user_id")))
+        b.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("burst")).as("max_burst_1h"),
+            min(when(col("burst") === col("mb"), col("us"))).as("peak_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+          b AS (SELECT user_id, us,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS burst
+            FROM e),
+          m AS (SELECT user_id, us, burst,
+              MAX(burst) OVER (PARTITION BY user_id) AS mb FROM b)
+        SELECT user_id, COUNT(*) AS n_events, MAX(burst) AS max_burst_1h,
+          MIN(CASE WHEN burst = mb THEN us END) AS peak_us
+        FROM m GROUP BY 1 ORDER BY user_id""")),
+
+    // ── CUSUM change-point: for each event type, the day where the
+    //    cumulative deviation of daily counts from the series mean peaks —
+    //    the level-shift detector (deploy broke a metric: WHEN?). Scaled
+    //    CUSUM S'_t = D·Σ_{i≤t}n_i − t·N stays in exact integers (D = #days,
+    //    N = total), so the argmax needs no float compare; tie → earliest
+    //    day. Observed days only — compose with q_events_gapfill when zero
+    //    days must count ─────────────────────────────────────────────────────
+    Q(
+      "q_events_cusum",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wd = Window.partitionBy("event_type").orderBy("day")
+        val scored = daily
+          .withColumn("run", sum(col("n")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("t", row_number().over(wd))
+          .withColumn("dd", count(lit(1)).over(Window.partitionBy("event_type")))
+          .withColumn("tot", sum(col("n")).over(Window.partitionBy("event_type")))
+          .withColumn("s", col("dd") * col("run") - col("t") * col("tot"))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(desc("abs_s"), col("day"))
+        scored.withColumn("abs_s", abs(col("s")))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("change_day"),
+            round(col("s").cast("double") / col("dd").cast("double"), 6)
+              .as("cusum_peak"),
+            col("dd").cast("long").as("n_days"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+          scored AS (SELECT event_type, day,
+              SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+              COUNT(*) OVER (PARTITION BY event_type) AS dd,
+              SUM(n) OVER (PARTITION BY event_type) AS tot
+            FROM daily),
+          s AS (SELECT event_type, day, dd,
+              dd * run - t * tot AS s,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY ABS(dd * run - t * tot) DESC, day) AS rn
+            FROM scored)
+        SELECT event_type, day AS change_day,
+          ROUND(CAST(s AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS cusum_peak,
+          CAST(dd AS BIGINT) AS n_days
+        FROM s WHERE rn = 1 ORDER BY event_type""")),
+
+    // ── daily-series autocorrelation at lag 1 and lag 7: Pearson r over
+    //    (n_t, n_{t−lag}) pairs of each type's daily counts — persistence
+    //    (lag 1) and weekly seasonality (lag 7) in one pass. All sums are
+    //    exact integers; the single double division happens once per
+    //    (type, lag); zero-variance series → NULL via NULLIF. Pairs are
+    //    formed over OBSERVED days (lag = offset in the day-ordered series);
+    //    gap-fill first when calendar-lag semantics are needed ───────────────
+    Q(
+      "q_events_autocorr",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wd = Window.partitionBy("event_type").orderBy("day")
+        val lagged = daily
+          .withColumn("b1", lag(col("n"), 1).over(wd))
+          .withColumn("b7", lag(col("n"), 7).over(wd))
+        def r(b: String) = {
+          val n = sum(when(col(b).isNotNull, 1L)).cast("double")
+          val sx = sum(when(col(b).isNotNull, col("n"))).cast("double")
+          val sy = sum(col(b)).cast("double")
+          val sxy = sum(col("n") * col(b)).cast("double")
+          val sxx = sum(when(col(b).isNotNull, col("n") * col("n"))).cast("double")
+          val syy = sum(col(b) * col(b)).cast("double")
+          round((n * sxy - sx * sy) /
+            nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), lit(0.0)), 6)
+        }
+        lagged.groupBy("event_type")
+          .agg(sum(when(col("b1").isNotNull, 1L)).as("n_pairs_lag1"),
+            r("b1").as("r_lag1"),
+            sum(when(col("b7").isNotNull, 1L)).as("n_pairs_lag7"),
+            r("b7").as("r_lag7"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+          lagged AS (SELECT event_type, n,
+              LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS b1,
+              LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS b7
+            FROM daily)
+        SELECT event_type,
+          COUNT(b1) AS n_pairs_lag1,
+          ROUND((COUNT(b1) * SUM(CASE WHEN b1 IS NOT NULL THEN n * b1 END)
+              - SUM(CASE WHEN b1 IS NOT NULL THEN n END) * SUM(b1))
+            / NULLIF(SQRT(COUNT(b1) * SUM(CASE WHEN b1 IS NOT NULL THEN n * n END)
+                - SUM(CASE WHEN b1 IS NOT NULL THEN n END)
+                  * SUM(CASE WHEN b1 IS NOT NULL THEN n END))
+              * SQRT(COUNT(b1) * SUM(CASE WHEN b1 IS NOT NULL THEN b1 * b1 END)
+                - SUM(b1) * SUM(b1)), 0.0), 6) AS r_lag1,
+          COUNT(b7) AS n_pairs_lag7,
+          ROUND((COUNT(b7) * SUM(CASE WHEN b7 IS NOT NULL THEN n * b7 END)
+              - SUM(CASE WHEN b7 IS NOT NULL THEN n END) * SUM(b7))
+            / NULLIF(SQRT(COUNT(b7) * SUM(CASE WHEN b7 IS NOT NULL THEN n * n END)
+                - SUM(CASE WHEN b7 IS NOT NULL THEN n END)
+                  * SUM(CASE WHEN b7 IS NOT NULL THEN n END))
+              * SQRT(COUNT(b7) * SUM(CASE WHEN b7 IS NOT NULL THEN b7 * b7 END)
+                - SUM(b7) * SUM(b7)), 0.0), 6) AS r_lag7
+        FROM lagged GROUP BY 1 ORDER BY event_type""")),
+
+    // ── per-user behavioral entropy: Shannon entropy of each user's
+    //    event-type distribution — the diversity screen (H≈0 = single-
+    //    purpose bot, high H = organic mix). Same integer-scaled-ln-term
+    //    policy as q_text_entropy: each type's term is rounded to 1e-10
+    //    BEFORE the sum, so summation order cannot matter ───────────────────
+    Q(
+      "q_user_entropy",
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        val u = c.withColumn("n",
+          sum(col("c")).over(Window.partitionBy("user_id")))
+        u.select(col("user_id"), col("n"),
+            (-(col("c").cast("double") / col("n").cast("double")) *
+              log(col("c").cast("double") / col("n").cast("double")) * lit(1e10))
+              .as("term"))
+          .select(col("user_id"), col("n"),
+            round(col("term")).cast("long").as("ti"))
+          .groupBy("user_id")
+          .agg(max(col("n")).cast("long").as("n_events"),
+            count(lit(1)).as("n_types"),
+            round(sum(col("ti")).cast("double") / lit(1e10), 6)
+              .as("entropy_nats"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+          u AS (SELECT user_id, c,
+              SUM(c) OVER (PARTITION BY user_id) AS n FROM c),
+          terms AS (SELECT user_id, n,
+              CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e10) AS BIGINT)
+                AS ti
+            FROM u)
+        SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+          COUNT(*) AS n_types,
+          ROUND(CAST(SUM(ti) AS DOUBLE) / 1e10, 6) AS entropy_nats
+        FROM terms GROUP BY 1 ORDER BY user_id"""))
+  )
+}

@@ -894,6 +894,95 @@ object CurationAnalytics {
         FROM det d JOIN seas s USING (event_type, dow)
         ORDER BY d.event_type, d.day""")),
 
+    // ── weekday × hour activity heatmap: the 168-cell traffic grid (with
+    //    share of total) read before capacity planning or anomaly triage.
+    //    Pure integer bucketing from epoch micros; the total enters as a
+    //    ONE-ROW aggregate broadcast-cross ──────────────────────────────────
+    Q(
+      "q_events_heatmap",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .select(
+            expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+            expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+          .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+        val tot = cells.agg(sum(col("n")).as("total"))
+        cells.crossJoin(broadcast(tot))
+          .select(col("dow"), col("hour"), col("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("share"))
+          .orderBy("dow", "hour")
+      },
+      Some("""WITH cells AS (SELECT
+            ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+            (epoch_us(ts) // 3600000000) % 24 AS hour, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+        SELECT dow, hour, n,
+          ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        FROM cells CROSS JOIN tot ORDER BY dow, hour""")),
+
+    // ── positional-index phrase search: docs containing the exact token
+    //    sequence "fast table", found by joining the two terms' position
+    //    lists on (doc, pos+1) — the inverted-index phrase query (an
+    //    n-term phrase chains n−1 such joins). Postings are term-filtered
+    //    BEFORE the join, so the join is selectivity-bounded ────────────────
+    Q(
+      "q_search_phrase",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("p0", "term")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
+        val a = toks.filter(col("term") === "fast")
+          .select(col("doc_id"), col("pos"))
+        val b = toks.filter(col("term") === "table")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        a.join(b, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occurrences"),
+            min(col("pos")).as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, i AS pos, t[i] AS term FROM
+            (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+            CROSS JOIN UNNEST(generate_series(1, len(t))) AS s(i)),
+          a AS (SELECT doc_id, pos FROM toks WHERE term = 'fast'),
+          b AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'table')
+        SELECT doc_id, COUNT(*) AS n_occurrences,
+          CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM a JOIN b USING (doc_id, pos)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── incremental rollup maintenance: yesterday's (type, day) rollup +
+    //    today's delta merge by re-aggregating PARTIAL sums/counts — history
+    //    is never rescanned (sums and counts are associative; sketches make
+    //    distinct counts mergeable the same way). The ORACLE recomputes the
+    //    rollup from the raw log, pinning merge ≡ full recompute ─────────────
+    Q(
+      "q_rollup_incremental",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            col("value").cast(DecimalType(18, 6)).as("v"))
+        def rollup(df: DataFrame) = df.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        val base = rollup(ev.filter(col("day") < 19742))   // < 2024-01-20
+        val delta = rollup(ev.filter(col("day") >= 19742))
+        base.union(delta)
+          .groupBy("event_type", "day")
+          .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+          .select(col("event_type"), col("day"), col("n"),
+            round(col("sv").cast("double"), 2).as("total_value"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          COUNT(*) AS n,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+            AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, day""")),
+
     // ── GDPR erasure audit: hard-delete two data subjects from the event
     //    log and emit the one-scan evidence row (before/removed/after counts,
     //    subjects hit) plus the post-erase residual — which the oracle

@@ -22,7 +22,7 @@ object Registry {
     Relational.queries ++ Analytics.queries ++ Extensions.queries ++
       EventsAnalytics.queries ++ CorpusAnalytics.queries ++
       SearchAnalytics.queries ++ CurationAnalytics.queries ++
-      TemplateAnalogs.queries
+      BehaviorAnalytics.queries ++ TemplateAnalogs.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -57,6 +57,38 @@ object DocsStream {
     dedupByContent(enrich(docs))
       .filter(col("n_tokens") >= minTokens)
 
+  /** Quality ROUTER: fan the enriched stream out to two sinks — accepted
+    * docs to `acceptPath`, rejects (too short, or stopword ratio outside
+    * [minStopword, maxStopword]) to `rejectPath` WITH a per-row reject
+    * reason. One foreachBatch evaluates the gate once per batch and writes
+    * both sides; nothing is silently dropped — the reject stream is
+    * inspectable and replayable after a rule fix (the same contract as
+    * Ingest.jsonlWithQuarantine). Exactly-once per input file via the
+    * checkpoint. */
+  def route(docs: DataFrame, acceptPath: String, rejectPath: String,
+      checkpoint: String, minTokens: Long = 5, minStopword: Double = 0.0,
+      maxStopword: Double = 1.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = { (batch, _) =>
+      val e = enrich(batch)
+        .withColumn("reject_reason",
+          when(col("n_tokens") < minTokens, "too_short")
+            .when(col("stopword_ratio") < minStopword, "stopword_low")
+            .when(col("stopword_ratio") > maxStopword, "stopword_high"))
+        .cache()
+      try {
+        e.filter(col("reject_reason").isNull).drop("reject_reason")
+          .write.mode("append").parquet(acceptPath)
+        e.filter(col("reject_reason").isNotNull)
+          .write.mode("append").parquet(rejectPath)
+      } finally { e.unpersist(); () }
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(step)
+      .start()
+  }
+
   /** Continuous growing-corpus ingest with near-dup screening: every
     * micro-batch is (1) exact-deduplicated within itself (first doc_id per
     * content hash wins), (2) anti-joined against the accepted corpus on

@@ -48,7 +48,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_benford_digits" -> "order count is a ONE-ROW aggregate broadcast-crossed into the 9-row digit table",
     "q_ndcg_eval" -> "judges the broadcast-query-side KNN kernel (q_embed_knn shape)",
     "q_entity_dup_names" -> "two ONE-ROW census aggregates (pair count, entity count) crossed into the single summary row",
-    "q_gdpr_erasure" -> "ONE-ROW post-erase residual count crossed into the one-row audit evidence")
+    "q_gdpr_erasure" -> "ONE-ROW post-erase residual count crossed into the one-row audit evidence",
+    "q_events_heatmap" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the 168-cell grid")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {

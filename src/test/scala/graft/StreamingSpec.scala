@@ -244,6 +244,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("quality router partitions the stream into accept + reject with reasons") {
+    import spark.implicits._
+    val docsDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-docs-route")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"))
+      d.toString
+    }
+    val accept = java.nio.file.Files.createTempDirectory("graft-accept").toString
+    val reject = java.nio.file.Files.createTempDirectory("graft-reject").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-route-ckpt").toString
+    val q = DocsStream.route(DocsStream.read(spark, docsDir), accept, reject,
+      ckpt, minTokens = 40)
+    q.awaitTermination()
+    val nAcc = spark.read.parquet(accept).count()
+    val rej = spark.read.parquet(reject)
+    val nRej = rej.count()
+    val total = Tables(spark, sf, "documents").count()
+    assert(nAcc + nRej == total, s"router lost rows: $nAcc + $nRej != $total")
+    assert(nAcc > 0 && nRej > 0)
+    // every reject carries a reason, and the gate agrees with a batch filter
+    assert(rej.filter(col("reject_reason").isNull).count() == 0)
+    val batchShort = Tables(spark, sf, "documents")
+      .filter(size(split(lower(col("text")), " ")) < 40).count()
+    assert(nRej == batchShort)
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
