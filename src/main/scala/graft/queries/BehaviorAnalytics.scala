@@ -253,6 +253,76 @@ object BehaviorAnalytics {
         SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
           COUNT(*) AS n_types,
           ROUND(CAST(SUM(ti) AS DOUBLE) / 1e10, 6) AS entropy_nats
-        FROM terms GROUP BY 1 ORDER BY user_id"""))
+        FROM terms GROUP BY 1 ORDER BY user_id""")),
+
+    // ── order backlog over time (event sourcing): +1 on each order's open
+    //    day, −1 the day after its last line ships; daily net + running
+    //    backlog. The running sum is a GLOBAL window but only over the
+    //    bounded day domain (the per-order work — max ship date — is a
+    //    keyed aggregate). Orders whose lines never ship stay open ──────────
+    Q(
+      "q_orders_backlog",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("ok"),
+          col("o_orderdate").cast("date").as("od"))
+        val lastShip = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate").cast("date")).as("cd"))
+        val opens = o.select(col("od").as("day"), lit(1L).as("d"))
+        // join per ORDER ROW (not per key) so duplicate orderkeys pair a
+        // close with every open they produced
+        val closes = o.join(lastShip, col("ok") === col("l_orderkey"))
+          .select(date_add(col("cd"), 1).as("day"), lit(-1L).as("d"))
+        val daily = opens.union(closes).groupBy("day")
+          .agg(sum(col("d")).as("net"))
+        daily.withColumn("backlog", sum(col("net"))
+            .over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("day"), col("net"), col("backlog"))
+          .orderBy("day")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS ok,
+              CAST(o_orderdate AS DATE) AS od FROM orders),
+          ls AS (SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS cd
+            FROM lineitem GROUP BY 1),
+          deltas AS (SELECT od AS day, 1 AS d FROM o
+            UNION ALL
+            SELECT ls.cd + 1 AS day, -1 AS d
+            FROM o JOIN ls ON ls.l_orderkey = o.ok),
+          daily AS (SELECT day, CAST(SUM(d) AS BIGINT) AS net
+            FROM deltas GROUP BY 1)
+        SELECT day, net,
+          CAST(SUM(net) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS backlog
+        FROM daily ORDER BY day""")),
+
+    // ── mergeable-sketch distinct rollup: per-(type, day) HLL sketches of
+    //    user_id, merged per type — the 100 TB path for distinct counts
+    //    over rollups (exact distincts don't merge; sketches do, same
+    //    re-aggregation shape as q_rollup_incremental). The exact count
+    //    rides along so the result is self-auditing; the estimate is
+    //    sketch-implementation-specific → no SQL oracle, the ScalaTest pins
+    //    relative error ─────────────────────────────────────────────────────
+    Q(
+      "q_hll_rollup",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"), col("ts").cast("date").as("day"),
+            col("user_id"))
+        val daily = e.groupBy("event_type", "day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk")))
+              .as("distinct_users_est"))
+        val exact = e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("distinct_users_exact"))
+        merged.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_days"),
+            col("distinct_users_exact"), col("distinct_users_est"))
+          .orderBy("event_type")
+      },
+      None)
   )
 }

@@ -21,11 +21,14 @@ object EventsStream {
 
   /** File-source stream over a directory of event parquet files. The
     * nanosecond-timestamp normalization mirrors graft.Tables. */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream
+    val reader = spark.readStream
       .schema(StructType(eventSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = LongType) else f)))
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -309,6 +312,47 @@ object EventsStream {
           col("p_ts") <= col("s_ts") + expr(s"interval $windowSeconds seconds"))
       .select(col("user_id"), unix_micros(col("s_ts")).as("signup_us"),
         unix_micros(col("p_ts")).as("purchase_us"), col("value"))
+  }
+
+  /** Streaming incremental rollup: fold each micro-batch's (event_type,
+    * day) partial counts/sums into a persistent rollup table — the
+    * streaming face of q_rollup_incremental. Each batch re-aggregates
+    * PRIOR STATE ∪ BATCH PARTIALS (sums and counts are associative), so
+    * history is never rescanned and the state table stays
+    * rollup-key-bounded regardless of stream length. The merged result is
+    * eagerly localCheckpoint'ed BEFORE overwriting the state dir — the
+    * read-your-own-overwrite hazard of parquet self-merge. Decimal sums
+    * keep the totals order-independent; the widened decimal(38,6) is
+    * pinned on both branches so the union type is round-stable. */
+  def incrementalRollup(events: DataFrame, statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val step: (DataFrame, Long) => Unit = { (batch, _) =>
+      val spark = batch.sparkSession
+      val part = batch
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value").cast(DecimalType(18, 6)).as("v"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).cast(DecimalType(38, 6)).as("sv"))
+      val merged =
+        if (new java.io.File(statePath).exists()) {
+          val prior = spark.read.parquet(statePath)
+            .select(col("event_type"), col("day"), col("n"),
+              col("sv").cast(DecimalType(38, 6)).as("sv"))
+          prior.union(part).groupBy("event_type", "day")
+            .agg(sum(col("n")).as("n"),
+              sum(col("sv")).cast(DecimalType(38, 6)).as("sv"))
+        } else part
+      val pinned = merged.localCheckpoint(true)
+      try pinned.write.mode("overwrite").parquet(statePath)
+      finally { pinned.unpersist(); () }
+    }
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(step)
+      .start()
   }
 
   /** Run a streaming query to a named in-memory sink until input is

@@ -150,6 +150,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bwd == List("c"))
   }
 
+  test("merged per-day hll sketches estimate type-level distincts within 5%") {
+    val r = graft.queries.Registry.byName("q_hll_rollup")
+      .build(spark, sf).as[(String, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (typ, nDays, exact, est) =>
+      assert(nDays > 1, s"$typ: merge path not exercised ($nDays day)")
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"$typ: merged estimate $est too far from exact $exact")
+    }
+  }
+
   test("hll approx distinct stays within the configured error bound") {
     val r = graft.queries.Registry.byName("q_approx_distinct")
       .build(spark, sf).as[(String, Long, Long)].collect()

@@ -272,6 +272,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(nRej == batchShort)
   }
 
+  test("streaming incremental rollup converges to the batch rollup exactly") {
+    import spark.implicits._
+    // split the corpus into 3 files and force one file per micro-batch so
+    // the state-merge path (prior ∪ partials re-aggregation) really runs
+    val multiDir = java.nio.file.Files.createTempDirectory("graft-ev-multi").toString
+    // store ts as int64 nanos, the raw corpus layout EventsStream.read expects
+    Tables(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(multiDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-rollup-state").resolve("state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rollup-ckpt").toString
+    val q = EventsStream.incrementalRollup(
+      EventsStream.read(spark, multiDir, maxFilesPerTrigger = Some(1)),
+      statePath, ckpt)
+    q.awaitTermination()
+    val state = spark.read.parquet(statePath)
+      .select(col("event_type"), col("day"), col("n"),
+        col("sv").cast("decimal(38,6)").as("sv"))
+    val batch = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(38,6)").as("sv"))
+    assert(state.count() == batch.count())
+    assert(state.except(batch).isEmpty && batch.except(state).isEmpty)
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
