@@ -289,4 +289,91 @@ object Similarity {
           (l2norm(col("qe")) * l2norm(col("embedding"))), 6) + lit(0.0)).as("cos"))
     topKByScore(scored, "cos", k)
   }
+
+  // ── PQ (product quantization) ANN: the third scale path. Jégou et al.
+  //    2011 ("Product quantization for nearest neighbor search"): split
+  //    each vector into m subvectors, quantize each against its own
+  //    k-entry codebook, and approximate L2 distance as the sum of
+  //    per-subquantizer table lookups (ADC). The index stores m small
+  //    codes per vector (m bytes at k≤256) instead of the vector — the
+  //    memory-bound regime where 100 TB of raw vectors won't fit. ─────────
+
+  /** Squared L2 distance between two float arrays, scaled to an exact
+    * integer (1e-6 resolution) so downstream sums are order-independent. */
+  private def l2sqScaled(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v) * lit(1e6)).cast("long")
+
+  /** The m subvector slices of an embedding, as (sub, sv) structs. */
+  private def subvectors(emb: Column, m: Int, dims: Int): Column = {
+    val sub = dims / m
+    array((0 until m).map(j =>
+      struct(lit(j).as("sub"), slice(emb, j * sub + 1, sub).as("sv"))): _*)
+  }
+
+  /** Deterministic PQ codebooks: the first `k` corpus vectors by id donate
+    * their j-th subvector to sub-quantizer j's codebook (same seeded-by-id
+    * bootstrap as [[ivfCentroids]] — reproducible, no RNG; a k-means pass
+    * per sub-quantizer would sharpen). m·k rows of (sub, code, centroid). */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      dims: Int = 64): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k)
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
+      .select(col("code"),
+        explode(subvectors(col("embedding"), m, dims)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.sv").as("centroid"))
+
+  /** Encode every corpus vector as m codes: per (vector, sub-quantizer),
+    * the nearest codebook entry by scaled-integer L2 (tie → lowest code).
+    * The codebook side is a broadcast (m·k rows); the corpus is exploded
+    * m-ways in a narrow map and re-assembled with one vec_id shuffle —
+    * index build cost, paid once. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val exploded = corpus
+      .select(col("vec_id"), explode(subvectors(col("embedding"), m, dims)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    exploded.join(broadcast(codebooks), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        l2sqScaled(col("sv"), col("centroid")).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, best.code AS code)))," +
+          " p -> p.code)").as("codes"))
+  }
+
+  /** ADC top-k: each query precomputes its m×k distance table against the
+    * codebooks (tiny, broadcast); each corpus vector's approximate distance
+    * is the INTEGER sum of its m table lookups — a (sub, code) equi-join
+    * plus one (qid, cid) shuffle over |corpus|·m rows. The raw embeddings
+    * never move after encoding; ranked ascending by distance, tie → cid. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      kCodes: Int = 16, dims: Int = 64): DataFrame = {
+    val books = pqCodebooks(corpus, m, kCodes, dims)
+    val codes = pqEncode(corpus, books, m, dims)
+    val dtab = queries
+      .select(col("vec_id").as("qid"),
+        explode(subvectors(col("embedding"), m, dims)).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.sv").as("qsv"))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        l2sqScaled(col("qsv"), col("centroid")).as("d2q"))
+    val cexp = codes.select(col("vec_id").as("cid"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = cexp.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid").agg(sum(col("d2q")).as("di"))
+      .select(col("qid"), col("cid"),
+        round(col("di").cast("double") / 1e6, 6).as("adist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "adist", "rk")
+  }
 }

@@ -228,6 +228,18 @@ object Extensions {
       },
       None),
 
+    // ── PQ/ADC approximate ANN (third scale path — memory-bound regime:
+    //    the index is m codes per vector, not the vector; recall tested in
+    //    ScalaTest against exact L2) ──────────────────────────────────────────
+    Q(
+      "q_embed_ann_pq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      None),
+
     // ── per-label embedding centroids (element-wise mean) ────────────────
     Q(
       "q_embed_centroid",

@@ -73,6 +73,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall > 0.1, s"IVF recall suspiciously low: $recall")
   }
 
+  test("pq adc ranking overlaps exact l2 ranking and codes are bounded") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = Similarity.pqTopK(emb, queries, 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    assert(byQ.values.forall(rs => rs.map(_._4).sorted.sameElements(1L to rs.length)))
+    // codes live in [1, kCodes] and every vector carries exactly m of them
+    val codes = Similarity.pqEncode(emb, Similarity.pqCodebooks(emb))
+      .select(explode(col("codes")).as("c")).as[Long].collect()
+    assert(codes.forall(c => c >= 1L && c <= 16L))
+    // exact L2 top-3 per query (PQ approximates L2, not cosine)
+    val exact = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qe"), col("ce"), (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (a, v) => a + v).as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2"), col("cid"))))
+      .filter(col("rk") <= 3)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val approx = out.map(r => (r._1, r._2)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall > 0.1, s"PQ recall suspiciously low: $recall")
+  }
+
   test("fingerprint is deterministic and order-sensitive only at window level") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
       (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),
