@@ -376,4 +376,45 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("qid", "cid", "adist", "rk")
   }
+
+  /** IVF+PQ hybrid (the FAISS IVFPQ shape): coarse IVF cells bound the
+    * candidate set — each query probes its `nprobe` nearest cells — and PQ
+    * codes score ONLY those candidates via ADC table lookups. Search cost
+    * ~ (corpus/nCells)·nprobe code-sum lookups per query, and the scoring
+    * side never touches raw embeddings: at 100 TB the raw vectors are read
+    * once at index build, never at query time. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells)
+    val cells = ivfAssign(corpus, cents).select(col("vec_id"), col("cell"))
+    val books = pqCodebooks(corpus, m, kCodes, dims)
+    val codes = pqEncode(corpus, books, m, dims).join(cells, Seq("vec_id"))
+    val qScored = queries.join(broadcast(cents))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
+        (dot(col("embedding"), col("centroid")) /
+          (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
+    val wq = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cell"))
+    val probes = qScored.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe).select(col("qid"), col("qe"), col("cell"))
+    val dtab = queries.select(col("vec_id").as("qid"),
+        explode(subvectors(col("embedding"), m, dims)).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.sv").as("qsv"))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        l2sqScaled(col("qsv"), col("centroid")).as("d2q"))
+    val cand = probes.select(col("qid"), col("cell"))
+      .join(codes, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = cand.join(broadcast(dtab), Seq("qid", "sub", "code"))
+      .groupBy("qid", "cid").agg(sum(col("d2q")).as("di"))
+      .select(col("qid"), col("cid"),
+        round(col("di").cast("double") / 1e6, 6).as("adist"))
+    val w2 = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    scored.withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "adist", "rk")
+  }
 }

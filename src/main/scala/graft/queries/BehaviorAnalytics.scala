@@ -323,6 +323,103 @@ object BehaviorAnalytics {
             col("distinct_users_exact"), col("distinct_users_est"))
           .orderBy("event_type")
       },
-      None)
+      None),
+
+    // ── Theil–Sen robust trend: per event type, the MEDIAN of all pairwise
+    //    slopes of the daily-count series — outlier-resistant where OLS
+    //    (q_trend_slope) is not; the pair set is day-domain-bounded
+    //    (|days|²/2 per type, independent of row count at any scale).
+    //    Slopes are rounded to 1e-10 before ranking so the median pick is
+    //    engine-stable; even pair counts average the two middle slopes ──────
+    Q(
+      "q_theilsen_slope",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val a = daily.select(col("event_type"), col("day").as("da"), col("n").as("na"))
+        val b = daily.select(col("event_type"), col("day").as("db"), col("n").as("nb"))
+        val pairs = a.join(b, Seq("event_type"))
+          .filter(col("da") < col("db"))
+          .select(col("event_type"),
+            round((col("nb") - col("na")).cast("double") /
+              datediff(col("db"), col("da")).cast("double"), 10).as("slope"),
+            col("da"), col("db"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("slope"), col("da"), col("db"))
+        val ranked = pairs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+        ranked.filter(col("rn") === expr("(m + 1) div 2") ||
+            col("rn") === expr("m div 2 + 1"))
+          .groupBy("event_type")
+          .agg(max(col("m")).cast("long").as("n_pairs"),
+            round(avg(col("slope")), 6).as("theilsen_slope"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+          pairs AS (SELECT a.event_type,
+              ROUND(CAST(b.n - a.n AS DOUBLE)
+                / CAST(datediff('day', a.day, b.day) AS DOUBLE), 10) AS slope,
+              a.day AS da, b.day AS db
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day),
+          ranked AS (SELECT event_type, slope,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY slope, da, db) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM pairs)
+        SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+          ROUND(AVG(slope), 6) AS theilsen_slope
+        FROM ranked
+        WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        GROUP BY 1 ORDER BY event_type""")),
+
+    // ── bounce rate: share of single-event sessions per day (day of the
+    //    session's first event) — the engagement-quality headline. Sessions
+    //    are the shared 1800 s-gap definition (q_events_sessionize);
+    //    integer counts until the one final division ─────────────────────────
+    Q(
+      "q_bounce_rate",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        val sess = graft.ext.Sessionize.withSessionIds(e)
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
+        sess.groupBy(timestamp_micros(col("start_us")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+          .select(col("day"), col("n_sessions"), col("n_bounce"),
+            round(col("n_bounce").cast("double") /
+              col("n_sessions").cast("double"), 6).as("bounce_rate"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+              LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS prev_us
+            FROM events),
+          marked AS (SELECT user_id, event_id, us,
+              CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+            FROM ev),
+          sess AS (SELECT user_id, us,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS sess_id
+            FROM marked),
+          agg AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+              MIN(us) AS start_us
+            FROM sess GROUP BY 1, 2)
+        SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+          COUNT(*) AS n_sessions,
+          CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_bounce,
+          ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+        FROM agg GROUP BY 1 ORDER BY day"""))
   )
 }

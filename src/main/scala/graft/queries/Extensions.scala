@@ -240,6 +240,17 @@ object Extensions {
       },
       None),
 
+    // ── IVF+PQ hybrid ANN (FAISS IVFPQ shape: cells bound candidates, PQ
+    //    codes score them — query time never touches raw embeddings) ────────
+    Q(
+      "q_embed_ann_ivfpq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfpqTopK(e, e.filter(col("vec_id") < 10), 3)
+          .orderBy(col("qid"), col("rk"))
+      },
+      None),
+
     // ── per-label embedding centroids (element-wise mean) ────────────────
     Q(
       "q_embed_centroid",

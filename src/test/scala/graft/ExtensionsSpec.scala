@@ -103,6 +103,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall > 0.1, s"PQ recall suspiciously low: $recall")
   }
 
+  test("ivfpq candidates are cell-bounded and rankings stay subset-consistent with pq") {
+    val emb = Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = Similarity.ivfpqTopK(emb, queries, 3)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_._1)
+    assert(byQ.values.forall(rs => rs.map(_._4).sorted.sameElements(1L to rs.length)))
+    // every hybrid hit carries the SAME adc distance full PQ computes for
+    // that (qid, cid) — the cell filter prunes candidates, never rescores
+    val full = Similarity.pqTopK(emb, queries, 500)
+      .select("qid", "cid", "adist")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, c, d) => (q, c) -> d }.toMap
+    out.foreach { case (q, c, d, _) =>
+      assert(full.get((q, c)).contains(d),
+        s"ivfpq distance $d for ($q,$c) disagrees with pq ${full.get((q, c))}")
+    }
+  }
+
   test("fingerprint is deterministic and order-sensitive only at window level") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
       (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),

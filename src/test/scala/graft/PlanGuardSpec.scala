@@ -49,7 +49,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ndcg_eval" -> "judges the broadcast-query-side KNN kernel (q_embed_knn shape)",
     "q_entity_dup_names" -> "two ONE-ROW census aggregates (pair count, entity count) crossed into the single summary row",
     "q_gdpr_erasure" -> "ONE-ROW post-erase residual count crossed into the one-row audit evidence",
-    "q_events_heatmap" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the 168-cell grid")
+    "q_events_heatmap" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the 168-cell grid",
+    "q_embed_ann_ivfpq" -> "same intended centroid cross as q_embed_ann_ivf: <=16 coarse centroids broadcast against each query vector")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
