@@ -420,6 +420,114 @@ object BehaviorAnalytics {
             AS n_bounce,
           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
-        FROM agg GROUP BY 1 ORDER BY day"""))
+        FROM agg GROUP BY 1 ORDER BY day""")),
+
+    // ── point-in-time (leakage-safe) feature join: each purchase is joined
+    //    to the SCD2 state version that was valid ONE HOUR BEFORE it — the
+    //    feature-store PIT lookup that prevents label leakage (joining the
+    //    state AT the event would see the event itself). Rides the as-of
+    //    kernel: one key shuffle, no range cross join; versions sharing a
+    //    valid_from collapse to the highest version first so the pick is
+    //    deterministic on any corpus ──────────────────────────────────────────
+    Q(
+      "q_pit_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val versions = e
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
+              .otherwise(0L))
+          .withColumn("version",
+            sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("version"))
+          .agg(max(col("event_type")).as("state"),
+            min(col("us")).as("valid_from_us"))
+        val wd = Window.partitionBy(col("user_id"), col("valid_from_us"))
+          .orderBy(desc("version"))
+        val dedup = versions.withColumn("rn", row_number().over(wd))
+          .filter(col("rn") === 1).drop("rn")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            (col("us") - 3600000000L).as("lookup_us"))
+        graft.ext.AsOfJoin.asofJoin(purchases, dedup, Seq("user_id"),
+            "lookup_us", "valid_from_us", Seq("state", "version"))
+          .select(col("user_id"), col("event_id"), col("lookup_us"),
+            col("asof_state").as("state_1h_before"),
+            col("asof_version").cast("long").as("version"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+              event_id FROM events),
+          r AS (SELECT *, CASE WHEN lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY us, event_id)
+                IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+          runs AS (SELECT user_id, event_type, us,
+              SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+            FROM r),
+          v0 AS (SELECT user_id, version, MAX(event_type) AS state,
+              MIN(us) AS valid_from_us
+            FROM runs GROUP BY 1, 2),
+          v AS (SELECT user_id, version, state, valid_from_us FROM v0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, valid_from_us
+              ORDER BY version DESC) = 1),
+          p AS (SELECT user_id, event_id, epoch_us(ts) - 3600000000 AS lookup_us
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.user_id, p.event_id, p.lookup_us,
+          v.state AS state_1h_before, CAST(v.version AS BIGINT) AS version
+        FROM p ASOF JOIN v
+          ON p.user_id = v.user_id AND p.lookup_us >= v.valid_from_us
+        ORDER BY p.user_id, p.event_id""")),
+
+    // ── vocabulary growth curve (Heaps' law raw material): docs in id-order
+    //    buckets of 50; a term's first bucket = min bucket containing it;
+    //    per bucket the NEW-term count and running vocabulary/doc totals.
+    //    First-seen is a min-aggregate (order-independent), the curve a
+    //    running sum over the bounded bucket domain — no per-doc scan state ──
+    Q(
+      "q_vocab_growth",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(expr("doc_id div 50").as("bucket"), col("doc_id"),
+            explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+          .filter(length(col("term")) > 0)
+        val firstSeen = d.groupBy("term").agg(min(col("bucket")).as("fb"))
+        val newPerBucket = firstSeen.groupBy(col("fb").as("bucket"))
+          .agg(count(lit(1)).as("n_new_terms"))
+        val docsPerBucket = t(s, dir, "documents")
+          .groupBy(expr("doc_id div 50").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+        val wb = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        docsPerBucket.join(newPerBucket, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_docs"),
+            coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
+          .withColumn("docs_cum", sum(col("n_docs")).over(wb))
+          .withColumn("vocab_cum", sum(col("n_new_terms")).over(wb))
+          .orderBy("bucket")
+      },
+      Some("""WITH toks AS (SELECT doc_id // 50 AS bucket, doc_id,
+              UNNEST(list_distinct(string_split(lower(text), ' '))) AS term
+            FROM documents),
+          fs AS (SELECT term, MIN(bucket) AS fb FROM toks
+            WHERE len(term) > 0 GROUP BY 1),
+          np AS (SELECT fb AS bucket, COUNT(*) AS n_new_terms
+            FROM fs GROUP BY 1),
+          dp AS (SELECT doc_id // 50 AS bucket, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1)
+        SELECT dp.bucket AS bucket, dp.n_docs,
+          COALESCE(np.n_new_terms, 0) AS n_new_terms,
+          CAST(SUM(dp.n_docs) OVER (ORDER BY dp.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS docs_cum,
+          CAST(SUM(COALESCE(np.n_new_terms, 0)) OVER (ORDER BY dp.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS vocab_cum
+        FROM dp LEFT JOIN np ON np.bucket = dp.bucket
+        ORDER BY dp.bucket"""))
   )
 }
