@@ -93,9 +93,18 @@ object Bench {
     // in the per-query maps
     val total = cold.map(_._2).filter(_ >= 0).sum
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${obj(cold)},"queries_warm":${obj(warm)},""" +
-      s""""total_warm":$totalWarm,"sf":"$sfDir"}""")
+      s""""total_warm":$totalWarm,"sf":"$sfDir"}"""
+    // the driver parses this from stdout amid sbt noise (round-5 BENCH
+    // parsed:null) — emit it BOTH as a file and as a lone stdout line
+    // printed after the session stops (no further log interleaving)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
+    println(json)
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -348,43 +348,63 @@ object Analytics {
           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_r
         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
 
-    // ── HLL sketch: approx_count_distinct (no oracle — approximate; the
-    //    error bound vs exact COUNT DISTINCT is pinned in ScalaTest) ────────
+    // ── HLL sketch: approx_count_distinct next to the exact count, reduced
+    //    to an oracle-checkable face — the estimate itself is sketch-
+    //    implementation-specific, so the row carries the EXACT count plus an
+    //    in-query error-bound check (|approx − exact| ≤ 5%·exact, well above
+    //    the 2% rsd the sketch is configured for); the oracle reproduces the
+    //    exact count and asserts the bound held (TRUE) ──────────────────────
     Q(
       "q_approx_distinct",
       (s, dir) => {
         val l = t(s, dir, "lineitem")
         l.groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("__approx"),
             countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("__approx") - col("exact_orders")).cast("double") <=
+              lit(0.05) * col("exact_orders").cast("double")).as("within_5pct"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+          TRUE AS within_5pct
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // ── KLL-style quantile sketch: approx_percentile next to the exact
-    //    rank-based quantiles (no oracle — approximate; the error bound vs
-    //    exact percentiles is pinned in ScalaTest, like the HLL sketch).
-    //    Scalar columns, not arrays — the driver's rows-only canonicalization
-    //    cannot sort array cells ─────────────────────────────────────────────
+    //    rank-based quantiles, reduced to an oracle-checkable face — the
+    //    sketch values are implementation-specific, so each row carries the
+    //    EXACT percentiles plus in-query relative-error checks (≤ 2% each;
+    //    accuracy 1000 ⇒ rank error ≤ N/1000, far tighter on this price
+    //    distribution); the oracle reproduces the exact values (DuckDB
+    //    quantile_cont interpolates at p·(n−1), same as Spark percentile)
+    //    and asserts each bound held ─────────────────────────────────────────
     Q(
       "q_approx_quantiles",
       (s, dir) => {
         val l = t(s, dir, "lineitem")
+        def ok(a: Column, e: Column): Column =
+          abs(a - e) <= lit(0.02) * abs(e)
         l.groupBy(col("l_returnflag"))
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
               .as("aq"),
             expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("eq"))
           .select(col("l_returnflag"),
-            element_at(col("aq"), 1).as("approx_p50"),
-            element_at(col("aq"), 2).as("approx_p90"),
-            element_at(col("aq"), 3).as("approx_p99"),
-            element_at(col("eq"), 1).as("exact_p50"),
-            element_at(col("eq"), 2).as("exact_p90"),
-            element_at(col("eq"), 3).as("exact_p99"))
+            round(element_at(col("eq"), 1), 4).as("exact_p50"),
+            round(element_at(col("eq"), 2), 4).as("exact_p90"),
+            round(element_at(col("eq"), 3), 4).as("exact_p99"),
+            ok(element_at(col("aq"), 1), element_at(col("eq"), 1)).as("p50_within_2pct"),
+            ok(element_at(col("aq"), 2), element_at(col("eq"), 2)).as("p90_within_2pct"),
+            ok(element_at(col("aq"), 3), element_at(col("eq"), 3)).as("p99_within_2pct"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag,
+          ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+          ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+          ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+          TRUE AS p50_within_2pct, TRUE AS p90_within_2pct,
+          TRUE AS p99_within_2pct
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
     // ── exact rank-based quantiles with linear interpolation (the oracle-
     //    checkable face of the sketch above): percentile ↔ quantile_cont,

@@ -300,10 +300,11 @@ object BehaviorAnalytics {
     // ── mergeable-sketch distinct rollup: per-(type, day) HLL sketches of
     //    user_id, merged per type — the 100 TB path for distinct counts
     //    over rollups (exact distincts don't merge; sketches do, same
-    //    re-aggregation shape as q_rollup_incremental). The exact count
-    //    rides along so the result is self-auditing; the estimate is
-    //    sketch-implementation-specific → no SQL oracle, the ScalaTest pins
-    //    relative error ─────────────────────────────────────────────────────
+    //    re-aggregation shape as q_rollup_incremental). The estimate is
+    //    sketch-implementation-specific, so the oracle-checkable face is the
+    //    EXACT distinct count plus an in-query error-bound check on the
+    //    merged estimate (|est − exact| ≤ 5%·exact — the default lgK=12
+    //    sketch runs ~1.6% rsd); the oracle reproduces exact + TRUE ──────────
     Q(
       "q_hll_rollup",
       (s, dir) => {
@@ -315,15 +316,21 @@ object BehaviorAnalytics {
         val merged = daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"),
             hll_sketch_estimate(hll_union_agg(col("sk")))
-              .as("distinct_users_est"))
+              .as("__est"))
         val exact = e.groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("distinct_users_exact"))
         merged.join(exact, Seq("event_type"))
-          .select(col("event_type"), col("n_days"),
-            col("distinct_users_exact"), col("distinct_users_est"))
+          .select(col("event_type"), col("n_days"), col("distinct_users_exact"),
+            (abs(col("__est") - col("distinct_users_exact")).cast("double") <=
+              lit(0.05) * col("distinct_users_exact").cast("double"))
+              .as("within_5pct"))
           .orderBy("event_type")
       },
-      None),
+      Some("""SELECT event_type,
+          COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+          COUNT(DISTINCT user_id) AS distinct_users_exact,
+          TRUE AS within_5pct
+        FROM events GROUP BY 1 ORDER BY 1""")),
 
     // ── Theil–Sen robust trend: per event type, the MEDIAN of all pairwise
     //    slopes of the daily-count series — outlier-resistant where OLS

@@ -59,10 +59,17 @@ object SearchAnalytics {
           .filter(col("df").cast("double") <
             lit(MaxDfShare) * col("n_docs").cast("double"))
           .select(col("term"), col("df"))
+        // the posting-list head is emitted as a comma-joined STRING, not an
+        // array: the driver's oracle compare canonicalizes rows in pandas,
+        // which cannot sort list cells (round-5 harness crash) — scalars
+        // compare everywhere, and the join preserves the sorted order
         pairs.join(broadcast(kept), Seq("term"))
           .groupBy(col("term"), col("df"))
-          .agg(slice(sort_array(collect_list(col("doc_id"))), 1, PostingsHead)
-            .as("postings_head"))
+          .agg(array_join(
+            transform(
+              slice(sort_array(collect_list(col("doc_id"))), 1, PostingsHead),
+              _.cast("string")),
+            ",").as("postings_head"))
           .orderBy(col("term"))
       },
       Some(s"""WITH pairs AS (SELECT DISTINCT doc_id, term FROM
@@ -73,7 +80,9 @@ object SearchAnalytics {
           kept AS (SELECT term, df FROM dfreq CROSS JOIN nd
             WHERE CAST(df AS DOUBLE) < $MaxDfShare * CAST(n_docs AS DOUBLE))
         SELECT term, df,
-          (list(doc_id ORDER BY doc_id))[1:$PostingsHead] AS postings_head
+          array_to_string(list_transform(
+            (list(doc_id ORDER BY doc_id))[1:$PostingsHead],
+            x -> CAST(x AS VARCHAR)), ',') AS postings_head
         FROM pairs JOIN kept USING (term)
         GROUP BY term, df ORDER BY term""")),
 
