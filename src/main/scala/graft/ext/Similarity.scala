@@ -205,6 +205,58 @@ object Similarity {
     topKByScore(scored, "cos", k)
   }
 
+  /** Exact top-k neighbors by squared L2 distance (the baseline PQ/ADC
+    * approximates — PQ quantizes L2 space, not the angular metric). Same
+    * broadcast shape as [[cosineTopK]]: small query side broadcast, corpus
+    * never shuffled. Ranked ascending by distance, tie → cid. */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qe"), col("ce"), (x, y) => {
+          val d = x.cast("double") - y.cast("double")
+          d * d
+        }), lit(0.0), (acc, v) => acc + v).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("qid", "cid", "d2", "rk")
+  }
+
+  /** recall@k of an approximate KNN result against an exact baseline:
+    * per qid, |approx ∩ exact| / |exact| over the (qid, cid) hit sets. Two
+    * qid-keyed joins over k·|queries| rows — evaluation-sized, not
+    * corpus-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("cid"))
+    val e = exact.select(col("qid"), col("cid"))
+    val tot = e.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    val hits = a.join(e, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("__h"))
+    tot.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        round(coalesce(col("__h"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall_at_k"))
+  }
+
+  /** Hit rate of an approximate top-k within a WIDER exact top-R (R ≥ k):
+    * per qid, |approx ∩ exactTopR| / |approx| — the relaxed ANN quality
+    * metric for corpora where the exact top-k margins are thin (an
+    * approximate neighbor landing anywhere in the true top-R is a hit).
+    * Same evaluation-sized join shape as [[recallAtK]]. */
+  def hitRateAtK(approx: DataFrame, exactTopR: DataFrame): DataFrame = {
+    val a = approx.select(col("qid"), col("cid"))
+    val e = exactTopR.select(col("qid"), col("cid"))
+    val tot = a.groupBy("qid").agg(count(lit(1)).as("n_approx"))
+    val hits = a.join(e, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("__h"))
+    tot.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_approx"),
+        round(coalesce(col("__h"), lit(0L)).cast("double") /
+          col("n_approx").cast("double"), 6).as("hit_rate"))
+  }
+
   /** Per-label centroids: element-wise mean via posexplode + one shuffle on
     * (label, dim). The per-element values are summed as DECIMAL(28,10)
     * (each float cast once — deterministic rounding on both engines), not as
@@ -221,12 +273,18 @@ object Similarity {
 
   // ── IVF (inverted-file) ANN: the second scale path next to sign-LSH ──────
 
-  /** Deterministic coarse centroids: every (N/k)-th corpus vector by id.
-    * (A k-means pass would sharpen cells; seeded selection keeps the index
-    * reproducible and is the standard bootstrap.) */
+  /** Deterministic coarse centroids: the k corpus vectors with the smallest
+    * xxhash64(vec_id) — a uniform pseudo-random draw over the WHOLE corpus
+    * with no RNG and no stored state (the round-5 first-k-by-id bootstrap
+    * drew every seed from one corner of id space, which makes skewed cells:
+    * hot cells straggle and recall suffers). Distributed top-k
+    * (TakeOrderedAndProject), never a global window; the k-row result gets
+    * its cell ids from a window over k rows only. A Lloyd pass
+    * ([[ivfRefine]], on by default in the query paths) then sharpens the
+    * draw. */
   def ivfCentroids(corpus: DataFrame, k: Int): DataFrame =
     corpus.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(k)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .withColumn("cell",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
       .select(col("cell"), col("embedding").as("centroid"))
@@ -313,19 +371,54 @@ object Similarity {
       struct(lit(j).as("sub"), slice(emb, j * sub + 1, sub).as("sv"))): _*)
   }
 
-  /** Deterministic PQ codebooks: the first `k` corpus vectors by id donate
-    * their j-th subvector to sub-quantizer j's codebook (same seeded-by-id
-    * bootstrap as [[ivfCentroids]] — reproducible, no RNG; a k-means pass
-    * per sub-quantizer would sharpen). m·k rows of (sub, code, centroid). */
+  /** Deterministic PQ codebooks: the `k` corpus vectors with the smallest
+    * xxhash64(vec_id) donate their j-th subvector to sub-quantizer j's
+    * codebook (same uniform hash-draw bootstrap as [[ivfCentroids]] —
+    * reproducible, no RNG, seeds spread over the whole corpus instead of
+    * one id-space corner; a k-means pass per sub-quantizer would sharpen
+    * further). m·k rows of (sub, code, centroid). */
   def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
       dims: Int = 64): DataFrame =
     corpus.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(k)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .withColumn("code",
         row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
       .select(col("code"),
         explode(subvectors(col("embedding"), m, dims)).as("e"))
       .select(col("e.sub").as("sub"), col("code"), col("e.sv").as("centroid"))
+
+  /** One Lloyd refinement pass per sub-quantizer: assign every corpus
+    * subvector to its nearest current code (the same scaled-integer L2 the
+    * encoder uses), then re-center each (sub, code) cell on the member mean
+    * — k-means over each 8-dim sub-space, the standard PQ codebook
+    * training step. Decimal per-dim sums keep centroids partitioning-
+    * independent; empty codes keep their previous centroid. One
+    * (sub, code, dim) shuffle per pass. */
+  def pqRefineCodebooks(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val exploded = corpus
+      .select(col("vec_id"), explode(subvectors(col("embedding"), m, dims)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val assigned = exploded.join(broadcast(codebooks), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+        l2sqScaled(col("sv"), col("centroid")).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("sub"), col("best.code").as("code"), col("sv"))
+    val means = assigned
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy("sub", "code", "dim")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double") / count(lit(1))).as("cx"))
+      .groupBy("sub", "code")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("pairs"))
+      .select(col("sub"), col("code"),
+        expr("transform(pairs, p -> p.cx)").as("refined"))
+    codebooks.join(means, Seq("sub", "code"), "left")
+      .select(col("sub"), col("code"), coalesce(col("refined"),
+        expr("transform(centroid, x -> cast(x as double))")).as("centroid"))
+  }
 
   /** Encode every corpus vector as m codes: per (vector, sub-quantizer),
     * the nearest codebook entry by scaled-integer L2 (tie → lowest code).
@@ -354,8 +447,11 @@ object Similarity {
     * plus one (qid, cid) shuffle over |corpus|·m rows. The raw embeddings
     * never move after encoding; ranked ascending by distance, tie → cid. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      kCodes: Int = 16, dims: Int = 64): DataFrame = {
-    val books = pqCodebooks(corpus, m, kCodes, dims)
+      kCodes: Int = 16, dims: Int = 64, refineIters: Int = 1): DataFrame = {
+    val books = (0 until refineIters)
+      .foldLeft(pqCodebooks(corpus, m, kCodes, dims))(
+        (b, _) => pqRefineCodebooks(corpus, b, m, dims))
+      .cache()
     val codes = pqEncode(corpus, books, m, dims)
     val dtab = queries
       .select(col("vec_id").as("qid"),
@@ -385,10 +481,15 @@ object Similarity {
     * once at index build, never at query time. */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
-      dims: Int = 64): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells)
+      dims: Int = 64, refineIters: Int = 1): DataFrame = {
+    val cents = (0 until refineIters)
+      .foldLeft(ivfCentroids(corpus, nCells))((c, _) => ivfRefine(corpus, c))
+      .cache()
     val cells = ivfAssign(corpus, cents).select(col("vec_id"), col("cell"))
-    val books = pqCodebooks(corpus, m, kCodes, dims)
+    val books = (0 until refineIters)
+      .foldLeft(pqCodebooks(corpus, m, kCodes, dims))(
+        (b, _) => pqRefineCodebooks(corpus, b, m, dims))
+      .cache()
     val codes = pqEncode(corpus, books, m, dims).join(cells, Seq("vec_id"))
     val qScored = queries.join(broadcast(cents))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),

@@ -17,7 +17,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embed_knn" -> "brute-force KNN broadcasts the tiny query set; corpus side never shuffles",
     "q_embed_knn_int8" -> "int8 KNN: same broadcast-query-side shape as q_embed_knn, integer scoring kernel",
     "q_like_computed" -> "computed LIKE pattern join over a broadcast side (reference OBJNR-prefix semantics)",
-    "q_embed_ann_ivf" -> "IVF cell scoring broadcast-crosses the <=16 coarse centroids against each vector — constant-size broadcast side by construction",
+    "q_embed_ann_ivf" -> "IVF cell scoring broadcast-crosses the <=16 coarse centroids against each vector — constant-size broadcast side by construction; the hit-rate face additionally runs the broadcast-query-side exact baseline (q_embed_knn shape)",
+    "q_embed_ann_lsh" -> "the hit-rate face scores LSH output against the broadcast-query-side exact KNN baseline (q_embed_knn shape) — evaluation kernel, not the ANN search path",
+    "q_embed_ann_pq" -> "the hit-rate face scores PQ/ADC output against the broadcast-query-side exact L2 baseline (q_embed_knn shape) — evaluation kernel, not the ANN search path",
     "q_tfidf_keywords" -> "corpus-size N is a ONE-ROW aggregate broadcast-crossed into the scored table — the in-plan alternative to an eager driver count",
     "q_vocab_topk" -> "corpus token total is a ONE-ROW aggregate broadcast-crossed into the (post-aggregation) term table",
     "q_boilerplate_ngrams" -> "corpus doc count is a ONE-ROW aggregate broadcast-crossed into the shingle-frequency table",
