@@ -48,8 +48,13 @@ object AnswerPipeline {
   }
 
   /** Answer a question end-to-end. Raw SQL (SELECT/WITH) skips
-    * classification and executes directly, like the reference's dev path. */
-  def answer(spark: SparkSession, question: String, maxRows: Int = 200): Answer = {
+    * classification and executes directly, like the reference's dev path.
+    * `history` carries prior user turns for the disambiguation loop: a bare
+    * slot answer ("last quarter") classifies and template-routes as the
+    * ACCUMULATED intent (reference sap_sql_engine.py:1437-1478 + the UI's
+    * multi-turn slot handling). */
+  def answer(spark: SparkSession, question: String, maxRows: Int = 200,
+      history: Seq[String] = Nil): Answer = {
     val trimmed = question.trim
     val upper = trimmed.toUpperCase
     if (upper.startsWith("SELECT") || upper.startsWith("WITH")) {
@@ -57,8 +62,10 @@ object AnswerPipeline {
       return Answer(HeuristicClassifier.classify(trimmed), None, Some(env),
         s"Executed as SQL (${env.rowCount} rows${if (env.hasMore) ", more available" else ""}).")
     }
-    val c = HeuristicClassifier.classify(trimmed)
-    bestPattern(trimmed) match {
+    val c = HeuristicClassifier.classify(trimmed, history)
+    bestPattern(trimmed)
+      .orElse(if (history.isEmpty) None
+        else bestPattern((history.takeRight(2) :+ trimmed).mkString(" "))) match {
       case Some(name) if c.confidence != "low" =>
         val df = SapTemplates.run(spark, name)
         val env = ResultEnvelope.fromDataFrame(df, maxRows,

@@ -95,49 +95,78 @@ object HeuristicClassifier extends IntentClassifier {
     val ql = q.toLowerCase
     val qTok = tokens(q)
 
+    // multi-turn slot ACCUMULATION (reference sap_sql_engine.py:1437-1478 +
+    // the UI's slot handling): the current turn wins, but slots/modules the
+    // turn leaves open are filled from prior turns, newest first — so
+    // "last quarter" after "show vendor spend" classifies as the combined
+    // intent instead of restarting from nothing
+    def fromHistory[A](extract: String => Option[A]): Option[A] =
+      history.reverseIterator.map(extract).collectFirst { case Some(a) => a }
+
     val modules = {
-      val m = ModuleDetector.detect(q)
-      if (m.size == Catalog.Modules.size) Nil else m // all-modules fallback = no hit
+      def detected(s: String): Seq[String] = {
+        val m = ModuleDetector.detect(s)
+        if (m.size == Catalog.Modules.size) Nil else m // all-modules fallback = no hit
+      }
+      val own = detected(q)
+      if (own.nonEmpty) own
+      else fromHistory(h => Some(detected(h)).filter(_.nonEmpty)).getOrElse(Nil)
     }
     val objects = Catalog.BusinessObjects
       .filter(bo => bo.nlAliases.exists(a => ql.contains(a.toLowerCase)))
       .map(_.name).distinct
 
-    // ── slots ────────────────────────────────────────────────────────────
-    val metric =
-      if (vagueMetric.exists(ql.contains)) SlotValue("", "missing")
-      else metricWords.filter(ql.contains) match {
-        case Seq() => SlotValue("", "missing")
-        case hits => SlotValue(hits.maxBy(_.length), "filled")
+    // ── slots (each falls back to history when this turn leaves it open) ──
+    def metricOf(s: String): Option[String] = {
+      val sl = s.toLowerCase
+      if (vagueMetric.exists(sl.contains)) None
+      else metricWords.filter(sl.contains) match {
+        case Seq() => None
+        case hits => Some(hits.maxBy(_.length))
       }
-    val time = timeExplicit.findFirstIn(q) match {
+    }
+    val metric = metricOf(q).orElse(fromHistory(metricOf)) match {
+      case Some(m) => SlotValue(m, "filled")
+      case None => SlotValue("", "missing")
+    }
+    val time = timeExplicit.findFirstIn(q)
+      .orElse(fromHistory(timeExplicit.findFirstIn(_))) match {
       case Some(t) => SlotValue(t.trim, "filled")
       case None => timeVague.findFirstIn(q) match {
         case Some(t) => SlotValue(t.trim, "ambiguous")
         case None => SlotValue("", "missing")
       }
     }
-    val entity = entityPattern.findFirstMatchIn(q) match {
+    val entity = entityPattern.findFirstMatchIn(q)
+      .orElse(fromHistory(entityPattern.findFirstMatchIn(_))) match {
       case Some(m) => SlotValue(s"${m.group(1)} ${m.group(2)}", "filled")
       case None => SlotValue("", "missing")
     }
-    val scope = scopePattern.findFirstIn(q) match {
+    val scope = scopePattern.findFirstIn(q)
+      .orElse(fromHistory(scopePattern.findFirstIn(_))) match {
       case Some(s) => SlotValue(s.trim, "filled")
       case None => SlotValue("", "missing")
     }
-    val output = outputPattern.findFirstIn(q) match {
+    val output = outputPattern.findFirstIn(q)
+      .orElse(fromHistory(outputPattern.findFirstIn(_))) match {
       case Some(o) => SlotValue(o.trim, "filled")
       case None => SlotValue("", "missing")
     }
     val slots = Map("metric" -> metric, "entity" -> entity,
       "time_period" -> time, "scope" -> scope, "output_format" -> output)
 
-    // ── suggestions: token-overlap ranking over the BOKG pool ────────────
+    // ── suggestions: token-overlap ranking over the BOKG pool. With
+    //    history, the ranking context is the accumulated conversation (a
+    //    bare slot answer like "last quarter" has no rankable tokens of its
+    //    own) ────────────────────────────────────────────────────────────────
+    val ctxTok =
+      if (history.isEmpty) qTok
+      else qTok ++ tokens(history.takeRight(2).mkString(" "))
     val ranked = pool.map { case (prompt, module, obj) =>
       val pTok = tokens(prompt)
       val overlap =
-        if (pTok.isEmpty || qTok.isEmpty) 0.0
-        else (qTok & pTok).size.toDouble / math.min(qTok.size, pTok.size)
+        if (pTok.isEmpty || ctxTok.isEmpty) 0.0
+        else (ctxTok & pTok).size.toDouble / math.min(ctxTok.size, pTok.size)
       (prompt, module, obj, overlap)
     }.sortBy { case (p, _, _, o) => (-o, p) }
     val suggestions = ranked.takeWhile(_._4 > 0).take(4).map {

@@ -69,6 +69,49 @@ object ApiServer {
     }
   }
 
+  /** Minimal {"<key>": ["a", "b"]} string-array parser. */
+  def extractStringArray(body: String, key: String): Seq[String] = {
+    val m = ("\"" + key + """"\s*:\s*\[""").r.findFirstMatchIn(body)
+    m.toSeq.flatMap { hit =>
+      val close = body.indexOf(']', hit.end)
+      if (close < 0) Nil
+      else """"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(body.substring(hit.end, close))
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+  }
+
+  /** Minimal {"<key>": [{...}, {...}]} object-array parser: returns each
+    * top-level object's raw text (fields readable via [[extractField]]). */
+  def extractObjectArray(body: String, key: String): Seq[String] = {
+    val m = ("\"" + key + """"\s*:\s*\[""").r.findFirstMatchIn(body)
+    m.toSeq.flatMap { hit =>
+      val out = Seq.newBuilder[String]
+      var i = hit.end
+      var depth = 0
+      var start = -1
+      var inStr = false
+      var done = false
+      while (i < body.length && !done) {
+        val ch = body.charAt(i)
+        if (inStr) {
+          if (ch == '\\') i += 1
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' => inStr = true
+          case '{' => if (depth == 0) start = i; depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0 && start >= 0) { out += body.substring(start, i + 1); start = -1 }
+          case ']' if depth == 0 => done = true
+          case _ =>
+        }
+        i += 1
+      }
+      out.result()
+    }
+  }
+
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -221,7 +264,8 @@ object ApiServer {
         extractField(body, "question") match {
           case None => respond(ex, 400, """{"error":"missing question field"}""")
           case Some(question) =>
-            val c = graft.intent.HeuristicClassifier.classify(question)
+            val history = extractStringArray(body, "history")
+            val c = graft.intent.HeuristicClassifier.classify(question, history)
             val slots = c.slots.toSeq.sortBy(_._1).map { case (k, v) =>
               s"""${q(k)}:{"value":${q(v.value)},"status":${q(v.status)}}"""
             }
@@ -242,6 +286,55 @@ object ApiServer {
       } catch { case e: Exception => respond(ex, 500, s"""{"error":${q(e.toString)}}""") }
     })
 
+    // ── SQL generation (reference /api/generate, sap_sql_engine.py:
+    //    1480-1527): module-filtered RAG prompt → history-capped,
+    //    cache-marked, retried generation call. Transport comes from
+    //    configuration (offline stub by default in this environment) ────────
+    server.createContext("/api/generate", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        extractField(body, "question") match {
+          case None => respond(ex, 400, """{"status":"error","error":"missing question field"}""")
+          case Some(question) =>
+            import graft.intent.{ChatMessage, SqlGenerator}
+            import graft.pipeline.{ModuleDetector, PromptRenderer}
+            // classification-provided modules win; else keyword detection
+            // (the reference's RAG fallback)
+            val provided = extractStringArray(body, "modules")
+            val detected = if (provided.nonEmpty) provided
+              else ModuleDetector.detect(question)
+            val prompt = PromptRenderer.render(Catalog.Model, detected)
+            val history = extractObjectArray(body, "history").flatMap { obj =>
+              for {
+                role <- extractField(obj, "role")
+                content <- extractField(obj, "content")
+              } yield ChatMessage(role, content)
+            }
+            val client = SqlGenerator.defaultClient()
+            try {
+              val r = SqlGenerator.generate(question, prompt, client, history)
+              val passthrough =
+                extractField(body, "confidence").map(c =>
+                  s""","confidence":${q(c)},"matched_pattern":${"\"matched_pattern\"\\s*:\\s*true".r.findFirstIn(body).isDefined}""")
+                  .getOrElse("")
+              respond(ex, 200,
+                s"""{"status":"ok","result":${q(r.text)},""" +
+                  s""""usage":{"input_tokens":${r.usage.inputTokens},""" +
+                  s""""output_tokens":${r.usage.outputTokens},""" +
+                  s""""cache_creation_input_tokens":${r.usage.cacheCreationInputTokens},""" +
+                  s""""cache_read_input_tokens":${r.usage.cacheReadInputTokens}},""" +
+                  s""""mode":${q(client.mode)},""" +
+                  s""""modules_used":[${detected.map(q).mkString(",")}],""" +
+                  s""""prompt_chars":${prompt.length}$passthrough}""")
+            } catch {
+              case e: Exception =>
+                respond(ex, 200,
+                  s"""{"status":"error","error":${q(Option(e.getMessage).getOrElse(e.toString).take(500))}}""")
+            }
+        }
+      } catch { case e: Exception => respond(ex, 500, s"""{"status":"error","error":${q(e.toString)}}""") }
+    })
+
     // ── end-to-end NL ask: classify → validated-template route → execute
     //    (the reference UI's question flow in one call; unmatched questions
     //    return the disambiguation message instead of results) ─────────────
@@ -252,7 +345,8 @@ object ApiServer {
           case None => respond(ex, 400, """{"error":"missing question field"}""")
           case Some(question) =>
             try {
-              val ans = graft.intent.AnswerPipeline.answer(spark, question)
+              val ans = graft.intent.AnswerPipeline.answer(spark, question,
+                history = extractStringArray(body, "history"))
               val result = ans.envelope.map(e => s""","result":${e.toJson}""").getOrElse("")
               val tmpl = ans.templateName.map(t => s""","template":${q(t)}""").getOrElse("")
               respond(ex, 200,

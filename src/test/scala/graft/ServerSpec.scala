@@ -104,6 +104,69 @@ class ServerSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("disambiguation loop over HTTP: classify -> slot answer -> confirmed execute") {
+    SapFixtures.register(spark)
+    val server = ApiServer.start(spark)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      // turn 1: vague ask → disambiguation with a metric slot question
+      val q1 = "what about our customer open items"
+      val (c1, b1) = post(s"$base/api/classify", s"""{"question": "$q1"}""")
+      assert(c1 == 200 && b1.contains("\"disambiguation_needed\":true"))
+      assert(b1.contains("\"slot\":\"metric\""),
+        s"turn 1 should ask a metric slot question: $b1")
+
+      // turn 2 answers the metric slot question with one of its options;
+      // ALONE the answer has no module context → low confidence, no routing
+      val q2 = "count of documents"
+      val (c2a, b2a) = post(s"$base/api/classify", s"""{"question": "$q2"}""")
+      assert(c2a == 200 && b2a.contains("\"confidence\":\"low\""),
+        s"slot answer without history has no intent of its own: $b2a")
+      val (c2, b2) = post(s"$base/api/ask", s"""{"question": "$q2"}""")
+      assert(c2 == 200 && b2.contains("\"answered\":false"),
+        s"slot answer without history must not route: $b2")
+
+      // turn 2: same slot answer WITH history → accumulated intent is
+      // high-confidence and routes to a validated template with results
+      val (c3, b3) = post(s"$base/api/classify",
+        s"""{"question": "$q2", "history": ["$q1"]}""")
+      assert(c3 == 200 && b3.contains("\"confidence\":\"high\""),
+        s"accumulated classification should confirm: $b3")
+      val (c4, b4) = post(s"$base/api/ask",
+        s"""{"question": "$q2", "history": ["$q1"]}""")
+      assert(c4 == 200 && b4.contains("\"answered\":true") &&
+        b4.contains("\"template\":") && b4.contains("\"rows\":"),
+        s"accumulated ask should execute: $b4")
+    } finally server.stop(0)
+  }
+
+  test("/api/generate: module-filtered prompt, offline stub transport") {
+    SapFixtures.register(spark)
+    val server = ApiServer.start(spark)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val (c1, b1) = post(s"$base/api/generate",
+        """{"question": "Who are our top 10 vendors by total spend?"}""")
+      assert(c1 == 200 && b1.contains("\"status\":\"ok\""))
+      assert(b1.contains("\"mode\":\"stub\""))
+      assert(b1.contains("\"modules_used\":[\"FI_AP\""), s"RAG filter: $b1")
+      assert(b1.contains("SELECT"), s"stub should route to validated SQL: $b1")
+      assert("\"prompt_chars\":(\\d+)".r.findFirstMatchIn(b1)
+        .exists(_.group(1).toInt > 1000))
+      assert(b1.contains("\"input_tokens\":"))
+
+      // classification-provided modules + confidence pass through
+      val (c2, b2) = post(s"$base/api/generate",
+        """{"question": "vendor spend", "modules": ["FI_AP"], "confidence": "high", "matched_pattern": true}""")
+      assert(c2 == 200 && b2.contains("\"modules_used\":[\"FI_AP\"]"))
+      assert(b2.contains("\"confidence\":\"high\"") &&
+        b2.contains("\"matched_pattern\":true"))
+
+      val (c3, b3) = post(s"$base/api/generate", """{"nope": 1}""")
+      assert(c3 == 400 && b3.contains("missing question"))
+    } finally server.stop(0)
+  }
+
   test("sql body parser handles escapes") {
     assert(ApiServer.extractSql("""{"sql": "SELECT \"a\"\nFROM t"}""")
       .contains("SELECT \"a\"\nFROM t"))
