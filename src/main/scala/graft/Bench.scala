@@ -44,7 +44,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline = Registry.all.filter(_.bench)
+    // SPARK_GRAFT_BENCH_QUERIES overrides the headline set (comma-separated
+    // registry names) — used by the scale rehearsal to time the dedup/ANN
+    // paths that aren't in the per-round headline run
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(list) =>
+        val byName = Registry.byName
+        list.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map(byName)
+      case None => Registry.all.filter(_.bench)
+    }
     // warmup: register views, touch parquet footers, and run one cheap query
     // through every shared execution path (scan → broadcast join → shuffle
     // agg → window → sort) so first-measured-query timings bill the QUERY,

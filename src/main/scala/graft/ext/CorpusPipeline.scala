@@ -104,7 +104,43 @@ object CorpusPipeline {
     withPid.repartition(partitions, col("__pid"))
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn(outCol, col("__offset") + sum(col("__v")).over(wIn))
-      .drop("__pid", "__key", "__v")
+      .drop("__pid", "__key", "__v", "__offset")
+  }
+
+  /** [[globalRunningSum]] with the key space derived FROM THE DATA: the max
+    * key is a one-row aggregate broadcast-crossed into both the data and the
+    * offsets branch, so the two physical plans derive the bucket width from
+    * the same deterministic value and cannot disagree (the hazard the fixed
+    * `keySpace` parameter exists to avoid). Use when the key domain is dense
+    * but unknown ahead of time — e.g. a running sum over per-bucket
+    * aggregates where bucket count grows with the corpus (found by the
+    * round-6 WindowGuard audit in q_vocab_growth: its cumulative-vocab
+    * window ran over corpus/50 rows in ONE partition). Keys must be ≥ 0.
+    */
+  def globalRunningSumAuto(df: DataFrame,
+      value: org.apache.spark.sql.Column,
+      bucketKey: org.apache.spark.sql.Column,
+      tiebreaks: Seq[org.apache.spark.sql.Column], outCol: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(max(bucketKey).cast("long").as("__kmax"))
+    val withPid = df.withColumn("__v", value)
+      .withColumn("__key", bucketKey)
+      .crossJoin(broadcast(bounds))
+      .withColumn("__pid",
+        expr(s"__key div ((__kmax + $partitions) div ${partitions}L)"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withPid.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__pt"))
+      .select(col("__pid"),
+        coalesce(sum(col("__pt")).over(wOff), lit(0L)).as("__offset"))
+    val wIn = Window.partitionBy(col("__pid"))
+      .orderBy(col("__key") +: tiebreaks: _*)
+    withPid.repartition(partitions, col("__pid"))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__offset") + sum(col("__v")).over(wIn))
+      .drop("__pid", "__key", "__v", "__kmax", "__offset")
   }
 
   /** Pack documents into fixed token-budget training sequences: documents

@@ -577,6 +577,65 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** [[clusterNearDupPairs]] with BOUNDED cluster size — the missing piece
+    * the sf1 scale rehearsal exposed: when the given clustering is too
+    * coarse (cluster count fixed while the corpus grows), the within-cluster
+    * pair join is quadratic in cluster size (10× corpus → 100× pairs,
+    * measured 20.9× wall-clock at 10× rows). Here any cluster larger than
+    * `maxClusterSize` is split into `2^bits` sign-LSH sub-buckets
+    * (deterministic hyperplanes, [[Similarity.lshBucket]]) sized so every
+    * sub-bucket is ≤ ~maxClusterSize; the pair join is keyed on
+    * (cluster, sub), so per-key fan-out — and thus total cost — stays linear
+    * in corpus size no matter how coarse the input clustering is.
+    *
+    * Recall trade: a near-dup pair is missed only if every one of `tables`
+    * independent sub-assignments separates it. For cosine ≥ 0.9 a hyperplane
+    * splits a pair with prob θ/π ≤ 0.14, so with b bits per table the pair
+    * survives one table with prob ≥ 0.86^b; three tables at b=3 give ≥ 97%
+    * pair recall (exact dups always collide). Candidates are deduped across
+    * tables BEFORE the cosine verify, so each surviving pair is scored once.
+    * Small clusters (≤ maxClusterSize) get bits=0 — identical to the exact
+    * path. Returns the same (cluster, id_a, id_b, cos) contract.
+    */
+  def clusterNearDupPairsBounded(emb: DataFrame, clusterCol: String,
+      idCol: String, embCol: String, threshold: Double,
+      maxClusterSize: Int = 512, dims: Int = 64, tables: Int = 3,
+      sigPlanes: Int = 16): DataFrame = {
+    val v = emb.select(col(clusterCol).as("cluster"), col(idCol).as("id"),
+      col(embCol).as("e"))
+    val sizes = v.groupBy("cluster").agg(count(lit(1)).as("n"))
+    // integer arithmetic only (no fp log2) so an external oracle reproduces
+    // the split exactly: nsub = ceil(n/max), bits = ceil(log2(nsub))
+    val nsub = expr(s"(n + ${maxClusterSize - 1}) div $maxClusterSize")
+    val bits = (1 to 20).foldLeft(when(nsub <= 1, lit(0))) { (acc, b) =>
+      acc.when(nsub <= (1L << b), lit(b))
+    }.otherwise(lit(20))
+    // sizes is cluster-cardinality (corpus/maxClusterSize rows at most after
+    // the split logic; input cluster count before it) — plain join, AQE
+    // broadcasts when small, shuffles on the same key the pair join reuses
+    val keyed = v.join(sizes, Seq("cluster")).withColumn("bits", bits)
+    val cands = (0 until tables).map { tb =>
+      val k = keyed.withColumn("sub",
+        Similarity.lshBucket(col("e"), sigPlanes, dims, tb)
+          .bitwiseAND(expr("shiftleft(1, bits) - 1")))
+      k.select(col("cluster"), col("sub"), col("id").as("id_a"))
+        .join(k.select(col("cluster"), col("sub"), col("id").as("id_b")),
+          Seq("cluster", "sub"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("cluster"), col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    cands
+      .join(v.select(col("cluster"), col("id").as("id_a"), col("e").as("ea")),
+        Seq("cluster", "id_a"))
+      .join(v.select(col("cluster"), col("id").as("id_b"), col("e").as("eb")),
+        Seq("cluster", "id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        (round(Similarity.dot(col("ea"), col("eb")) /
+          (Similarity.l2norm(col("ea")) * Similarity.l2norm(col("eb"))), 6)
+          + lit(0.0)).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Longest shared token spans between document pairs — the exact-substring
     * dedup signal (Lee et al. 2022, arXiv:2107.06499 find 50-token repeats;
     * this is the join-based form): positionally shingle each doc, equi-join

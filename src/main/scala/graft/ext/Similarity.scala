@@ -168,6 +168,13 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** The hyperplane sign patterns as '+'/'-' strings (one per plane, one char
+    * per dimension) — lets an external engine (the DuckDB oracle) reproduce
+    * [[lshBucket]] exactly from compact SQL literals. */
+  def planePatterns(planes: Int, dims: Int, seed: Int): Seq[String] =
+    planeLiterals(planes, dims, seed)
+      .map(_.map(x => if (x > 0) "+" else "-").mkString)
+
   /** Sign-LSH bucket id (one int, `planes` bits) for each vector. A narrow
     * map — the bucketing itself never shuffles. */
   def lshBucket(emb: Column, planes: Int, dims: Int, seed: Int = 0): Column = {

@@ -1,0 +1,102 @@
+package graft.perf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an sf1-scale corpus from the driver's sf0.1 parquet by 10×
+  * replication with key offsetting — the round-7 scale-rehearsal input
+  * (VERDICT r5 task 7).
+  *
+  * Design, so the scaled corpus stresses the same plans rather than a
+  * degenerate copy of them:
+  *  - every int64 entity key is offset by `replica * 1e9` on BOTH sides of
+  *    each FK edge (orders.o_custkey and customer.c_custkey get the same
+  *    stride), so referential integrity and join fan-out per key are
+  *    preserved exactly — a join at sf1 does 10× the rows, not 10× the
+  *    matches per key;
+  *  - `region`/`nation` stay fixed (dimension tables are scale-invariant in
+  *    TPC-H too), so broadcast-join eligibility is unchanged;
+  *  - document TEXT is vowel-rotated per replica (`translate`, length- and
+  *    distribution-preserving) so exact/near-dup structure replicates at 10×
+  *    instead of every doc gaining 9 identical twins — which would turn the
+  *    dedup benchmarks into a pathological all-dups corpus;
+  *  - timestamps are kept: same time range at 10× density is exactly what a
+  *    bigger cluster sees (more users per window), and per-user session work
+  *    is unchanged because user ids are replica-disjoint.
+  *
+  * Scale note: replication is `posexplode` of a 10-element literal array —
+  * runs entirely in the executors, no driver materialization; output is
+  * repartitioned per table so file counts resemble a real lake layout.
+  */
+object ScaleUp {
+
+  private val Stride = 1000000000L
+
+  /** Offset every named int64 key column by replica*Stride. */
+  private def offsetKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + col("r") * Stride))
+
+  /** Cross-replicate n× (adds column `r` = replica index). */
+  private def replicate(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("r", explode(lit((0 until n).toArray)))
+
+  /** Vowel rotation for replica r (r=0 → identity). Preserves length,
+    * whitespace, and character class mix; changes shingles wholesale.
+    */
+  private def rotateText(c: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val lower = "aeiou"; val upper = "AEIOU"
+    (1 until n).foldLeft(c) { (acc, i) =>
+      val rot = i % 5
+      val lo = lower.drop(rot) + lower.take(rot)
+      val up = upper.drop(rot) + upper.take(rot)
+      when(r === i, translate(c, lower + upper, lo + up)).otherwise(acc)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "scaledata/sf1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val spark = graft.Tables.session("graft-scaleup")
+    import spark.implicits._
+
+    def write(name: String, df: DataFrame, parts: Int): Unit = {
+      df.drop("r").repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] wrote $name x$n")
+    }
+
+    graft.Tables.register(spark, src)
+    // dimensions: scale-invariant, copy once
+    write("region", spark.table("region"), 1)
+    write("nation", spark.table("nation"), 1)
+
+    write("customer",
+      offsetKeys(replicate(spark.table("customer"), n), Seq("c_custkey")), 4)
+    write("supplier",
+      offsetKeys(replicate(spark.table("supplier"), n), Seq("s_suppkey")), 2)
+    write("part",
+      offsetKeys(replicate(spark.table("part"), n), Seq("p_partkey")), 4)
+    write("orders",
+      offsetKeys(replicate(spark.table("orders"), n),
+        Seq("o_orderkey", "o_custkey")), 8)
+    write("lineitem",
+      offsetKeys(replicate(spark.table("lineitem"), n),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")), 32)
+    write("events",
+      offsetKeys(replicate(spark.table("events"), n),
+        Seq("event_id", "user_id")), 8)
+
+    val docs = replicate(spark.table("documents"), n)
+    write("documents",
+      offsetKeys(docs, Seq("doc_id"))
+        .withColumn("text", rotateText(col("text"), col("r"), n)), 8)
+
+    write("embeddings",
+      offsetKeys(replicate(spark.table("embeddings"), n), Seq("vec_id")), 4)
+
+    spark.stop()
+    println(s"[scaleup] done: $out (${n}x $src)")
+  }
+}

@@ -508,13 +508,18 @@ object BehaviorAnalytics {
         val docsPerBucket = t(s, dir, "documents")
           .groupBy(expr("doc_id div 50").as("bucket"))
           .agg(count(lit(1)).as("n_docs"))
-        val wb = Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        docsPerBucket.join(newPerBucket, Seq("bucket"), "left")
+        // bucket count grows with the corpus (one per 50 docs), so the
+        // cumulative curve uses the range-partitioned two-pass running sum,
+        // not a single-partition window (round-6 WindowGuard audit finding)
+        val joined = docsPerBucket.join(newPerBucket, Seq("bucket"), "left")
           .select(col("bucket"), col("n_docs"),
             coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"))
-          .withColumn("docs_cum", sum(col("n_docs")).over(wb))
-          .withColumn("vocab_cum", sum(col("n_new_terms")).over(wb))
+        val c1 = graft.ext.CorpusPipeline.globalRunningSumAuto(
+          joined, col("n_docs"), col("bucket"), Seq.empty, "docs_cum")
+        graft.ext.CorpusPipeline.globalRunningSumAuto(
+            c1, col("n_new_terms"), col("bucket"), Seq.empty, "vocab_cum")
+          .select(col("bucket"), col("n_docs"), col("n_new_terms"),
+            col("docs_cum"), col("vocab_cum"))
           .orderBy("bucket")
       },
       Some("""WITH toks AS (SELECT doc_id // 50 AS bucket, doc_id,

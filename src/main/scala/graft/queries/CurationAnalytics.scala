@@ -27,6 +27,61 @@ object CurationAnalytics {
 
   /** Within-cluster cosine threshold for the SemDeDup prune. */
   private val SemDedupTau = 0.35
+  // bounded-variant knobs: maxCluster=8 so the sf0.01 correctness run
+  // actually exercises the split path (labels hold ~20 vectors there)
+  private val SemDedupMaxCluster = 8
+  private val SemDedupTables = 3
+  private val SemDedupPlanes = 16
+
+  /** DuckDB oracle for q_semdedup_bounded — reproduces the Spark-side
+    * sign-LSH sub-bucketing exactly. Plane signs ride along as '+'/'-'
+    * pattern literals ([[Similarity.planePatterns]]); bucket-count and
+    * bit-width math is integer-only (`//`, CASE chain, `&`) so both engines
+    * agree bit-for-bit with no float-log edge cases.
+    */
+  private lazy val semdedupBoundedOracle: String = {
+    val pats = (0 until SemDedupTables).flatMap { tb =>
+      Similarity.planePatterns(SemDedupPlanes, 64, tb).zipWithIndex.map {
+        case (pat, p) => s"($tb, $p, '$pat')"
+      }
+    }.mkString(", ")
+    val bitsCase = (1 to 20)
+      .map(b => s"WHEN ns <= ${1L << b} THEN $b").mkString(" ")
+    s"""WITH pl(tbl, p, pat) AS (VALUES $pats),
+      ex AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
+      dotp AS (SELECT ex.vec_id, ex.label, pl.tbl, pl.p,
+          SUM(ex.x * (CASE WHEN substr(pl.pat, ex.i, 1) = '+'
+            THEN 1.0 ELSE -1.0 END)) AS d
+        FROM ex CROSS JOIN pl GROUP BY 1, 2, 3, 4),
+      sg AS (SELECT vec_id, label, tbl,
+          CAST(SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+        FROM dotp GROUP BY 1, 2, 3),
+      bt AS (SELECT label,
+          CASE WHEN ns <= 1 THEN 0 $bitsCase ELSE 20 END AS bits
+        FROM (SELECT label, (COUNT(*) + ${SemDedupMaxCluster - 1})
+            // $SemDedupMaxCluster AS ns
+          FROM embeddings GROUP BY label)),
+      sb AS (SELECT sg.vec_id, sg.label, sg.tbl,
+          sg.sig & ((1 << bt.bits) - 1) AS sub
+        FROM sg JOIN bt USING (label)),
+      cand AS (SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sb a JOIN sb b ON a.label = b.label AND a.tbl = b.tbl
+          AND a.sub = b.sub AND a.vec_id < b.vec_id),
+      nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nv FROM ex GROUP BY 1),
+      dots AS (SELECT c.label, c.id_a, c.id_b, SUM(a.x * b.x) AS dot
+        FROM cand c JOIN ex a ON a.vec_id = c.id_a
+          JOIN ex b ON b.vec_id = c.id_b AND b.i = a.i
+        GROUP BY 1, 2, 3),
+      drp AS (SELECT label, COUNT(DISTINCT id_b) AS n_dropped
+        FROM dots JOIN nrm na ON id_a = na.vec_id
+          JOIN nrm nb ON id_b = nb.vec_id
+        WHERE ROUND(dot / (na.nv * nb.nv), 6) >= $SemDedupTau GROUP BY 1),
+      base AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+      SELECT label, n_vecs, COALESCE(n_dropped, 0) AS n_dropped,
+        n_vecs - COALESCE(n_dropped, 0) AS n_kept
+      FROM base LEFT JOIN drp USING (label) ORDER BY label"""
+  }
 
   /** CDC merge cutoff: 2024-01-15T00:00:00Z in epoch micros — events before
     * it build the snapshot, events at/after it are the change log. */
@@ -159,6 +214,37 @@ object CurationAnalytics {
         SELECT label, n_vecs, COALESCE(n_dropped, 0) AS n_dropped,
           n_vecs - COALESCE(n_dropped, 0) AS n_kept
         FROM base LEFT JOIN drp USING (label) ORDER BY label""")),
+
+    // ── SemDeDup with BOUNDED cluster size — the sf1 rehearsal showed the
+    //    plain within-cluster pair join goes quadratic when the clustering
+    //    is coarser than the corpus (fixed 10 labels × 10× vectors = 100×
+    //    pairs, 20.9× wall-clock). Oversized clusters are split into
+    //    deterministic sign-LSH sub-buckets (≤ ~8 vectors each here), so
+    //    pair work stays linear in corpus size. The oracle reproduces the
+    //    sub-bucketing bit-for-bit: the hyperplane sign patterns are
+    //    interpolated into the SQL as '+'/'-' literals and the bucket id is
+    //    integer arithmetic only — full hash-checked parity, not a weaker
+    //    bound check ─────────────────────────────────────────────────────────
+    Q(
+      "q_semdedup_bounded",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val dropped = Dedup
+          .clusterNearDupPairsBounded(e, "label", "vec_id", "embedding",
+            SemDedupTau, maxClusterSize = SemDedupMaxCluster, dims = 64,
+            tables = SemDedupTables, sigPlanes = SemDedupPlanes)
+          .select(col("cluster").as("label"), col("id_b")).distinct()
+          .groupBy("label").agg(count(lit(1)).as("n_dropped"))
+        e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+          .join(dropped, Seq("label"), "left")
+          .select(col("label"), col("n_vecs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+          .orderBy("label")
+      },
+      // not in the per-round headline set (keeps the cross-round bench total
+      // comparable); its scale numbers live in BASELINE.md's sf1 section
+      Some(semdedupBoundedOracle)),
 
     // ── CDC merge: fold the post-cutoff change log into the pre-cutoff
     //    state table (latest purchase value per user), latest change wins,

