@@ -125,6 +125,32 @@ object ApiServer {
   def start(spark: SparkSession, port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+    // ── browser UI (reference sap_sql_ui.html): single-file console served
+    //    from the jar — ask flow, dev-mode SQL, results table/chart/CSV,
+    //    catalog browser, KG explorer. Loaded once; "/" catches all paths
+    //    not claimed by a more specific context, so non-root paths 404 ─────
+    lazy val uiHtml: Array[Byte] = {
+      val in = getClass.getResourceAsStream("/graft/ui/index.html")
+      if (in == null) Array.emptyByteArray else try in.readAllBytes() finally in.close()
+    }
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      if ((path == "/" || path == "/index.html") && uiHtml.nonEmpty) {
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, uiHtml.length)
+        val os = ex.getResponseBody
+        os.write(uiHtml); os.close()
+      } else respond(ex, 404, """{"error":"not found"}""")
+    })
+
+    // the reference UI's 27 sidebar example questions (module-grouped)
+    server.createContext("/api/examples", (ex: HttpExchange) => {
+      val items = graft.intent.ExampleQuestions.all.map { case (m, question) =>
+        s"""{"module":${q(m)},"question":${q(question)}}"""
+      }
+      respond(ex, 200, s"""{"examples":[${items.mkString(",")}]}""")
+    })
+
     server.createContext("/api/execute", (ex: HttpExchange) => {
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

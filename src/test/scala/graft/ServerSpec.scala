@@ -167,6 +167,28 @@ class ServerSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("browser UI: served at root, 404 elsewhere, examples endpoint") {
+    SapFixtures.register(spark)
+    val server = ApiServer.start(spark)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val (c1, b1) = get(s"$base/")
+      assert(c1 == 200 && b1.contains("<title>Graft") &&
+        b1.contains("/api/ask") && b1.contains("downloadCsv") &&
+        b1.contains("svgBarChart"))
+      val (c2, b2) = get(s"$base/index.html")
+      assert(c2 == 200 && b2 == b1)
+      val (c3, _) = get(s"$base/no/such/page")
+      assert(c3 == 404)
+
+      val (c4, b4) = get(s"$base/api/examples")
+      assert(c4 == 200)
+      val n = "\"question\":".r.findAllIn(b4).length
+      assert(n == graft.intent.ExampleQuestions.all.size)
+      assert(b4.contains("\"module\":\"FI_AP\""))
+    } finally server.stop(0)
+  }
+
   test("sql body parser handles escapes") {
     assert(ApiServer.extractSql("""{"sql": "SELECT \"a\"\nFROM t"}""")
       .contains("SELECT \"a\"\nFROM t"))
