@@ -112,6 +112,41 @@ object ApiServer {
     }
   }
 
+  /** Server-side settings managed by the reference's /api/save-key,
+    * /api/remove-key, /api/save-model endpoints (sap_sql_engine.py:
+    * 1529-1584). The reference persists to config.json; here state is
+    * per-process (persisting a credential to disk is opt-in via
+    * GRAFT_CONFIG_FILE, written on every change, loaded at startup). The
+    * reference's live "Say OK" key validation is an online call — in this
+    * no-egress environment the format check runs and the probe is skipped
+    * unless GRAFT_GENERATE_MODE=http. */
+  object ServerConfig {
+    @volatile var apiKey: String = ""
+    @volatile var model: String = graft.intent.SqlGenerator.DefaultModel
+    // reference ALLOWED_MODELS set (sap_sql_engine.py:1570-1578)
+    val allowedModels: Set[String] = Set(
+      "claude-sonnet-4-5-20250929",
+      "claude-sonnet-4-20250514",
+      "claude-haiku-4-20250414")
+
+    def keyPreview: String = if (apiKey.length > 6) "..." + apiKey.takeRight(6) else ""
+
+    private def configFile: Option[java.nio.file.Path] =
+      sys.env.get("GRAFT_CONFIG_FILE").map(java.nio.file.Paths.get(_))
+
+    def persist(): Unit = configFile.foreach { p =>
+      java.nio.file.Files.write(p,
+        s"""{"anthropic_api_key":${q(apiKey)},"model":${q(model)}}"""
+          .getBytes(StandardCharsets.UTF_8))
+    }
+
+    def load(): Unit = configFile.filter(java.nio.file.Files.exists(_)).foreach { p =>
+      val body = new String(java.nio.file.Files.readAllBytes(p), StandardCharsets.UTF_8)
+      extractField(body, "anthropic_api_key").foreach(apiKey = _)
+      extractField(body, "model").filter(allowedModels).foreach(model = _)
+    }
+  }
+
   private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
