@@ -770,13 +770,16 @@ object CorpusAnalytics {
     // ── near-dup provenance matrix: exact Jaccard pairs joined back to the
     //    source dimension — which source pairs generate the duplication
     //    (cross-source dup means scraper overlap; within-source means
-    //    template spam). Only ids flow through the enrichment joins ─────────
+    //    template spam). Pairs come from the prefix-filtered exact join
+    //    (row-identical to the naive self-join, pinned in ScalaTest) so the
+    //    pair stage survives 100 TB. Only ids flow through the enrichment
+    //    joins ──────────────────────────────────────────────────────────────
     Q(
       "q_dup_rate_by_source",
       (s, dir) => {
         val d = t(s, dir, "documents")
         val pairs = graft.ext.Dedup
-          .jaccardPairs(graft.ext.Dedup.shingles(d, "doc_id", "text", 3), 0.8)
+          .jaccardPairsPrefix(graft.ext.Dedup.shingles(d, "doc_id", "text", 3), 4, 5)
           .select(col("id_a"), col("id_b"))
         // plain shuffle joins: the pair set is tiny but the (doc_id,
         // source) dimension is corpus-sized — broadcasting it would not

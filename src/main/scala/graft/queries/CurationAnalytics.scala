@@ -37,7 +37,13 @@ object CurationAnalytics {
     * sign-LSH sub-bucketing exactly. Plane signs ride along as '+'/'-'
     * pattern literals ([[Similarity.planePatterns]]); bucket-count and
     * bit-width math is integer-only (`//`, CASE chain, `&`) so both engines
-    * agree bit-for-bit with no float-log edge cases.
+    * agree bit-for-bit with no float-log edge cases. The PLANE DOT PRODUCT
+    * (whose sign sets a bucket bit) is an ordered `list_reduce` left fold
+    * over dims in index order — the same IEEE add sequence as
+    * [[Similarity.dot]]'s `aggregate` fold, so summation order cannot flip
+    * a near-zero sign between engines (an unordered SUM could). The final
+    * cosine keeps plain SUM: it is rounded to 6 dp before the threshold
+    * compare, which absorbs order noise (~1e-16 on unit-norm dims).
     */
   private lazy val semdedupBoundedOracle: String = {
     val pats = (0 until SemDedupTables).flatMap { tb =>
@@ -51,8 +57,9 @@ object CurationAnalytics {
       ex AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
         FROM embeddings CROSS JOIN UNNEST(generate_series(1, len(embedding))) AS s(i)),
       dotp AS (SELECT ex.vec_id, ex.label, pl.tbl, pl.p,
-          SUM(ex.x * (CASE WHEN substr(pl.pat, ex.i, 1) = '+'
-            THEN 1.0 ELSE -1.0 END)) AS d
+          list_reduce(list(ex.x * (CASE WHEN substr(pl.pat, ex.i, 1) = '+'
+            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+            ORDER BY ex.i), (a, b) -> a + b) AS d
         FROM ex CROSS JOIN pl GROUP BY 1, 2, 3, 4),
       sg AS (SELECT vec_id, label, tbl,
           CAST(SUM(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig

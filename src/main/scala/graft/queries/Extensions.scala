@@ -104,13 +104,15 @@ object Extensions {
     // ── near-dup clustering: connected components over the exact Jaccard
     //    pair list (hash-min label propagation), summarized per cluster.
     //    Production dedup keeps one representative per CLUSTER, not per
-    //    pair. Oracle: recursive-CTE transitive closure over the same
-    //    pair set ────────────────────────────────────────────────────────────
+    //    pair. Pairs come from the PREFIX-FILTERED exact join (the 100 TB
+    //    face — row-identical to the naive self-join, pinned in ScalaTest),
+    //    so this query is scale-safe end-to-end. Oracle: recursive-CTE
+    //    transitive closure over the same pair set ───────────────────────────
     Q(
       "q_dedup_cluster",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val pairs = Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.8)
+        val pairs = Dedup.jaccardPairsPrefix(Dedup.shingles(d, "doc_id", "text", 3), 4, 5)
         Dedup.connectedComponents(pairs)
           .groupBy(col("comp").as("component"))
           .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))

@@ -63,6 +63,36 @@ class PerfSpec extends AnyFunSuite {
     assert(guarded == 0, s"guard should drop stop-shingle-only pairs: $guarded")
   }
 
+  test("quadratic exact faces refuse to run above the sample-scale bound") {
+    import graft.ext.Dedup
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+
+    val docs = (1 to 60).map(i => (i.toLong, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    // above the bound: fails fast with the routing message
+    val e1 = intercept[Exception] {
+      Dedup.jaccardPairs(sh, 0.8, maxDocs = 50).count()
+    }
+    assert(messages(e1).exists(_.contains("sample-scale")),
+      s"expected sample-scale guard, got: ${messages(e1).mkString(" | ")}")
+    // at/below the bound: runs normally
+    assert(Dedup.jaccardPairs(sh, 0.8, maxDocs = 60).count() >= 0)
+
+    val emb = (1 to 40)
+      .map(i => (i.toLong, (i % 2).toLong, Array.fill(8)(0.1f * (i % 3 + 1))))
+      .toDF("vec_id", "label", "embedding")
+    val e2 = intercept[Exception] {
+      Dedup.clusterNearDupPairs(emb, "label", "vec_id", "embedding", 0.9,
+        maxExactClusterSize = 16).count()
+    }
+    assert(messages(e2).exists(_.contains("sample-scale")),
+      s"expected sample-scale guard, got: ${messages(e2).mkString(" | ")}")
+    assert(Dedup.clusterNearDupPairs(emb, "label", "vec_id", "embedding", 0.9,
+      maxExactClusterSize = 20).count() >= 0)
+  }
+
   test("key histogram surfaces heavy keys") {
     val h = Skew.keyHistogram(Tables(spark, sf, "lineitem"), "l_returnflag", 3)
       .collect()

@@ -53,7 +53,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_gdpr_erasure" -> "ONE-ROW post-erase residual count crossed into the one-row audit evidence",
     "q_events_heatmap" -> "grand total is a ONE-ROW aggregate broadcast-crossed into the 168-cell grid",
     "q_embed_ann_ivfpq" -> "same intended centroid cross as q_embed_ann_ivf: <=16 coarse centroids broadcast against each query vector",
-    "q_vocab_growth" -> "globalRunningSumAuto derives its bucket width from a ONE-ROW max aggregate broadcast-crossed into the data branch (the WindowGuard fix for the corpus/50-row cumulative curve)")
+    "q_vocab_growth" -> "globalRunningSumAuto derives its bucket width from a ONE-ROW max aggregate broadcast-crossed into the data branch (the WindowGuard fix for the corpus/50-row cumulative curve)",
+    "q_dedup_ngram_jaccard" -> "ONE-ROW corpus doc count broadcast-crossed as the sample-scale guard on the naive all-pairs face (fails fast above maxDocs; production routes are q_setsim_prefix / MinHash-LSH)",
+    "q_semdedup" -> "ONE-ROW max-cluster-size broadcast-crossed as the sample-scale guard on the exact SemDeDup face (fails fast above maxExactClusterSize; production route is q_semdedup_bounded)")
 
   test("no registered query plans a cartesian product") {
     for (q <- Registry.all) {
