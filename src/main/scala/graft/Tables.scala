@@ -37,6 +37,15 @@ object Tables {
             org.apache.spark.sql.functions.timestamp_micros(
               org.apache.spark.sql.functions.expr("ts div 1000")))
         }
+        // timestamp[us] with no timezone reads as TIMESTAMP_NTZ; the session
+        // runs in UTC, so an NTZ→LTZ cast is value-preserving and restores
+        // plain TimestampType (unix_micros etc. require it, and DuckDB sees
+        // the same naive-as-UTC instants)
+        df.schema.fields.foreach { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+            df = df.withColumn(f.name,
+              df(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        }
         df.createOrReplaceTempView(n)
       }
       registered += key

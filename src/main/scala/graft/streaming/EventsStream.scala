@@ -20,17 +20,27 @@ object EventsStream {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream over a directory of event parquet files. The
-    * nanosecond-timestamp normalization mirrors graft.Tables. */
+    * timestamp normalization mirrors graft.Tables, but a stream needs its
+    * schema up front — so probe the footer with a one-off batch read and
+    * adapt to however the writer stored `ts`: TIMESTAMP(NANOS) reads as
+    * long under the legacy flag (truncate to µs), timestamp[us] with no
+    * zone reads as NTZ (value-preserving cast in the UTC session), plain
+    * timestamps pass through. */
   def read(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
     val reader = spark.readStream
       .schema(StructType(eventSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = LongType) else f)))
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
