@@ -99,32 +99,65 @@ object OfflineStubClient extends GenerationClient {
   * `anthropic` SDK call, expressed over JDK HttpClient — no added
   * dependencies). Non-2xx responses raise [[ApiStatusError]] so the shared
   * retry policy in [[SqlGenerator.generate]] applies. Never constructed
-  * unless configuration selects it. */
-final class HttpGenerationClient(
+  * unless configuration selects it.
+  *
+  * One [[java.net.http.HttpClient]] per transport instance (connection
+  * reuse across the retry loop), with connect and per-request timeouts so a
+  * hung endpoint cannot block the retry loop forever (the reference SDK has
+  * a default timeout too). `post` is overridable so tests can fake the
+  * transport without a network. */
+class HttpGenerationClient(
     apiKey: String,
     endpoint: String = "https://api.anthropic.com/v1/messages",
-    apiVersion: String = "2023-06-01") extends GenerationClient {
+    apiVersion: String = "2023-06-01",
+    connectTimeoutMs: Long = 10000L,
+    requestTimeoutMs: Long = 120000L) extends GenerationClient {
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   val mode = "api"
 
-  def complete(req: GenRequest): GenResult = {
-    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-    val http = HttpClient.newHttpClient()
+  private lazy val http = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+    .build()
+
+  /** Performs the POST; returns (status, body). Overridden in tests. */
+  protected def post(json: String): (Int, String) = {
     val request = HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
       .header("content-type", "application/json")
       .header("x-api-key", apiKey)
       .header("anthropic-version", apiVersion)
-      .POST(HttpRequest.BodyPublishers.ofString(req.toJson))
+      .POST(HttpRequest.BodyPublishers.ofString(json))
       .build()
     val resp = http.send(request, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new ApiStatusError(resp.statusCode(), resp.body().take(500))
-    val body = resp.body()
-    val text = graft.server.ApiServer.extractField(body, "text").getOrElse("")
-    def usage(key: String): Long =
-      ("\"" + key + """"\s*:\s*(\d+)""").r.findFirstMatchIn(body)
+    (resp.statusCode(), resp.body())
+  }
+
+  def complete(req: GenRequest): GenResult = {
+    val (status, body) = post(req.toJson)
+    if (status / 100 != 2) throw new ApiStatusError(status, body.take(500))
+    HttpGenerationClient.parseResponse(body)
+  }
+}
+
+object HttpGenerationClient {
+  import graft.server.ApiServer.{extractField, extractTopObject, extractTopObjectArray}
+
+  /** Structural Messages-API response parse: the reply is the concatenation
+    * of the TOP-LEVEL content array's text blocks (a multi-block response —
+    * e.g. thinking + text — is read correctly), and usage counts come only
+    * from the TOP-LEVEL usage object. Generated SQL containing '"text":' or
+    * '"input_tokens": 5' can no longer be mis-read, because both anchors are
+    * depth-1 keys located by a string-aware scan. */
+  def parseResponse(body: String): GenResult = {
+    val text = extractTopObjectArray(body, "content")
+      .filter(b => extractField(b, "type").contains("text"))
+      .flatMap(b => extractField(b, "text")).mkString
+    val usage = extractTopObject(body, "usage").getOrElse("")
+    def n(key: String): Long =
+      ("\"" + key + """"\s*:\s*(\d+)""").r.findFirstMatchIn(usage)
         .map(_.group(1).toLong).getOrElse(0L)
-    GenResult(text, GenUsage(usage("input_tokens"), usage("output_tokens"),
-      usage("cache_creation_input_tokens"), usage("cache_read_input_tokens")))
+    GenResult(text, GenUsage(n("input_tokens"), n("output_tokens"),
+      n("cache_creation_input_tokens"), n("cache_read_input_tokens")))
   }
 }
 

@@ -69,11 +69,24 @@ object ApiServer {
     }
   }
 
-  /** Minimal {"<key>": ["a", "b"]} string-array parser. */
+  /** Minimal {"<key>": ["a", "b"]} string-array parser. The closing bracket
+    * is located with a string-aware scan, so a ']' inside an element (e.g. a
+    * history question like "show spend [Q1]") cannot truncate the array. */
   def extractStringArray(body: String, key: String): Seq[String] = {
     val m = ("\"" + key + """"\s*:\s*\[""").r.findFirstMatchIn(body)
     m.toSeq.flatMap { hit =>
-      val close = body.indexOf(']', hit.end)
+      var i = hit.end
+      var inStr = false
+      var close = -1
+      while (i < body.length && close < 0) {
+        val ch = body.charAt(i)
+        if (inStr) {
+          if (ch == '\\') i += 1
+          else if (ch == '"') inStr = false
+        } else if (ch == '"') inStr = true
+        else if (ch == ']') close = i
+        i += 1
+      }
       if (close < 0) Nil
       else """"((?:[^"\\]|\\.)*)"""".r
         .findAllMatchIn(body.substring(hit.end, close))
@@ -81,45 +94,117 @@ object ApiServer {
     }
   }
 
+  /** Scans consecutive top-level `{...}` objects starting at `from` (just
+    * past a '['), stopping at the matching ']'. String- and nesting-aware. */
+  private def objectsFrom(body: String, from: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = from
+    var depth = 0
+    var start = -1
+    var inStr = false
+    var done = false
+    while (i < body.length && !done) {
+      val ch = body.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"' => inStr = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += body.substring(start, i + 1); start = -1 }
+        case ']' if depth == 0 => done = true
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Minimal {"<key>": [{...}, {...}]} object-array parser: returns each
     * top-level object's raw text (fields readable via [[extractField]]). */
   def extractObjectArray(body: String, key: String): Seq[String] = {
     val m = ("\"" + key + """"\s*:\s*\[""").r.findFirstMatchIn(body)
-    m.toSeq.flatMap { hit =>
-      val out = Seq.newBuilder[String]
-      var i = hit.end
-      var depth = 0
-      var start = -1
-      var inStr = false
-      var done = false
-      while (i < body.length && !done) {
-        val ch = body.charAt(i)
-        if (inStr) {
-          if (ch == '\\') i += 1
-          else if (ch == '"') inStr = false
-        } else ch match {
-          case '"' => inStr = true
-          case '{' => if (depth == 0) start = i; depth += 1
-          case '}' =>
-            depth -= 1
-            if (depth == 0 && start >= 0) { out += body.substring(start, i + 1); start = -1 }
-          case ']' if depth == 0 => done = true
-          case _ =>
-        }
-        i += 1
-      }
-      out.result()
-    }
+    m.toSeq.flatMap(hit => objectsFrom(body, hit.end))
   }
 
-  /** Server-side settings managed by the reference's /api/save-key,
-    * /api/remove-key, /api/save-model endpoints (sap_sql_engine.py:
-    * 1529-1584). The reference persists to config.json; here state is
-    * per-process (persisting a credential to disk is opt-in via
-    * GRAFT_CONFIG_FILE, written on every change, loaded at startup). The
-    * reference's live "Say OK" key validation is an online call — in this
-    * no-egress environment the format check runs and the probe is skipped
-    * unless GRAFT_GENERATE_MODE=http. */
+  /** Index of the value of a DEPTH-1 key in a JSON object — the scan tracks
+    * string and nesting state, so a key-looking substring inside a nested
+    * string value (e.g. '"usage":' inside LLM-generated SQL text) can never
+    * match. Returns the index of the value's first character. */
+  def topLevelValueIndex(body: String, key: String): Option[Int] = {
+    val pat = "\"" + key + "\""
+    var i = body.indexOf('{')
+    var depth = 0
+    var inStr = false
+    var found = -1
+    while (i >= 0 && i < body.length && found < 0) {
+      val ch = body.charAt(i)
+      if (inStr) {
+        if (ch == '\\') i += 1
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case '"' =>
+          if (depth == 1 && body.startsWith(pat, i)) {
+            var j = i + pat.length
+            while (j < body.length && body.charAt(j).isWhitespace) j += 1
+            if (j < body.length && body.charAt(j) == ':') {
+              j += 1
+              while (j < body.length && body.charAt(j).isWhitespace) j += 1
+              found = j
+              i = j - 1
+            } else inStr = true
+          } else inStr = true
+        case _ =>
+      }
+      i += 1
+    }
+    if (found < 0) None else Some(found)
+  }
+
+  /** Top-level {"<key>": [{...}]} object-array parser anchored by
+    * [[topLevelValueIndex]] — immune to key-shaped text in nested strings. */
+  def extractTopObjectArray(body: String, key: String): Seq[String] =
+    topLevelValueIndex(body, key)
+      .filter(i => i < body.length && body.charAt(i) == '[')
+      .toSeq.flatMap(i => objectsFrom(body, i + 1))
+
+  /** Top-level {"<key>": {...}} object extractor (raw text incl. braces),
+    * anchored by [[topLevelValueIndex]]. */
+  def extractTopObject(body: String, key: String): Option[String] =
+    topLevelValueIndex(body, key)
+      .filter(i => i < body.length && body.charAt(i) == '{').map { start =>
+        var i = start + 1
+        var depth = 1
+        var inStr = false
+        while (i < body.length && depth > 0) {
+          val ch = body.charAt(i)
+          if (inStr) {
+            if (ch == '\\') i += 1
+            else if (ch == '"') inStr = false
+          } else ch match {
+            case '"' => inStr = true
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        body.substring(start, i)
+      }
+
+  /** Server-side settings backing the /api/save-key, /api/remove-key,
+    * /api/save-model and /api/status endpoints (reference sap_sql_engine.py:
+    * 1376-1385, 1529-1584). The reference persists to config.json; here
+    * state is per-process (persisting a credential to disk is opt-in via
+    * GRAFT_CONFIG_FILE — written PLAINTEXT on every change, loaded at
+    * startup; see README deployment notes). The reference's live "Say OK"
+    * key validation is an online call — in this no-egress environment the
+    * format check runs and the probe is skipped unless
+    * GRAFT_GENERATE_MODE=http. */
   object ServerConfig {
     @volatile var apiKey: String = ""
     @volatile var model: String = graft.intent.SqlGenerator.DefaultModel
@@ -156,9 +241,16 @@ object ApiServer {
   }
 
   /** Start the server; port 0 picks an ephemeral port. Returns the server
-    * (query `getAddress.getPort`; call `stop(0)` to shut down). */
-  def start(spark: SparkSession, port: Int = 0): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    * (query `getAddress.getPort`; call `stop(0)` to shut down).
+    *
+    * Binds LOOPBACK by default (the reference defaults HOST=127.0.0.1,
+    * sap_sql_engine.py) — /api/execute runs arbitrary SQL in dev mode, so a
+    * wildcard bind must be an explicit operator choice via the HOST env
+    * var or the `host` parameter. */
+  def start(spark: SparkSession, port: Int = 0,
+      host: String = sys.env.getOrElse("HOST", "127.0.0.1")): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+    ServerConfig.load()
 
     // ── browser UI (reference sap_sql_ui.html): single-file console served
     //    from the jar — ask flow, dev-mode SQL, results table/chart/CSV,
@@ -347,10 +439,78 @@ object ApiServer {
       } catch { case e: Exception => respond(ex, 500, s"""{"error":${q(e.toString)}}""") }
     })
 
+    // ── server settings (reference /api/status sap_sql_engine.py:1376-1385;
+    //    /api/save-key /api/remove-key /api/save-model :1529-1584): key and
+    //    model state lives in ServerConfig, loaded at startup, persisted
+    //    opt-in via GRAFT_CONFIG_FILE, and consumed by /api/generate below ──
+    server.createContext("/api/status", (ex: HttpExchange) =>
+      respond(ex, 200,
+        s"""{"has_api":${ServerConfig.apiKey.nonEmpty},""" +
+          s""""model":${q(ServerConfig.model)},""" +
+          s""""key_preview":${q(ServerConfig.keyPreview)},""" +
+          s""""has_test_db":${spark.catalog.tableExists("documents")},""" +
+          s""""has_knowledge_graph":true}"""))
+
+    server.createContext("/api/save-key", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val key = extractField(body, "key").getOrElse("").trim
+        if (!key.startsWith("sk-ant-"))
+          respond(ex, 200,
+            """{"status":"error","error":"Invalid key format. Should start with sk-ant-"}""")
+        else {
+          // the reference fires a live "Say OK" probe; only possible when
+          // the HTTP transport is configured (no egress otherwise)
+          val probeFailure: Option[String] =
+            if (!sys.env.get("GRAFT_GENERATE_MODE").contains("http")) None
+            else try {
+              val probe = new graft.intent.HttpGenerationClient(key)
+              probe.complete(graft.intent.GenRequest(ServerConfig.model, 10,
+                "", Seq(graft.intent.ChatMessage("user", "Say OK"))))
+              None
+            } catch {
+              case e: graft.intent.ApiStatusError if e.status == 401 || e.status == 403 =>
+                Some("API key validation failed. Check that the key is correct and has credits.")
+              case _: Exception => None // transient/offline: accept, as the reference does
+            }
+          probeFailure match {
+            case Some(err) => respond(ex, 200, s"""{"status":"error","error":${q(err)}}""")
+            case None =>
+              ServerConfig.apiKey = key
+              ServerConfig.persist()
+              respond(ex, 200,
+                s"""{"status":"ok","key_preview":${q(ServerConfig.keyPreview)}}""")
+          }
+        }
+      } catch { case e: Exception => respond(ex, 500, s"""{"status":"error","error":${q(e.toString)}}""") }
+    })
+
+    server.createContext("/api/remove-key", (ex: HttpExchange) => {
+      ServerConfig.apiKey = ""
+      ServerConfig.persist()
+      respond(ex, 200, """{"status":"ok"}""")
+    })
+
+    server.createContext("/api/save-model", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val model = extractField(body, "model").getOrElse("").trim
+        if (!ServerConfig.allowedModels.contains(model))
+          respond(ex, 200, s"""{"status":"error","error":${q(s"Unknown model: $model")}}""")
+        else {
+          ServerConfig.model = model
+          ServerConfig.persist()
+          respond(ex, 200, s"""{"status":"ok","model":${q(model)}}""")
+        }
+      } catch { case e: Exception => respond(ex, 500, s"""{"status":"error","error":${q(e.toString)}}""") }
+    })
+
     // ── SQL generation (reference /api/generate, sap_sql_engine.py:
     //    1480-1527): module-filtered RAG prompt → history-capped,
     //    cache-marked, retried generation call. Transport comes from
-    //    configuration (offline stub by default in this environment) ────────
+    //    configuration (offline stub by default in this environment);
+    //    a key saved via /api/save-key selects the HTTP transport when
+    //    GRAFT_GENERATE_MODE=http, and the saved model is used ─────────────
     server.createContext("/api/generate", (ex: HttpExchange) => {
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -371,9 +531,16 @@ object ApiServer {
                 content <- extractField(obj, "content")
               } yield ChatMessage(role, content)
             }
-            val client = SqlGenerator.defaultClient()
+            // a key saved at runtime wins over env config (reference:
+            // get_api_key reads config first); stub otherwise
+            val client =
+              if (ServerConfig.apiKey.nonEmpty &&
+                  sys.env.get("GRAFT_GENERATE_MODE").contains("http"))
+                new graft.intent.HttpGenerationClient(ServerConfig.apiKey)
+              else SqlGenerator.defaultClient()
             try {
-              val r = SqlGenerator.generate(question, prompt, client, history)
+              val r = SqlGenerator.generate(question, prompt, client, history,
+                model = ServerConfig.model)
               val passthrough =
                 extractField(body, "confidence").map(c =>
                   s""","confidence":${q(c)},"matched_pattern":${"\"matched_pattern\"\\s*:\\s*true".r.findFirstIn(body).isDefined}""")

@@ -194,4 +194,65 @@ class ServerSpec extends AnyFunSuite {
       .contains("SELECT \"a\"\nFROM t"))
     assert(ApiServer.extractSql("""{}""").isEmpty)
   }
+
+  test("string-array parser survives ']' inside an element") {
+    val body = """{"history": ["show spend [Q1]", "and [Q2] too"], "x": 1}"""
+    assert(ApiServer.extractStringArray(body, "history") ==
+      Seq("show spend [Q1]", "and [Q2] too"))
+    assert(ApiServer.extractStringArray("""{"history": []}""", "history").isEmpty)
+  }
+
+  test("top-level JSON anchors ignore key-shaped text in nested strings") {
+    val body =
+      """{"content":[{"type":"text","text":"fake \"usage\": {\"input_tokens\": 9} and \"content\":[{}]"}],
+        |"usage":{"input_tokens":5}}""".stripMargin
+    val blocks = ApiServer.extractTopObjectArray(body, "content")
+    assert(blocks.size == 1 && blocks.head.contains("\"type\":\"text\""))
+    assert(ApiServer.extractTopObject(body, "usage")
+      .contains("""{"input_tokens":5}"""))
+    assert(ApiServer.extractTopObject(body, "nope").isEmpty)
+  }
+
+  test("server settings: status, save-key format check, save-model allowlist") {
+    SapFixtures.register(spark)
+    val server = ApiServer.start(spark)
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    val savedKey = ApiServer.ServerConfig.apiKey
+    val savedModel = ApiServer.ServerConfig.model
+    try {
+      val (c0, b0) = get(s"$base/api/status")
+      assert(c0 == 200 && b0.contains("\"model\":") &&
+        b0.contains("\"has_knowledge_graph\":true"))
+
+      // bad key format: reference-parity error envelope, nothing stored
+      val (c1, b1) = post(s"$base/api/save-key", """{"key": "not-a-key"}""")
+      assert(c1 == 200 && b1.contains("\"status\":\"error\"") &&
+        b1.contains("sk-ant-"))
+
+      // good format: stored (no live probe in offline mode), preview echoed
+      val (c2, b2) = post(s"$base/api/save-key",
+        """{"key": "sk-ant-test-abcdef"}""")
+      assert(c2 == 200 && b2.contains("\"status\":\"ok\"") &&
+        b2.contains("\"key_preview\":\"...abcdef\""), b2)
+      val (_, b2s) = get(s"$base/api/status")
+      assert(b2s.contains("\"has_api\":true") && !b2s.contains("sk-ant-test"),
+        "status must never echo the full key")
+
+      val (c3, b3) = post(s"$base/api/remove-key", "{}")
+      assert(c3 == 200 && b3.contains("\"status\":\"ok\""))
+      assert(get(s"$base/api/status")._2.contains("\"has_api\":false"))
+
+      val (c4, b4) = post(s"$base/api/save-model", """{"model": "gpt-oops"}""")
+      assert(c4 == 200 && b4.contains("Unknown model"))
+      val (c5, b5) = post(s"$base/api/save-model",
+        """{"model": "claude-haiku-4-20250414"}""")
+      assert(c5 == 200 && b5.contains("\"status\":\"ok\"") &&
+        b5.contains("claude-haiku-4-20250414"))
+      assert(get(s"$base/api/status")._2.contains("claude-haiku-4-20250414"))
+    } finally {
+      ApiServer.ServerConfig.apiKey = savedKey
+      ApiServer.ServerConfig.model = savedModel
+      server.stop(0)
+    }
+  }
 }

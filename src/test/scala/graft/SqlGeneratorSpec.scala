@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.intent.{ApiStatusError, ChatMessage, GenRequest, GenResult,
-  GenUsage, GenerationClient, OfflineStubClient, SqlGenerator}
+  GenUsage, GenerationClient, HttpGenerationClient, OfflineStubClient,
+  SqlGenerator}
 
 /** The LLM generation client contract (reference generate_sql_with_api,
   * sap_sql_engine.py:837-898): retry/backoff policy, history cap, cache
@@ -80,6 +81,75 @@ class SqlGeneratorSpec extends AnyFunSuite {
     val r = SqlGenerator.generate("qqq zzz", "sys", OfflineStubClient)
     assert(r.text.contains("no validated BOKG pattern"))
     assert(!r.text.toUpperCase.contains("SELECT "))
+  }
+
+  // ── HttpGenerationClient hardening (round-7 verdict task 3): structural
+  //    response parse + fake-transport/timeout paths, no network ───────────
+
+  /** Fake transport: overrides `post`, records request bodies. */
+  private class FakeHttp(reply: => (Int, String))
+    extends HttpGenerationClient("sk-ant-test") {
+    var sent = Seq.empty[String]
+    override protected def post(json: String): (Int, String) = {
+      sent :+= json
+      reply
+    }
+  }
+
+  test("multi-block Messages responses concatenate only the text blocks") {
+    val body =
+      """{"id":"msg_1","type":"message","role":"assistant","content":[
+        |{"type":"thinking","thinking":"the plan, with \"text\": inside"},
+        |{"type":"text","text":"SELECT 1"},
+        |{"type":"text","text":" -- done"}],
+        |"stop_reason":"end_turn",
+        |"usage":{"input_tokens":42,"output_tokens":7,
+        |"cache_creation_input_tokens":3,"cache_read_input_tokens":39}}""".stripMargin
+    val r = HttpGenerationClient.parseResponse(body)
+    assert(r.text == "SELECT 1 -- done",
+      "thinking blocks must be excluded, text blocks concatenated in order")
+    assert(r.usage == GenUsage(42, 7, 3, 39))
+  }
+
+  test("key-shaped text inside the generated SQL cannot corrupt the parse") {
+    // generated SQL contains '"text":' and '"input_tokens": 5' and ']' —
+    // the old whole-body regexes would have matched these
+    val sql = """SELECT '{"text":"fake","input_tokens": 5}' AS j, arr[1] FROM t"""
+    val q = sql.replace("\"", "\\\"")
+    val body =
+      s"""{"content":[{"type":"text","text":"$q"}],""" +
+        s""""usage":{"input_tokens":100,"output_tokens":50}}"""
+    val r = HttpGenerationClient.parseResponse(body)
+    assert(r.text == sql)
+    assert(r.usage.inputTokens == 100 && r.usage.outputTokens == 50)
+  }
+
+  test("fake transport: complete() round-trips and non-2xx raises ApiStatusError") {
+    val ok = new FakeHttp((200,
+      """{"content":[{"type":"text","text":"SELECT 2"}],"usage":{"input_tokens":1,"output_tokens":1}}"""))
+    val r = ok.complete(GenRequest("m", 10, "sys", Seq(ChatMessage("user", "q"))))
+    assert(r.text == "SELECT 2")
+    assert(ok.sent.head.contains(""""cache_control":{"type":"ephemeral"}"""))
+
+    val overloaded = new FakeHttp((529, """{"error":"overloaded"}"""))
+    val e = intercept[ApiStatusError] {
+      overloaded.complete(GenRequest("m", 10, "sys", Seq(ChatMessage("user", "q"))))
+    }
+    assert(e.status == 529)
+  }
+
+  test("a transport timeout propagates immediately (no endless retry loop)") {
+    val hung = new HttpGenerationClient("sk-ant-test") {
+      var calls = 0
+      override protected def post(json: String): (Int, String) = {
+        calls += 1
+        throw new java.net.http.HttpTimeoutException("request timed out")
+      }
+    }
+    intercept[java.net.http.HttpTimeoutException] {
+      SqlGenerator.generate("q", "sys", hung, sleepMs = _ => ())
+    }
+    assert(hung.calls == 1, "timeouts are not ApiStatusError — no retry storm")
   }
 
   test("defaultClient is the offline stub unless http mode + key configured") {
