@@ -36,7 +36,15 @@ object GraftFunctions {
       s"$name must be an integer literal, got: $other")
   }
 
+  // once-per-session: repeat installs are no-ops, so the hot SQL path
+  // (HanaDialect.sql calls install on every statement) neither re-registers
+  // nor spams "replaced a previously registered function" warnings. Weak
+  // keys — a retired session must not be pinned by this guard.
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def install(spark: SparkSession): Unit = {
+    if (installed.put(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     def register(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")

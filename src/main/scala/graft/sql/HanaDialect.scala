@@ -93,9 +93,16 @@ object HanaDialect {
 
   // ── 2. HANA function registration ─────────────────────────────────────
 
-  /** Register the HANA-compat functions on a session (idempotent). Each is a
-    * thin Expression builder over Spark built-ins — full codegen, no UDFs. */
+  // once-per-session guard (weak keys): `sql` below installs on every
+  // statement, and re-registration would log a registry warning per function
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register the HANA-compat functions on a session (idempotent — repeat
+    * calls are no-ops). Each is a thin Expression builder over Spark
+    * built-ins — full codegen, no UDFs. */
   def install(spark: SparkSession): Unit = {
+    if (installed.put(spark, java.lang.Boolean.TRUE) != null) return
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types._
     val reg = spark.sessionState.functionRegistry
