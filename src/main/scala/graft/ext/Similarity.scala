@@ -330,15 +330,31 @@ object Similarity {
         expr("transform(centroid, x -> cast(x as double))")).as("centroid"))
   }
 
+  /** Deterministic bounded training sample: the `cap` corpus vectors with
+    * the smallest xxhash64(vec_id) — the same total order every bootstrap
+    * draw uses, so the k-seed draw from the sample is bit-identical to the
+    * draw from the full corpus (the smallest-k set is a prefix of the
+    * smallest-cap set). Caps Lloyd/k-means TRAINING cost at a constant as
+    * the corpus grows (the FAISS practice: train on a sample, encode
+    * everything); below the cap the sample IS the corpus, so dev-scale
+    * results are unchanged. Distributed top-cap — no full sort. */
+  def trainingSample(corpus: DataFrame, cap: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine
     * only within those cells. Search cost ~ corpus/k × nprobe instead of
     * corpus. `refineIters` Lloyd passes (default 1) sharpen the bootstrap
-    * centroids before indexing. */
+    * centroids before indexing; training runs on a [[trainingSample]] of at
+    * most `maxTrain` vectors so index-build cost stays
+    * corpus-size-independent. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nprobe: Int = 4, refineIters: Int = 1): DataFrame = {
-    val boot = ivfCentroids(corpus, nCells)
+      nCells: Int = 16, nprobe: Int = 4, refineIters: Int = 1,
+      maxTrain: Int = 20000): DataFrame = {
+    val train = trainingSample(corpus, maxTrain).cache()
+    val boot = ivfCentroids(train, nCells)
     val cents = (0 until refineIters)
-      .foldLeft(boot)((c, _) => ivfRefine(corpus, c)).cache()
+      .foldLeft(boot)((c, _) => ivfRefine(train, c)).cache()
     val indexed = ivfAssign(corpus, cents)
     val qScored = queries.join(broadcast(cents))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
@@ -454,10 +470,12 @@ object Similarity {
     * plus one (qid, cid) shuffle over |corpus|·m rows. The raw embeddings
     * never move after encoding; ranked ascending by distance, tie → cid. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      kCodes: Int = 16, dims: Int = 64, refineIters: Int = 1): DataFrame = {
+      kCodes: Int = 16, dims: Int = 64, refineIters: Int = 1,
+      maxTrain: Int = 20000): DataFrame = {
+    val train = trainingSample(corpus, maxTrain).cache()
     val books = (0 until refineIters)
-      .foldLeft(pqCodebooks(corpus, m, kCodes, dims))(
-        (b, _) => pqRefineCodebooks(corpus, b, m, dims))
+      .foldLeft(pqCodebooks(train, m, kCodes, dims))(
+        (b, _) => pqRefineCodebooks(train, b, m, dims))
       .cache()
     val codes = pqEncode(corpus, books, m, dims)
     val dtab = queries
@@ -488,14 +506,18 @@ object Similarity {
     * once at index build, never at query time. */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
-      dims: Int = 64, refineIters: Int = 1): DataFrame = {
+      dims: Int = 64, refineIters: Int = 1, maxTrain: Int = 20000): DataFrame = {
+    // one bounded training sample feeds BOTH the coarse quantizer and the
+    // PQ codebooks — the raw corpus is read once for training, once for
+    // encoding, regardless of refineIters
+    val train = trainingSample(corpus, maxTrain).cache()
     val cents = (0 until refineIters)
-      .foldLeft(ivfCentroids(corpus, nCells))((c, _) => ivfRefine(corpus, c))
+      .foldLeft(ivfCentroids(train, nCells))((c, _) => ivfRefine(train, c))
       .cache()
     val cells = ivfAssign(corpus, cents).select(col("vec_id"), col("cell"))
     val books = (0 until refineIters)
-      .foldLeft(pqCodebooks(corpus, m, kCodes, dims))(
-        (b, _) => pqRefineCodebooks(corpus, b, m, dims))
+      .foldLeft(pqCodebooks(train, m, kCodes, dims))(
+        (b, _) => pqRefineCodebooks(train, b, m, dims))
       .cache()
     val codes = pqEncode(corpus, books, m, dims).join(cells, Seq("vec_id"))
     val qScored = queries.join(broadcast(cents))
