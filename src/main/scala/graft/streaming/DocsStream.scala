@@ -25,9 +25,15 @@ object DocsStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** File-source stream over a directory of document parquet files. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(docSchema).parquet(dir)
+  /** File-source stream over a directory of document parquet files;
+    * `maxFilesPerTrigger` throttles files per micro-batch (the local
+    * stand-in for a rate-limited queue). */
+  def read(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(docSchema)
+    maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
 
   /** Per-document enrichment: language ID, quality features, token count,
     * winnowing fingerprint, content hash. Narrow — no state, no shuffle. */
