@@ -296,16 +296,36 @@ object Similarity {
         row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
       .select(col("cell"), col("embedding").as("centroid"))
 
-  /** Assign each corpus vector to its nearest centroid cell (one broadcast
-    * of k centroids; the corpus is mapped, never shuffled). */
+  /** Assign each corpus vector to its nearest centroid cell. The k
+    * centroids are a BOUNDED index artifact (k ≤ a few hundred rows), so
+    * they are collected once and inlined as a literal array: assignment is
+    * then a pure NARROW MAP over the corpus — no join fan-out (the old
+    * shape materialized corpus×k rows and shuffled them through a window),
+    * no shuffle at all. Argmax cosine per row via an in-row fold; ties keep
+    * the lowest cell (the fold visits cells in ascending order and only a
+    * strictly greater sim replaces the accumulator — same tie rule as the
+    * previous window's (sim DESC, cell ASC)). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        (dot(col("embedding"), col("centroid")) /
-          (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("sim"), col("cell"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val cents = centroids
+      .select(col("cell"),
+        expr("transform(centroid, x -> cast(x as double))").as("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centArr = array(cents.map { case (cell, c) =>
+      struct(lit(cell).as("cell"), array(c.map(lit): _*).as("centroid"))
+    }: _*)
+    corpus.select(col("vec_id"), col("embedding"),
+      aggregate(centArr,
+        struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cell")),
+        (acc, e) => {
+          val sim = dot(col("embedding"), e.getField("centroid")) /
+            (l2norm(col("embedding")) * l2norm(e.getField("centroid")))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"), e.getField("cell").as("cell")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("cell")).as("cell"))
   }
 
   /** One Lloyd (k-means) refinement pass: assign every vector to its
@@ -337,10 +357,15 @@ object Similarity {
     * smallest-cap set). Caps Lloyd/k-means TRAINING cost at a constant as
     * the corpus grows (the FAISS practice: train on a sample, encode
     * everything); below the cap the sample IS the corpus, so dev-scale
-    * results are unchanged. Distributed top-cap — no full sort. */
+    * results are unchanged. Distributed top-cap — no full sort. The
+    * re-partition after the limit is load-bearing: `limit` collapses its
+    * result to ONE partition, which would serialize every downstream Lloyd
+    * pass on a single core; hashing back out by vec_id keeps training
+    * parallel and placement deterministic. */
   def trainingSample(corpus: DataFrame, cap: Int): DataFrame =
     corpus.select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+      .repartition(col("vec_id"))
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine
     * only within those cells. Search cost ~ corpus/k × nprobe instead of
@@ -350,7 +375,7 @@ object Similarity {
     * corpus-size-independent. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, refineIters: Int = 1,
-      maxTrain: Int = 20000): DataFrame = {
+      maxTrain: Int = 4096): DataFrame = {
     val train = trainingSample(corpus, maxTrain).cache()
     val boot = ivfCentroids(train, nCells)
     val cents = (0 until refineIters)
@@ -445,23 +470,41 @@ object Similarity {
 
   /** Encode every corpus vector as m codes: per (vector, sub-quantizer),
     * the nearest codebook entry by scaled-integer L2 (tie → lowest code).
-    * The codebook side is a broadcast (m·k rows); the corpus is exploded
-    * m-ways in a narrow map and re-assembled with one vec_id shuffle —
-    * index build cost, paid once. */
+    * The trained codebook is a BOUNDED index artifact (m·k rows, ~4 KB at
+    * the defaults), collected once and inlined as a literal array — so the
+    * encode is a single NARROW MAP over the corpus: no m-way explode, no
+    * corpus×k join materialization, no shuffles (the old shape pushed
+    * |corpus|·m·k rows through two aggregations). At 100 TB this is the
+    * difference between re-shuffling the corpus to build the index and
+    * streaming it through once. Ties keep the lowest code: the in-row fold
+    * visits codes in ascending order and only a strictly smaller d2
+    * replaces the accumulator — same rule as min(struct(d2, code)). */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
       dims: Int = 64): DataFrame = {
-    val exploded = corpus
-      .select(col("vec_id"), explode(subvectors(col("embedding"), m, dims)).as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-    exploded.join(broadcast(codebooks), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("code"),
-        l2sqScaled(col("sv"), col("centroid")).as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("code"))).as("best"))
-      .groupBy("vec_id")
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(sub, best.code AS code)))," +
-          " p -> p.code)").as("codes"))
+    val entries = codebooks
+      .select(col("sub"), col("code"),
+        expr("transform(centroid, x -> cast(x as double))").as("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1)
+    val cbArr = array((0 until m).map { j =>
+      array(entries.getOrElse(j, Array.empty).sortBy(_._2).map {
+        case (_, code, cent) =>
+          struct(lit(code).as("code"), array(cent.map(lit): _*).as("centroid"))
+      }.toSeq: _*)
+    }: _*)
+    corpus.select(col("vec_id"),
+      transform(subvectors(col("embedding"), m, dims), s =>
+        aggregate(
+          element_at(cbArr, s.getField("sub") + 1),
+          struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("code")),
+          (acc, e) => {
+            val d2 = l2sqScaled(s.getField("sv"), e.getField("centroid"))
+            when(d2 < acc.getField("d2"),
+              struct(d2.as("d2"), e.getField("code").as("code")))
+              .otherwise(acc)
+          },
+          acc => acc.getField("code"))).as("codes"))
   }
 
   /** ADC top-k: each query precomputes its m×k distance table against the
@@ -471,7 +514,7 @@ object Similarity {
     * never move after encoding; ranked ascending by distance, tie → cid. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
       kCodes: Int = 16, dims: Int = 64, refineIters: Int = 1,
-      maxTrain: Int = 20000): DataFrame = {
+      maxTrain: Int = 4096): DataFrame = {
     val train = trainingSample(corpus, maxTrain).cache()
     val books = (0 until refineIters)
       .foldLeft(pqCodebooks(train, m, kCodes, dims))(
@@ -506,7 +549,7 @@ object Similarity {
     * once at index build, never at query time. */
   def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
-      dims: Int = 64, refineIters: Int = 1, maxTrain: Int = 20000): DataFrame = {
+      dims: Int = 64, refineIters: Int = 1, maxTrain: Int = 4096): DataFrame = {
     // one bounded training sample feeds BOTH the coarse quantizer and the
     // PQ codebooks — the raw corpus is read once for training, once for
     // encoding, regardless of refineIters
