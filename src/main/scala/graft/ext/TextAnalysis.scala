@@ -203,6 +203,6 @@ object TextAnalysis {
     * bearing email local parts. */
   def redactionCount(text: Column): Column =
     (regexp_count(text, lit(EmailPattern)) +
-      regexp_count(regexp_replace(text, EmailPattern, " "),
+      regexp_count(regexp_replace(text, EmailPattern, "\u0000"),
         lit(PhonePattern))).cast("long")
 }

@@ -175,7 +175,8 @@ class ServerSpec extends AnyFunSuite {
       val (c1, b1) = get(s"$base/")
       assert(c1 == 200 && b1.contains("<title>Graft") &&
         b1.contains("/api/ask") && b1.contains("downloadCsv") &&
-        b1.contains("svgBarChart"))
+        b1.contains("svgBarChart") && b1.contains("svgLineChart") &&
+        b1.contains("svgPieChart") && b1.contains("analyzeDataForChart"))
       val (c2, b2) = get(s"$base/index.html")
       assert(c2 == 200 && b2 == b1)
       val (c3, _) = get(s"$base/no/such/page")
