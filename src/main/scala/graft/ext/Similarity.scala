@@ -16,15 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns as double, summed in
-    * array order (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** Dot product of two array<float|double> columns as double, summed in
+    * array order (deterministic). Native codegen'd kernel
+    * ([[graft.functions.VecDot]]) — value-identical to the former
+    * aggregate(zip_with(...)) fold (same order, same 0.0 init, same null
+    * semantics) but one tight JVM loop per row instead of an interpreted
+    * lambda per element: this is the innermost op of every KNN/ANN/SemDeDup
+    * scoring join. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Integer dot over array<bigint> (the int8-quantized kernels) — native,
+    * exact, order-independent. */
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.functions.VecDotLong(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm via the native dot: sqrt(Σ xᵢ², same fold the HOF form used). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Shared ranking tail for every KNN kernel: per-`qid` row_number over
     * (score DESC, `cid`), capped at k. The `cid` tie-break, the
@@ -147,10 +159,10 @@ object Similarity {
       // (UNNEST emits no rows for them, so they never reach nsq/dots there)
       quantizeInt8(df.filter(size(col("embedding")) > 0), "vec_id", "embedding")
         .select(col("vec_id").as(idAs), col("q").as(qAs),
-          expr("aggregate(q, 0L, (acc, v) -> acc + v * v)").as(s"${qAs}_nsq"))
+          dotLong(col("q"), col("q")).as(s"${qAs}_nsq"))
     val c = quantized(corpus, "cid", "cq")
     val q = quantized(queries, "qid", "qq")
-    val qdot = expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    val qdot = dotLong(col("qq"), col("cq"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (round(when(col("qq_nsq") === 0 || col("cq_nsq") === 0, lit(0.0))
@@ -405,12 +417,13 @@ object Similarity {
   //    memory-bound regime where 100 TB of raw vectors won't fit. ─────────
 
   /** Squared L2 distance between two float arrays, scaled to an exact
-    * integer (1e-6 resolution) so downstream sums are order-independent. */
+    * integer (1e-6 resolution) so downstream sums are order-independent.
+    * Native codegen'd kernel — value-identical to the former
+    * round(aggregate(zip_with(...)) * 1e6).cast(long), including the
+    * BigDecimal half-up rounding Spark's round applies to doubles. */
   private def l2sqScaled(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }), lit(0.0), (acc, v) => acc + v) * lit(1e6)).cast("long")
+    ColumnBridge.column(graft.functions.VecL2SqScaled(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** The m subvector slices of an embedding, as (sub, sv) structs. */
   private def subvectors(emb: Column, m: Int, dims: Int): Column = {

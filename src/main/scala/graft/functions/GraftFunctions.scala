@@ -81,5 +81,13 @@ object GraftFunctions {
     register("misra_gries") { e =>
       arity("misra_gries", 2, e); MisraGriesAgg(e(0), intLit(e(1), "capacity"))
     }
+
+    // vec_dot(a array<float|double>, b) → double: codegen'd in-order fold
+    register("vec_dot") { e => arity("vec_dot", 2, e); VecDot(e(0), e(1)) }
+
+    // vec_dot_long(a array<bigint>, b) → bigint: exact integer dot
+    register("vec_dot_long") { e =>
+      arity("vec_dot_long", 2, e); VecDotLong(e(0), e(1))
+    }
   }
 }
