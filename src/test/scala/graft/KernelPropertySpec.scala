@@ -184,4 +184,57 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(missed == 0, s"round=$round: $missed inserted keys rejected")
     }
   }
+
+  test("native vector kernels are bit-identical to their HOF forms") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.{VecDot, VecDotLong, VecL2SqScaled}
+    // arrays with null elements, length mismatches, empties, and values
+    // whose products/squares stress the fold (the kernels promise the SAME
+    // left-to-right IEEE fold from 0 and the same zip_with null semantics)
+    val elem: Gen[Option[Float]] = Gen.frequency(
+      9 -> Gen.choose(-10000, 10000).map(i => Some(i / 7.0f)),
+      1 -> Gen.const(None))
+    val farr: Gen[Seq[Option[Float]]] =
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, elem))
+    val pairs = (1 to 6).flatMap(r =>
+      sample(Gen.listOfN(60, Gen.zip(farr, farr)), 4000L + r))
+    val df = pairs.toDF("a", "b")
+
+    def nat(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      ColumnBridge.column(e)
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hofL2 = round(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v) * lit(1e6)).cast("long")
+    val rows = df.select(
+      nat(VecDot(ColumnBridge.expression(col("a")),
+        ColumnBridge.expression(col("b")))).as("nd"),
+      hofDot.as("hd"),
+      nat(VecL2SqScaled(ColumnBridge.expression(col("a")),
+        ColumnBridge.expression(col("b")))).as("nl"),
+      hofL2.as("hl")).collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1), s"dot diverged: ${r.get(0)} vs ${r.get(1)}")
+      assert(r.get(2) == r.get(3), s"l2sq diverged: ${r.get(2)} vs ${r.get(3)}")
+    }
+    assert(rows.exists(_.isNullAt(0)) && rows.exists(!_.isNullAt(0)),
+      "fixture must exercise both null and non-null outcomes")
+
+    val lpairs = (1 to 3).flatMap(r => sample(Gen.listOfN(40, Gen.zip(
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.choose(-1000L, 1000L))),
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.choose(-1000L, 1000L))))),
+      5000L + r))
+    val ldf = lpairs.toDF("a", "b")
+    val hofLong = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    ldf.select(
+      nat(VecDotLong(ColumnBridge.expression(col("a")),
+        ColumnBridge.expression(col("b")))).as("n"),
+      hofLong.as("h")).collect().foreach { r =>
+      assert(r.get(0) == r.get(1), s"dotLong diverged: ${r.get(0)} vs ${r.get(1)}")
+    }
+  }
 }
