@@ -855,6 +855,62 @@ object Extensions {
         SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY 1
         ORDER BY cnt DESC, pair LIMIT 20""")),
 
+    // ── JSONL source/sink roundtrip: documents → JSON-lines files → read
+    //    back against the declared schema → per-source aggregate. JSONL is
+    //    the interchange format LLM corpora actually ship in; this face
+    //    proves write+read fidelity (row counts, key range, and text
+    //    lengths survive the escape/unescape cycle) against an oracle that
+    //    never leaves the parquet table. The write is an index-build-style
+    //    side effect (temp dir, overwritten per run); the malformed-line
+    //    quarantine path of the same reader is pinned separately in
+    //    ExtensionsSpec (Ingest.jsonlWithQuarantine) ─────────────────────────
+    Q(
+      "q_jsonl_roundtrip",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+        d.write.mode("overwrite").json(out)
+        s.read.schema(d.schema).json(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ── CSV source/sink roundtrip: same contract as q_jsonl_roundtrip for
+    //    the engine's CSV export path (Pipeline/console download) — header
+    //    + quoted fields survive the cycle; multiLine covers embedded
+    //    newlines in text ───────────────────────────────────────────────────
+    Q(
+      "q_csv_roundtrip",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        d.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(d.schema).option("header", "true")
+          .option("multiLine", "true").csv(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text")).cast("long")).as("sum_text_len"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len,
+          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ── character-entropy quality score: Shannon entropy of each doc's
     //    char distribution (low entropy = repetitive/degenerate text) —
     //    computed entirely with array lambdas per doc: NO explode, NO
