@@ -102,6 +102,22 @@ class UiChartSpec extends AnyFunSuite {
     }
   }
 
+  test("SVG renderers produce the expected mark structure (node + DOM shim)") {
+    assume(nodeAvailable, "node not on PATH — render smoke skipped")
+    val in = getClass.getResourceAsStream("/graft/ui/render_smoke.js")
+    assert(in != null, "render_smoke.js test resource missing")
+    val js = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val f = java.nio.file.Files.createTempFile("render-smoke", ".js")
+    java.nio.file.Files.writeString(f, js)
+    val p = new ProcessBuilder("node", f.toString).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(p.waitFor() == 0, s"render smoke failed:\n$out")
+    java.nio.file.Files.delete(f)
+    assert(out.linesIterator.count(_.startsWith("OK")) >= 10, out)
+  }
+
   /** Split a JSON array body at top-level commas (fixtures are flat). */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
