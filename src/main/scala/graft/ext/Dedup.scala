@@ -147,13 +147,16 @@ object Dedup {
     * with identical (or verified-superset) semantics are
     * [[jaccardPairsPrefix]] (exact, pinned row-identical in ScalaTest) and
     * [[minhashDedup]] (approximate candidates, exact verification). The
-    * `maxDocs` guard (0 = off) enforces that routing at runtime: the corpus
-    * doc count rides in-plan as a one-row broadcast and the query fails
-    * fast — before the quadratic join output materializes — when invoked
-    * above the bound. `maxShingleDocFreq` (0 = off) drops stop-shingles
+    * `maxDocs` guard enforces that routing at runtime: the corpus doc count
+    * rides in-plan as a one-row broadcast and the query fails fast — before
+    * the quadratic join output materializes — when invoked above the bound.
+    * The guard DEFAULTS OFF (0) at the library API — an unbounded public
+    * API stays unbounded; the registered query faces (the production entry
+    * points) enable it explicitly with bound 20000.
+    * `maxShingleDocFreq` (0 = off) drops stop-shingles
     * before the join; leave off for exactness, set (e.g. 1000) at scale. */
   def jaccardPairs(sh: DataFrame, threshold: Double,
-      maxShingleDocFreq: Long = 0, maxDocs: Long = 20000): DataFrame = {
+      maxShingleDocFreq: Long = 0, maxDocs: Long = 0): DataFrame = {
     val pruned =
       if (maxShingleDocFreq <= 0) sh
       else {
@@ -599,12 +602,15 @@ object Dedup {
     * rows when the cluster count stayed fixed. The production path is
     * [[clusterNearDupPairsBounded]] (sub-bucket split, ≥97% pair recall,
     * 1.8× at 10× rows); this exact face exists to verify it at sample
-    * scale. The `maxExactClusterSize` guard (0 = off) enforces that
+    * scale. The `maxExactClusterSize` guard enforces that
     * routing: the max cluster size rides in-plan as a one-row broadcast
-    * and the query fails fast when any cluster exceeds the bound. */
+    * and the query fails fast when any cluster exceeds the bound. The
+    * guard DEFAULTS OFF (0) at the library API — a previously unbounded
+    * public API keeps its contract; the registered query face enables it
+    * explicitly with bound 1024. */
   def clusterNearDupPairs(emb: DataFrame, clusterCol: String, idCol: String,
       embCol: String, threshold: Double,
-      maxExactClusterSize: Long = 1024): DataFrame = {
+      maxExactClusterSize: Long = 0): DataFrame = {
     val v = emb.select(col(clusterCol).as("cluster"), col(idCol).as("id"),
       col(embCol).as("e"))
     // guard one side only: the join cannot emit before the guarded side

@@ -308,6 +308,15 @@ object Similarity {
         row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
       .select(col("cell"), col("embedding").as("centroid"))
 
+  /** Ceiling on the number of double literals the inlined-index paths
+    * ([[ivfAssign]], [[pqEncode]]) will embed in the expression tree.
+    * Above it the generated code / constant pool risks the JVM's 64 KB
+    * method and constant-pool limits (silent interpreted fallback or
+    * codegen failure), so both switch to a broadcast-join shape with
+    * identical semantics — one extra shuffle-free broadcast, still never a
+    * corpus shuffle. 32768 doubles covers nCells×dims up to 256×128. */
+  private val InlineLiteralCeiling = 32768L
+
   /** Assign each corpus vector to its nearest centroid cell. The k
     * centroids are a BOUNDED index artifact (k ≤ a few hundred rows), so
     * they are collected once and inlined as a literal array: assignment is
@@ -316,28 +325,68 @@ object Similarity {
     * no shuffle at all. Argmax cosine per row via an in-row fold; ties keep
     * the lowest cell (the fold visits cells in ascending order and only a
     * strictly greater sim replaces the accumulator — same tie rule as the
-    * previous window's (sim DESC, cell ASC)). */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    * previous window's (sim DESC, cell ASC)).
+    *
+    * Degenerate rows are assigned DETERMINISTICALLY, never dropped: a
+    * zero-norm or empty embedding has undefined cosine (NaN) against every
+    * centroid — NaN never beats the accumulator, so the fold ends at its
+    * -1 sentinel and the row is mapped to the LOWEST cell id (the same cell
+    * an all-ties row gets). An empty centroid set fails fast with a clear
+    * message instead of an analysis error. Above [[InlineLiteralCeiling]]
+    * literal doubles (nCells×dims) the inline tree would overflow JVM
+    * codegen limits, so assignment falls back to a broadcast join +
+    * per-vector argmax with the same sim/tie/NaN semantics. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      inlineCeiling: Long = InlineLiteralCeiling): DataFrame = {
     val cents = centroids
       .select(col("cell"),
         expr("transform(centroid, x -> cast(x as double))").as("centroid"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val centArr = array(cents.map { case (cell, c) =>
-      struct(lit(cell).as("cell"), array(c.map(lit): _*).as("centroid"))
-    }: _*)
-    corpus.select(col("vec_id"), col("embedding"),
-      aggregate(centArr,
-        struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cell")),
-        (acc, e) => {
-          val sim = dot(col("embedding"), e.getField("centroid")) /
-            (l2norm(col("embedding")) * l2norm(e.getField("centroid")))
-          when(sim > acc.getField("sim"),
-            struct(sim.as("sim"), e.getField("cell").as("cell")))
-            .otherwise(acc)
-        },
-        acc => acc.getField("cell")).as("cell"))
+    require(cents.nonEmpty,
+      "Similarity.ivfAssign: empty centroid set — train with ivfCentroids first")
+    val dims = cents.head._2.length
+    val fallbackCell = cents.head._1
+    if (cents.length.toLong * dims > inlineCeiling) {
+      // broadcast-join shape: k×dims too large to inline as literals.
+      // nanvl maps undefined cosines to -inf so min(struct(-sim, cell))
+      // reproduces the fold's argmax + lowest-cell tie/NaN rule exactly.
+      val centsDf = centroids.select(col("cell"),
+        expr("transform(centroid, x -> cast(x as double))").as("__centroid"))
+      // try_divide: a zero-norm row divides by zero, which ANSI mode would
+      // raise on; null/NaN both collapse to -inf so no cell ever wins and
+      // the min-struct falls through to the lowest cell
+      val sim = coalesce(nanvl(try_divide(dot(col("embedding"), col("__centroid")),
+        l2norm(col("embedding")) * l2norm(col("__centroid"))),
+        lit(Double.NegativeInfinity)), lit(Double.NegativeInfinity))
+      corpus.select(col("vec_id"), col("embedding"))
+        .join(broadcast(centsDf))
+        .select(col("vec_id"), col("embedding"),
+          struct(negate(sim).as("nsim"), col("cell")).as("__sc"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"), min(col("__sc")).as("__best"))
+        .select(col("vec_id"), col("embedding"), col("__best.cell").as("cell"))
+    } else {
+      val centArr = array(cents.map { case (cell, c) =>
+        struct(lit(cell).as("cell"), array(c.map(lit): _*).as("centroid"))
+      }: _*)
+      corpus.select(col("vec_id"), col("embedding"),
+        aggregate(centArr,
+          struct(lit(Double.NegativeInfinity).as("sim"), lit(-1L).as("cell")),
+          (acc, e) => {
+            // try_divide: a zero-norm row would raise under ANSI; the null
+            // it yields (like NaN) never satisfies `>`, so acc survives and
+            // the finish lambda maps the -1 sentinel to the lowest cell
+            val sim = try_divide(dot(col("embedding"), e.getField("centroid")),
+              l2norm(col("embedding")) * l2norm(e.getField("centroid")))
+            when(sim > acc.getField("sim"),
+              struct(sim.as("sim"), e.getField("cell").as("cell")))
+              .otherwise(acc)
+          },
+          acc => when(acc.getField("cell") === -1L, lit(fallbackCell))
+            .otherwise(acc.getField("cell"))).as("cell"))
+    }
   }
 
   /** One Lloyd (k-means) refinement pass: assign every vector to its
@@ -491,33 +540,61 @@ object Similarity {
     * difference between re-shuffling the corpus to build the index and
     * streaming it through once. Ties keep the lowest code: the in-row fold
     * visits codes in ascending order and only a strictly smaller d2
-    * replaces the accumulator — same rule as min(struct(d2, code)). */
+    * replaces the accumulator — same rule as min(struct(d2, code)). Above
+    * [[InlineLiteralCeiling]] literal doubles (m×kCodes×subdims = total
+    * codebook doubles) the inline tree would overflow JVM codegen limits,
+    * so encoding falls back to the explode + broadcast-join shape with the
+    * identical integer-d2 / lowest-code tie rule. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 8,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64, inlineCeiling: Long = InlineLiteralCeiling): DataFrame = {
     val entries = codebooks
       .select(col("sub"), col("code"),
         expr("transform(centroid, x -> cast(x as double))").as("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
       .groupBy(_._1)
-    val cbArr = array((0 until m).map { j =>
-      array(entries.getOrElse(j, Array.empty).sortBy(_._2).map {
-        case (_, code, cent) =>
-          struct(lit(code).as("code"), array(cent.map(lit): _*).as("centroid"))
-      }.toSeq: _*)
-    }: _*)
-    corpus.select(col("vec_id"),
-      transform(subvectors(col("embedding"), m, dims), s =>
-        aggregate(
-          element_at(cbArr, s.getField("sub") + 1),
-          struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("code")),
-          (acc, e) => {
-            val d2 = l2sqScaled(s.getField("sv"), e.getField("centroid"))
-            when(d2 < acc.getField("d2"),
-              struct(d2.as("d2"), e.getField("code").as("code")))
-              .otherwise(acc)
-          },
-          acc => acc.getField("code"))).as("codes"))
+    require(entries.nonEmpty,
+      "Similarity.pqEncode: empty codebooks — train with pqCodebooks first")
+    val totalDoubles = entries.valuesIterator
+      .map(_.iterator.map(_._3.length.toLong).sum).sum
+    if (totalDoubles > inlineCeiling) {
+      // explode + broadcast-join shape: the codebook is too large to inline.
+      // min(struct(d2, code)) is the fold's exact tie rule; d2 is an exact
+      // scaled integer, so no NaN path exists here.
+      val exploded = corpus
+        .select(col("vec_id"),
+          explode(subvectors(col("embedding"), m, dims)).as("e"))
+        .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      exploded.join(broadcast(codebooks), Seq("sub"))
+        .select(col("vec_id"), col("sub"),
+          struct(l2sqScaled(col("sv"), col("centroid")).as("d2"),
+            col("code")).as("__dc"))
+        .groupBy("vec_id", "sub")
+        .agg(min(col("__dc")).as("__best"))
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("sub"),
+          col("__best.code").as("code")))).as("__pairs"))
+        .select(col("vec_id"), expr("transform(__pairs, p -> p.code)").as("codes"))
+    } else {
+      val cbArr = array((0 until m).map { j =>
+        array(entries.getOrElse(j, Array.empty).sortBy(_._2).map {
+          case (_, code, cent) =>
+            struct(lit(code).as("code"), array(cent.map(lit): _*).as("centroid"))
+        }.toSeq: _*)
+      }: _*)
+      corpus.select(col("vec_id"),
+        transform(subvectors(col("embedding"), m, dims), s =>
+          aggregate(
+            element_at(cbArr, s.getField("sub") + 1),
+            struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("code")),
+            (acc, e) => {
+              val d2 = l2sqScaled(s.getField("sv"), e.getField("centroid"))
+              when(d2 < acc.getField("d2"),
+                struct(d2.as("d2"), e.getField("code").as("code")))
+                .otherwise(acc)
+            },
+            acc => acc.getField("code"))).as("codes"))
+    }
   }
 
   /** ADC top-k: each query precomputes its m×k distance table against the

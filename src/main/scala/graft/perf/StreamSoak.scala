@@ -22,13 +22,15 @@ object StreamSoak {
   private def report(name: String, q: StreamingQuery): Unit = {
     q.processAllAvailable()
     val progress = q.recentProgress.filter(_.numInputRows > 0)
+    // durs can be empty (a query that saw zero input rows) — max would throw
     val durs = progress.map(_.batchDuration)
+    val maxDur = durs.maxOption.getOrElse(0L)
     val state = progress.lastOption.toSeq.flatMap(_.stateOperators.toSeq)
     q.stop()
     val rows = state.map(_.numRowsTotal).sum
     val mb = state.map(_.memoryUsedBytes).sum / 1e6
     println(f"[soak] $name%-22s batches=${durs.length}%2d " +
-      f"batchMs(med/max)=${median(durs)}%5d/${durs.max}%5d " +
+      f"batchMs(med/max)=${median(durs)}%5d/$maxDur%5d " +
       f"stateRows=$rows%8d stateMB=$mb%8.1f")
   }
 

@@ -194,8 +194,12 @@ object CurationAnalytics {
       "q_semdedup",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+        // guard enabled HERE (not in the library default): this registered
+        // face is the sample-scale verifier and must fail fast when any
+        // cluster exceeds 1024 rows (production route: q_semdedup_bounded)
         val dropped = Dedup
-          .clusterNearDupPairs(e, "label", "vec_id", "embedding", SemDedupTau)
+          .clusterNearDupPairs(e, "label", "vec_id", "embedding", SemDedupTau,
+            maxExactClusterSize = 1024)
           .select(col("cluster").as("label"), col("id_b")).distinct()
           .groupBy("label").agg(count(lit(1)).as("n_dropped"))
         e.groupBy("label").agg(count(lit(1)).as("n_vecs"))

@@ -46,7 +46,10 @@ object Extensions {
       "q_dedup_ngram_jaccard",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.8)
+        // guard enabled HERE (not in the library default): this registered
+        // face is the sample-scale verifier and must fail fast above 20k docs
+        Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.8,
+            maxDocs = 20000)
           .select(col("id_a"), col("id_b"), col("common"), col("na"), col("nb"),
             col("jaccard"))
           .orderBy(col("id_a"), col("id_b"))

@@ -29,7 +29,14 @@ object EventsStream {
   def read(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // the probe is best-effort: on an empty / not-yet-populated stream
+    // directory the batch read cannot infer a schema — fall back to the
+    // declared TimestampType so the stream can start before data arrives
+    // (files landing later with a different physical type are normalized
+    // on the next restart, the usual file-stream contract)
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampType }
     val reader = spark.readStream
       .schema(StructType(eventSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = tsType) else f)))

@@ -938,4 +938,51 @@ class ExtensionsSpec extends AnyFunSuite {
     // the hub receives mass from three nodes and must outrank the leaves
     assert(r1("hub") > r1("b") && r1("hub") > r1("c"))
   }
+
+  test("ivfAssign: degenerate vectors land in the lowest cell, never dropped") {
+    val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f)),          // clearly cell 1
+      (11L, Seq(0.0f, 0.0f)),          // zero-norm: cosine NaN everywhere
+      (12L, Seq.empty[Float]))         // empty embedding
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(out.size == 3, "no row may be silently dropped")
+    assert(out(10L) == 1L)
+    assert(out(11L) == 1L && out(12L) == 1L,
+      "degenerate rows must map deterministically to the lowest cell")
+    // empty centroid set fails fast with a clear message, not analysis noise
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(corpus, cents.filter(col("cell") < 0))
+    }
+    assert(err.getMessage.contains("empty centroid set"))
+  }
+
+  test("ivfAssign/pqEncode broadcast-join fallback is identical to inline") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.ivfRefine(emb, Similarity.ivfCentroids(emb, 8))
+    val inline = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val joined = Similarity.ivfAssign(emb, cents, inlineCeiling = 0)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(inline == joined,
+      "over-ceiling join fallback must reproduce the inline assignment")
+    val books = Similarity.pqCodebooks(emb)
+    val ci = Similarity.pqEncode(emb, books)
+      .select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+    val cj = Similarity.pqEncode(emb, books, inlineCeiling = 0)
+      .select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+    assert(ci == cj,
+      "over-ceiling join fallback must reproduce the inline encoding")
+  }
+
+  test("events stream starts on an empty directory (declared-schema fallback)") {
+    val dir = java.nio.file.Files.createTempDirectory("empty-stream").toString
+    val stream = graft.streaming.EventsStream.read(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
