@@ -17,10 +17,17 @@ import graft.queries.Registry
   *  - the action is a no-op foreachPartition SINK, not count() — count()
   *    lets Catalyst prune projected expressions, under-measuring
   *    projection-heavy queries; the sink materializes every row;
-  *  - per query, one COLD run (billed) after a session warmup, plus a WARM
-  *    re-run reported separately (queries_warm) so cache effects are
-  *    attributable; "value" stays the cold total for cross-round
-  *    comparability with BASELINE.md.
+  *  - per query, one COLD run (first execution after the session warmup;
+  *    "value" stays the cold total for cross-round comparability with
+  *    BASELINE.md) followed by THREE warm re-runs whose per-query MEDIAN is
+  *    reported as queries_warm — two rounds of cross-round comparisons were
+  *    spent attributing ambient-load spikes on the shared box, and a median
+  *    of three absorbs a single co-tenant burst where the old single warm
+  *    sample amplified it;
+  *  - the 1-minute system load average is sampled before and after the
+  *    measured section (loadavg_start/loadavg_end) so a noisy run is
+  *    attributable from the JSON alone: if loadavg >> cpus, trust the
+  *    medians, not the cold column.
   */
 object Bench {
 
@@ -92,8 +99,25 @@ object Bench {
       }
     }
 
-    val cold = headline.map(q => q.name -> time(sink(q.build(spark, sfDir))))
-    val warm = headline.map(q => q.name -> time(sink(q.build(spark, sfDir))))
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load0 = osBean.getSystemLoadAverage
+
+    // SPARK_GRAFT_BENCH_WARM_RUNS trims the warm repeats (e.g. the sf10
+    // rehearsal, where 3 repeats of a minutes-long query buy little)
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_RUNS", "3").toInt
+    // per query: 1 cold + `warmRuns` warm samples, consecutively (the warm
+    // runs re-execute a freshly built plan — nothing is spark-cached between
+    // runs, so warm isolates JIT + page-cache state, exactly the ambient
+    // regime the median is defending)
+    val samples = headline.map(q =>
+      q.name -> (0 to warmRuns).map(_ => time(sink(q.build(spark, sfDir)))))
+    val cold = samples.map { case (n, s) => n -> s.head }
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+    }
+    val warm = samples.map { case (n, s) => n -> median(s.tail) }
+    val load1 = osBean.getSystemLoadAverage
 
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -103,7 +127,8 @@ object Bench {
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${obj(cold)},"queries_warm":${obj(warm)},""" +
-      s""""total_warm":$totalWarm,"sf":"$sfDir"}"""
+      s""""total_warm":$totalWarm,"warm_runs":$warmRuns,""" +
+      s""""loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}"""
     // the driver parses this from stdout amid sbt noise (round-5 BENCH
     // parsed:null) — emit it BOTH as a file and as a lone stdout line
     // printed after the session stops (no further log interleaving)
