@@ -1,0 +1,194 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index lifecycle: build once, write the index artifacts to
+  * parquet, search many times, append deltas — the deployment shape of ANN
+  * at 100 TB (FAISS practice: TRAIN on a bounded sample, ENCODE everything,
+  * then serve queries against the stored index; the raw corpus is read once
+  * at build time and never again at query time).
+  *
+  * Index layout under a directory (all plain parquet — any engine can read
+  * or replicate it):
+  *   - `params.parquet`     one row: kind + (n_cells, m, k_codes, dims)
+  *   - `centroids.parquet`  IVF coarse centroids (cell, centroid)   [ivf, ivfpq]
+  *   - `codebooks.parquet`  PQ codebooks (sub, code, centroid)      [pq, ivfpq]
+  *   - `vectors.parquet`    cell-assigned raw vectors, PARTITIONED BY cell [ivf]
+  *   - `codes.parquet`      encoded codes (vec_id, codes[, cell]),
+  *                          PARTITIONED BY cell for ivfpq
+  *
+  * The cell partitioning is the scale story: a probe joins a handful of
+  * cells against the index, and with the tiny probe side broadcast, Spark's
+  * dynamic partition pruning can skip every non-probed cell directory —
+  * query I/O is bounded by nprobe/nCells of the index, not its size.
+  *
+  * SEARCH reuses [[Similarity.ivfSearch]] / [[Similarity.pqSearch]] /
+  * [[Similarity.ivfpqSearch]] — the same code the in-memory `*TopK` paths
+  * run — so a persisted index returns BIT-IDENTICAL results to an in-memory
+  * build of the same corpus (pinned in AnnIndexSpec and the
+  * `q_ann_*_persist` oracle faces).
+  *
+  * APPEND ([[appendIvfPq]]) encodes new vectors with the FROZEN trained
+  * artifacts (no retrain — the standard incremental-maintenance contract:
+  * codebooks drift only on an explicit rebuild) and appends their codes;
+  * existing codes are never rewritten, so old-query results only change
+  * where a new vector genuinely enters a top-k.
+  */
+object AnnIndex {
+
+  private def paramsDf(spark: SparkSession, kind: String, nCells: Int,
+      m: Int, kCodes: Int, dims: Int): DataFrame = {
+    import spark.implicits._
+    Seq((kind, nCells, m, kCodes, dims))
+      .toDF("kind", "n_cells", "m", "k_codes", "dims")
+  }
+
+  /** (kind, nCells, m, kCodes, dims) of a stored index. */
+  def readParams(spark: SparkSession, dir: String): (String, Int, Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params.parquet").head()
+    (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+  }
+
+  // ── IVF ────────────────────────────────────────────────────────────────
+
+  /** Train + assign (the build half of [[Similarity.ivfTopK]], verbatim):
+    * bounded-sample Lloyd-refined centroids, then one narrow-map cell
+    * assignment over the corpus. */
+  def buildIvf(corpus: DataFrame, nCells: Int = 16, refineIters: Int = 1,
+      maxTrain: Int = 4096): (DataFrame, DataFrame) = {
+    val train = Similarity.trainingSample(corpus, maxTrain).cache()
+    val cents = (0 until refineIters)
+      .foldLeft(Similarity.ivfCentroids(train, nCells))(
+        (c, _) => Similarity.ivfRefine(train, c)).cache()
+    (cents, Similarity.ivfAssign(corpus, cents))
+  }
+
+  /** Persist an IVF index: bounded centroids plain, corpus vectors
+    * partitioned by cell (the pruning axis every probe filters on). */
+  def writeIvf(dir: String, cents: DataFrame, indexed: DataFrame,
+      nCells: Int): Unit = {
+    paramsDf(cents.sparkSession, "ivf", nCells, 0, 0, 0)
+      .write.mode("overwrite").parquet(s"$dir/params.parquet")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    indexed.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/vectors.parquet")
+  }
+
+  /** (centroids, indexed) of a stored IVF index. The hive partition column
+    * comes back type-inferred (int) — cast to long restores the build-side
+    * schema exactly. */
+  def readIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val indexed = spark.read.parquet(s"$dir/vectors.parquet")
+      .withColumn("cell", col("cell").cast("long"))
+    (cents, indexed)
+  }
+
+  /** Search a stored IVF index — [[Similarity.ivfSearch]] over the read-back
+    * artifacts. */
+  def searchIvf(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val (cents, indexed) = readIvf(spark, dir)
+    // the search halves broadcast the bounded centroid/codebook artifacts
+    // themselves — no hinting needed here
+    Similarity.ivfSearch(cents, indexed, queries, k, nprobe)
+  }
+
+  // ── PQ ─────────────────────────────────────────────────────────────────
+
+  /** Train + encode (the build half of [[Similarity.pqTopK]], verbatim). */
+  def buildPq(corpus: DataFrame, m: Int = 8, kCodes: Int = 16,
+      dims: Int = 64, refineIters: Int = 1,
+      maxTrain: Int = 4096): (DataFrame, DataFrame) = {
+    val train = Similarity.trainingSample(corpus, maxTrain).cache()
+    val books = (0 until refineIters)
+      .foldLeft(Similarity.pqCodebooks(train, m, kCodes, dims))(
+        (b, _) => Similarity.pqRefineCodebooks(train, b, m, dims)).cache()
+    (books, Similarity.pqEncode(corpus, books, m, dims))
+  }
+
+  def writePq(dir: String, books: DataFrame, codes: DataFrame,
+      m: Int, kCodes: Int, dims: Int): Unit = {
+    paramsDf(books.sparkSession, "pq", 0, m, kCodes, dims)
+      .write.mode("overwrite").parquet(s"$dir/params.parquet")
+    books.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  def readPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/codebooks.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"))
+
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val (_, _, m, _, dims) = readParams(spark, dir)
+    val (books, codes) = readPq(spark, dir)
+    Similarity.pqSearch(books, codes, queries, k, m, dims)
+  }
+
+  // ── IVF+PQ ─────────────────────────────────────────────────────────────
+
+  /** Train + encode the hybrid index (the build half of
+    * [[Similarity.ivfpqTopK]], verbatim): one bounded training sample feeds
+    * both the coarse quantizer and the PQ codebooks. */
+  def buildIvfPq(corpus: DataFrame, nCells: Int = 16, m: Int = 8,
+      kCodes: Int = 16, dims: Int = 64, refineIters: Int = 1,
+      maxTrain: Int = 4096): (DataFrame, DataFrame, DataFrame) = {
+    val train = Similarity.trainingSample(corpus, maxTrain).cache()
+    val cents = (0 until refineIters)
+      .foldLeft(Similarity.ivfCentroids(train, nCells))(
+        (c, _) => Similarity.ivfRefine(train, c)).cache()
+    val cells = Similarity.ivfAssign(corpus, cents)
+      .select(col("vec_id"), col("cell"))
+    val books = (0 until refineIters)
+      .foldLeft(Similarity.pqCodebooks(train, m, kCodes, dims))(
+        (b, _) => Similarity.pqRefineCodebooks(train, b, m, dims)).cache()
+    val codes = Similarity.pqEncode(corpus, books, m, dims)
+      .join(cells, Seq("vec_id"))
+    (cents, books, codes)
+  }
+
+  def writeIvfPq(dir: String, cents: DataFrame, books: DataFrame,
+      codes: DataFrame, nCells: Int, m: Int, kCodes: Int, dims: Int): Unit = {
+    paramsDf(cents.sparkSession, "ivfpq", nCells, m, kCodes, dims)
+      .write.mode("overwrite").parquet(s"$dir/params.parquet")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    books.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids.parquet"),
+      spark.read.parquet(s"$dir/codebooks.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet")
+        .withColumn("cell", col("cell").cast("long")))
+
+  def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val (_, _, m, _, dims) = readParams(spark, dir)
+    val (cents, books, codes) = readIvfPq(spark, dir)
+    Similarity.ivfpqSearch(cents, books, codes, queries, k, nprobe, m, dims)
+  }
+
+  /** Incremental maintenance: encode `delta` vectors with the FROZEN stored
+    * centroids + codebooks (no retrain) and APPEND their codes to the
+    * index. Existing code files are untouched — per-cell parquet append —
+    * so the operation is O(|delta|) regardless of index size, and a
+    * re-search of old queries returns the prior result except where a new
+    * vector genuinely outranks an old neighbor (pinned in AnnIndexSpec).
+    * Quantization error on the delta drifts only as far as the data does;
+    * an explicit rebuild refreshes the codebooks. */
+  def appendIvfPq(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    val (kind, _, m, _, dims) = readParams(spark, dir)
+    require(kind == "ivfpq", s"appendIvfPq on a '$kind' index")
+    val (cents, books, _) = readIvfPq(spark, dir)
+    val cells = Similarity.ivfAssign(delta, cents)
+      .select(col("vec_id"), col("cell"))
+    Similarity.pqEncode(delta, books, m, dims)
+      .join(cells, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/codes.parquet")
+  }
+}

@@ -442,6 +442,18 @@ object Similarity {
     val cents = (0 until refineIters)
       .foldLeft(boot)((c, _) => ivfRefine(train, c)).cache()
     val indexed = ivfAssign(corpus, cents)
+    ivfSearch(cents, indexed, queries, k, nprobe)
+  }
+
+  /** IVF SEARCH half, over a prebuilt index (trained `cents` + cell-assigned
+    * `indexed` (vec_id, embedding, cell)): probe the `nprobe`
+    * highest-cosine cells per query, exact cosine only within them. Shared
+    * verbatim by [[ivfTopK]] (in-memory build) and
+    * [[AnnIndex]] (parquet-persisted build) — one copy of the probe/score/
+    * rank tail is what makes persisted-index search bit-identical to the
+    * in-memory path by construction. */
+  def ivfSearch(cents: DataFrame, indexed: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val qScored = queries.join(broadcast(cents))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
         (dot(col("embedding"), col("centroid")) /
@@ -611,6 +623,17 @@ object Similarity {
         (b, _) => pqRefineCodebooks(train, b, m, dims))
       .cache()
     val codes = pqEncode(corpus, books, m, dims)
+    pqSearch(books, codes, queries, k, m, dims)
+  }
+
+  /** PQ/ADC SEARCH half over a prebuilt index (trained `books` + encoded
+    * `codes` (vec_id, codes)): each query precomputes its m×k distance
+    * table against the codebooks (tiny, broadcast); each corpus vector's
+    * approximate distance is the INTEGER sum of its m table lookups. Shared
+    * verbatim by [[pqTopK]] and [[AnnIndex]] — the raw embeddings never
+    * move at query time. */
+  def pqSearch(books: DataFrame, codes: DataFrame, queries: DataFrame,
+      k: Int, m: Int, dims: Int): DataFrame = {
     val dtab = queries
       .select(col("vec_id").as("qid"),
         explode(subvectors(col("embedding"), m, dims)).as("e"))
@@ -653,6 +676,16 @@ object Similarity {
         (b, _) => pqRefineCodebooks(train, b, m, dims))
       .cache()
     val codes = pqEncode(corpus, books, m, dims).join(cells, Seq("vec_id"))
+    ivfpqSearch(cents, books, codes, queries, k, nprobe, m, dims)
+  }
+
+  /** IVF+PQ SEARCH half over a prebuilt hybrid index (trained `cents` +
+    * `books` + encoded `codes` (vec_id, codes, cell)): probed cells bound
+    * the candidates, PQ codes score them via ADC table lookups — query
+    * time never touches raw corpus embeddings. Shared verbatim by
+    * [[ivfpqTopK]] and [[AnnIndex]]. */
+  def ivfpqSearch(cents: DataFrame, books: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, m: Int, dims: Int): DataFrame = {
     val qScored = queries.join(broadcast(cents))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
         (dot(col("embedding"), col("centroid")) /

@@ -1,0 +1,80 @@
+package graft.perf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.AnnIndex
+
+/** Search-only ANN benchmark over PERSISTED indexes (round-8 judge task 1):
+  * the `q_embed_ann_*` face numbers conflate per-run index (re)training with
+  * search; the deployed shape builds once and serves many queries. This main
+  * separates the two: per index kind it times BUILD+WRITE once, then
+  * `searches` repeated stored-index searches (median reported), printing one
+  * JSON line:
+  *   {"metric":"ann_search","sf":...,"build":{...},"search_median":{...}}
+  *
+  * Env: SPARK_GRAFT_SF_DIR (corpus), SPARK_GRAFT_ANN_DIR (index root,
+  * default a temp dir), SPARK_GRAFT_ANN_RUNS (search repeats, default 5).
+  */
+object AnnBench {
+
+  private def sink(df: DataFrame): Unit =
+    df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => {
+      while (it.hasNext) it.next()
+    })
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_ANN_RUNS", "5").toInt
+    val root = sys.env.getOrElse("SPARK_GRAFT_ANN_DIR",
+      java.nio.file.Files.createTempDirectory("graft-annbench").toString)
+    val spark = graft.Tables.session("graft-annbench")
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.register(spark, sfDir)
+    val e = spark.table("embeddings")
+    val q = e.filter(col("vec_id") < 10).cache()
+    sink(q.toDF())
+
+    // build once per kind (timed: train + encode + write)
+    val buildT = Seq(
+      "ivf" -> time {
+        val (c, ix) = AnnIndex.buildIvf(e, nCells = 16, refineIters = 2)
+        AnnIndex.writeIvf(s"$root/ivf", c, ix, nCells = 16)
+      },
+      "pq" -> time {
+        val (b, codes) = AnnIndex.buildPq(e, kCodes = 64, refineIters = 2)
+        AnnIndex.writePq(s"$root/pq", b, codes, m = 8, kCodes = 64, dims = 64)
+      },
+      "ivfpq" -> time {
+        val (c, b, codes) = AnnIndex.buildIvfPq(e, kCodes = 64, refineIters = 2)
+        AnnIndex.writeIvfPq(s"$root/ivfpq", c, b, codes,
+          nCells = 16, m = 8, kCodes = 64, dims = 64)
+      })
+
+    // search many: one warm-up + `runs` timed searches per kind
+    def searches(kind: String, once: () => DataFrame): (String, Double) = {
+      sink(once())
+      kind -> median((1 to runs).map(_ => time(sink(once()))))
+    }
+    val searchT = Seq(
+      searches("ivf", () => AnnIndex.searchIvf(spark, s"$root/ivf", q, 3, 4)),
+      searches("pq", () => AnnIndex.searchPq(spark, s"$root/pq", q, 3)),
+      searches("ivfpq",
+        () => AnnIndex.searchIvfPq(spark, s"$root/ivfpq", q, 3, nprobe = 8)))
+
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"ann_search","sf":"$sfDir","runs":$runs,""" +
+      s""""build":${obj(buildT)},"search_median":${obj(searchT)}}"""
+    spark.stop()
+    println(json)
+  }
+}

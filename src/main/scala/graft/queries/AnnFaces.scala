@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{AnnIndex, Similarity}
+
+/** Persisted-ANN-index faces (round-8 judge task 1): build an index ONCE,
+  * write its artifacts to parquet, read them back, and search — pinned
+  * BIT-IDENTICAL to the in-memory build-and-search of the same corpus. This
+  * is the 100 TB deployment shape (build once / search many); the in-memory
+  * `q_embed_ann_*` faces remain the quality (hit-rate) surface.
+  *
+  * Each face emits per-query (or one-row) comparison booleans; the DuckDB
+  * oracle asserts the exact expected shape (TRUE everywhere), so a
+  * hash-green row certifies the persisted path end-to-end: train → write →
+  * read → search ≡ train → search.
+  *
+  * The index write is an index-build side effect into a fresh temp dir per
+  * run (same contract as the q_csv/jsonl_roundtrip faces).
+  */
+object AnnFaces {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Per-qid comparison of two top-k results expected to be bit-identical:
+    * full-outer join on (qid, rk), every row must agree on (cid, score). */
+  private def compareTopK(mem: DataFrame, per: DataFrame,
+      scoreCol: String): DataFrame = {
+    val m = mem.select(col("qid"), col("rk"), col("cid").as("m_cid"),
+      col(scoreCol).as("m_s"))
+    val p = per.select(col("qid"), col("rk"), col("cid").as("p_cid"),
+      col(scoreCol).as("p_s"))
+    m.join(p, Seq("qid", "rk"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bool_and(m_cid = p_cid AND m_s = p_s)"), lit(false))
+          .as("identical"))
+      .orderBy(col("qid"))
+  }
+
+  private def tempIndexDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val AnnOracle =
+    """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_rows, TRUE AS identical
+      FROM embeddings WHERE vec_id < 10 ORDER BY qid"""
+
+  val queries: Seq[Q] = Seq(
+    // ── IVF: persist centroids + cell-partitioned vectors, search the
+    //    stored index, pin ≡ in-memory (same params as q_embed_ann_ivf) ────
+    Q(
+      "q_ann_ivf_persist",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-ivf")
+        val (cents, indexed) = AnnIndex.buildIvf(e, nCells = 16, refineIters = 2)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        compareTopK(
+          Similarity.ivfSearch(cents, indexed, q, 3, nprobe = 4),
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4), "cos")
+      },
+      Some(AnnOracle)),
+
+    // ── PQ: persist codebooks + codes, search stored, pin ≡ in-memory
+    //    (same params as q_embed_ann_pq) ────────────────────────────────────
+    Q(
+      "q_ann_pq_persist",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-pq")
+        val (books, codes) = AnnIndex.buildPq(e, kCodes = 64, refineIters = 2)
+        AnnIndex.writePq(idx, books, codes, m = 8, kCodes = 64, dims = 64)
+        compareTopK(
+          Similarity.pqSearch(books, codes, q, 3, m = 8, dims = 64),
+          AnnIndex.searchPq(s, idx, q, 3), "adist")
+      },
+      Some(AnnOracle)),
+
+    // ── IVF+PQ hybrid: persist all three artifact sets, search stored,
+    //    pin ≡ in-memory (same params as q_embed_ann_ivfpq) ─────────────────
+    Q(
+      "q_ann_ivfpq_persist",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-ivfpq")
+        val (cents, books, codes) =
+          AnnIndex.buildIvfPq(e, kCodes = 64, refineIters = 2)
+        AnnIndex.writeIvfPq(idx, cents, books, codes,
+          nCells = 16, m = 8, kCodes = 64, dims = 64)
+        compareTopK(
+          Similarity.ivfpqSearch(cents, books, codes, q, 3, nprobe = 8,
+            m = 8, dims = 64),
+          AnnIndex.searchIvfPq(s, idx, q, 3, nprobe = 8), "adist")
+      },
+      Some(AnnOracle)),
+
+    // ── incremental maintenance: build+persist on 3/4 of the corpus,
+    //    APPEND the remaining 1/4 encoded with the FROZEN artifacts (no
+    //    retrain), then pin (a) the appended code set ≡ a one-shot frozen
+    //    encode of the full corpus, per vec_id, and (b) search over the
+    //    appended index ≡ the in-memory search tail over those codes ────────
+    Q(
+      "q_ann_ivfpq_append",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+        val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-append")
+        val (cents, books, baseCodes) =
+          AnnIndex.buildIvfPq(base, kCodes = 64, refineIters = 2)
+        AnnIndex.writeIvfPq(idx, cents, books, baseCodes,
+          nCells = 16, m = 8, kCodes = 64, dims = 64)
+        AnnIndex.appendIvfPq(s, idx, delta)
+        // one-shot frozen encode of the union — what append must equal
+        val unionCodes = Similarity.pqEncode(e, books, m = 8, dims = 64)
+          .join(Similarity.ivfAssign(e, cents).select(col("vec_id"), col("cell")),
+            Seq("vec_id"))
+        val (_, _, storedCodes) = AnnIndex.readIvfPq(s, idx)
+        val codeCmp = storedCodes
+          .select(col("vec_id"), col("codes").as("a_codes"), col("cell").as("a_cell"))
+          .join(unionCodes.select(col("vec_id"), col("codes").as("b_codes"),
+            col("cell").as("b_cell")), Seq("vec_id"), "full_outer")
+          .agg(count(lit(1)).as("n_codes"),
+            coalesce(expr("bool_and(a_codes = b_codes AND a_cell = b_cell)"),
+              lit(false)).as("codes_identical"))
+        val searchCmp = compareTopK(
+          Similarity.ivfpqSearch(cents, books, unionCodes, q, 3, nprobe = 8,
+            m = 8, dims = 64),
+          AnnIndex.searchIvfPq(s, idx, q, 3, nprobe = 8), "adist")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("search_identical"))
+        codeCmp.crossJoin(broadcast(searchCmp))
+      },
+      Some("""SELECT COUNT(*) AS n_codes, TRUE AS codes_identical,
+          CAST(30 AS BIGINT) AS n_search_rows, TRUE AS search_identical
+        FROM embeddings""")))
+}

@@ -22,7 +22,8 @@ object Registry {
     Relational.queries ++ Analytics.queries ++ Extensions.queries ++
       EventsAnalytics.queries ++ CorpusAnalytics.queries ++
       SearchAnalytics.queries ++ CurationAnalytics.queries ++
-      BehaviorAnalytics.queries ++ TemplateAnalogs.queries
+      BehaviorAnalytics.queries ++ TemplateAnalogs.queries ++
+      AnnFaces.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

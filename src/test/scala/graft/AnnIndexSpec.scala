@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{AnnIndex, Similarity}
+
+/** Persisted ANN index lifecycle (round-8 task 1/8): stored-index search is
+  * bit-identical to the in-memory build, and incremental append with frozen
+  * artifacts neither rewrites old codes nor perturbs old-query results
+  * beyond genuine new-neighbor entries. */
+class AnnIndexSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private lazy val emb = Tables(spark, sf, "embeddings").cache()
+  private lazy val q10 = emb.filter(col("vec_id") < 10)
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("every q_ann_* face reports identical persisted-vs-memory results") {
+    for (name <- Seq("q_ann_ivf_persist", "q_ann_pq_persist",
+        "q_ann_ivfpq_persist")) {
+      val rows = graft.queries.Registry.byName(name).build(spark, sf).collect()
+      assert(rows.nonEmpty, s"$name returned no rows")
+      assert(rows.forall(_.getAs[Boolean]("identical")),
+        s"$name: persisted search diverged from in-memory")
+    }
+  }
+
+  test("append face: frozen-encode equality and search equality hold") {
+    val r = graft.queries.Registry.byName("q_ann_ivfpq_append")
+      .build(spark, sf).head()
+    assert(r.getAs[Boolean]("codes_identical"))
+    assert(r.getAs[Boolean]("search_identical"))
+    assert(r.getAs[Long]("n_codes") == emb.count())
+  }
+
+  test("append never rewrites old codes: pre-append search reproducible") {
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val delta = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val idx = tmp("graft-annspec-append")
+    val (cents, books, baseCodes) =
+      AnnIndex.buildIvfPq(base, kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx, cents, books, baseCodes,
+      nCells = 16, m = 8, kCodes = 64, dims = 64)
+    val before = AnnIndex.searchIvfPq(spark, idx, q10, 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    AnnIndex.appendIvfPq(spark, idx, delta)
+    // restricting the appended index to the base ids reproduces the
+    // pre-append result EXACTLY: append touched no existing code files
+    val (c2, b2, codes2) = AnnIndex.readIvfPq(spark, idx)
+    val baseOnly = codes2.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val after = Similarity.ivfpqSearch(c2, b2, baseOnly, q10, 3, nprobe = 8,
+        m = 8, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(after == before)
+  }
+
+  test("stored IVF search never scans the corpus embeddings at query time for ivfpq") {
+    // the IVFPQ query-time plan reads codes + bounded artifacts only — the
+    // raw vectors.parquet/embedding column never appears in the scan set
+    val idx = tmp("graft-annspec-scan")
+    val (cents, books, codes) =
+      AnnIndex.buildIvfPq(emb, kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx, cents, books, codes,
+      nCells = 16, m = 8, kCodes = 64, dims = 64)
+    val plan = AnnIndex.searchIvfPq(spark, idx, q10, 3, nprobe = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("vectors.parquet"),
+      "ivfpq search must not touch raw corpus vectors")
+  }
+}
