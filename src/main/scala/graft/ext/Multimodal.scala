@@ -60,13 +60,37 @@ object Multimodal {
     }
   }
 
-  /** A real media decoder would go here; stubbed — container has no codecs.
-    * Wire format / plumbing identical to [[ByteHistogramExtractor]]. */
+  /** REAL image feature extraction (round 8 — images are no longer
+    * stubbed): decode the payload with `javax.imageio` ([[ImageCodec]],
+    * JDK-built-in PNG/JPEG support) and emit a 16-bin LUMINANCE histogram
+    * over actual pixels, L1-normalized — the pixel-space analog of
+    * [[ByteHistogramExtractor]]'s byte histogram. Same wire format /
+    * per-partition batch shape. */
+  class ImageDecodeExtractor extends FeatureExtractor {
+    val dims = 16
+    def extract(payload: Array[Byte]): Array[Float] = {
+      val h = new Array[Float](dims)
+      if (payload == null) return h
+      val (_, _, pix) = ImageCodec.decodeGray(payload)
+      var i = 0
+      while (i < pix.length) { h(pix(i) >> 4) += 1f; i += 1 }
+      val total = pix.length.max(1).toFloat
+      var j = 0
+      while (j < dims) { h(j) /= total; j += 1 }
+      h
+    }
+  }
+
+  /** A real VIDEO/AUDIO-container decoder would go here; still stubbed —
+    * this environment has no av codecs (images are covered by
+    * [[ImageDecodeExtractor]]). Wire format / plumbing identical to
+    * [[ByteHistogramExtractor]]. */
   class MediaDecodeExtractor extends FeatureExtractor {
     val dims = 16
     def extract(payload: Array[Byte]): Array[Float] =
       throw new UnsupportedOperationException(
-        "media codecs unavailable in this environment; use ByteHistogramExtractor")
+        "video/audio codecs unavailable in this environment; " +
+          "use ImageDecodeExtractor (images) or ByteHistogramExtractor")
   }
 
   /** Batch feature extraction over (media_id, payload): one extractor per
@@ -86,6 +110,89 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic PNG fixture images keyed to the documents table: doc i
+    * becomes a ((i%13)+8) × ((i%11)+8) grayscale gradient with
+    * pixel(x, y) = (x + y + i) mod 256, ENCODED AS REAL PNG BYTES on the
+    * executors ([[ImageCodec.encodeGrayPng]]). Because the pixel formula is
+    * pure integer arithmetic and PNG is lossless, a SQL oracle can predict
+    * every statistic a real decode of these payloads produces — which is
+    * what lets q_media_image_decode hash-check the javax.imageio path
+    * end-to-end. Narrow map (mapPartitions); payloads never hit the
+    * driver. */
+  def imagePayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false))), nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 13).toInt + 8
+        val h = (id % 11).toInt + 8
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { pix(y * w + x) = ((x + y + id) % 256).toInt; x += 1 }
+          y += 1
+        }
+        Row(id, ImageCodec.encodeGrayPng(w, h, pix), Row("image/png", w, h))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL image decode per media row: `javax.imageio` decodes the payload
+    * and emits the decoded dimensions, the exact integer luminance sum, and
+    * the aHash bit string computed FROM DECODED PIXELS (not from raw
+    * bytes). Narrow map, one decoder init per partition, nothing on the
+    * driver. */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_lum", LongType, nullable = false),
+      StructField("phash_bits", StringType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, pix) = ImageCodec.decodeGray(r.getAs[Array[Byte]](1))
+          var sum = 0L; var i = 0
+          while (i < pix.length) { sum += pix(i); i += 1 }
+          Row(r.getLong(0), w, h, pix.length.toLong, sum,
+            ImageCodec.aHashBits(w, h, pix))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL image resize: decode ([[ImageCodec.decodeGray]]) → integer
+    * box-average downsample to exactly (tw, th) → re-encode as PNG, with
+    * metadata recomputed in the same row. Deterministic across JVMs (our
+    * own integer resampler, not Graphics2D interpolation), so the output of
+    * a second decode is SQL-predictable — pinned by q_media_image_decode's
+    * r_sum_lum column. Narrow map. */
+  def resizeImage(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, pix) = ImageCodec.decodeGray(r.getAs[Array[Byte]](1))
+          val out = ImageCodec.areaResample(w, h, pix, tw, th)
+          Row(r.getLong(0), ImageCodec.encodeGrayPng(tw, th, out),
+            Row("image/png", tw, th))
+        }
+      }
+    spark.createDataFrame(rdd, payloadSchema)
   }
 
   /** Image resize plumbing: payload → payload' with updated metadata. The

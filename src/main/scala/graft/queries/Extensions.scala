@@ -1504,6 +1504,57 @@ object Extensions {
           CAST(LEAST(h_in, 64) AS BIGINT) AS h_out
         FROM m ORDER BY media_id""")),
 
+    // ── REAL image decode (round 8, javax.imageio — no longer stubbed):
+    //    deterministic grayscale-gradient PNG fixtures are ENCODED on the
+    //    executors, decoded back, and every emitted statistic — decoded
+    //    dims, exact luminance sum, aHash bit string from decoded pixels,
+    //    and the luminance sum after a real resize (integer box-average
+    //    resample → PNG re-encode → second decode) — is reproduced by the
+    //    oracle from the integer generation formula ALONE. Hash-green
+    //    certifies the decode path operates on real pixels end-to-end ───────
+    Q(
+      "q_media_image_decode",
+      (s, dir) => {
+        import graft.ext.Multimodal
+        val d = t(s, dir, "documents")
+        val imgs = Multimodal.imagePayload(d)
+        val stats = Multimodal.decodeImageStats(imgs)
+        val resized = Multimodal
+          .decodeImageStats(Multimodal.resizeImage(imgs, 8, 8))
+          .select(col("media_id"), col("sum_lum").as("r_sum_lum"))
+        stats.join(resized, Seq("media_id"))
+          .select(col("media_id"), col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"), col("n_pixels"),
+            col("sum_lum"), col("phash_bits"), col("r_sum_lum"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 13) + 8 AS w,
+            (doc_id % 11) + 8 AS h FROM documents),
+          px AS (SELECT doc_id, w, h, x, y, (x + y + doc_id) % 256 AS v
+            FROM d
+            CROSS JOIN UNNEST(generate_series(0, w - 1)) AS sx(x)
+            CROSS JOIN UNNEST(generate_series(0, h - 1)) AS sy(y)),
+          tot AS (SELECT doc_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+              SUM(v) AS total_sum, COUNT(*) AS n
+            FROM px GROUP BY 1),
+          cell AS (SELECT doc_id, (y * 8) // h AS cj, (x * 8) // w AS ci,
+              SUM(v) AS cs, COUNT(*) AS cn
+            FROM px GROUP BY 1, 2, 3),
+          bits AS (SELECT c.doc_id, cj * 8 + ci AS bit,
+              CASE WHEN c.cs * t.n > t.total_sum * c.cn THEN '1' ELSE '0'
+                END AS b
+            FROM cell c JOIN tot t USING (doc_id)),
+          ph AS (SELECT doc_id, STRING_AGG(b, '' ORDER BY bit) AS phash_bits
+            FROM bits GROUP BY 1),
+          rs AS (SELECT doc_id, SUM(cs // cn) AS r_sum_lum
+            FROM cell GROUP BY 1)
+        SELECT t.doc_id AS media_id, CAST(t.w AS BIGINT) AS width,
+          CAST(t.h AS BIGINT) AS height, CAST(t.n AS BIGINT) AS n_pixels,
+          CAST(t.total_sum AS BIGINT) AS sum_lum, ph.phash_bits,
+          CAST(rs.r_sum_lum AS BIGINT) AS r_sum_lum
+        FROM tot t JOIN ph USING (doc_id) JOIN rs USING (doc_id)
+        ORDER BY media_id""")),
+
     // ── multimodal frame-sampling plumbing, oracle-checked: fixed-size
     //    chunker stub → every-2nd-frame rows; per-media frame counts and
     //    byte totals are exact arithmetic over the payload length ───────────
