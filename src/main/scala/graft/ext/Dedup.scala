@@ -206,9 +206,12 @@ object Dedup {
     * slack — computed per doc, so output equality with [[jaccardPairs]]
     * holds at EVERY set size, not just below 1/ε shingles.
     */
-  def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  /** CANDIDATE stage of [[jaccardPairsPrefix]], exposed so scale
+    * rehearsals can measure candidate volume (the prefix join's cost
+    * driver) separately from verification: unordered (id_a, id_b) pairs
+    * sharing ≥1 prefix shingle and passing the size filter. */
+  def prefixCandidates(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val threshold = tNum.toDouble / tDen
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     // per-doc shingles ordered rarest-first; keep only the prefix
@@ -222,7 +225,7 @@ object Dedup {
         col("n_sh") - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1 +
         expr("(n_sh + 1999999) div 2000000"))
       .select(col("doc_id"), col("shingle"), col("n_sh"))
-    val cand = prefix.select(col("doc_id").as("id_a"), col("shingle"), col("n_sh").as("na"))
+    prefix.select(col("doc_id").as("id_a"), col("shingle"), col("n_sh").as("na"))
       .join(prefix.select(col("doc_id").as("id_b"), col("shingle"), col("n_sh").as("nb")),
         Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
@@ -234,6 +237,12 @@ object Dedup {
           col("na") * tDen + expr(s"$tDen * ((nb + 1999999) div 2000000)"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val threshold = tNum.toDouble / tDen
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand = prefixCandidates(sh, tNum, tDen)
     // exact verification on candidates only
     val common = cand
       .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))

@@ -1,0 +1,36 @@
+package graft.perf
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Dedup slope attribution probe (round-8 judge task 4): per corpus,
+  * counts the VOLUME drivers of the prefix-filtered set-similarity join —
+  * shingle rows, prefix-candidate pairs, and verified near-dup pairs — so
+  * a super-2× wall-clock slope can be split into "more work per row"
+  * (a plan defect) vs "more genuine near-dup pairs per row" (a corpus
+  * density property). Prints one JSON line per SF dir in
+  * SPARK_GRAFT_PROBE_DIRS (comma-separated).
+  */
+object DedupProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIRS",
+      "/root/testdata/sf0.1").split(',').map(_.trim).filter(_.nonEmpty)
+    val spark = graft.Tables.session("graft-dedup-probe",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- dirs) {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val sh = Dedup.shingles(d, "doc_id", "text", 3).cache()
+      val nDocs = d.count()
+      val nSh = sh.count()
+      val nCand = Dedup.prefixCandidates(sh, 4, 5).count()
+      val nPairs = Dedup.jaccardPairsPrefix(sh, 4, 5).count()
+      sh.unpersist()
+      println(s"""{"probe":"dedup","dir":"$dir","docs":$nDocs,""" +
+        s""""shingle_rows":$nSh,"prefix_candidates":$nCand,""" +
+        s""""verified_pairs":$nPairs}""")
+    }
+    spark.stop()
+  }
+}

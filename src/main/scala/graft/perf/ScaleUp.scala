@@ -42,7 +42,12 @@ object ScaleUp {
 
   /** Vowel rotation for replica r (r=0 → identity). Preserves length,
     * whitespace, and character class mix; changes shingles wholesale.
-    */
+    * NOTE (round-8 slope attribution): only 5 distinct rotations exist, so
+    * replicas i and i+5 carry IDENTICAL text — at n=10 every doc gains one
+    * exact cross-replica twin, which grows near-dup pair density with the
+    * corpus. That is a legitimate corpus shape (scraper overlap), kept as
+    * the default for cross-round comparability; `distinct` mode below is
+    * the control with density held constant per replica. */
   private def rotateText(c: org.apache.spark.sql.Column,
       r: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val lower = "aeiou"; val upper = "AEIOU"
@@ -52,6 +57,41 @@ object ScaleUp {
       val up = upper.drop(rot) + upper.take(rot)
       when(r === i, translate(c, lower + upper, lo + up)).otherwise(acc)
     }
+  }
+
+  /** Injective per-replica text transform (`SPARK_GRAFT_TEXT_MODE=distinct`):
+    * vowels rotate by r mod 5 AND consonants rotate by (r/5) mod 20 — 100
+    * distinct compositions, so NO two replicas share a transform and
+    * near-dup structure replicates exactly linearly (each replica is a
+    * self-contained corpus with the sf0.1 duplicate density). Same
+    * length/whitespace/class-mix preservation as [[rotateText]]. */
+  private def rotateTextDistinct(c: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val vowels = "aeiou"; val cons = "bcdfghjklmnpqrstvwxz"
+    def rot(s: String, k: Int) = s.drop(k % s.length) + s.take(k % s.length)
+    (1 until n).foldLeft(c) { (acc, i) =>
+      val from = vowels + vowels.toUpperCase + cons + cons.toUpperCase
+      val to = rot(vowels, i % 5) + rot(vowels.toUpperCase, i % 5) +
+        rot(cons, i / 5) + rot(cons.toUpperCase, i / 5)
+      when(r === i, translate(c, from, to)).otherwise(acc)
+    }
+  }
+
+  /** Injective per-replica embedding transform
+    * (`SPARK_GRAFT_EMB_MODE=distinct`): rotate the vector by r mod dims
+    * positions and negate when r ≥ dims — norm- and
+    * distribution-preserving, but every replica points in a genuinely
+    * different direction (the legacy copy mode gives each vector n−1
+    * identical twins, which degenerates ANN/SemDeDup rehearsals at large
+    * n). Generic column arithmetic — no per-replica branching. */
+  private def rotateEmbedding(e: org.apache.spark.sql.Column,
+      r: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dims = size(e)
+    val shift = pmod(r, dims)
+    val rotated = concat(
+      slice(e, (shift + 1).cast("int"), (dims - shift).cast("int")),
+      slice(e, lit(1), shift.cast("int")))
+    when(r >= dims, transform(rotated, v => negate(v))).otherwise(rotated)
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,13 +128,20 @@ object ScaleUp {
       offsetKeys(replicate(spark.table("events"), n),
         Seq("event_id", "user_id")), 8)
 
+    val textMode = sys.env.getOrElse("SPARK_GRAFT_TEXT_MODE", "rot5")
+    val embMode = sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "copy")
     val docs = replicate(spark.table("documents"), n)
     write("documents",
       offsetKeys(docs, Seq("doc_id"))
-        .withColumn("text", rotateText(col("text"), col("r"), n)), 8)
+        .withColumn("text",
+          if (textMode == "distinct") rotateTextDistinct(col("text"), col("r"), n)
+          else rotateText(col("text"), col("r"), n)), 8)
 
+    val emb = offsetKeys(replicate(spark.table("embeddings"), n), Seq("vec_id"))
     write("embeddings",
-      offsetKeys(replicate(spark.table("embeddings"), n), Seq("vec_id")), 4)
+      if (embMode == "distinct")
+        emb.withColumn("embedding", rotateEmbedding(col("embedding"), col("r")))
+      else emb, 4)
 
     spark.stop()
     println(s"[scaleup] done: $out (${n}x $src)")
