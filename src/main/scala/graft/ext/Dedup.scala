@@ -210,7 +210,12 @@ object Dedup {
     * rehearsals can measure candidate volume (the prefix join's cost
     * driver) separately from verification: unordered (id_a, id_b) pairs
     * sharing ≥1 prefix shingle and passing the size filter. */
-  def prefixCandidates(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  /** Prefix postings of [[jaccardPairsPrefix]] — each doc's
+    * (n − ⌈τn⌉ + 1 (+ε)) rarest shingles, the only rows that generate
+    * candidates. Exposed for scale diagnostics: Σ_shingle C(postings, 2) is
+    * the raw self-join match volume the candidate stage pays BEFORE
+    * dedup/size filters. */
+  def prefixPostings(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
@@ -218,15 +223,21 @@ object Dedup {
     // (n − ⌈τn⌉ + 1, plus ⌈ε·n⌉ slack for the rounded-threshold epsilon;
     // ε = 5e-7 → slack = ceil(n / 2e6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
-    val prefix = sh.join(dfreq, "shingle")
+    sh.join(dfreq, "shingle")
       .withColumn("__pos", row_number().over(w))
       .join(counts, "doc_id")
       .filter(col("__pos") <=
         col("n_sh") - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1 +
         expr("(n_sh + 1999999) div 2000000"))
-      .select(col("doc_id"), col("shingle"), col("n_sh"))
-    prefix.select(col("doc_id").as("id_a"), col("shingle"), col("n_sh").as("na"))
-      .join(prefix.select(col("doc_id").as("id_b"), col("shingle"), col("n_sh").as("nb")),
+      .select(col("doc_id"), col("shingle"), col("n_sh"), col("__pos"))
+  }
+
+  def prefixCandidates(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val prefix = prefixPostings(sh, tNum, tDen)
+    prefix.select(col("doc_id").as("id_a"), col("shingle"),
+        col("n_sh").as("na"), col("__pos").as("pa"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("shingle"),
+        col("n_sh").as("nb"), col("__pos").as("pb")),
         Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       // size filter: τ ≤ na/nb ≤ 1/τ is necessary for true J ≥ τ;
@@ -235,23 +246,47 @@ object Dedup {
         col("nb") * tDen + expr(s"$tDen * ((na + 1999999) div 2000000)") &&
         col("nb") * tNum <=
           col("na") * tDen + expr(s"$tDen * ((nb + 1999999) div 2000000)"))
+      // POSITIONAL filter (PPJoin, Xiao et al. 2008): both docs' shingles
+      // are ordered by the SAME global (df, shingle) total order, so for
+      // the FIRST shingle a pair shares, every other common shingle sits
+      // strictly after position pa in a AND after pb in b — overlap ≤
+      // 1 + min(na−pa, nb−pb). J ≥ τ needs overlap·(tNum+tDen) ≥
+      // tNum·(na+nb); a row failing the bound cannot be the pair's
+      // first-shared row of a qualifying pair, and a qualifying pair's
+      // true first-shared row always passes (the bound is valid there), so
+      // keeping pairs where ANY row passes loses nothing — exact, pinned
+      // against the naive join in ExtensionsSpec. Same ⌈ε·n⌉ slack as the
+      // size filter for rounded-boundary pairs. Round-8 measurement: cuts
+      // candidates ~5× at sf10, and verification cost with them.
+      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) +
+          expr("(na + nb + 1999999) div 2000000")) * (tNum + tDen) >=
+        (col("na") + col("nb")) * tNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
   def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val threshold = tNum.toDouble / tDen
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cand = prefixCandidates(sh, tNum, tDen)
-    // exact verification on candidates only
-    val common = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+    // exact verification on candidates only, against COMPACT per-doc
+    // shingle arrays: two id-keyed joins of |cand| rows each, then an
+    // in-row array_intersect — shuffle volume ∝ candidates + corpus.
+    // (The previous shape expanded every candidate pair by doc a's full
+    // shingle list and sort-merge-joined that against the corpus shingle
+    // table — |cand|·n̄ skinny rows through one more shuffle; at the sf10
+    // rehearsal that expansion was the whole superlinear term. Same
+    // output: shingle rows are distinct per doc, so |array_intersect| is
+    // exactly the old count-of-common-rows.)
+    val sets = sh.groupBy("doc_id").agg(
+      sort_array(collect_list(col("shingle"))).as("__shs"),
+      count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("__shs").as("__sa"),
+        col("n_sh").as("na")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("__shs").as("__sb"),
+        col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("common",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"), 6))

@@ -24,12 +24,27 @@ object DedupProbe {
       val sh = Dedup.shingles(d, "doc_id", "text", 3).cache()
       val nDocs = d.count()
       val nSh = sh.count()
-      val nCand = Dedup.prefixCandidates(sh, 4, 5).count()
-      val nPairs = Dedup.jaccardPairsPrefix(sh, 4, 5).count()
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // raw self-join match volume: Σ_shingle C(postings, 2) — the work the
+      // candidate join pays before dedup/size filters; a superlinear slope
+      // HERE with linear candidates means hot (transform-invariant)
+      // shingles, not plan cost
+      val (rawMatches, tRaw) = timed {
+        Dedup.prefixPostings(sh, 4, 5)
+          .groupBy("shingle").agg(count(lit(1)).as("k"))
+          .select(sum(expr("k * (k - 1) / 2")).cast("long"))
+          .head().getLong(0)
+      }
+      val (nCand, tCand) = timed(Dedup.prefixCandidates(sh, 4, 5).count())
+      val (nPairs, tPairs) = timed(Dedup.jaccardPairsPrefix(sh, 4, 5).count())
       sh.unpersist()
       println(s"""{"probe":"dedup","dir":"$dir","docs":$nDocs,""" +
-        s""""shingle_rows":$nSh,"prefix_candidates":$nCand,""" +
-        s""""verified_pairs":$nPairs}""")
+        s""""shingle_rows":$nSh,"raw_prefix_matches":$rawMatches,""" +
+        s""""prefix_candidates":$nCand,"verified_pairs":$nPairs,""" +
+        s""""sec_raw":$tRaw,"sec_candidates":$tCand,"sec_pairs":$tPairs}""")
     }
     spark.stop()
   }

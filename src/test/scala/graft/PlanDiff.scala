@@ -6,7 +6,10 @@ object PlanDiff {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val names = Seq("q_pricing_summary","q_join_multi_hop","q_topk_revenue",
       "q_docflow_hop","q_window_rank","q_dedup_exact","q_events_sessionize")
-    for (sf <- Seq("/root/testdata/sf0.1", "/root/repo/scaledata/sf1"); n <- names) {
+    val dirs = sys.env.get("SPARK_GRAFT_PLANDIFF_DIRS")
+      .map(_.split(',').map(_.trim).toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.1", "/root/repo/scaledata/sf1"))
+    for (sf <- dirs; n <- names) {
       val df = Registry.byName(n).build(spark, sf)
       df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => it.foreach(_ => ()))
       val plan = df.queryExecution.executedPlan.toString
