@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *   - `codes.parquet`      encoded codes (vec_id, codes[, cell]),
   *                          PARTITIONED BY cell for ivfpq
   *
-  * The cell partitioning is the scale story: a probe joins a handful of
-  * cells against the index, and with the tiny probe side broadcast, Spark's
-  * dynamic partition pruning can skip every non-probed cell directory —
+  * The cell partitioning is the scale story: the probed cells of a query
+  * batch are collected as a bounded literal (≤ nCells values) and pushed
+  * into the stored-index scan as `cell IN (...)` — GUARANTEED partition
+  * pruning (`PartitionFilters` in the plan, pinned in AnnIndexSpec), so
   * query I/O is bounded by nprobe/nCells of the index, not its size.
   *
   * SEARCH reuses [[Similarity.ivfSearch]] / [[Similarity.pqSearch]] /
@@ -85,14 +86,30 @@ object AnnIndex {
     (cents, indexed)
   }
 
+  /** The distinct probed cells of this query batch as literal values — a
+    * BOUNDED collect (≤ nCells rows, the same order as the centroid
+    * artifact itself). Filtering the stored index with `cell IN (...)`
+    * turns hive-partition layout into GUARANTEED partition pruning at the
+    * scan (`PartitionFilters` in the plan): query I/O is nprobe/nCells of
+    * the index by construction, with no reliance on the planner choosing
+    * dynamic partition pruning. Semantically a no-op — the search join on
+    * `cell` already restricts to probed cells — pinned in AnnIndexSpec. */
+  private def probedCells(cents: DataFrame, queries: DataFrame,
+      nprobe: Int): Seq[Long] =
+    Similarity.ivfProbes(cents, queries, nprobe)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq.sorted
+
   /** Search a stored IVF index — [[Similarity.ivfSearch]] over the read-back
-    * artifacts. */
+    * artifacts, with the vector scan pruned to the probed cell
+    * partitions. */
   def searchIvf(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4): DataFrame = {
     val (cents, indexed) = readIvf(spark, dir)
     // the search halves broadcast the bounded centroid/codebook artifacts
     // themselves — no hinting needed here
-    Similarity.ivfSearch(cents, indexed, queries, k, nprobe)
+    val cells = probedCells(cents, queries, nprobe)
+    Similarity.ivfSearch(cents,
+      indexed.filter(col("cell").isin(cells: _*)), queries, k, nprobe)
   }
 
   // ── PQ ─────────────────────────────────────────────────────────────────
@@ -169,7 +186,9 @@ object AnnIndex {
       k: Int, nprobe: Int = 4): DataFrame = {
     val (_, _, m, _, dims) = readParams(spark, dir)
     val (cents, books, codes) = readIvfPq(spark, dir)
-    Similarity.ivfpqSearch(cents, books, codes, queries, k, nprobe, m, dims)
+    val cells = probedCells(cents, queries, nprobe)
+    Similarity.ivfpqSearch(cents, books,
+      codes.filter(col("cell").isin(cells: _*)), queries, k, nprobe, m, dims)
   }
 
   /** Incremental maintenance: encode `delta` vectors with the FROZEN stored

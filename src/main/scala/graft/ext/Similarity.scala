@@ -452,15 +452,23 @@ object Similarity {
     * [[AnnIndex]] (parquet-persisted build) — one copy of the probe/score/
     * rank tail is what makes persisted-index search bit-identical to the
     * in-memory path by construction. */
-  def ivfSearch(cents: DataFrame, indexed: DataFrame, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+  /** The `nprobe` highest-cosine cells per query: (qid, qe, cell). Shared
+    * probe step of [[ivfSearch]] and [[ivfpqSearch]]; [[AnnIndex]] also
+    * collects its distinct cells (bounded ≤ nCells) to prune stored-index
+    * partitions with a literal filter. */
+  def ivfProbes(cents: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
     val qScored = queries.join(broadcast(cents))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
         (dot(col("embedding"), col("centroid")) /
           (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
     val wq = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cell"))
-    val probes = qScored.withColumn("rn", row_number().over(wq))
+    qScored.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nprobe).select(col("qid"), col("qe"), col("cell"))
+  }
+
+  def ivfSearch(cents: DataFrame, indexed: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val probes = ivfProbes(cents, queries, nprobe)
     val scored = probes.join(indexed, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"),
@@ -686,13 +694,7 @@ object Similarity {
     * [[ivfpqTopK]] and [[AnnIndex]]. */
   def ivfpqSearch(cents: DataFrame, books: DataFrame, codes: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int, m: Int, dims: Int): DataFrame = {
-    val qScored = queries.join(broadcast(cents))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
-        (dot(col("embedding"), col("centroid")) /
-          (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
-    val wq = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cell"))
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe).select(col("qid"), col("qe"), col("cell"))
+    val probes = ivfProbes(cents, queries, nprobe)
     val dtab = queries.select(col("vec_id").as("qid"),
         explode(subvectors(col("embedding"), m, dims)).as("e"))
       .select(col("qid"), col("e.sub").as("sub"), col("e.sv").as("qsv"))

@@ -59,6 +59,25 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("stored-index search prunes the codes scan to the probed cell partitions") {
+    val idx = tmp("graft-annspec-prune")
+    val (cents, books, codes) =
+      AnnIndex.buildIvfPq(emb, kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx, cents, books, codes,
+      nCells = 16, m = 8, kCodes = 64, dims = 64)
+    val one = emb.filter(col("vec_id") === 0)
+    val pruned = AnnIndex.searchIvfPq(spark, idx, one, 3, nprobe = 2)
+    // the scan must carry a literal partition filter on cell...
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected a literal cell partition filter in:\n$plan")
+    // ...and pruning is a semantic no-op vs the unpruned in-memory tail
+    val (c2, b2, codes2) = AnnIndex.readIvfPq(spark, idx)
+    val full = Similarity.ivfpqSearch(c2, b2, codes2, one, 3, nprobe = 2,
+      m = 8, dims = 64)
+    assert(pruned.collect().toSeq == full.collect().toSeq)
+  }
+
   test("stored IVF search never scans the corpus embeddings at query time for ivfpq") {
     // the IVFPQ query-time plan reads codes + bounded artifacts only — the
     // raw vectors.parquet/embedding column never appears in the scan set
