@@ -34,6 +34,10 @@ object AnnBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_ANN_RUNS", "5").toInt
+    // IVF cell count: per-cell candidate lists are corpus/nCells, so at a
+    // bigger corpus the cell count must grow with it (√n rule) for search
+    // cost to stay flat — override to rehearse that scaling
+    val nCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
     val root = sys.env.getOrElse("SPARK_GRAFT_ANN_DIR",
       java.nio.file.Files.createTempDirectory("graft-annbench").toString)
     val spark = graft.Tables.session("graft-annbench")
@@ -46,17 +50,18 @@ object AnnBench {
     // build once per kind (timed: train + encode + write)
     val buildT = Seq(
       "ivf" -> time {
-        val (c, ix) = AnnIndex.buildIvf(e, nCells = 16, refineIters = 2)
-        AnnIndex.writeIvf(s"$root/ivf", c, ix, nCells = 16)
+        val (c, ix) = AnnIndex.buildIvf(e, nCells = nCells, refineIters = 2)
+        AnnIndex.writeIvf(s"$root/ivf", c, ix, nCells = nCells)
       },
       "pq" -> time {
         val (b, codes) = AnnIndex.buildPq(e, kCodes = 64, refineIters = 2)
         AnnIndex.writePq(s"$root/pq", b, codes, m = 8, kCodes = 64, dims = 64)
       },
       "ivfpq" -> time {
-        val (c, b, codes) = AnnIndex.buildIvfPq(e, kCodes = 64, refineIters = 2)
+        val (c, b, codes) = AnnIndex.buildIvfPq(e, nCells = nCells,
+          kCodes = 64, refineIters = 2)
         AnnIndex.writeIvfPq(s"$root/ivfpq", c, b, codes,
-          nCells = 16, m = 8, kCodes = 64, dims = 64)
+          nCells = nCells, m = 8, kCodes = 64, dims = 64)
       })
 
     // search many: one warm-up + `runs` timed searches per kind
@@ -72,7 +77,7 @@ object AnnBench {
 
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"ann_search","sf":"$sfDir","runs":$runs,""" +
+    val json = s"""{"metric":"ann_search","sf":"$sfDir","runs":$runs,"n_cells":$nCells,""" +
       s""""build":${obj(buildT)},"search_median":${obj(searchT)}}"""
     spark.stop()
     println(json)
