@@ -417,14 +417,26 @@ object Dedup {
   private def jaccardVerify(cands: DataFrame, shLeft: DataFrame,
       shRight: DataFrame, leftId: String, rightId: String,
       threshold: Double): DataFrame = {
-    val nL = shLeft.groupBy("doc_id").agg(count(lit(1)).as("na"))
-    val nR = shRight.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    // compact-array verification (the round-8 prefix-join fix, same shape):
+    // candidates join per-doc sorted hashed-shingle ARRAYS (8-byte longs)
+    // and count array_intersect in-row — shuffle ∝ candidates + corpus,
+    // where the previous shape expanded every candidate by doc a's full
+    // shingle list (|cand|·n̄ rows) before a corpus-sized sort-merge join.
+    // Output identical: per-doc shingles are distinct, and the common>0
+    // guard preserves the old inner-join behavior of dropping zero-overlap
+    // candidates before the threshold filter.
+    val setsL = shLeft.groupBy("doc_id").agg(
+      sort_array(collect_list(col("sh"))).as("__sa"), count(lit(1)).as("na"))
+    val setsR = shRight.groupBy("doc_id").agg(
+      sort_array(collect_list(col("sh"))).as("__sb"), count(lit(1)).as("nb"))
     cands
-      .join(shLeft.select(col("doc_id").as(leftId), col("sh")), Seq(leftId))
-      .join(shRight.select(col("doc_id").as(rightId), col("sh")), Seq(rightId, "sh"))
-      .groupBy(leftId, rightId).agg(count(lit(1)).as("common"))
-      .join(nL.select(col("doc_id").as(leftId), col("na")), Seq(leftId))
-      .join(nR.select(col("doc_id").as(rightId), col("nb")), Seq(rightId))
+      .join(setsL.select(col("doc_id").as(leftId), col("__sa"), col("na")),
+        Seq(leftId))
+      .join(setsR.select(col("doc_id").as(rightId), col("__sb"), col("nb")),
+        Seq(rightId))
+      .withColumn("common",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(col("common") > 0)
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("na") + col("nb") - col("common")).cast("double"), 6))
