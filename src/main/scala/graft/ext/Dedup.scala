@@ -325,14 +325,20 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val common = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+    // compact-array verification (same round-8 shape as jaccardPairsPrefix):
+    // shuffle ∝ candidates + corpus, not candidates × doc size; identical
+    // output since per-doc shingles are distinct
+    val sets = sh.groupBy("doc_id").agg(
+      sort_array(collect_list(col("shingle"))).as("__shs"),
+      count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("__shs").as("__sa"),
+        col("n_sh").as("na")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("__shs").as("__sb"),
+        col("n_sh").as("nb")), Seq("id_b"))
+      .withColumn("common",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(col("common") > 0)
       .withColumn("containment",
         round(col("common").cast("double") / col("na").cast("double"), 6))
       .filter(col("containment") >= threshold)
