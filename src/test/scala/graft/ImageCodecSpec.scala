@@ -50,6 +50,37 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(bits.count(_ == '1') > 16 && bits.count(_ == '1') < 48)
   }
 
+  test("property: random images roundtrip exactly and pooling invariants hold") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val dims = Gen.zip(Gen.choose(1, 40), Gen.choose(1, 40))
+    for (s <- 1L to 40L) {
+      val (w, h) = sample(dims, s)
+      val pix = Array.tabulate(w * h)(p =>
+        sample(Gen.choose(0, 255), s * 10007 + p))
+      // lossless roundtrip at every size, including 1×n and n×1
+      val (dw, dh, out) = ImageCodec.decodeGray(ImageCodec.encodeGrayPng(w, h, pix))
+      assert((dw, dh) == (w, h) && out.sameElements(pix), s"seed $s ${w}x$h")
+      // resample to (tw, th) ≤ (w, h): pixel count conserved per cell and
+      // every output within the input range (means can't escape it)
+      val tw = sample(Gen.choose(1, w), s + 99); val th = sample(Gen.choose(1, h), s + 7)
+      val rs = ImageCodec.areaResample(w, h, pix, tw, th)
+      assert(rs.length == tw * th)
+      assert(rs.forall(v => v >= pix.min && v <= pix.max), s"seed $s range")
+      // identity resample is exact
+      assert(ImageCodec.areaResample(w, h, pix, w, h).sameElements(pix))
+      // aHash: 64 bits, and a constant image hashes to all zeros (no cell
+      // strictly exceeds the global mean)
+      if (w >= 8 && h >= 8) {
+        assert(ImageCodec.aHashBits(w, h, pix).length == 64)
+        val const = Array.fill(w * h)(137)
+        assert(ImageCodec.aHashBits(w, h, const) == "0" * 64)
+      }
+    }
+  }
+
   test("ImageDecodeExtractor histograms decoded pixels, not raw bytes") {
     val pix = Array.fill(64)(255) // all-bright 8x8
     val png = ImageCodec.encodeGrayPng(8, 8, pix)
