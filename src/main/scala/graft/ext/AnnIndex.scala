@@ -112,6 +112,62 @@ object AnnIndex {
       indexed.filter(col("cell").isin(cells: _*)), queries, k, nprobe)
   }
 
+  // ── sign-LSH ───────────────────────────────────────────────────────────
+
+  /** Key the corpus once (build half of [[Similarity.lshTopK]], verbatim):
+    * (vec_id, tbl, bucket) plus the raw vectors for candidate scoring.
+    * There is no trained artifact — the hyperplanes are deterministic from
+    * (planes, dims, seed) — so the index IS the bucketed key table. */
+  def buildLsh(corpus: DataFrame, planes: Int = 6, dims: Int = 64,
+      tables: Int = 8): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.explode
+    val keys = corpus
+      .select(col("vec_id"),
+        explode(Similarity.lshKeys(col("embedding"), planes, dims, tables))
+          .as("key"))
+      .select(col("vec_id"), col("key.tbl").as("tbl"),
+        col("key.bucket").as("bucket"))
+    (keys, corpus.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Persist an LSH index: keys hive-partitioned by (tbl, bucket) —
+    * tables·2^planes directories, each holding one bucket's ids — vectors
+    * plain. A query batch touches ≤ |queries|·tables (tbl, bucket) pairs,
+    * pushed as a literal partition filter at search. */
+  def writeLsh(dir: String, keys: DataFrame, vectors: DataFrame,
+      planes: Int, dims: Int, tables: Int): Unit = {
+    paramsDf(keys.sparkSession, "lsh", tables, planes, 0, dims)
+      .write.mode("overwrite").parquet(s"$dir/params.parquet")
+    keys.write.mode("overwrite").partitionBy("tbl", "bucket")
+      .parquet(s"$dir/keys.parquet")
+    vectors.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+  }
+
+  def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/keys.parquet")
+      .withColumn("tbl", col("tbl").cast("int"))
+      .withColumn("bucket", col("bucket").cast("int")),
+      spark.read.parquet(s"$dir/vectors.parquet"))
+
+  def searchLsh(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val (kind, nTables, planes, _, dims) = readParams(spark, dir)
+    require(kind == "lsh", s"searchLsh on a '$kind' index")
+    val (keys, vectors) = readLsh(spark, dir)
+    // literal (tbl, bucket) pruning: the query batch's keys are bounded
+    // (≤ |queries|·tables values), collected and pushed over the partition
+    // columns so only the probed bucket directories are read
+    val qKeys = queries
+      .select(org.apache.spark.sql.functions.explode(
+        Similarity.lshKeys(col("embedding"), planes, dims, nTables)).as("key"))
+      .select(col("key.tbl"), col("key.bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    val flat = qKeys.map { case (t, b) => t.toLong * 1000000L + b }
+    val pruned = keys.filter(
+      (col("tbl").cast("long") * 1000000L + col("bucket")).isin(flat: _*))
+    Similarity.lshSearch(pruned, vectors, queries, k, planes, dims, nTables)
+  }
+
   // ── PQ ─────────────────────────────────────────────────────────────────
 
   /** Train + encode (the build half of [[Similarity.pqTopK]], verbatim). */

@@ -210,17 +210,40 @@ object Similarity {
     * with itself (this is the 100 TB path; brute force is the oracle). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 6, dims: Int = 64, tables: Int = 8): DataFrame = {
-    def keyed(df: DataFrame, idAs: String, embAs: String) =
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+    val keys = corpus
+      .select(col("vec_id"),
         explode(lshKeys(col("embedding"), planes, dims, tables)).as("key"))
-    val c = keyed(corpus, "cid", "ce")
-    val q = keyed(queries, "qid", "qe")
-    val cands = c.join(broadcast(q), Seq("key"))
-      .filter(col("qid") =!= col("cid"))
-      .select("qid", "qe", "cid", "ce").distinct()
-    val scored = cands.select(col("qid"), col("cid"),
-      (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
-        + lit(0.0)).as("cos"))
+      .select(col("vec_id"), col("key.tbl").as("tbl"),
+        col("key.bucket").as("bucket"))
+    lshSearch(keys, corpus.select(col("vec_id"), col("embedding")),
+      queries, k, planes, dims, tables)
+  }
+
+  /** LSH SEARCH half over a prebuilt bucket index (`keys` = (vec_id, tbl,
+    * bucket), `vectors` = (vec_id, embedding)): query keys join the stored
+    * buckets, candidate (qid, cid) pairs are deduped as SKINNY id pairs
+    * (the round-8 change — the previous shape carried both embeddings
+    * through the distinct), then exact cosine on candidates only. Shared
+    * verbatim by [[lshTopK]] (in-memory keying) and [[AnnIndex]]
+    * (parquet-persisted buckets). */
+  def lshSearch(keys: DataFrame, vectors: DataFrame, queries: DataFrame,
+      k: Int, planes: Int, dims: Int, tables: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(lshKeys(col("embedding"), planes, dims, tables)).as("key"))
+      .select(col("qid"), col("qe"), col("key.tbl").as("tbl"),
+        col("key.bucket").as("bucket"))
+    val cands = keys.join(broadcast(q.select(col("qid"), col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid")).distinct()
+    val scored = cands
+      .join(vectors.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        Seq("cid"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qe"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
+          + lit(0.0)).as("cos"))
     topKByScore(scored, "cos", k)
   }
 

@@ -65,6 +65,24 @@ object AnnFaces {
       },
       Some(AnnOracle)),
 
+    // ── sign-LSH: persist the bucketed key table (partitioned by
+    //    (tbl, bucket) — searches prune to the probed bucket directories),
+    //    search stored, pin ≡ in-memory (same params as q_embed_ann_lsh) ────
+    Q(
+      "q_ann_lsh_persist",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-lsh")
+        val (keys, vectors) = AnnIndex.buildLsh(e, planes = 5, tables = 12)
+        AnnIndex.writeLsh(idx, keys, vectors, planes = 5, dims = 64, tables = 12)
+        compareTopK(
+          Similarity.lshSearch(keys, vectors, q, 3, planes = 5, dims = 64,
+            tables = 12),
+          AnnIndex.searchLsh(s, idx, q, 3), "cos")
+      },
+      Some(AnnOracle)),
+
     // ── PQ: persist codebooks + codes, search stored, pin ≡ in-memory
     //    (same params as q_embed_ann_pq) ────────────────────────────────────
     Q(

@@ -19,8 +19,8 @@ class AnnIndexSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(p).toString
 
   test("every q_ann_* face reports identical persisted-vs-memory results") {
-    for (name <- Seq("q_ann_ivf_persist", "q_ann_pq_persist",
-        "q_ann_ivfpq_persist")) {
+    for (name <- Seq("q_ann_lsh_persist", "q_ann_ivf_persist",
+        "q_ann_pq_persist", "q_ann_ivfpq_persist")) {
       val rows = graft.queries.Registry.byName(name).build(spark, sf).collect()
       assert(rows.nonEmpty, s"$name returned no rows")
       assert(rows.forall(_.getAs[Boolean]("identical")),
