@@ -49,6 +49,11 @@ object AnnBench {
 
     // build once per kind (timed: train + encode + write)
     val buildT = Seq(
+      "lsh" -> time {
+        val (keys, vecs) = AnnIndex.buildLsh(e, planes = 5, tables = 12)
+        AnnIndex.writeLsh(s"$root/lsh", keys, vecs,
+          planes = 5, dims = 64, tables = 12)
+      },
       "ivf" -> time {
         val (c, ix) = AnnIndex.buildIvf(e, nCells = nCells, refineIters = 2)
         AnnIndex.writeIvf(s"$root/ivf", c, ix, nCells = nCells)
@@ -70,6 +75,7 @@ object AnnBench {
       kind -> median((1 to runs).map(_ => time(sink(once()))))
     }
     val searchT = Seq(
+      searches("lsh", () => AnnIndex.searchLsh(spark, s"$root/lsh", q, 3)),
       searches("ivf", () => AnnIndex.searchIvf(spark, s"$root/ivf", q, 3, 4)),
       searches("pq", () => AnnIndex.searchPq(spark, s"$root/pq", q, 3)),
       searches("ivfpq",
