@@ -17,13 +17,16 @@ import graft.queries.Registry
   *  - the action is a no-op foreachPartition SINK, not count() — count()
   *    lets Catalyst prune projected expressions, under-measuring
   *    projection-heavy queries; the sink materializes every row;
-  *  - per query, one COLD run (first execution after the session warmup;
-  *    "value" stays the cold total for cross-round comparability with
-  *    BASELINE.md) followed by THREE warm re-runs whose per-query MEDIAN is
+  *  - per query, one COLD run (first execution after the session warmup)
+  *    followed by THREE warm re-runs whose per-query MEDIAN is
   *    reported as queries_warm — two rounds of cross-round comparisons were
   *    spent attributing ambient-load spikes on the shared box, and a median
   *    of three absorbs a single co-tenant burst where the old single warm
-  *    sample amplified it;
+  *    sample amplified it. NOTE for cross-round cold comparisons: from
+  *    round 8 the runs interleave per query (cold N executes after the
+  *    warm repeats of queries < N — marginally hotter JIT/page cache than
+  *    the round-≤7 all-colds-first order), so the warm medians, not the
+  *    cold column, are the robust cross-round series;
   *  - the 1-minute system load average is sampled before and after the
   *    measured section (loadavg_start/loadavg_end) so a noisy run is
   *    attributable from the JSON alone: if loadavg >> cpus, trust the

@@ -51,6 +51,14 @@ object AnnIndex {
     (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
   }
 
+  // every search entry validates the stored kind — several layouts share
+  // artifact names (an ivfpq dir also holds codebooks/codes), so a
+  // mismatched call could otherwise "work" with the wrong cost profile
+  private def requireKind(spark: SparkSession, dir: String, want: String): Unit = {
+    val kind = readParams(spark, dir)._1
+    require(kind == want, s"search${want.capitalize} on a '$kind' index at $dir")
+  }
+
   // ── IVF ────────────────────────────────────────────────────────────────
 
   /** Train + assign (the build half of [[Similarity.ivfTopK]], verbatim):
@@ -104,6 +112,7 @@ object AnnIndex {
     * partitions. */
   def searchIvf(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4): DataFrame = {
+    requireKind(spark, dir, "ivf")
     val (cents, indexed) = readIvf(spark, dir)
     // the search halves broadcast the bounded centroid/codebook artifacts
     // themselves — no hinting needed here
@@ -195,6 +204,7 @@ object AnnIndex {
 
   def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int): DataFrame = {
+    requireKind(spark, dir, "pq")
     val (_, _, m, _, dims) = readParams(spark, dir)
     val (books, codes) = readPq(spark, dir)
     Similarity.pqSearch(books, codes, queries, k, m, dims)
@@ -240,6 +250,7 @@ object AnnIndex {
 
   def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4): DataFrame = {
+    requireKind(spark, dir, "ivfpq")
     val (_, _, m, _, dims) = readParams(spark, dir)
     val (cents, books, codes) = readIvfPq(spark, dir)
     val cells = probedCells(cents, queries, nprobe)

@@ -206,10 +206,6 @@ object Dedup {
     * slack — computed per doc, so output equality with [[jaccardPairs]]
     * holds at EVERY set size, not just below 1/ε shingles.
     */
-  /** CANDIDATE stage of [[jaccardPairsPrefix]], exposed so scale
-    * rehearsals can measure candidate volume (the prefix join's cost
-    * driver) separately from verification: unordered (id_a, id_b) pairs
-    * sharing ≥1 prefix shingle and passing the size filter. */
   /** Prefix postings of [[jaccardPairsPrefix]] — each doc's
     * (n − ⌈τn⌉ + 1 (+ε)) rarest shingles, the only rows that generate
     * candidates. Exposed for scale diagnostics: Σ_shingle C(postings, 2) is
@@ -232,6 +228,10 @@ object Dedup {
       .select(col("doc_id"), col("shingle"), col("n_sh"), col("__pos"))
   }
 
+  /** CANDIDATE stage of [[jaccardPairsPrefix]], exposed so scale
+    * rehearsals can measure candidate volume (the prefix join's cost
+    * driver) separately from verification: unordered (id_a, id_b) pairs
+    * sharing ≥1 prefix shingle and passing the size filter. */
   def prefixCandidates(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val prefix = prefixPostings(sh, tNum, tDen)
     prefix.select(col("doc_id").as("id_a"), col("shingle"),

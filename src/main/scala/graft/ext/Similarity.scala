@@ -468,13 +468,6 @@ object Similarity {
     ivfSearch(cents, indexed, queries, k, nprobe)
   }
 
-  /** IVF SEARCH half, over a prebuilt index (trained `cents` + cell-assigned
-    * `indexed` (vec_id, embedding, cell)): probe the `nprobe`
-    * highest-cosine cells per query, exact cosine only within them. Shared
-    * verbatim by [[ivfTopK]] (in-memory build) and
-    * [[AnnIndex]] (parquet-persisted build) — one copy of the probe/score/
-    * rank tail is what makes persisted-index search bit-identical to the
-    * in-memory path by construction. */
   /** The `nprobe` highest-cosine cells per query: (qid, qe, cell). Shared
     * probe step of [[ivfSearch]] and [[ivfpqSearch]]; [[AnnIndex]] also
     * collects its distinct cells (bounded ≤ nCells) to prune stored-index
@@ -489,6 +482,13 @@ object Similarity {
       .filter(col("rn") <= nprobe).select(col("qid"), col("qe"), col("cell"))
   }
 
+  /** IVF SEARCH half, over a prebuilt index (trained `cents` + cell-assigned
+    * `indexed` (vec_id, embedding, cell)): probe the `nprobe`
+    * highest-cosine cells per query, exact cosine only within them. Shared
+    * verbatim by [[ivfTopK]] (in-memory build) and
+    * [[AnnIndex]] (parquet-persisted build) — one copy of the probe/score/
+    * rank tail is what makes persisted-index search bit-identical to the
+    * in-memory path by construction. */
   def ivfSearch(cents: DataFrame, indexed: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     val probes = ivfProbes(cents, queries, nprobe)

@@ -64,10 +64,15 @@ object PartitionAdvisor {
     hits.groupBy(identity).view.mapValues(_.size).toMap
   }
 
+  // the default model's degree map, computed once — adviseTable callers
+  // iterating many tables shouldn't re-walk the edge list per call
+  private lazy val defaultDegrees = joinDegrees(Catalog.Model)
+
   /** Layout recommendation for one table; None when the catalog gives no
     * join evidence and no usable primary key (nothing to co-locate on). */
   def adviseTable(model: SemanticModel, tableName: String): Option[TableLayout] = {
-    val degrees = joinDegrees(model)
+    val degrees =
+      if (model eq Catalog.Model) defaultDegrees else joinDegrees(model)
     model.tableByName.get(tableName.toUpperCase).flatMap { t =>
       advise1(t, degrees)
     }

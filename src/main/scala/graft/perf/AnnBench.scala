@@ -34,6 +34,8 @@ object AnnBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_ANN_RUNS", "5").toInt
+    require(runs >= 1,
+      "SPARK_GRAFT_ANN_RUNS must be >= 1 (median of an empty sample)")
     // IVF cell count: per-cell candidate lists are corpus/nCells, so at a
     // bigger corpus the cell count must grow with it (√n rule) for search
     // cost to stay flat — override to rehearse that scaling

@@ -33,9 +33,11 @@ object DedupProbe {
       // HERE with linear candidates means hot (transform-invariant)
       // shingles, not plan cost
       val (rawMatches, tRaw) = timed {
+        // coalesce: SUM over zero groups (a corpus of sub-n-token docs) is
+        // NULL, and getLong would NPE instead of reporting 0
         Dedup.prefixPostings(sh, 4, 5)
           .groupBy("shingle").agg(count(lit(1)).as("k"))
-          .select(sum(expr("k * (k - 1) / 2")).cast("long"))
+          .select(coalesce(sum(expr("k * (k - 1) / 2")), lit(0L)).cast("long"))
           .head().getLong(0)
       }
       val (nCand, tCand) = timed(Dedup.prefixCandidates(sh, 4, 5).count())

@@ -130,6 +130,12 @@ object ScaleUp {
 
     val textMode = sys.env.getOrElse("SPARK_GRAFT_TEXT_MODE", "rot5")
     val embMode = sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "copy")
+    // fail fast on typos: a misspelled mode silently generating the WRONG
+    // corpus would invalidate a whole rehearsal's slope conclusions
+    require(Set("rot5", "distinct")(textMode),
+      s"SPARK_GRAFT_TEXT_MODE must be rot5|distinct, got '$textMode'")
+    require(Set("copy", "distinct")(embMode),
+      s"SPARK_GRAFT_EMB_MODE must be copy|distinct, got '$embMode'")
     val docs = replicate(spark.table("documents"), n)
     write("documents",
       offsetKeys(docs, Seq("doc_id"))

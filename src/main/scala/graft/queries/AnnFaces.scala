@@ -33,11 +33,17 @@ object AnnFaces {
       col(scoreCol).as("m_s"))
     val p = per.select(col("qid"), col("rk"), col("cid").as("p_cid"),
       col(scoreCol).as("p_s"))
+    // null-SAFE comparison (<=> plus explicit non-null): Spark's bool_and
+    // SKIPS null inputs, so with plain `=` a rank present on only one side
+    // (null columns from the full-outer join) would be silently ignored
+    // and a divergent result still reported identical
     m.join(p, Seq("qid", "rk"), "full_outer")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(expr("bool_and(m_cid = p_cid AND m_s = p_s)"), lit(false))
-          .as("identical"))
+        coalesce(expr(
+          """bool_and(m_cid IS NOT NULL AND p_cid IS NOT NULL
+            |AND m_cid <=> p_cid AND m_s <=> p_s)""".stripMargin),
+          lit(false)).as("identical"))
       .orderBy(col("qid"))
   }
 
@@ -146,7 +152,12 @@ object AnnFaces {
           .join(unionCodes.select(col("vec_id"), col("codes").as("b_codes"),
             col("cell").as("b_cell")), Seq("vec_id"), "full_outer")
           .agg(count(lit(1)).as("n_codes"),
-            coalesce(expr("bool_and(a_codes = b_codes AND a_cell = b_cell)"),
+            // null-safe for the same bool_and-skips-nulls reason as
+            // compareTopK: a vec_id present on only one side must flip
+            // the boolean, not vanish from the aggregate
+            coalesce(expr(
+              """bool_and(a_codes IS NOT NULL AND b_codes IS NOT NULL
+                |AND a_codes <=> b_codes AND a_cell <=> b_cell)""".stripMargin),
               lit(false)).as("codes_identical"))
         val searchCmp = compareTopK(
           Similarity.ivfpqSearch(cents, books, unionCodes, q, 3, nprobe = 8,

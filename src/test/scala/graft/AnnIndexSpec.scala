@@ -88,7 +88,13 @@ class AnnIndexSpec extends AnyFunSuite {
       nCells = 16, m = 8, kCodes = 64, dims = 64)
     val plan = AnnIndex.searchIvfPq(spark, idx, q10, 3, nprobe = 8)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("vectors.parquet"),
-      "ivfpq search must not touch raw corpus vectors")
+    // POSITIVE check (an absent-artifact assertion alone is vacuous — no
+    // vectors.parquet even exists in an ivfpq layout): every index file
+    // the plan scans must be one of the three bounded/encoded artifacts
+    val idxRefs = s"""${java.util.regex.Pattern.quote(idx)}/([a-z]+)\\.parquet""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(idxRefs.contains("codes"), s"expected a codes scan, saw $idxRefs")
+    assert(idxRefs.subsetOf(Set("codes", "centroids", "codebooks")),
+      s"ivfpq search must only scan encoded/bounded artifacts, saw $idxRefs")
   }
 }
