@@ -47,6 +47,10 @@ object AnnFaces {
       .orderBy(col("qid"))
   }
 
+  /** Test seam for the comparator's null-safety (AnnIndexSpec regression). */
+  private[graft] def compareTopKForTest(mem: DataFrame, per: DataFrame,
+      scoreCol: String): DataFrame = compareTopK(mem, per, scoreCol)
+
   private def tempIndexDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 

@@ -28,6 +28,25 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("face comparison kernel flags divergence (bool_and null-skip regression)") {
+    // the q_ann_* faces' comparator must flip on BOTH value mismatches and
+    // rows present on only one side of the full-outer join — Spark's
+    // bool_and skips nulls, which once masked the missing-row case
+    import spark.implicits._
+    val mem = Seq((1L, 1L, 10L, 0.9), (1L, 2L, 11L, 0.8), (1L, 3L, 12L, 0.7))
+      .toDF("qid", "rk", "cid", "cos")
+    val missingRow = mem.filter(col("rk") < 3)
+    val wrongCid = mem.withColumn("cid",
+      when(col("rk") === 2, lit(99L)).otherwise(col("cid")))
+    def cmp(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      graft.queries.AnnFaces.compareTopKForTest(a, b, "cos")
+        .select("identical").head().getBoolean(0)
+    assert(cmp(mem, mem))
+    assert(!cmp(mem, missingRow), "a missing rank must flip identical")
+    assert(!cmp(missingRow, mem), "an extra rank must flip identical")
+    assert(!cmp(mem, wrongCid), "a wrong cid must flip identical")
+  }
+
   test("append face: frozen-encode equality and search equality hold") {
     val r = graft.queries.Registry.byName("q_ann_ivfpq_append")
       .build(spark, sf).head()
