@@ -625,10 +625,22 @@ object Dedup {
     * aggregation is partial→final around one shuffle, and sparse/clustered
     * data collapses the intermediate naturally. For realistic near-dup
     * thresholds (≥ ~0.8) use [[embeddingNearDupsLsh]], which feeds banded
-    * sign-LSH candidates into the same verifier and is near-linear. */
+    * sign-LSH candidates into the same verifier and is near-linear.
+    *
+    * `maxVectors` > 0 arms the in-plan sample-scale guard (the round-7
+    * routing contract, extended here after the round-8 sf10 rehearsal
+    * caught this face un-guarded: the dim-join intermediate is |vecs|²
+    * per dimension — 2.5·10¹⁵ rows at 200k vectors — so above sample
+    * scale the query must FAIL FAST naming the production routes, not
+    * run). Library default 0 = unbounded (the pre-existing public
+    * contract); the registered faces arm it. */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
-      threshold: Double): DataFrame = {
-    val ex = emb.select(col(idCol).as("id"),
+      threshold: Double, maxVectors: Long = 0L): DataFrame = {
+    val guarded = sampleScaleGuard(emb,
+      emb.agg(count(lit(1)).as("__stat")), maxVectors,
+      "embeddingNearDups (exact all-pairs cosine)",
+      "embeddingNearDupsLsh or Similarity/AnnIndex ANN + clusterNearDupPairsBounded")
+    val ex = guarded.select(col(idCol).as("id"),
       posexplode(col(embCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
     val norms = ex.groupBy("id")

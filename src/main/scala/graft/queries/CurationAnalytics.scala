@@ -641,7 +641,11 @@ object CurationAnalytics {
       "q_label_spread",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val p = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.3)
+        // same sample-scale guard as q_dedup_embedding: the label-spread
+        // graph comes from the exact all-pairs kernel, so it shares the
+        // fail-fast bound (LSH pairs feed the same spread at scale)
+        val p = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.3,
+            maxVectors = 4096)
           .select("id_a", "id_b")
         val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))

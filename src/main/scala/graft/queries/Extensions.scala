@@ -234,7 +234,11 @@ object Extensions {
       "q_dedup_embedding",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)
+        // sample-scale verifier (round-8 routing): the exact all-pairs
+        // kernel fails fast above 4096 vectors, naming the LSH route — the
+        // sf10 rehearsal caught this face running unguarded at 200k vectors
+        Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4,
+            maxVectors = 4096)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -91,6 +91,17 @@ class PerfSpec extends AnyFunSuite {
       s"expected sample-scale guard, got: ${messages(e2).mkString(" | ")}")
     assert(Dedup.clusterNearDupPairs(emb, "label", "vec_id", "embedding", 0.9,
       maxExactClusterSize = 20).count() >= 0)
+
+    // round-8: the exact all-pairs embedding kernel (caught unguarded by
+    // the sf10 rehearsal) carries the same contract
+    val e3 = intercept[Exception] {
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9,
+        maxVectors = 16).count()
+    }
+    assert(messages(e3).exists(_.contains("sample-scale")),
+      s"expected sample-scale guard, got: ${messages(e3).mkString(" | ")}")
+    assert(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9,
+      maxVectors = 40).count() >= 0)
   }
 
   test("key histogram surfaces heavy keys") {

@@ -56,6 +56,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_vocab_growth" -> "globalRunningSumAuto derives its bucket width from a ONE-ROW max aggregate broadcast-crossed into the data branch (the WindowGuard fix for the corpus/50-row cumulative curve)",
     "q_dedup_ngram_jaccard" -> "ONE-ROW corpus doc count broadcast-crossed as the sample-scale guard on the naive all-pairs face (fails fast above maxDocs; production routes are q_setsim_prefix / MinHash-LSH)",
     "q_semdedup" -> "ONE-ROW max-cluster-size broadcast-crossed as the sample-scale guard on the exact SemDeDup face (fails fast above maxExactClusterSize; production route is q_semdedup_bounded)",
+    "q_dedup_embedding" -> "ONE-ROW vector count broadcast-crossed as the sample-scale guard on the exact all-pairs cosine face (fails fast above 4096 vectors; production routes are embeddingNearDupsLsh / the ANN + SemDeDup-bounded pipeline)",
+    "q_label_spread" -> "same ONE-ROW sample-scale guard as q_dedup_embedding (the spread graph comes from the exact all-pairs kernel)",
     "q_ann_ivf_persist" -> "the IVF probe step crosses <=16 broadcast coarse centroids against each query vector (q_embed_ann_ivf shape), on both the in-memory and the stored-index side of the comparison",
     "q_ann_ivfpq_persist" -> "same <=16-centroid broadcast cross as q_embed_ann_ivfpq, on both sides of the persisted-vs-in-memory comparison",
     "q_ann_ivfpq_append" -> "same <=16-centroid broadcast cross (probe + frozen-artifact delta assignment) plus the ONE-ROW code/search summary rows crossed into the single audit row")
