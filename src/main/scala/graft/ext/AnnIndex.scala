@@ -38,6 +38,32 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Sentinel for geometry params: derive from the corpus at build time. */
+  val Auto = 0
+
+  /** √n-clamped IVF cell count — the sizing rule the sf10 control run
+    * validated (fixed 16 cells at 100× data → 5.4× search slope; √n cells →
+    * 1.6×): per-cell candidate lists stay ≈√n as the corpus grows, so probe
+    * cost scales with √n instead of n. Clamped to [4, 4096] — below 4 the
+    * coarse quantizer stops pruning, above 4096 the broadcast centroid
+    * table and the per-query probe ranking stop being "small". */
+  def autoCells(n: Long): Int =
+    math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** √n-occupancy LSH plane count: 2^planes buckets per table ≈ √n, so the
+    * mean bucket holds ≈√n vectors and a query's candidate set is
+    * tables·√n. Clamped to [3, 16] (1e9+ vectors before the cap binds). */
+  def autoPlanes(n: Long): Int =
+    math.max(3, math.min(16,
+      math.ceil(math.log(math.sqrt(n.toDouble).max(2.0)) / math.log(2.0)).toInt))
+
+  /** One bounded corpus count resolving both auto rules — callers sizing
+    * several index families share the single scan. */
+  def geometry(corpus: DataFrame): (Long, Int, Int) = {
+    val n = corpus.count()
+    (n, autoCells(n), autoPlanes(n))
+  }
+
   private def paramsDf(spark: SparkSession, kind: String, nCells: Int,
       m: Int, kCodes: Int, dims: Int): DataFrame = {
     import spark.implicits._
@@ -63,21 +89,28 @@ object AnnIndex {
 
   /** Train + assign (the build half of [[Similarity.ivfTopK]], verbatim):
     * bounded-sample Lloyd-refined centroids, then one narrow-map cell
-    * assignment over the corpus. */
-  def buildIvf(corpus: DataFrame, nCells: Int = 16, refineIters: Int = 1,
+    * assignment over the corpus. `nCells = Auto` sizes the cell count from
+    * the corpus ([[autoCells]], √n clamped) — explicit values and the env
+    * knobs callers wire through remain overrides. */
+  def buildIvf(corpus: DataFrame, nCells: Int = Auto, refineIters: Int = 1,
       maxTrain: Int = 4096): (DataFrame, DataFrame) = {
+    val k = if (nCells > 0) nCells else autoCells(corpus.count())
     val train = Similarity.trainingSample(corpus, maxTrain).cache()
     val cents = (0 until refineIters)
-      .foldLeft(Similarity.ivfCentroids(train, nCells))(
+      .foldLeft(Similarity.ivfCentroids(train, k))(
         (c, _) => Similarity.ivfRefine(train, c)).cache()
     (cents, Similarity.ivfAssign(corpus, cents))
   }
 
   /** Persist an IVF index: bounded centroids plain, corpus vectors
-    * partitioned by cell (the pruning axis every probe filters on). */
+    * partitioned by cell (the pruning axis every probe filters on).
+    * `nCells = Auto` records the REALIZED cell count (the bounded centroid
+    * table's row count) in params.parquet, so an auto-sized build needs no
+    * geometry bookkeeping from the caller. */
   def writeIvf(dir: String, cents: DataFrame, indexed: DataFrame,
-      nCells: Int): Unit = {
-    paramsDf(cents.sparkSession, "ivf", nCells, 0, 0, 0)
+      nCells: Int = Auto): Unit = {
+    val k = if (nCells > 0) nCells else cents.count().toInt
+    paramsDf(cents.sparkSession, "ivf", k, 0, 0, 0)
       .write.mode("overwrite").parquet(s"$dir/params.parquet")
     cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     indexed.write.mode("overwrite").partitionBy("cell")
@@ -171,9 +204,15 @@ object AnnIndex {
         Similarity.lshKeys(col("embedding"), planes, dims, nTables)).as("key"))
       .select(col("key.tbl"), col("key.bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
-    val flat = qKeys.map { case (t, b) => t.toLong * 1000000L + b }
+    // flatten (tbl, bucket) into one literal IN key: bucket < 2^planes by
+    // construction, so `tbl << planes | bucket` is collision-free for ANY
+    // planes (a fixed decimal stride would collide once planes >= 20 and
+    // silently over-read bucket directories)
+    require(planes < 60, s"planes=$planes overflows the long partition key")
+    val flat = qKeys.map { case (t, b) => (t.toLong << planes) | b }
     val pruned = keys.filter(
-      (col("tbl").cast("long") * 1000000L + col("bucket")).isin(flat: _*))
+      (shiftleft(col("tbl").cast("long"), planes)
+        .bitwiseOR(col("bucket"))).isin(flat: _*))
     Similarity.lshSearch(pruned, vectors, queries, k, planes, dims, nTables)
   }
 
@@ -215,12 +254,13 @@ object AnnIndex {
   /** Train + encode the hybrid index (the build half of
     * [[Similarity.ivfpqTopK]], verbatim): one bounded training sample feeds
     * both the coarse quantizer and the PQ codebooks. */
-  def buildIvfPq(corpus: DataFrame, nCells: Int = 16, m: Int = 8,
+  def buildIvfPq(corpus: DataFrame, nCells: Int = Auto, m: Int = 8,
       kCodes: Int = 16, dims: Int = 64, refineIters: Int = 1,
       maxTrain: Int = 4096): (DataFrame, DataFrame, DataFrame) = {
+    val k = if (nCells > 0) nCells else autoCells(corpus.count())
     val train = Similarity.trainingSample(corpus, maxTrain).cache()
     val cents = (0 until refineIters)
-      .foldLeft(Similarity.ivfCentroids(train, nCells))(
+      .foldLeft(Similarity.ivfCentroids(train, k))(
         (c, _) => Similarity.ivfRefine(train, c)).cache()
     val cells = Similarity.ivfAssign(corpus, cents)
       .select(col("vec_id"), col("cell"))
@@ -234,7 +274,8 @@ object AnnIndex {
 
   def writeIvfPq(dir: String, cents: DataFrame, books: DataFrame,
       codes: DataFrame, nCells: Int, m: Int, kCodes: Int, dims: Int): Unit = {
-    paramsDf(cents.sparkSession, "ivfpq", nCells, m, kCodes, dims)
+    val k = if (nCells > 0) nCells else cents.count().toInt
+    paramsDf(cents.sparkSession, "ivfpq", k, m, kCodes, dims)
       .write.mode("overwrite").parquet(s"$dir/params.parquet")
     cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     books.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
@@ -276,5 +317,35 @@ object AnnIndex {
       .join(cells, Seq("vec_id"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
+  }
+
+  /** Incremental LSH maintenance — same O(|delta|) frozen-artifact contract
+    * as [[appendIvfPq]]: the hyperplanes are deterministic from the STORED
+    * (planes, dims, tables), so keying the delta with them and appending is
+    * bit-identical to a one-shot build of the union (pinned by
+    * `q_ann_lsh_append`). Existing bucket files are untouched; new key rows
+    * land in their (tbl, bucket) partitions, vectors append plain. */
+  def appendLsh(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    val (kind, nTables, planes, _, dims) = readParams(spark, dir)
+    require(kind == "lsh", s"appendLsh on a '$kind' index at $dir")
+    val (keys, vectors) = buildLsh(delta, planes, dims, nTables)
+    keys.write.mode("append").partitionBy("tbl", "bucket")
+      .parquet(s"$dir/keys.parquet")
+    vectors.write.mode("append").parquet(s"$dir/vectors.parquet")
+  }
+
+  /** Incremental IVF maintenance — assign the delta to the FROZEN stored
+    * centroids (no retrain) and append per-cell vector files: O(|delta|)
+    * regardless of index size, and identical by construction to a
+    * frozen-centroid assignment of the union (pinned by
+    * `q_ann_ivf_append`). Cell boundaries drift only as far as the data
+    * does; an explicit rebuild refreshes the centroids. */
+  def appendIvf(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    val (kind, _, _, _, _) = readParams(spark, dir)
+    require(kind == "ivf", s"appendIvf on a '$kind' index at $dir")
+    val (cents, _) = readIvf(spark, dir)
+    Similarity.ivfAssign(delta, cents)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/vectors.parquet")
   }
 }

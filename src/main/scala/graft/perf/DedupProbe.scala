@@ -37,7 +37,9 @@ object DedupProbe {
         // NULL, and getLong would NPE instead of reporting 0
         Dedup.prefixPostings(sh, 4, 5)
           .groupBy("shingle").agg(count(lit(1)).as("k"))
-          .select(coalesce(sum(expr("k * (k - 1) / 2")), lit(0L)).cast("long"))
+          // integer `div`, not `/`: SQL / is double division, which loses
+          // exactness once hot-shingle posting products near 2^53
+          .select(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)).cast("long"))
           .head().getLong(0)
       }
       val (nCand, tCand) = timed(Dedup.prefixCandidates(sh, 4, 5).count())

@@ -136,6 +136,20 @@ object ScaleUp {
       s"SPARK_GRAFT_TEXT_MODE must be rot5|distinct, got '$textMode'")
     require(Set("copy", "distinct")(embMode),
       s"SPARK_GRAFT_EMB_MODE must be copy|distinct, got '$embMode'")
+    // the 'distinct' modes are injective only within a bounded replica
+    // range (text: 5 vowel × 20 consonant rotations = 100 compositions;
+    // embeddings: rotation+negation repeats at r = 2·dims) — beyond it the
+    // corpus silently regrows the twin-replica density these modes exist to
+    // remove, so fail fast exactly like a misspelled mode does
+    require(textMode != "distinct" || n <= 100,
+      s"SPARK_GRAFT_TEXT_MODE=distinct is injective only for <=100 replicas, got $n")
+    if (embMode == "distinct") {
+      val dims = spark.table("embeddings")
+        .select(size(col("embedding"))).head.getInt(0)
+      require(n <= 2 * dims,
+        s"SPARK_GRAFT_EMB_MODE=distinct is injective only for <=${2 * dims} " +
+          s"replicas at $dims dims, got $n")
+    }
     val docs = replicate(spark.table("documents"), n)
     write("documents",
       offsetKeys(docs, Seq("doc_id"))

@@ -54,6 +54,25 @@ object AnnFaces {
   private def tempIndexDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Materialize the (≤|queries|-row) comparison result, then DELETE the
+    * temp index dir. The comparison plan reads the stored index lazily, so
+    * the dir must outlive the plan — collecting first lets each face clean
+    * up after itself instead of leaking corpus-sized index copies under
+    * /tmp on every correctness/bench execution (5+ faces × 4 bench runs per
+    * round). The collected rows come back as a 1-partition local frame with
+    * the original schema. */
+  private def materializeAndClean(cmp: DataFrame, idxDir: String): DataFrame = {
+    val rows = cmp.collect()
+    val p = java.nio.file.Paths.get(idxDir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    cmp.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cmp.schema)
+  }
+
   private val AnnOracle =
     """SELECT vec_id AS qid, CAST(3 AS BIGINT) AS n_rows, TRUE AS identical
       FROM embeddings WHERE vec_id < 10 ORDER BY qid"""
@@ -69,9 +88,9 @@ object AnnFaces {
         val idx = tempIndexDir("graft-ann-ivf")
         val (cents, indexed) = AnnIndex.buildIvf(e, nCells = 16, refineIters = 2)
         AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
-        compareTopK(
+        materializeAndClean(compareTopK(
           Similarity.ivfSearch(cents, indexed, q, 3, nprobe = 4),
-          AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4), "cos")
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4), "cos"), idx)
       },
       Some(AnnOracle)),
 
@@ -86,10 +105,10 @@ object AnnFaces {
         val idx = tempIndexDir("graft-ann-lsh")
         val (keys, vectors) = AnnIndex.buildLsh(e, planes = 5, tables = 12)
         AnnIndex.writeLsh(idx, keys, vectors, planes = 5, dims = 64, tables = 12)
-        compareTopK(
+        materializeAndClean(compareTopK(
           Similarity.lshSearch(keys, vectors, q, 3, planes = 5, dims = 64,
             tables = 12),
-          AnnIndex.searchLsh(s, idx, q, 3), "cos")
+          AnnIndex.searchLsh(s, idx, q, 3), "cos"), idx)
       },
       Some(AnnOracle)),
 
@@ -103,9 +122,9 @@ object AnnFaces {
         val idx = tempIndexDir("graft-ann-pq")
         val (books, codes) = AnnIndex.buildPq(e, kCodes = 64, refineIters = 2)
         AnnIndex.writePq(idx, books, codes, m = 8, kCodes = 64, dims = 64)
-        compareTopK(
+        materializeAndClean(compareTopK(
           Similarity.pqSearch(books, codes, q, 3, m = 8, dims = 64),
-          AnnIndex.searchPq(s, idx, q, 3), "adist")
+          AnnIndex.searchPq(s, idx, q, 3), "adist"), idx)
       },
       Some(AnnOracle)),
 
@@ -121,10 +140,10 @@ object AnnFaces {
           AnnIndex.buildIvfPq(e, kCodes = 64, refineIters = 2)
         AnnIndex.writeIvfPq(idx, cents, books, codes,
           nCells = 16, m = 8, kCodes = 64, dims = 64)
-        compareTopK(
+        materializeAndClean(compareTopK(
           Similarity.ivfpqSearch(cents, books, codes, q, 3, nprobe = 8,
             m = 8, dims = 64),
-          AnnIndex.searchIvfPq(s, idx, q, 3, nprobe = 8), "adist")
+          AnnIndex.searchIvfPq(s, idx, q, 3, nprobe = 8), "adist"), idx)
       },
       Some(AnnOracle)),
 
@@ -169,9 +188,99 @@ object AnnFaces {
           AnnIndex.searchIvfPq(s, idx, q, 3, nprobe = 8), "adist")
           .agg(sum(col("n_rows")).as("n_search_rows"),
             expr("bool_and(identical)").as("search_identical"))
-        codeCmp.crossJoin(broadcast(searchCmp))
+        materializeAndClean(codeCmp.crossJoin(broadcast(searchCmp)), idx)
       },
       Some("""SELECT COUNT(*) AS n_codes, TRUE AS codes_identical,
+          CAST(30 AS BIGINT) AS n_search_rows, TRUE AS search_identical
+        FROM embeddings""")),
+
+    // ── LSH append lifecycle (round-9 judge task 3): build+persist on 3/4
+    //    of the corpus, APPEND the remaining 1/4 keyed with the FROZEN
+    //    stored geometry (the hyperplanes are deterministic from
+    //    (planes, dims, tables), so "frozen" holds by construction), then
+    //    pin (a) the stored key table ≡ a one-shot keying of the union, per
+    //    (vec_id, tbl) — each vector lands in exactly one bucket per table
+    //    — and (b) search over the appended index ≡ the in-memory search
+    //    over the union ─────────────────────────────────────────────────────
+    Q(
+      "q_ann_lsh_append",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+        val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-lsh-append")
+        val (baseKeys, baseVecs) = AnnIndex.buildLsh(base, planes = 5, tables = 12)
+        AnnIndex.writeLsh(idx, baseKeys, baseVecs, planes = 5, dims = 64,
+          tables = 12)
+        AnnIndex.appendLsh(s, idx, delta)
+        // one-shot keying of the union — what append must equal
+        val (unionKeys, unionVecs) = AnnIndex.buildLsh(e, planes = 5, tables = 12)
+        val (storedKeys, _) = AnnIndex.readLsh(s, idx)
+        val keyCmp = storedKeys
+          .select(col("vec_id"), col("tbl"), col("bucket").as("a_bucket"))
+          .join(unionKeys.select(col("vec_id"), col("tbl"),
+            col("bucket").as("b_bucket")), Seq("vec_id", "tbl"), "full_outer")
+          .agg(count(lit(1)).as("n_keys"),
+            // null-safe (bool_and SKIPS nulls): a (vec_id, tbl) present on
+            // only one side must flip the boolean, not vanish
+            coalesce(expr(
+              """bool_and(a_bucket IS NOT NULL AND b_bucket IS NOT NULL
+                |AND a_bucket <=> b_bucket)""".stripMargin),
+              lit(false)).as("keys_identical"))
+        val searchCmp = compareTopK(
+          Similarity.lshSearch(unionKeys, unionVecs, q, 3, planes = 5,
+            dims = 64, tables = 12),
+          AnnIndex.searchLsh(s, idx, q, 3), "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("search_identical"))
+        materializeAndClean(keyCmp.crossJoin(broadcast(searchCmp)), idx)
+      },
+      Some("""SELECT CAST(COUNT(*) * 12 AS BIGINT) AS n_keys,
+          TRUE AS keys_identical,
+          CAST(30 AS BIGINT) AS n_search_rows, TRUE AS search_identical
+        FROM embeddings""")),
+
+    // ── IVF append lifecycle (round-9 judge task 3): build+persist on 3/4,
+    //    APPEND the remaining 1/4 assigned to the FROZEN stored centroids
+    //    (no retrain), then pin (a) the stored vector table ≡ a
+    //    frozen-centroid assignment of the union, per vec_id (cell AND
+    //    embedding — parquet roundtrips the float array exactly), and
+    //    (b) search over the appended index ≡ the in-memory search over the
+    //    union assignment ───────────────────────────────────────────────────
+    Q(
+      "q_ann_ivf_append",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+        val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-ivf-append")
+        val (cents, baseIndexed) = AnnIndex.buildIvf(base, nCells = 16,
+          refineIters = 2)
+        AnnIndex.writeIvf(idx, cents, baseIndexed, nCells = 16)
+        AnnIndex.appendIvf(s, idx, delta)
+        // frozen-centroid assignment of the union — what append must equal
+        val unionIndexed = Similarity.ivfAssign(e, cents)
+        val (_, storedIndexed) = AnnIndex.readIvf(s, idx)
+        val vecCmp = storedIndexed
+          .select(col("vec_id"), col("cell").as("a_cell"),
+            col("embedding").as("a_emb"))
+          .join(unionIndexed.select(col("vec_id"), col("cell").as("b_cell"),
+            col("embedding").as("b_emb")), Seq("vec_id"), "full_outer")
+          .agg(count(lit(1)).as("n_vecs"),
+            coalesce(expr(
+              """bool_and(a_cell IS NOT NULL AND b_cell IS NOT NULL
+                |AND a_cell <=> b_cell AND a_emb <=> b_emb)""".stripMargin),
+              lit(false)).as("vecs_identical"))
+        val searchCmp = compareTopK(
+          Similarity.ivfSearch(cents, unionIndexed, q, 3, nprobe = 4),
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4), "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("search_identical"))
+        materializeAndClean(vecCmp.crossJoin(broadcast(searchCmp)), idx)
+      },
+      Some("""SELECT COUNT(*) AS n_vecs, TRUE AS vecs_identical,
           CAST(30 AS BIGINT) AS n_search_rows, TRUE AS search_identical
         FROM embeddings""")))
 }
