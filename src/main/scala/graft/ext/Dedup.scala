@@ -310,19 +310,44 @@ object Dedup {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
-    val prefixA = sh.join(dfreq, "shingle")
+    // global (df, shingle)-ordered positions for EVERY doc — the contained
+    // side filters them to its prefix; the container side carries them into
+    // the join so the positional bound below can prune candidate rows
+    // (round-9: this was the weakest routed slope at sf10 — the container
+    // side joined bare, so every hot-shingle posting became a candidate)
+    val posAll = sh.join(dfreq, "shingle")
       .withColumn("__pos", row_number().over(w))
       .join(counts, "doc_id")
+    val prefixA = posAll
       .filter(col("n_sh") >= minShingles)
       // ⌈ε·n⌉ slack beyond n − ⌈c·n⌉ + 1: the verification compares the
       // ROUNDED containment, which admits true C down to c − 5e-7
       .filter(col("__pos") <=
         col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1 +
         expr("(n_sh + 1999999) div 2000000"))
-      .select(col("doc_id").as("id_a"), col("shingle"))
+      .select(col("doc_id").as("id_a"), col("shingle"),
+        col("n_sh").as("na"), col("__pos").as("pa"))
     val cand = prefixA
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .join(posAll.select(col("doc_id").as("id_b"), col("shingle"),
+        col("n_sh").as("nb"), col("__pos").as("pb")), Seq("shingle"))
       .filter(col("id_a") =!= col("id_b"))
+      // container-size bound: common ≤ nb, and qualifying needs
+      // common·cDen ≥ cNum·na (minus the ⌈ε·na⌉ rounding slack) — a
+      // container smaller than c·na can never contain A
+      .filter((col("nb") + expr("(na + 1999999) div 2000000")) * cDen >=
+        col("na") * cNum)
+      // POSITIONAL bound (the PPJoin filter, asymmetric form): both docs'
+      // shingles sit in the SAME global (df, shingle) order, so at a pair's
+      // FIRST shared shingle every other common shingle lies strictly after
+      // position pa in A and pb in B — common ≤ 1 + min(na−pa, nb−pb). A
+      // qualifying pair's first-shared row is always a candidate row (its
+      // A-position is minimal among common shingles, hence inside A's
+      // prefix) and always passes, so keeping pairs where ANY row passes
+      // loses nothing — exact, pinned against the unfiltered join in
+      // ExtensionsSpec. Same ⌈ε·na⌉ slack as the size bound.
+      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) +
+          expr("(na + 1999999) div 2000000")) * cDen >=
+        col("na") * cNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
     // compact-array verification (same round-8 shape as jaccardPairsPrefix):

@@ -846,13 +846,17 @@ object Analytics {
         FROM binned GROUP BY bin, lo, hi ORDER BY bin""")),
 
     // ── triangle census of the co-purchase graph: edges are part pairs
-    //    sharing an order (basket-bounded fan-out), canonically oriented
-    //    u < v so each triangle (a<b<c) is counted exactly once by the
-    //    two-hop join + closing-edge semi-join. At 100 TB the orientation
-    //    key becomes (degree, id) instead of raw id — same count, but the
-    //    two-out-edge node of every triangle is then its LOWEST-degree
-    //    node, which bounds the wedge join's per-key fan-out on skewed
-    //    (celebrity) nodes. Global clustering = 3·triangles / wedges ────────
+    //    sharing an order (basket-bounded fan-out). DEGREE-ORDERED
+    //    orientation (round-9; documented since round 4): each undirected
+    //    edge points from its (degree, id)-smaller endpoint to the larger,
+    //    so every triangle is counted exactly once as an out-wedge of its
+    //    LOWEST-degree node closed by the (single, correctly-oriented)
+    //    third edge. The wedge join's per-key fan-out is Σ outdeg² with
+    //    outdeg ≤ O(√m) — bounded on skewed (celebrity) nodes, where the
+    //    raw-id orientation pays deg² on every hub it happens to rank low.
+    //    Same count by construction (the orientation is a total order
+    //    restriction); sf10 wall-clock in BASELINE.md. Global clustering =
+    //    3·triangles / wedges ────────────────────────────────────────────────
     Q(
       "q_graph_triangles",
       (s, dir) => {
@@ -863,9 +867,20 @@ object Analytics {
         val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2)
           .cast("long").as("n_wedges"),
           count(lit(1)).as("n_nodes"))
-        val tri = e.select(col("u").as("a"), col("v").as("b"))
-          .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-          .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
+        // orient: u→v iff (deg(u), u) < (deg(v), v); e already has u < v,
+        // so ties keep the u→v direction
+        val uLow = col("du") < col("dv") || (col("du") === col("dv"))
+        val eo = e
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(when(uLow, col("u")).otherwise(col("v")).as("s"),
+            when(uLow, col("v")).otherwise(col("u")).as("t"))
+        val tri = eo.select(col("s").as("a"), col("t").as("b"))
+          .join(eo.select(col("s").as("a"), col("t").as("c")), Seq("a"))
+          .filter(col("b") =!= col("c"))
+          // of the out-wedge's two (b, c) orderings only the one matching
+          // the oriented third edge survives — exactly-once counting
+          .join(eo.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"),
             "left_semi")
           .agg(count(lit(1)).as("n_triangles"))
         val edges = e.agg(count(lit(1)).as("n_edges"))

@@ -846,6 +846,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("containment positional/size bounds are exact vs the unfiltered join") {
+    // real corpus + planted positives (full subset, partial overlap at the
+    // 0.8 boundary, disjoint) so the exactness pin exercises hits AND misses
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val planted = Seq(
+      (9000001L, body),
+      (9000002L, body + " " + (100 to 160).map(i => s"pad$i").mkString(" ")),
+      (9000003L, (1 to 33).map(i => s"tok$i").mkString(" ") + " " +
+        (300 to 310).map(i => s"edge$i").mkString(" ")),
+      (9000004L, (200 to 240).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3).cache()
+    try {
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val naive = sh.select(col("doc_id").as("id_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        .join(counts.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .filter(col("na") >= 10)
+        .filter(round(col("common") / col("na"), 6) >= 0.8)
+        .select("id_a", "id_b", "common")
+        .as[(Long, Long, Long)].collect().toSet
+      val got = Dedup.containmentPairs(sh, 4, 5, minShingles = 10)
+        .select("id_a", "id_b", "common")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(naive.nonEmpty, "exactness pin needs qualifying pairs")
+      assert(got == naive)
+    } finally sh.unpersist()
+  }
+
   test("jsonl ingest quarantines malformed lines without losing them") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
