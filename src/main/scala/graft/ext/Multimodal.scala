@@ -81,16 +81,18 @@ object Multimodal {
     }
   }
 
-  /** A real VIDEO/AUDIO-container decoder would go here; still stubbed —
-    * this environment has no av codecs (images are covered by
-    * [[ImageDecodeExtractor]]). Wire format / plumbing identical to
+  /** A real VIDEO-container decoder would go here; still stubbed — this
+    * environment has no video codecs (images are covered by
+    * [[ImageDecodeExtractor]], WAV audio by [[AudioCodec]] /
+    * [[decodeAudioStats]]). Wire format / plumbing identical to
     * [[ByteHistogramExtractor]]. */
   class MediaDecodeExtractor extends FeatureExtractor {
     val dims = 16
     def extract(payload: Array[Byte]): Array[Float] =
       throw new UnsupportedOperationException(
-        "video/audio codecs unavailable in this environment; " +
-          "use ImageDecodeExtractor (images) or ByteHistogramExtractor")
+        "video codecs unavailable in this environment; use " +
+          "ImageDecodeExtractor (images), decodeAudioStats (WAV audio), " +
+          "or ByteHistogramExtractor")
   }
 
   /** Batch feature extraction over (media_id, payload): one extractor per
@@ -251,6 +253,90 @@ object Multimodal {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic WAV fixture clips keyed to the documents table: doc i
+    * becomes ((i%7)+2) 160-sample frames of mono 8 kHz PCM16 with
+    * sample(t) = ((t·step + i) mod 4097) / dv − 2048 / dv, where
+    * step = (i%11)+3 and dv = 64 for every 5th doc (a near-silent clip,
+    * |v| ≤ 32) else 1 (full-scale, |v| ≤ 2048) — ENCODED AS REAL WAV BYTES
+    * on the executors ([[AudioCodec.encodePcm16Wav]]). All operands are
+    * non-negative before the one subtraction, so `/` truncation equals
+    * floor in both Scala and SQL, and since WAV/PCM is lossless a SQL
+    * oracle predicts every statistic a real decode produces
+    * (q_media_audio_decode — the audio analog of [[imagePayload]]). */
+  def audioPayload(docs: DataFrame, samplesPerFrame: Int = 160): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("channels", IntegerType, nullable = false))),
+        nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = ((id % 7).toInt + 2) * samplesPerFrame
+        val step = (id % 11) + 3
+        val dv = if (id % 5 == 0) 64 else 1
+        val samples = Array.tabulate(n) { t =>
+          (((t * step + id) % 4097) / dv - 2048 / dv).toInt
+        }
+        Row(id, AudioCodec.encodePcm16Wav(8000, samples),
+          Row("audio/wav", 8000, 1))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio decode per media row: `javax.sound.sampled` decodes the WAV
+    * container and emits per-media integer statistics over DECODED samples
+    * — frame count, exact power sum, global peak, and the count of silent
+    * frames (per-frame peak ≤ `silencePeak`, an integer compare — no
+    * floating point anywhere, so the oracle is hash-exact). Narrow map,
+    * nothing on the driver. */
+  def decodeAudioStats(media: DataFrame, samplesPerFrame: Int = 160,
+      silencePeak: Int = 64): DataFrame = {
+    require(samplesPerFrame > 0)
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("n_silent", LongType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (sr, ch, samples) = AudioCodec.decodePcm16(r.getAs[Array[Byte]](1))
+          val nFrames = (samples.length + samplesPerFrame - 1) / samplesPerFrame
+          var sumSq = 0L; var peak = 0L; var nSilent = 0L
+          var f = 0
+          while (f < nFrames) {
+            var t = f * samplesPerFrame
+            val end = math.min(samples.length, t + samplesPerFrame)
+            var fPeak = 0L
+            while (t < end) {
+              val v = samples(t).toLong
+              sumSq += v * v
+              val a = math.abs(v)
+              if (a > fPeak) fPeak = a
+              t += 1
+            }
+            if (fPeak > peak) peak = fPeak
+            if (fPeak <= silencePeak) nSilent += 1
+            f += 1
+          }
+          Row(r.getLong(0), sr, ch, samples.length.toLong, nFrames.toLong,
+            sumSq, peak, nSilent)
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Audio frame energy over raw PCM16LE payloads: one row per

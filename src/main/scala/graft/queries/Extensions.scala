@@ -1559,6 +1559,46 @@ object Extensions {
         FROM tot t JOIN ph USING (doc_id) JOIN rs USING (doc_id)
         ORDER BY media_id""")),
 
+    // ── REAL audio decode (round 9, javax.sound.sampled — WAV/PCM needs no
+    //    external codec, same argument that closed images in round 8):
+    //    deterministic mono PCM16 WAV fixtures are ENCODED on the executors,
+    //    decoded back through AudioSystem, and every emitted statistic —
+    //    decoded sample/frame counts, exact integer power sum, global peak,
+    //    silent-frame count — is reproduced by the oracle from the integer
+    //    generation formula ALONE (every 5th doc is a near-silent clip, so
+    //    the silence detector fires on real decoded data). Hash-green
+    //    certifies the decode path operates on real PCM end-to-end ──────────
+    Q(
+      "q_media_audio_decode",
+      (s, dir) => {
+        import graft.ext.Multimodal
+        val d = t(s, dir, "documents")
+        Multimodal.decodeAudioStats(Multimodal.audioPayload(d))
+          .select(col("media_id"), col("sample_rate").cast("long").as("sample_rate"),
+            col("n_channels").cast("long").as("n_channels"), col("n_samples"),
+            col("n_frames"), col("sum_sq"), col("peak"), col("n_silent"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 7) + 2 AS nf,
+            (doc_id % 11) + 3 AS step,
+            CASE WHEN doc_id % 5 = 0 THEN 64 ELSE 1 END AS dv
+          FROM documents),
+        s AS (SELECT doc_id, ti.i // 160 AS frame_no,
+            ((ti.i * step + doc_id) % 4097) // dv - 2048 // dv AS v
+          FROM d CROSS JOIN UNNEST(generate_series(0, nf * 160 - 1)) AS ti(i)),
+        fr AS (SELECT doc_id, frame_no, SUM(v * v) AS fss,
+            MAX(ABS(v)) AS fpeak
+          FROM s GROUP BY 1, 2)
+        SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(1 AS BIGINT) AS n_channels,
+          CAST(COUNT(*) * 160 AS BIGINT) AS n_samples,
+          CAST(COUNT(*) AS BIGINT) AS n_frames,
+          CAST(SUM(fss) AS BIGINT) AS sum_sq,
+          CAST(MAX(fpeak) AS BIGINT) AS peak,
+          CAST(SUM(CASE WHEN fpeak <= 64 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_silent
+        FROM fr GROUP BY doc_id ORDER BY media_id""")),
+
     // ── multimodal frame-sampling plumbing, oracle-checked: fixed-size
     //    chunker stub → every-2nd-frame rows; per-media frame counts and
     //    byte totals are exact arithmetic over the payload length ───────────
