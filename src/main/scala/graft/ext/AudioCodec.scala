@@ -29,6 +29,10 @@ object AudioCodec {
     var i = 0
     while (i < samples.length) {
       val v = samples(i)
+      // fail fast, not wrap: silently truncating to the low 16 bits would
+      // break the decode-returns-what-was-encoded contract far from here
+      require(v >= Short.MinValue && v <= Short.MaxValue,
+        s"sample $i out of 16-bit range: $v")
       bytes(2 * i) = (v & 0xff).toByte
       bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1

@@ -42,26 +42,25 @@ import graft.model.TableLayout
   */
 object AdvisorRehearsal {
 
-  private def sink(df: DataFrame): Unit =
-    df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => {
-      while (it.hasNext) it.next()
-    })
+  import Measure.{sink, time, median}
 
-  private def time(f: => Unit): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted; s(s.length / 2)
-  }
+  /** The executed plan's FINAL tree as text: the AQE wrapper's toString
+    * prints BOTH "Final Plan" and "Initial Plan" sections once AQE has
+    * modified anything, which would double-count every node — unwrap first
+    * (same rule as PlanDigest). */
+  private def finalPlanString(df: DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
 
   /** Shuffle Exchanges in the executed (AQE-final) plan — Broadcast
     * exchanges are excluded: broadcasting a small side is the PLAN WE WANT,
     * only hash/range/single-partition shuffles are the write-once-
     * shuffle-never target. */
   private def shuffleExchanges(df: DataFrame): Int =
-    "Exchange (hash|range|Single)".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+    "Exchange (hash|range|Single)".r.findAllIn(finalPlanString(df)).length
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "scaledata/sf10")
@@ -102,15 +101,9 @@ object AdvisorRehearsal {
       // warehouse locations persist — clear both or the managed-table
       // write fails with LOCATION_ALREADY_EXISTS on any re-run
       spark.sql(s"DROP TABLE IF EXISTS adv_$name")
-      val loc = java.nio.file.Paths.get(
+      Measure.deleteRecursively(java.nio.file.Paths.get(
         spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:"), s"adv_$name")
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-      }
+          .stripPrefix("file:"), s"adv_$name").toString)
       name -> time {
         graft.model.PartitionAdvisor.writeLayout(df, layout, s"adv_$name")
       }
@@ -159,26 +152,29 @@ object AdvisorRehearsal {
       ("prune", adv => prune(bind(adv), adv)))
 
     def measure(advised: Boolean): (Seq[(String, Double)], Seq[(String, Int)]) = {
-      val t = queries.map { case (name, q) =>
-        sink(q(advised)) // warm-up (also finalizes an AQE plan to count)
-        name -> median((1 to runs).map(_ => time(sink(q(advised)))))
+      // the warm-up execution doubles as the Exchange-count source — its
+      // finalized AQE plan is the same one the timed repeats re-derive
+      val both = queries.map { case (name, q) =>
+        val warm = q(advised)
+        sink(warm)
+        val ex = shuffleExchanges(warm)
+        (name -> median((1 to runs).map(_ => time(sink(q(advised))))),
+          name -> ex)
       }
-      val ex = queries.map { case (name, q) =>
-        val df = q(advised); sink(df); name -> shuffleExchanges(df)
-      }
-      (t, ex)
+      (both.map(_._1), both.map(_._2))
     }
     val (plainT, plainEx) = measure(advised = false)
     val (advT, advEx) = measure(advised = true)
 
-    // pruning evidence: the advised one-year scan must carry a partition
-    // filter and read a strict subset of the table's files
+    // pruning evidence: the advised one-year scan must carry o_year INSIDE
+    // a non-empty PartitionFilters bracket — a bare contains() would pass
+    // vacuously on "PartitionFilters: []" plus o_year in the read schema
     val prunedPlan = {
       val df = prune(bind(advised = true), advised = true)
-      sink(df); df.queryExecution.executedPlan.toString
+      sink(df); finalPlanString(df)
     }
-    val partitionFilterShown = prunedPlan.contains("PartitionFilters: [") &&
-      prunedPlan.contains("o_year")
+    val partitionFilterShown =
+      "PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(prunedPlan).isDefined
 
     def objD(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

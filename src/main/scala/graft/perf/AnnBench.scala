@@ -18,18 +18,7 @@ import graft.ext.AnnIndex
   */
 object AnnBench {
 
-  private def sink(df: DataFrame): Unit =
-    df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => {
-      while (it.hasNext) it.next()
-    })
-
-  private def time(f: => Unit): Double = {
-    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted; s(s.length / 2)
-  }
+  import Measure.{sink, time, median}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

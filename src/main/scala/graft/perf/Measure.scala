@@ -1,0 +1,36 @@
+package graft.perf
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared measurement helpers for the perf mains (AnnBench,
+  * AdvisorRehearsal, …) — previously copy-pasted per main, which invites
+  * silent divergence the first time one copy is fixed. `graft.Bench` keeps
+  * its own variants deliberately: its time() reports failures as −1 and its
+  * median() filters them, a contract the rehearsal mains don't want. */
+object Measure {
+
+  /** Materialize every row without collecting to the driver. */
+  def sink(df: DataFrame): Unit =
+    df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) => {
+      while (it.hasNext) it.next()
+    })
+
+  def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of an empty sample")
+    val s = xs.sorted; s(s.length / 2)
+  }
+
+  /** Recursively delete a directory tree (no-op if absent). */
+  def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+  }
+}

@@ -108,6 +108,35 @@ object ScaleUp {
     }
 
     graft.Tables.register(spark, src)
+
+    // validate EVERY knob before the first write — a guard that fires
+    // mid-run would leave the output dir with some tables rewritten at the
+    // new scale beside stale ones from a prior run: a silently broken,
+    // referentially inconsistent corpus
+    val textMode = sys.env.getOrElse("SPARK_GRAFT_TEXT_MODE", "rot5")
+    val embMode = sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "copy")
+    require(Set("rot5", "distinct")(textMode),
+      s"SPARK_GRAFT_TEXT_MODE must be rot5|distinct, got '$textMode'")
+    require(Set("copy", "distinct")(embMode),
+      s"SPARK_GRAFT_EMB_MODE must be copy|distinct, got '$embMode'")
+    // the 'distinct' modes are injective only within a bounded replica
+    // range (text: 5 vowel × 20 consonant rotations = 100 compositions;
+    // embeddings: rotation+negation repeats at r = 2·dims) — beyond it the
+    // corpus silently regrows the twin-replica density these modes exist to
+    // remove, so fail fast exactly like a misspelled mode does
+    require(textMode != "distinct" || n <= 100,
+      s"SPARK_GRAFT_TEXT_MODE=distinct is injective only for <=100 replicas, got $n")
+    if (embMode == "distinct") {
+      val firstVec = spark.table("embeddings")
+        .select(size(col("embedding"))).head(1)
+      require(firstVec.nonEmpty, "embeddings table is empty — cannot size " +
+        "the distinct-mode injectivity bound")
+      val dims = firstVec(0).getInt(0)
+      require(n <= 2 * dims,
+        s"SPARK_GRAFT_EMB_MODE=distinct is injective only for <=${2 * dims} " +
+          s"replicas at $dims dims, got $n")
+    }
+
     // dimensions: scale-invariant, copy once
     write("region", spark.table("region"), 1)
     write("nation", spark.table("nation"), 1)
@@ -128,28 +157,6 @@ object ScaleUp {
       offsetKeys(replicate(spark.table("events"), n),
         Seq("event_id", "user_id")), 8)
 
-    val textMode = sys.env.getOrElse("SPARK_GRAFT_TEXT_MODE", "rot5")
-    val embMode = sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "copy")
-    // fail fast on typos: a misspelled mode silently generating the WRONG
-    // corpus would invalidate a whole rehearsal's slope conclusions
-    require(Set("rot5", "distinct")(textMode),
-      s"SPARK_GRAFT_TEXT_MODE must be rot5|distinct, got '$textMode'")
-    require(Set("copy", "distinct")(embMode),
-      s"SPARK_GRAFT_EMB_MODE must be copy|distinct, got '$embMode'")
-    // the 'distinct' modes are injective only within a bounded replica
-    // range (text: 5 vowel × 20 consonant rotations = 100 compositions;
-    // embeddings: rotation+negation repeats at r = 2·dims) — beyond it the
-    // corpus silently regrows the twin-replica density these modes exist to
-    // remove, so fail fast exactly like a misspelled mode does
-    require(textMode != "distinct" || n <= 100,
-      s"SPARK_GRAFT_TEXT_MODE=distinct is injective only for <=100 replicas, got $n")
-    if (embMode == "distinct") {
-      val dims = spark.table("embeddings")
-        .select(size(col("embedding"))).head.getInt(0)
-      require(n <= 2 * dims,
-        s"SPARK_GRAFT_EMB_MODE=distinct is injective only for <=${2 * dims} " +
-          s"replicas at $dims dims, got $n")
-    }
     val docs = replicate(spark.table("documents"), n)
     write("documents",
       offsetKeys(docs, Seq("doc_id"))

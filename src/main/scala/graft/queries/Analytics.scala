@@ -868,8 +868,8 @@ object Analytics {
           .cast("long").as("n_wedges"),
           count(lit(1)).as("n_nodes"))
         // orient: u→v iff (deg(u), u) < (deg(v), v); e already has u < v,
-        // so ties keep the u→v direction
-        val uLow = col("du") < col("dv") || (col("du") === col("dv"))
+        // so du ≤ dv keeps the u→v direction on degree ties
+        val uLow = col("du") <= col("dv")
         val eo = e
           .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
           .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))

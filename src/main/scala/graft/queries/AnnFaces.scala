@@ -63,12 +63,7 @@ object AnnFaces {
     * the original schema. */
   private def materializeAndClean(cmp: DataFrame, idxDir: String): DataFrame = {
     val rows = cmp.collect()
-    val p = java.nio.file.Paths.get(idxDir)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    graft.perf.Measure.deleteRecursively(idxDir)
     cmp.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), cmp.schema)
   }
