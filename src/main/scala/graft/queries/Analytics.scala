@@ -846,17 +846,17 @@ object Analytics {
         FROM binned GROUP BY bin, lo, hi ORDER BY bin""")),
 
     // ── triangle census of the co-purchase graph: edges are part pairs
-    //    sharing an order (basket-bounded fan-out). DEGREE-ORDERED
-    //    orientation (round-9; documented since round 4): each undirected
-    //    edge points from its (degree, id)-smaller endpoint to the larger,
-    //    so every triangle is counted exactly once as an out-wedge of its
-    //    LOWEST-degree node closed by the (single, correctly-oriented)
-    //    third edge. The wedge join's per-key fan-out is Σ outdeg² with
-    //    outdeg ≤ O(√m) — bounded on skewed (celebrity) nodes, where the
-    //    raw-id orientation pays deg² on every hub it happens to rank low.
-    //    Same count by construction (the orientation is a total order
-    //    restriction); sf10 wall-clock in BASELINE.md. Global clustering =
-    //    3·triangles / wedges ────────────────────────────────────────────────
+    //    sharing an order (basket-bounded fan-out). Round-9 rework
+    //    (documented since round 4): [[graft.ext.GraphOps.triangleCount]] —
+    //    degree-ordered orientation (each edge points from its
+    //    (degree, id)-smaller endpoint, so a triangle is one out-wedge of
+    //    its lowest-degree node, per-key fan-out ≤ O(√m) on hubs), wedges
+    //    emitted once in oriented order, and a broadcast BLOOM prefilter
+    //    over the oriented edges that drops non-closing wedges map-side —
+    //    wedge volume is the inherent cost (~4.1B rows ≈ 60 GB shuffled at
+    //    sf10) while triangles are ~4.6% of wedges, so the exact semi-join
+    //    only sees candidates. Same count by construction; sf10 wall-clock
+    //    in BASELINE.md. Global clustering = 3·triangles / wedges ───────────
     Q(
       "q_graph_triangles",
       (s, dir) => {
@@ -867,22 +867,7 @@ object Analytics {
         val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2)
           .cast("long").as("n_wedges"),
           count(lit(1)).as("n_nodes"))
-        // orient: u→v iff (deg(u), u) < (deg(v), v); e already has u < v,
-        // so du ≤ dv keeps the u→v direction on degree ties
-        val uLow = col("du") <= col("dv")
-        val eo = e
-          .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
-          .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-          .select(when(uLow, col("u")).otherwise(col("v")).as("s"),
-            when(uLow, col("v")).otherwise(col("u")).as("t"))
-        val tri = eo.select(col("s").as("a"), col("t").as("b"))
-          .join(eo.select(col("s").as("a"), col("t").as("c")), Seq("a"))
-          .filter(col("b") =!= col("c"))
-          // of the out-wedge's two (b, c) orderings only the one matching
-          // the oriented third edge survives — exactly-once counting
-          .join(eo.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"),
-            "left_semi")
-          .agg(count(lit(1)).as("n_triangles"))
+        val tri = graft.ext.GraphOps.triangleCount(e)
         val edges = e.agg(count(lit(1)).as("n_edges"))
         wedges.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
           .select(col("n_nodes"), col("n_edges"), col("n_triangles"),

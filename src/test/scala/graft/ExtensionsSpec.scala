@@ -971,6 +971,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r1("hub") > r1("b") && r1("hub") > r1("c"))
   }
 
+  test("triangleCount matches brute force on a hub-skewed planted graph") {
+    // K5 on {0..4} (10 triangles) + a 30-leaf hub (node 0) contributing no
+    // triangles but a deg-32 celebrity — exercises the degree-ordered
+    // orientation + bloom prefilter + exact closing semi-join end to end
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val star = (10L to 39L).map(l => (0L, l))
+    val edges = (k5 ++ star).toDF("u", "v")
+    val got = graft.ext.GraphOps.triangleCount(edges)
+      .as[Long].collect().head
+    val ids = (k5 ++ star).flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val es = (k5 ++ star).toSet
+    def adj(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val brute = (for {
+      a <- ids; b <- ids if a < b && adj(a, b)
+      c <- ids if b < c && adj(b, c) && adj(a, c)
+    } yield 1).size
+    assert(brute == 10 && got == brute.toLong)
+    // empty graph: zero, not an error (bloom sizing clamps to >= 1)
+    val none = graft.ext.GraphOps.triangleCount(
+      Seq.empty[(Long, Long)].toDF("u", "v")).as[Long].collect().head
+    assert(none == 0L)
+  }
+
   test("ivfAssign: degenerate vectors land in the lowest cell, never dropped") {
     val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
       .toDF("cell", "centroid")
