@@ -111,8 +111,31 @@ object GraphOps {
       // buffer over zero rows, so short-circuit rather than NPE
       if (m == 0)
         return spark.range(1).select(lit(0L).as("n_triangles"))
-      val bloom = eo.stat.bloomFilter(xxhash64(col("s"), col("t")),
-        math.max(m, 1L), fpp)
+      // stat.bloomFilter builds through BloomFilterAggregate, whose size is
+      // SILENTLY capped by the runtime-filter confs (4M items / 64M bits by
+      // default). Past the cap the bitmap saturates and every probe returns
+      // true — at sf10 (120M edges) the filter passed all 4.1B wedges and
+      // the "prefiltered" semi-join shuffled 50 GB. Still CORRECT (no false
+      // negatives), which is why sample-scale oracles never caught it:
+      // saturation is a pure performance cliff. Raise both caps to the
+      // optimal geometry for THIS m while building, then restore.
+      val neededBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(math.max(m, 1L), fpp)
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
+          math.max(m, 1L).toString,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+          neededBits.toString)
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      val bloom =
+        try {
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          eo.stat.bloomFilter(xxhash64(col("s"), col("t")),
+            math.max(m, 1L), fpp)
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       // probe through Spark's own codegen'd BloomFilterMightContain (the
       // expression its runtime-filter injection uses), NOT a Scala UDF: at
       // sf10 the filter runs once per wedge row (~4.1B), and per-call Long

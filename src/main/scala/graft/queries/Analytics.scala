@@ -860,19 +860,26 @@ object Analytics {
     Q(
       "q_graph_triangles",
       (s, dir) => {
-        val e = coPurchaseEdges(s, dir)
-        val deg = e.select(col("u").as("node"))
-          .union(e.select(col("v").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-        val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2)
-          .cast("long").as("n_wedges"),
-          count(lit(1)).as("n_nodes"))
-        val tri = graft.ext.GraphOps.triangleCount(e)
-        val edges = e.agg(count(lit(1)).as("n_edges"))
-        wedges.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
-          .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
-            round(col("n_triangles").cast("double") * 3 /
-              col("n_wedges").cast("double"), 6).as("clustering"))
+        // one cached edge table feeds the census aggregates AND the count
+        // (the co-purchase derivation — lineitem self-join + distinct — is
+        // the face's second-biggest cost; uncached it ran once per
+        // consumer); the 1-row aggregates checkpoint eagerly so the cache
+        // can be released before the composed result returns
+        val e = coPurchaseEdges(s, dir).cache()
+        try {
+          val deg = e.select(col("u").as("node"))
+            .union(e.select(col("v").as("node")))
+            .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2)
+            .cast("long").as("n_wedges"),
+            count(lit(1)).as("n_nodes")).localCheckpoint(true)
+          val edges = e.agg(count(lit(1)).as("n_edges")).localCheckpoint(true)
+          val tri = graft.ext.GraphOps.triangleCount(e)
+          wedges.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+            .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+              round(col("n_triangles").cast("double") * 3 /
+                col("n_wedges").cast("double"), 6).as("clustering"))
+        } finally e.unpersist()
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
           e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
