@@ -172,23 +172,30 @@ object AnnIndex {
     (keys, corpus.select(col("vec_id"), col("embedding")))
   }
 
-  /** Persist an LSH index: keys hive-partitioned by (tbl, bucket) —
-    * tables·2^planes directories, each holding one bucket's ids — vectors
-    * plain. A query batch touches ≤ |queries|·tables (tbl, bucket) pairs,
-    * pushed as a literal partition filter at search. */
+  /** Persist an LSH index: keys hive-partitioned by tbl (a BOUNDED
+    * directory count — `tables` dirs) with rows SORTED BY bucket inside
+    * each partition's files, vectors plain. Bucket pruning then rides
+    * parquet row-group min/max statistics via a pushed single-column
+    * `bucket IN (...)` instead of one directory per (tbl, bucket): the
+    * round-8 two-level hive layout created tables·2^planes directories,
+    * and at the √n-occupancy plane count the per-search FILE LISTING of
+    * thousands of tiny partitions dominated wall-clock (sf10 measured
+    * 11.4 s/search, ~3.7× the sf0.1 number; the tbl+sorted layout is the
+    * lake-native shape — bounded dirs, clustered files, stats do the
+    * rest). */
   def writeLsh(dir: String, keys: DataFrame, vectors: DataFrame,
       planes: Int, dims: Int, tables: Int): Unit = {
     paramsDf(keys.sparkSession, "lsh", tables, planes, 0, dims)
       .write.mode("overwrite").parquet(s"$dir/params.parquet")
-    keys.write.mode("overwrite").partitionBy("tbl", "bucket")
+    keys.repartition(tables, col("tbl")).sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").partitionBy("tbl")
       .parquet(s"$dir/keys.parquet")
     vectors.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
   }
 
   def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$dir/keys.parquet")
-      .withColumn("tbl", col("tbl").cast("int"))
-      .withColumn("bucket", col("bucket").cast("int")),
+      .withColumn("tbl", col("tbl").cast("int")),
       spark.read.parquet(s"$dir/vectors.parquet"))
 
   def searchLsh(spark: SparkSession, dir: String, queries: DataFrame,
@@ -196,22 +203,26 @@ object AnnIndex {
     val (kind, nTables, planes, _, dims) = readParams(spark, dir)
     require(kind == "lsh", s"searchLsh on a '$kind' index")
     val (keys, vectors) = readLsh(spark, dir)
-    // literal (tbl, bucket) pruning: the query batch's keys are bounded
-    // (≤ |queries|·tables values), collected and pushed over the partition
-    // columns so only the probed bucket directories are read
+    // three-stage literal pruning from the query batch's bounded key set
+    // (≤ |queries|·tables values): tbl IN → hive partition pruning over the
+    // `tables` directories; bucket IN → single-column parquet row-group
+    // skip on the bucket-sorted files (a two-column expression would not
+    // push past the scan); exact flat-key filter → drops the cross-pair
+    // survivors (tbl_a with bucket_b) in the scan stage
     val qKeys = queries
       .select(org.apache.spark.sql.functions.explode(
         Similarity.lshKeys(col("embedding"), planes, dims, nTables)).as("key"))
       .select(col("key.tbl"), col("key.bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
-    // flatten (tbl, bucket) into one literal IN key: bucket < 2^planes by
-    // construction, so `tbl << planes | bucket` is collision-free for ANY
-    // planes (a fixed decimal stride would collide once planes >= 20 and
-    // silently over-read bucket directories)
+    // bucket < 2^planes by construction, so `tbl << planes | bucket` is
+    // collision-free for ANY planes (a fixed decimal stride would collide
+    // once planes >= 20 and silently over-read)
     require(planes < 60, s"planes=$planes overflows the long partition key")
     val flat = qKeys.map { case (t, b) => (t.toLong << planes) | b }
-    val pruned = keys.filter(
-      (shiftleft(col("tbl").cast("long"), planes)
+    val pruned = keys
+      .filter(col("tbl").isin(qKeys.map(_._1).distinct: _*))
+      .filter(col("bucket").isin(qKeys.map(_._2).distinct: _*))
+      .filter((shiftleft(col("tbl").cast("long"), planes)
         .bitwiseOR(col("bucket"))).isin(flat: _*))
     Similarity.lshSearch(pruned, vectors, queries, k, planes, dims, nTables)
   }
@@ -329,7 +340,8 @@ object AnnIndex {
     val (kind, nTables, planes, _, dims) = readParams(spark, dir)
     require(kind == "lsh", s"appendLsh on a '$kind' index at $dir")
     val (keys, vectors) = buildLsh(delta, planes, dims, nTables)
-    keys.write.mode("append").partitionBy("tbl", "bucket")
+    keys.repartition(nTables, col("tbl")).sortWithinPartitions(col("bucket"))
+      .write.mode("append").partitionBy("tbl")
       .parquet(s"$dir/keys.parquet")
     vectors.write.mode("append").parquet(s"$dir/vectors.parquet")
   }

@@ -89,9 +89,10 @@ object AnnFaces {
       },
       Some(AnnOracle)),
 
-    // ── sign-LSH: persist the bucketed key table (partitioned by
-    //    (tbl, bucket) — searches prune to the probed bucket directories),
-    //    search stored, pin ≡ in-memory (same params as q_embed_ann_lsh) ────
+    // ── sign-LSH: persist the bucketed key table (partitioned by tbl,
+    //    bucket-sorted files — searches prune via partition filter +
+    //    row-group stats), search stored, pin ≡ in-memory (same params as
+    //    q_embed_ann_lsh) ─────────────────────────────────────────────────
     Q(
       "q_ann_lsh_persist",
       (s, dir) => {
