@@ -11,49 +11,67 @@ import org.apache.spark.sql.functions._
   * anti-join runs over a small suspected-duplicate slice instead of the
   * whole delta.
   *
-  * The filter is deterministic (k indexes per key from the codegen'd
-  * `xxhash64(key, seed)`) and is built as a bounded bit-position set — at
-  * most m bits regardless of corpus size — so collecting it to the driver
-  * and embedding it as a plan literal is exactly as cheap as Spark's own
-  * injected runtime filters. No custom expression: both build and probe
-  * compile to existing codegen'd functions.
+  * Round-9 rework: the original form was a FIXED 2^17-bit bitset embedded
+  * as an array-of-longs plan literal — bounded, but silently SATURATED
+  * past ~30k corpus keys (every probe true → the prefilter degrades to a
+  * no-op: still correct, invisible to every correctness oracle, pure
+  * performance cliff — the same failure class the sf10 triangle sweep
+  * caught in `stat.bloomFilter`'s conf clamp). The filter is now an
+  * optimally-sized `org.apache.spark.util.sketch.BloomFilter` (bits ∝
+  * corpus count at the requested fpp; one binary literal, so plan size
+  * and codegen stay flat no matter how large the filter grows) built
+  * through Spark's own BloomFilterAggregate with the runtime-filter size
+  * clamps raised to the measured optimum, and probed through the
+  * codegen'd `BloomFilterMightContain` — the exact machinery Spark's
+  * injected runtime filters use, with the sizing made explicit.
+  * Deterministic: keys are hashed with codegen'd xxhash64 before
+  * insertion and probe.
   */
 object Bloom {
 
-  /** Number of 64-bit words backing an m-bit filter. */
-  private def words(m: Int): Int = (m + 63) / 64
-
-  /** Build an m-bit, k-hash Bloom bitset over `key` (any column; hashed
-    * with xxhash64). One narrow map + one bounded distinct — the shuffle
-    * carries at most m integers. */
-  def build(df: DataFrame, key: Column, m: Int = 1 << 17, k: Int = 4): Array[Long] = {
-    require(m > 0 && m % 64 == 0 && k > 0)
-    val bits = df
-      .select(explode(array((0 until k).map(i =>
-        pmod(xxhash64(key, lit(i)), lit(m.toLong))): _*)).as("bit"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0))
-    val bs = new Array[Long](words(m))
-    bits.foreach(b => bs((b / 64).toInt) |= (1L << (b % 64).toInt))
-    bs
+  /** Build an optimally-sized bloom over `key` (any column; hashed with
+    * xxhash64). `expectedItems <= 0` (the default) sizes from a bounded
+    * corpus count. The runtime-filter confs that silently clamp
+    * BloomFilterAggregate geometry (4M items / 64M bits by default —
+    * saturation, not an error, past them) are raised to this build's
+    * optimum and restored. */
+  def build(df: DataFrame, key: Column, expectedItems: Long = 0L,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val spark = df.sparkSession
+    val n = math.max(if (expectedItems > 0) expectedItems else df.count(), 1L)
+    val neededBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(n, fpp)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n.toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        neededBits.toString)
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      df.stat.bloomFilter(xxhash64(key), n, fpp)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
-  /** Membership probe as a pure Column expression: true if every one of
-    * the k bits for `key` is set. Compiles to element_at + shifts over the
-    * embedded bitset literal — whole-stage codegen, no UDF. */
-  def mightContain(bitset: Array[Long], m: Int = 1 << 17, k: Int = 4)(key: Column): Column = {
-    require(bitset.length == words(m))
-    val litSet = array(bitset.map(lit(_)): _*)
-    // single-bit masks as a 64-literal lookup (shift functions take only
-    // constant shift amounts at the Column layer)
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
-    (0 until k).map { i =>
-      val bit = pmod(xxhash64(key, lit(i)), lit(m.toLong))
-      val word = element_at(litSet, (bit / 64).cast("int") + 1)
-      val mask = element_at(masks, pmod(bit, lit(64L)).cast("int") + 1)
-      word.bitwiseAND(mask) === mask
-    }.reduce(_ && _)
+  /** Membership probe as a pure Column: Spark's codegen'd
+    * BloomFilterMightContain over the serialized filter (ONE binary
+    * literal — a Scala UDF here costs a boxed call per probed row, the
+    * measured wall-clock floor of the sf10 triangle sweep). No false
+    * negatives by construction. */
+  def mightContain(bloom: org.apache.spark.util.sketch.BloomFilter)(
+      key: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(key))))
   }
 
   /** Incremental exact dedup with a Bloom prefilter: rows of `delta` whose
@@ -62,11 +80,11 @@ object Bloom {
     * identical to the plain anti-join (the filter has no false negatives);
     * only the shuffle volume changes. */
   def incrementalExact(delta: DataFrame, corpusKeys: DataFrame,
-      keyCols: Seq[String], m: Int = 1 << 17, k: Int = 4): DataFrame = {
+      keyCols: Seq[String], fpp: Double = 0.01): DataFrame = {
     val keyOf: DataFrame => Column = df =>
-      concat_ws("", keyCols.map(df.col): _*)
-    val bs = build(corpusKeys, keyOf(corpusKeys), m, k)
-    val probe = mightContain(bs, m, k)(keyOf(delta))
+      concat_ws("", keyCols.map(df.col): _*)
+    val bloom = build(corpusKeys, keyOf(corpusKeys), fpp = fpp)
+    val probe = mightContain(bloom)(keyOf(delta))
     val definitelyNew = delta.filter(!probe)
     val suspected = delta.filter(probe)
       .join(corpusKeys.select(keyCols.map(col): _*), keyCols, "left_anti")

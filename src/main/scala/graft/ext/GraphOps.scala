@@ -111,47 +111,14 @@ object GraphOps {
       // buffer over zero rows, so short-circuit rather than NPE
       if (m == 0)
         return spark.range(1).select(lit(0L).as("n_triangles"))
-      // stat.bloomFilter builds through BloomFilterAggregate, whose size is
-      // SILENTLY capped by the runtime-filter confs (4M items / 64M bits by
-      // default). Past the cap the bitmap saturates and every probe returns
-      // true — at sf10 (120M edges) the filter passed all 4.1B wedges and
-      // the "prefiltered" semi-join shuffled 50 GB. Still CORRECT (no false
-      // negatives), which is why sample-scale oracles never caught it:
-      // saturation is a pure performance cliff. Raise both caps to the
-      // optimal geometry for THIS m while building, then restore.
-      val neededBits = org.apache.spark.util.sketch.BloomFilter
-        .optimalNumOfBits(math.max(m, 1L), fpp)
-      val confs = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" ->
-          math.max(m, 1L).toString,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
-          neededBits.toString)
-      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      val bloom =
-        try {
-          confs.foreach { case (k, v) => spark.conf.set(k, v) }
-          eo.stat.bloomFilter(xxhash64(col("s"), col("t")),
-            math.max(m, 1L), fpp)
-        } finally prev.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None) => spark.conf.unset(k)
-        }
-      // probe through Spark's own codegen'd BloomFilterMightContain (the
-      // expression its runtime-filter injection uses), NOT a Scala UDF: at
-      // sf10 the filter runs once per wedge row (~4.1B), and per-call Long
-      // boxing made the UDF form the wall-clock floor (sf10 measurements
-      // in BASELINE.md)
-      val bloomBytes = {
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos); bos.toByteArray
-      }
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      val mightClose = (h: org.apache.spark.sql.Column) =>
-        ColumnBridge.column(
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
-              org.apache.spark.sql.types.BinaryType),
-            ColumnBridge.expression(h)))
+      // [[Bloom.build]] raises the runtime-filter size clamps (4M items /
+      // 64M bits — a SATURATED bloom past them passes everything: correct,
+      // invisible to oracles, pure perf cliff, caught by the sf10 sweep)
+      // and [[Bloom.mightContain]] probes through Spark's codegen'd
+      // BloomFilterMightContain (a Scala UDF probe costs a boxed call per
+      // wedge row — the measured 1190 s floor at sf10)
+      val bloom = Bloom.build(eo, struct(col("s"), col("t")),
+        expectedItems = m, fpp = fpp)
       val wedges = eo.select(col("s").as("a"), col("t").as("b"),
           col("dt").as("db"))
         .join(eo.select(col("s").as("a"), col("t").as("c"),
@@ -160,7 +127,7 @@ object GraphOps {
         .filter(col("db") < col("dc") ||
           (col("db") === col("dc") && col("b") < col("c")))
         .select(col("b"), col("c"))
-      wedges.filter(mightClose(xxhash64(col("b"), col("c"))))
+      wedges.filter(Bloom.mightContain(bloom)(struct(col("b"), col("c"))))
         .join(eo.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"),
           "left_semi")
         .agg(count(lit(1)).as("n_triangles"))

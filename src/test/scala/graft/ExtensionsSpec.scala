@@ -910,20 +910,21 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(concat(lit("doc-"), col("id")).as("key"))
     val delta = spark.range(4000, 12000).toDF("id")
       .select(concat(lit("doc-"), col("id")).as("key"))
-    val m = 1 << 16
-    val bs = Bloom.build(corpus, col("key"), m, 4)
+    val bs = Bloom.build(corpus, col("key"))
     // every corpus key must probe true (no false negatives)
-    val missed = corpus.filter(!Bloom.mightContain(bs, m, 4)(col("key"))).count()
+    val missed = corpus.filter(!Bloom.mightContain(bs)(col("key"))).count()
     assert(missed == 0, s"$missed corpus keys rejected by their own filter")
     // incremental dedup equals the plain anti-join exactly
-    val got = Bloom.incrementalExact(delta, corpus, Seq("key"), m, 4)
+    val got = Bloom.incrementalExact(delta, corpus, Seq("key"))
       .as[String].collect().toSet
     val want = delta.join(corpus, Seq("key"), "left_anti")
       .as[String].collect().toSet
     assert(got == want)
-    // the prefilter must actually reject most genuinely-new keys
-    val rejected = delta.filter(!Bloom.mightContain(bs, m, 4)(col("key"))).count()
-    assert(rejected > 5000, s"only $rejected of 7000 new keys skipped the join")
+    // the prefilter must actually reject most genuinely-new keys — the
+    // auto-sized filter (bits ∝ corpus count at fpp 0.01) must NOT be
+    // saturated, which the old fixed-2^17-bit form silently was at scale
+    val rejected = delta.filter(!Bloom.mightContain(bs)(col("key"))).count()
+    assert(rejected > 6800, s"only $rejected of 7000 new keys skipped the join")
   }
 
   test("native kernels are SQL-callable and match the column API") {

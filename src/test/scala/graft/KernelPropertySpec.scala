@@ -178,9 +178,8 @@ class KernelPropertySpec extends AnyFunSuite {
     for (round <- 1 to 5) {
       val keys = sample(Gen.listOfN(200, Gen.long), 3000L + round).distinct
       val df = keys.toDF("k")
-      val m = 1 << 12
-      val bs = Bloom.build(df, col("k"), m, 4)
-      val missed = df.filter(!Bloom.mightContain(bs, m, 4)(col("k"))).count()
+      val bs = Bloom.build(df, col("k"))
+      val missed = df.filter(!Bloom.mightContain(bs)(col("k"))).count()
       assert(missed == 0, s"round=$round: $missed inserted keys rejected")
     }
   }
