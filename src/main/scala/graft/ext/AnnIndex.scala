@@ -340,10 +340,14 @@ object AnnIndex {
     val (kind, nTables, planes, _, dims) = readParams(spark, dir)
     require(kind == "lsh", s"appendLsh on a '$kind' index at $dir")
     val (keys, vectors) = buildLsh(delta, planes, dims, nTables)
+    // vectors first: a crash between the two appends then leaves ORPHAN
+    // vectors (never candidates — harmless), whereas keys-first would leave
+    // stored keys referencing missing vectors, silently dropping candidates
+    // on every later search
+    vectors.write.mode("append").parquet(s"$dir/vectors.parquet")
     keys.repartition(nTables, col("tbl")).sortWithinPartitions(col("bucket"))
       .write.mode("append").partitionBy("tbl")
       .parquet(s"$dir/keys.parquet")
-    vectors.write.mode("append").parquet(s"$dir/vectors.parquet")
   }
 
   /** Incremental IVF maintenance — assign the delta to the FROZEN stored

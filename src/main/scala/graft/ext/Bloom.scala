@@ -29,12 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** Serializes the conf-mutation window in [[build]]: the runtime-filter
+    * size caps are SESSION-GLOBAL, so two concurrent builds could race the
+    * raise/restore and one would silently saturate — the exact invisible
+    * failure class the sizing rework exists to prevent. Build throughput is
+    * one aggregate job; serializing it costs nothing next to the scan. */
+  private val buildLock = new Object
+
   /** Build an optimally-sized bloom over `key` (any column; hashed with
     * xxhash64). `expectedItems <= 0` (the default) sizes from a bounded
     * corpus count. The runtime-filter confs that silently clamp
     * BloomFilterAggregate geometry (4M items / 64M bits by default —
     * saturation, not an error, past them) are raised to this build's
-    * optimum and restored. */
+    * optimum and restored; the mutation window is serialized per-JVM
+    * ([[buildLock]]) so overlapping builds can't revert each other's raised
+    * caps mid-aggregate. */
   def build(df: DataFrame, key: Column, expectedItems: Long = 0L,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val spark = df.sparkSession
@@ -45,13 +54,15 @@ object Bloom {
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n.toString,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
         neededBits.toString)
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      df.stat.bloomFilter(xxhash64(key), n, fpp)
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    buildLock.synchronized {
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        df.stat.bloomFilter(xxhash64(key), n, fpp)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
   }
 
@@ -78,12 +89,19 @@ object Bloom {
     * `keyCols` the filter rejects are NEW by construction; only the
     * suspected-duplicate remainder anti-joins `corpusKeys`. Result is
     * identical to the plain anti-join (the filter has no false negatives);
-    * only the shuffle volume changes. */
+    * only the shuffle volume changes.
+    *
+    * `expectedItems` sizes the filter without a corpus count() job —
+    * steady-state ingest callers that already track corpus size should pass
+    * it so each batch pays one scan (the bloom aggregate), not two. The
+    * default 0 falls back to counting. */
   def incrementalExact(delta: DataFrame, corpusKeys: DataFrame,
-      keyCols: Seq[String], fpp: Double = 0.01): DataFrame = {
+      keyCols: Seq[String], fpp: Double = 0.01,
+      expectedItems: Long = 0L): DataFrame = {
     val keyOf: DataFrame => Column = df =>
       concat_ws("", keyCols.map(df.col): _*)
-    val bloom = build(corpusKeys, keyOf(corpusKeys), fpp = fpp)
+    val bloom = build(corpusKeys, keyOf(corpusKeys),
+      expectedItems = expectedItems, fpp = fpp)
     val probe = mightContain(bloom)(keyOf(delta))
     val definitelyNew = delta.filter(!probe)
     val suspected = delta.filter(probe)

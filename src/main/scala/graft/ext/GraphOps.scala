@@ -74,26 +74,42 @@ object GraphOps {
     *
     *  1. DEGREE-ORDERED ORIENTATION: each edge points from its
     *     (degree, id)-smaller endpoint, so every triangle is an out-wedge
-    *     of its lowest-degree node — per-key fan-out in the wedge join is
-    *     Σ outdeg² with outdeg ≤ O(√m) even on celebrity hubs.
-    *  2. ORIENTED WEDGE EMISSION: each out-neighbor pair {b, c} is emitted
-    *     once, already in orientation order (the closing edge can only be
-    *     b→c), halving wedge volume vs emit-both-orders-and-semi-join.
-    *  3. BLOOM-PREFILTERED CLOSING EDGE: wedge volume is the inherent cost
-    *     driver (Σ outdeg(outdeg−1)/2 — measured 41M at sf0.1, ~4.1B at
-    *     sf10 ≈ 60 GB if shuffled), but triangles are typically a few
-    *     percent of wedges. A bloom filter over xxhash64 of the oriented
-    *     edges (bits ∝ m, broadcast once) drops non-closing wedges AT THE
-    *     MAP SIDE, so only candidates ≈ triangles + fpp·wedges reach the
+    *     of its lowest-degree node — per-node fan-out is Σ outdeg² with
+    *     outdeg ≤ O(√m) even on celebrity hubs.
+    *  2. ADJACENCY-ARRAY WEDGE ENUMERATION (round-10 rework): out-neighbors
+    *     are grouped per node into ONE sorted array (sorted by (deg, id),
+    *     so pairs i<j are already in orientation order and each {b, c} is
+    *     enumerated once as b→c). The wedge stream — the inherent Σ
+    *     outdeg(outdeg−1)/2 cost, 41M at sf0.1 / ~4.1B at sf10 — is walked
+    *     as index pairs in a tight per-partition loop and NEVER materializes
+    *     as rows: the round-9 row-stream form spent most of its 432 s at
+    *     sf10 manufacturing 4.1B Tungsten rows that the bloom immediately
+    *     dropped.
+    *  3. BLOOM-PREFILTERED CLOSING EDGE: a bloom over xxhash64 of the
+    *     oriented edges (bits ∝ m — broadcastable at cluster scale where a
+    *     per-executor exact edge set is not) is probed INSIDE the pair loop;
+    *     only survivors ≈ triangles + fpp·wedges become rows and reach the
     *     exact closing-edge semi-join. No false negatives by construction;
     *     the semi-join keeps the count exact regardless of fpp.
+    *
+    * The pair loop replicates the plan-side hash exactly:
+    * xxhash64(struct(s, t)) = XXH64.hashLong(t, XXH64.hashLong(s, 42)) —
+    * Spark's HashExpression folds struct fields left-to-right with the
+    * running hash as seed (pinned in GraphOpsSpec so a Spark-internal
+    * change fails loudly, not as silent candidate loss).
+    *
+    * mapPartitions is deliberate (the "last resort" that is genuinely
+    * fastest here): the enumeration is per-partition imperative iteration
+    * over generated index pairs — declaring it as a self-join forces one
+    * row per wedge through the whole operator pipeline.
     *
     * Runs eagerly (localCheckpoint, the [[bfsHops]] contract) so the
     * orientation cache never strands storage on a long-lived session.
     * Returns one row (n_triangles). */
   def triangleCount(edges: DataFrame, fpp: Double = 0.01): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("u"), col("v"))
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -114,20 +130,51 @@ object GraphOps {
       // [[Bloom.build]] raises the runtime-filter size clamps (4M items /
       // 64M bits — a SATURATED bloom past them passes everything: correct,
       // invisible to oracles, pure perf cliff, caught by the sf10 sweep)
-      // and [[Bloom.mightContain]] probes through Spark's codegen'd
-      // BloomFilterMightContain (a Scala UDF probe costs a boxed call per
-      // wedge row — the measured 1190 s floor at sf10)
       val bloom = Bloom.build(eo, struct(col("s"), col("t")),
         expectedItems = m, fpp = fpp)
-      val wedges = eo.select(col("s").as("a"), col("t").as("b"),
-          col("dt").as("db"))
-        .join(eo.select(col("s").as("a"), col("t").as("c"),
-          col("dt").as("dc")), Seq("a"))
-        // oriented order (deg, id): emits {b, c} exactly once, as b→c
-        .filter(col("db") < col("dc") ||
-          (col("db") === col("dc") && col("b") < col("c")))
-        .select(col("b"), col("c"))
-      wedges.filter(Bloom.mightContain(bloom)(struct(col("b"), col("c"))))
+      val bcBloom = spark.sparkContext.broadcast(bloom)
+      // one row per source node: out-neighbors sorted by (deg, id) — the
+      // groupBy reuses nothing downstream, and array payload totals m ids
+      val adj = eo.groupBy(col("s"))
+        .agg(sort_array(collect_list(struct(col("dt").as("d"),
+          col("t").as("t")))).as("ns"))
+        .select(col("ns.t").as("ns"))
+      val candSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val candidates = spark.createDataFrame(
+        adj.rdd.mapPartitions { rows =>
+          val bf = bcBloom.value
+          rows.flatMap { row =>
+            val arr = row.getSeq[Long](0).toArray
+            val n = arr.length
+            if (n < 2) Iterator.empty
+            else new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+              import org.apache.spark.sql.catalyst.expressions.XXH64
+              private var i = 0
+              private var j = 1
+              private var nxt: org.apache.spark.sql.Row = _
+              private def advance(): Unit = {
+                nxt = null
+                while (nxt == null && i < n - 1) {
+                  val h = XXH64.hashLong(arr(j), XXH64.hashLong(arr(i), 42L))
+                  if (bf.mightContainLong(h)) nxt =
+                    org.apache.spark.sql.Row(arr(i), arr(j))
+                  j += 1
+                  if (j == n) { i += 1; j = i + 1 }
+                }
+              }
+              advance()
+              def hasNext: Boolean = nxt != null
+              def next(): org.apache.spark.sql.Row = {
+                val r = nxt; advance(); r
+              }
+            }
+          }
+        }, candSchema)
+      candidates
         .join(eo.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"),
           "left_semi")
         .agg(count(lit(1)).as("n_triangles"))

@@ -81,18 +81,33 @@ object Multimodal {
     }
   }
 
-  /** A real VIDEO-container decoder would go here; still stubbed — this
-    * environment has no video codecs (images are covered by
-    * [[ImageDecodeExtractor]], WAV audio by [[AudioCodec]] /
-    * [[decodeAudioStats]]). Wire format / plumbing identical to
-    * [[ByteHistogramExtractor]]. */
+  /** REAL video feature extraction (round 10 — AVI containers are no longer
+    * stubbed): demux the payload with [[VideoCodec]] (RIFF/AVI, PNG-in-AVI
+    * `MPNG` streams), decode every frame through `javax.imageio`
+    * ([[ImageCodec]]), and emit a 16-bin luminance histogram over ALL
+    * decoded frames' pixels, L1-normalized — the video analog of
+    * [[ImageDecodeExtractor]]. Same wire format / per-partition batch
+    * shape. COMPRESSED codecs (H.264 etc.) genuinely need external
+    * libraries this environment lacks and fail fast with a named message —
+    * that is now the only remaining media stub boundary. */
   class MediaDecodeExtractor extends FeatureExtractor {
     val dims = 16
-    def extract(payload: Array[Byte]): Array[Float] =
-      throw new UnsupportedOperationException(
-        "video codecs unavailable in this environment; use " +
-          "ImageDecodeExtractor (images), decodeAudioStats (WAV audio), " +
-          "or ByteHistogramExtractor")
+    def extract(payload: Array[Byte]): Array[Float] = {
+      val h = new Array[Float](dims)
+      if (payload == null) return h
+      val (_, _, _, frames) = VideoCodec.decodeAvi(payload)
+      var total = 0L
+      frames.foreach { f =>
+        val (_, _, pix) = ImageCodec.decodeGray(f)
+        var i = 0
+        while (i < pix.length) { h(pix(i) >> 4) += 1f; i += 1 }
+        total += pix.length
+      }
+      val t = math.max(total, 1L).toFloat
+      var j = 0
+      while (j < dims) { h(j) /= t; j += 1 }
+      h
+    }
   }
 
   /** Batch feature extraction over (media_id, payload): one extractor per
@@ -314,6 +329,11 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val (sr, ch, samples) = AudioCodec.decodePcm16(r.getAs[Array[Byte]](1))
+          // the frame loop below treats the sample stream as mono; a
+          // multi-channel payload would interleave channels into frames and
+          // produce plausible-but-wrong stats, so fail fast instead
+          require(ch == 1, s"decodeAudioStats expects mono PCM, got $ch " +
+            s"channels for media_id ${r.getLong(0)}")
           val nFrames = (samples.length + samplesPerFrame - 1) / samplesPerFrame
           var sumSq = 0L; var peak = 0L; var nSilent = 0L
           var f = 0
@@ -380,6 +400,92 @@ object Multimodal {
               Row(r.getLong(0), f.toLong, n.toLong,
                 math.sqrt(sum2.toDouble / n), peak)
             }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic AVI fixture videos keyed to the documents table: doc i
+    * becomes ((i%5)+4) frames of ((i%9)+8) × ((i%6)+8) grayscale at 10 fps,
+    * PNG-compressed and muxed into a real RIFF/AVI container on the
+    * executors ([[VideoCodec.encodeAviMpng]]). Frame f pixel (x, y):
+    *   v = (x + 2y + 3f + i) mod 256          for f < nFrames/2
+    *   v = 255 − ((x + 2y + 3f + i) mod 256)  for f ≥ nFrames/2
+    * — the second half INVERTS the gradient, planting exactly one hard
+    * scene cut per video at the midpoint. Pure integer arithmetic + a
+    * lossless frame codec + a fully-specified container ⇒ a SQL oracle
+    * predicts every statistic a real demux+decode produces
+    * (q_media_video_decode — the video analog of [[imagePayload]]). */
+  def videoPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false))), nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 9).toInt + 8
+        val h = (id % 6).toInt + 8
+        val nFrames = (id % 5).toInt + 4
+        val cutAt = nFrames / 2
+        val frames = (0 until nFrames).map { f =>
+          val pix = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((x + 2L * y + 3L * f + id) % 256).toInt
+              pix(y * w + x) = if (f < cutAt) g else 255 - g
+              x += 1
+            }
+            y += 1
+          }
+          ImageCodec.encodeGrayPng(w, h, pix)
+        }
+        Row(id, VideoCodec.encodeAviMpng(w, h, 10, frames),
+          Row("video/x-msvideo", w, h))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL video decode to frame granularity: demux the AVI payload
+    * ([[VideoCodec.decodeAvi]]), decode every PNG frame to pixels
+    * ([[ImageCodec.decodeGray]]), and emit one row per frame — decoded
+    * dimensions, the exact integer luminance sum, and the RAW GRAY PIXEL
+    * BYTES as the `frame` binary, so downstream operators ([[sceneCuts]])
+    * run their perceptual hashing over genuinely decoded pixels, not over
+    * compressed container bytes. Narrow map (one demux per row, frames
+    * streamed); payloads never hit the driver. */
+  def decodeVideoFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_lum", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = media.select(col("media_id"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val (_, _, _, frames) = VideoCodec.decodeAvi(r.getAs[Array[Byte]](1))
+          frames.iterator.zipWithIndex.map { case (png, f) =>
+            val (w, h, pix) = ImageCodec.decodeGray(png)
+            var sum = 0L
+            val raw = new Array[Byte](pix.length)
+            var i = 0
+            while (i < pix.length) {
+              sum += pix(i); raw(i) = pix(i).toByte; i += 1
+            }
+            Row(id, f.toLong, w, h, pix.length.toLong, sum, raw)
           }
         }
       }

@@ -1599,6 +1599,84 @@ object Extensions {
             AS n_silent
         FROM fr GROUP BY doc_id ORDER BY media_id""")),
 
+    // ── REAL video decode (round 10, RIFF/AVI demux + javax.imageio — the
+    //    same JDK-only argument that closed images in round 8 and audio in
+    //    round 9): deterministic AVI fixtures with PNG-compressed gradient
+    //    frames and ONE PLANTED SCENE CUT (the second half inverts the
+    //    gradient) are MUXED on the executors, demuxed + frame-decoded back,
+    //    and every emitted statistic — per-frame decoded dims, exact
+    //    luminance sum, the 1-D aHash Hamming distance to the previous
+    //    DECODED frame, and the resulting cut flag — is reproduced by the
+    //    oracle from the integer generation formula ALONE. Hash-green
+    //    certifies demux → PNG decode → sceneCuts operate on real pixels
+    //    end-to-end; only compressed codecs (H.264 etc.) remain stubbed ─────
+    Q(
+      "q_media_video_decode",
+      (s, dir) => {
+        import graft.ext.Multimodal
+        val d = t(s, dir, "documents")
+        val frames = Multimodal.decodeVideoFrames(Multimodal.videoPayload(d))
+        val cuts = Multimodal.sceneCuts(
+          frames.select(col("media_id"), col("frame_no"), col("frame")), 10)
+        frames.join(cuts, Seq("media_id", "frame_no"))
+          .select(col("media_id"), col("frame_no"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_pixels"), col("sum_lum"),
+            coalesce(col("dist"), lit(-1L)).as("dist"),
+            col("is_cut").cast("long").as("is_cut"))
+          .orderBy(col("media_id"), col("frame_no"))
+      },
+      Some {
+        val m = BigInt(2).pow(64)
+        val pow2 = (0 to 63).map(b => s"($b, ${BigInt(2).pow(b)})").mkString(", ")
+        s"""WITH pw(b, p2) AS (VALUES $pow2),
+        d AS (SELECT doc_id, (doc_id % 9) + 8 AS w, (doc_id % 6) + 8 AS h,
+            (doc_id % 5) + 4 AS nf FROM documents),
+        fr AS (SELECT doc_id, w, h, f, nf // 2 AS cut_at
+          FROM d CROSS JOIN UNNEST(generate_series(0, nf - 1)) AS tf(f)),
+        px AS (SELECT doc_id, w, h, f, y * w + x AS p,
+            CASE WHEN f < cut_at THEN (x + 2 * y + 3 * f + doc_id) % 256
+              ELSE 255 - ((x + 2 * y + 3 * f + doc_id) % 256) END AS v
+          FROM fr
+          CROSS JOIN UNNEST(generate_series(0, w - 1)) AS sx(x)
+          CROSS JOIN UNNEST(generate_series(0, h - 1)) AS sy(y)),
+        tot AS (SELECT doc_id, f, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+            SUM(v) AS total, COUNT(*) AS n
+          FROM px GROUP BY 1, 2),
+        -- 1-D aHash over row-major decoded pixels: byte p lands in cell
+        -- (p*64) div n; bit = cell mean > global mean in the same IEEE
+        -- double division MediaHashImpl.aHash evaluates
+        cell AS (SELECT doc_id, f, (p * 64) // (w * h) AS c, SUM(v) AS cs,
+            COUNT(*) AS cn
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (SELECT cell.doc_id, cell.f, c
+          FROM cell JOIN tot USING (doc_id, f)
+          WHERE CAST(cell.cs AS DOUBLE) / cell.cn
+              > CAST(tot.total AS DOUBLE) / tot.n),
+        ph AS (SELECT t.doc_id, t.f,
+            COALESCE(SUM(CAST(x.p2 AS HUGEINT)), CAST(0 AS HUGEINT)) AS phu
+          FROM tot t LEFT JOIN (SELECT doc_id, f, p2 FROM bits
+              JOIN pw ON c = pw.b) x
+            ON t.doc_id = x.doc_id AND t.f = x.f
+          GROUP BY 1, 2),
+        sig AS (SELECT doc_id, f, CAST(CASE WHEN phu >= ${BigInt(2).pow(63)}
+            THEN phu - $m ELSE phu END AS BIGINT) AS phash
+          FROM ph),
+        seq AS (SELECT doc_id, f, phash,
+            LAG(phash) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+          FROM sig),
+        dm AS (SELECT doc_id, f, CASE WHEN prev IS NULL THEN -1
+            ELSE bit_count(xor(phash, prev)) END AS dist FROM seq)
+        SELECT t.doc_id AS media_id, CAST(t.f AS BIGINT) AS frame_no,
+          CAST(t.w AS BIGINT) AS width, CAST(t.h AS BIGINT) AS height,
+          CAST(t.n AS BIGINT) AS n_pixels, CAST(t.total AS BIGINT) AS sum_lum,
+          CAST(dm.dist AS BIGINT) AS dist,
+          CAST(CASE WHEN dm.dist >= 10 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        FROM tot t JOIN dm ON t.doc_id = dm.doc_id AND t.f = dm.f
+        ORDER BY media_id, frame_no"""
+      }),
+
     // ── multimodal frame-sampling plumbing, oracle-checked: fixed-size
     //    chunker stub → every-2nd-frame rows; per-media frame counts and
     //    byte totals are exact arithmetic over the payload length ───────────

@@ -995,6 +995,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("triangleCount pair-loop hash replicates plan-side xxhash64(struct)") {
+    // the mapPartitions wedge loop probes the broadcast bloom with
+    // XXH64.hashLong(t, XXH64.hashLong(s, 42)) — this MUST equal the
+    // xxhash64(struct(s, t)) the bloom was built over (HashExpression folds
+    // struct fields left-to-right with the running hash as seed). A
+    // divergence would surface as bloom FALSE NEGATIVES: silently dropped
+    // triangles, invisible to anything but this pin and the oracle face.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val pairs = Seq((3L, 7L), (123456789L, -42L), (0L, 0L),
+      (Long.MaxValue, Long.MinValue))
+    val planSide = pairs.toDF("s", "t")
+      .select(xxhash64(struct(col("s"), col("t"))))
+      .as[Long].collect().toSeq
+    val loopSide = pairs.map { case (s, t) =>
+      XXH64.hashLong(t, XXH64.hashLong(s, 42L)) }
+    assert(planSide == loopSide)
+  }
+
+  test("triangleCount matches brute force on a seeded dense random graph") {
+    // denser than the planted fixture: every orientation/tie/bloom branch
+    // gets exercised, and the count is compared against the O(n^3) brute
+    // force — catches wedge-enumeration mistakes (missed or double pairs)
+    // the sparse fixture can't
+    val rnd = new scala.util.Random(1310)
+    val n = 60
+    val es = (for { a <- 0 until n; b <- (a + 1) until n
+      if rnd.nextDouble() < 0.2 } yield (a.toLong, b.toLong)).toVector
+    val got = graft.ext.GraphOps.triangleCount(es.toDF("u", "v"))
+      .as[Long].collect().head
+    val set = es.toSet
+    val brute = (for { a <- 0 until n; b <- (a + 1) until n
+      if set((a.toLong, b.toLong)); c <- (b + 1) until n
+      if set((b.toLong, c.toLong)) && set((a.toLong, c.toLong)) } yield 1).size
+    assert(got == brute.toLong && brute > 100,
+      s"got $got, brute $brute") // brute > 100 guards a degenerate fixture
+  }
+
   test("ivfAssign: degenerate vectors land in the lowest cell, never dropped") {
     val cents = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
       .toDF("cell", "centroid")

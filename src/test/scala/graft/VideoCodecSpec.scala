@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{ImageCodec, Multimodal, VideoCodec}
+
+/** Real RIFF/AVI path (round-10 task 2): mux/demux round trips are exact,
+  * malformed containers fail loudly, and sceneCuts over genuinely decoded
+  * frames detects exactly the fixture's planted midpoint cut. */
+class VideoCodecSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def gradFrame(w: Int, h: Int, off: Long, invert: Boolean): Array[Int] =
+    Array.tabulate(w * h) { p =>
+      val g = ((p % w + 2L * (p / w) + off) % 256).toInt
+      if (invert) 255 - g else g
+    }
+
+  test("AVI mux -> demux round trips every frame byte-exactly") {
+    val frames = (0 until 5).map(f =>
+      ImageCodec.encodeGrayPng(12, 9, gradFrame(12, 9, f * 3L, invert = false)))
+    val avi = VideoCodec.encodeAviMpng(12, 9, 10, frames)
+    val (w, h, usec, out) = VideoCodec.decodeAvi(avi)
+    assert((w, h, usec) == (12, 9, 100000))
+    assert(out.length == 5)
+    out.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // and each demuxed frame decodes back to the exact source pixels
+    val (dw, dh, pix) = ImageCodec.decodeGray(out(3))
+    assert((dw, dh) == (12, 9) &&
+      pix.sameElements(gradFrame(12, 9, 9L, invert = false)))
+  }
+
+  test("malformed and truncated containers fail loudly, not plausibly") {
+    intercept[IllegalArgumentException] {
+      VideoCodec.decodeAvi("not a riff container at all......".getBytes)
+    }
+    val frames = (0 until 4).map(f =>
+      ImageCodec.encodeGrayPng(8, 8, gradFrame(8, 8, f.toLong, invert = false)))
+    val avi = VideoCodec.encodeAviMpng(8, 8, 10, frames)
+    // a torn write that drops the tail must not return a frame prefix:
+    // the avih-declared count no longer matches the movi payload
+    intercept[IllegalArgumentException] {
+      VideoCodec.decodeAvi(java.util.Arrays.copyOf(avi, avi.length - 40))
+    }
+  }
+
+  test("decodeVideoFrames + sceneCuts flags exactly the planted midpoint cut") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val frames = Multimodal.decodeVideoFrames(Multimodal.videoPayload(docs))
+    val cuts = Multimodal.sceneCuts(
+      frames.select(col("media_id"), col("frame_no"), col("frame")), 10)
+    val flagged = cuts.filter(col("is_cut"))
+      .select(col("media_id"), col("frame_no")).as[(Long, Long)]
+      .collect().toSet
+    val expected = (0L until 40L).map(id => (id, (id % 5 + 4) / 2)).toSet
+    assert(flagged == expected,
+      s"missed ${expected -- flagged}, spurious ${flagged -- expected}")
+    // per-frame luminance sums match the generation formula exactly
+    val sums = frames.select(col("media_id"), col("frame_no"), col("sum_lum"))
+      .as[(Long, Long, Long)].collect()
+    sums.foreach { case (id, f, got) =>
+      val w = (id % 9).toInt + 8; val h = (id % 6).toInt + 8
+      val cutAt = ((id % 5).toInt + 4) / 2
+      val want = (for (y <- 0 until h; x <- 0 until w) yield {
+        val g = (x + 2L * y + 3L * f + id) % 256
+        if (f < cutAt) g else 255 - g
+      }).sum
+      assert(got == want, s"sum_lum mismatch media=$id frame=$f")
+    }
+  }
+
+  test("MediaDecodeExtractor histograms genuinely decoded pixels") {
+    // a flat-128 single-frame video: every pixel lands in bin 8, so the
+    // histogram is a one-hot — wrong under any byte-histogram fallback
+    // (PNG container bytes are spread across bins)
+    val png = ImageCodec.encodeGrayPng(8, 8, Array.fill(64)(128))
+    val avi = VideoCodec.encodeAviMpng(8, 8, 10, Seq(png))
+    val h = new Multimodal.MediaDecodeExtractor().extract(avi)
+    assert(h(8) == 1.0f && h.sum == 1.0f)
+    // non-AVI payloads name the remaining (compressed-codec) boundary
+    intercept[IllegalArgumentException] {
+      new Multimodal.MediaDecodeExtractor().extract(Array.fill(64)(1.toByte))
+    }
+  }
+}
