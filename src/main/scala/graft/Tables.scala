@@ -35,38 +35,140 @@ object Tables {
       }
     }
     if (!dirs.contains(dir)) {
-      // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read nanos as long and truncate to microseconds (same truncation
-      // DuckDB applies), keeping a real TimestampType in the view.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      names.foreach { n =>
-        var df = spark.read.parquet(s"$dir/$n.parquet")
-        if (n == "events" && df.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType) {
-          // integer division — `/` would go through double and lose µs
-          // precision on ~1.7e18 nanosecond values
-          df = df.withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
-        }
-        // timestamp[us] with no timezone reads as TIMESTAMP_NTZ; the session
-        // runs in UTC, so an NTZ→LTZ cast is value-preserving and restores
-        // plain TimestampType (unix_micros etc. require it, and DuckDB sees
-        // the same naive-as-UTC instants)
-        df.schema.fields.foreach { f =>
-          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-            df = df.withColumn(f.name,
-              df(f.name).cast(org.apache.spark.sql.types.TimestampType))
-        }
-        df.createOrReplaceTempView(n)
-      }
+      registerViews(spark, dir)
       dirs += dir
     }
+  }
+
+  /** Force plain parquet views even if [[registerAdvised]] swapped them —
+    * restores the default binding for callers (tests) that must not leak an
+    * advised session to later queries. */
+  def registerPlain(spark: SparkSession, dir: String): Unit = synchronized {
+    registerViews(spark, dir)
+    val cur = registered.get(spark)
+    if (cur != null) cur += dir
+  }
+
+  private def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => plainTable(spark, dir, n).createOrReplaceTempView(n))
+
+  /** One table read straight from the parquet source (never through the
+    * standing views — [[registerAdvised]] rebuilds layouts from this while
+    * the views may point at the very tables being replaced). */
+  private def plainTable(spark: SparkSession, dir: String,
+      n: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read nanos as long and truncate to microseconds (same truncation
+    // DuckDB applies), keeping a real TimestampType in the view.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var df = spark.read.parquet(s"$dir/$n.parquet")
+    if (n == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      // integer division — `/` would go through double and lose µs
+      // precision on ~1.7e18 nanosecond values
+      df = df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
+    // timestamp[us] with no timezone reads as TIMESTAMP_NTZ; the session
+    // runs in UTC, so an NTZ→LTZ cast is value-preserving and restores
+    // plain TimestampType (unix_micros etc. require it, and DuckDB sees
+    // the same naive-as-UTC instants)
+    df.schema.fields.foreach { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df = df.withColumn(f.name,
+          df(f.name).cast(org.apache.spark.sql.types.TimestampType))
+    }
+    df
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     register(spark, dir)
     spark.table(name)
+  }
+
+  /** The advisor's spine layout for the TPC-H-shaped corpus — the BKPF/BSEG
+    * recommendation transposed (orders = document header, lineitem = items),
+    * proven at sf10 by graft.perf.AdvisorRehearsal: partition the bounded
+    * year axis, bucket the document/join key so header⋈item joins and
+    * per-document aggregations need no query-time Exchange. */
+  private val advisedLayouts: Seq[(String, Seq[String], String)] = Seq(
+    ("orders", Seq("o_year"), "o_orderkey"),
+    ("lineitem", Nil, "l_orderkey"),
+    ("customer", Nil, "c_custkey"))
+
+  /** Advised-layout registration (round 10 — the write-once-shuffle-never
+    * layout as a first-class STORAGE MODE, not a rehearsal): write the
+    * relational-spine tables through
+    * [[graft.model.PartitionAdvisor.writeLayout]] as bucketed
+    * (+ hive-partitioned) tables in the session warehouse, then REPLACE
+    * their temp views so every registry query transparently runs ON the
+    * layout — call it after [[register]] and before querying.
+    *
+    * Write-once contract: each table directory carries a `_graft_layout`
+    * marker (source dir + bucket count). When a later session finds a
+    * matching marker it REATTACHES the existing files via DDL (bucketed-
+    * table metadata lives in the in-memory catalog; the files persist) —
+    * zero write cost, the lake behavior a persistent metastore gives for
+    * free. A stale or absent marker triggers a rewrite; a mismatched bucket
+    * count must never be silently reattached (bucket ids live in file
+    * names — reading them under a wrong spec corrupts co-partitioning).
+    *
+    * Returns seconds spent WRITING layouts (0.0 when everything
+    * reattached). */
+  def registerAdvised(spark: SparkSession, dir: String,
+      buckets: Int = 32): Double = synchronized {
+    register(spark, dir)
+    // composite-key joins over single-column buckets co-partition only with
+    // this off: rows with equal full keys share a bucket, so the join is
+    // correct and shuffle-free (AdvisorSpec pins it)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    var writeSec = 0.0
+    advisedLayouts.foreach { case (name, partCols, bucketCol) =>
+      val advName = s"adv_$name"
+      val loc = java.nio.file.Paths.get(warehouse, advName)
+      val marker = loc.resolve("_graft_layout")
+      val want = s"""{"dir":"$dir","buckets":$buckets}"""
+      val markerOk = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == want
+      def advisedDf = if (name == "orders")
+        plainTable(spark, dir, name).withColumn("o_year",
+          org.apache.spark.sql.functions.year(
+            org.apache.spark.sql.functions.col("o_orderdate")))
+      else plainTable(spark, dir, name)
+      if (markerOk && spark.catalog.tableExists(advName)) {
+        // this session already attached this exact layout
+      } else if (markerOk) {
+        // files on disk match: reattach metadata only
+        val partClause = if (partCols.nonEmpty)
+          s"PARTITIONED BY (${partCols.mkString(", ")}) " else ""
+        spark.sql(s"DROP TABLE IF EXISTS $advName")
+        spark.sql(s"CREATE TABLE $advName (${advisedDf.schema.toDDL}) " +
+          s"USING parquet $partClause" +
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+          s"INTO $buckets BUCKETS LOCATION '${loc.toUri}'")
+        if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $advName")
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS $advName")
+        graft.perf.Measure.deleteRecursively(loc.toString)
+        val t0 = System.nanoTime()
+        // external table (explicit location): the files must outlive this
+        // session's in-memory catalog entry or reattach has nothing to find
+        graft.model.PartitionAdvisor.writeLayout(advisedDf,
+          graft.model.TableLayout(name, partCols, Seq(bucketCol), buckets,
+            "advised spine layout"), advName, Some(loc.toString))
+        writeSec += (System.nanoTime() - t0) / 1e9
+        java.nio.file.Files.writeString(marker, want)
+      }
+      // swap the standing view; derived partition axes stay internal so the
+      // advised mode is output-schema-invisible to every registry query
+      val view = if (partCols.nonEmpty) spark.table(advName)
+        .drop(partCols: _*) else spark.table(advName)
+      view.createOrReplaceTempView(name)
+    }
+    writeSec
   }
 
   /** Standard local session used by mains/tests; mirrors driver settings. */

@@ -139,41 +139,43 @@ object GraphOps {
         .agg(sort_array(collect_list(struct(col("dt").as("d"),
           col("t").as("t")))).as("ns"))
         .select(col("ns.t").as("ns"))
-      val candSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("b",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("c",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      val candidates = spark.createDataFrame(
-        adj.rdd.mapPartitions { rows =>
+      // typed Dataset path, NOT createDataFrame(RDD[Row]): the external-Row
+      // route pays a GenericRow allocation + CatalystTypeConverters pass per
+      // candidate (hundreds of millions of rows); the Array[Long] and
+      // specialized (Long, Long) encoders stay on primitive codegen'd
+      // serialization both ways
+      import spark.implicits._
+      val candidates = adj.as[Array[Long]]
+        .mapPartitions { arrays =>
           val bf = bcBloom.value
-          rows.flatMap { row =>
-            val arr = row.getSeq[Long](0).toArray
+          arrays.flatMap { arr =>
             val n = arr.length
             if (n < 2) Iterator.empty
-            else new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+            else new scala.collection.AbstractIterator[(Long, Long)] {
               import org.apache.spark.sql.catalyst.expressions.XXH64
               private var i = 0
               private var j = 1
-              private var nxt: org.apache.spark.sql.Row = _
+              private var done = false
+              private var b = 0L
+              private var c = 0L
               private def advance(): Unit = {
-                nxt = null
-                while (nxt == null && i < n - 1) {
+                done = true
+                while (done && i < n - 1) {
                   val h = XXH64.hashLong(arr(j), XXH64.hashLong(arr(i), 42L))
-                  if (bf.mightContainLong(h)) nxt =
-                    org.apache.spark.sql.Row(arr(i), arr(j))
+                  if (bf.mightContainLong(h)) { b = arr(i); c = arr(j); done = false }
                   j += 1
                   if (j == n) { i += 1; j = i + 1 }
                 }
               }
               advance()
-              def hasNext: Boolean = nxt != null
-              def next(): org.apache.spark.sql.Row = {
-                val r = nxt; advance(); r
+              def hasNext: Boolean = !done
+              def next(): (Long, Long) = {
+                val r = (b, c); advance(); r
               }
             }
           }
-        }, candSchema)
+        }
+        .toDF("b", "c")
       candidates
         .join(eo.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"),
           "left_semi")

@@ -28,18 +28,49 @@ object AnswerPipeline {
     s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split("\\s+")
       .filter(_.length > 2).toSet
 
+  /** Discourse fillers stripped from QUESTION tokens before ranking:
+    * politeness wrappers and meta-words ("could you tell me …", "… for my
+    * report") carry zero SAP meaning but inflate the question token set,
+    * and the min-normalized overlap is sensitive to that inflation — the
+    * paraphrase fuzz (ParaphraseFuzzSpec) showed a politeness prefix
+    * flipping which template ranks first. Domain words never appear here. */
+  private val discourseFillers = Set(
+    "could", "would", "should", "you", "your", "please", "tell", "hey",
+    "thanks", "thank", "wondering", "wonder", "need", "know", "give",
+    "want", "like", "just", "really", "basically", "kindly", "report",
+    "question", "answer", "info", "data")
+
+  // receivable/payable axis words: a question asking about CUSTOMERS must
+  // never route to a vendor-side template (and vice versa) — the one
+  // paraphrase-fuzz failure class that silently answers a DIFFERENT
+  // business question rather than a sibling phrasing of the same one
+  private val arWords = Set("customer", "customers", "receivable",
+    "receivables", "debtor", "debtors", "fbl5n")
+  private val apWords = Set("vendor", "vendors", "supplier", "suppliers",
+    "payable", "payables", "creditor", "creditors", "fbl1n")
+  private def axis(tok: Set[String]): Int = {
+    val ar = (tok & arWords).nonEmpty
+    val ap = (tok & apWords).nonEmpty
+    if (ar && !ap) 1 else if (ap && !ar) -1 else 0
+  }
+
   /** Best validated pattern for a question: token-overlap ranking over
     * pattern name + description + business context, requiring a minimum
-    * overlap so unrelated questions do not route to a random template. */
+    * overlap so unrelated questions do not route to a random template.
+    * Question tokens are filler-stripped and cross-axis (AR vs AP)
+    * matches are vetoed — both paraphrase-fuzz hardenings. */
   def bestPattern(question: String, minOverlap: Double = 0.34): Option[String] = {
-    val qTok = tokens(question)
+    val qTok = tokens(question) -- discourseFillers
     if (qTok.isEmpty) return None
+    val qAxis = axis(qTok)
     val scored = CatalogData.QueryPatterns
       .filter(p => SapTemplates.templates.contains(p.name))
       .map { p =>
         val pTok = tokens(s"${p.name.replace('_', ' ')} ${p.description}")
+        val pAxis = axis(pTok)
         val overlap =
           if (pTok.isEmpty) 0.0
+          else if (qAxis != 0 && pAxis != 0 && qAxis != pAxis) 0.0
           else (qTok & pTok).size.toDouble / math.min(qTok.size, pTok.size)
         p.name -> overlap
       }

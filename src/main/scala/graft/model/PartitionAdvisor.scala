@@ -126,16 +126,22 @@ object PartitionAdvisor {
         .map(c => degrees.getOrElse((l.table.toUpperCase, c.toUpperCase), 0)).sum)
   }
 
-  /** Apply a layout: hive-partitioned + bucketed + sorted managed table
-    * (the write-once-shuffle-never shape [[graft.perf.Bucketing]] provides;
-    * this is the advisor-driven entry). */
-  def writeLayout(df: DataFrame, layout: TableLayout, asTable: String): Unit = {
+  /** Apply a layout: hive-partitioned + bucketed + sorted table (the
+    * write-once-shuffle-never shape [[graft.perf.Bucketing]] provides; this
+    * is the advisor-driven entry). With `location` the table is EXTERNAL —
+    * the files outlive the session's in-memory catalog entry, which is what
+    * lets [[graft.Tables.registerAdvised]] reattach a previously-written
+    * layout instead of rewriting it; without, a managed table in the
+    * session warehouse. */
+  def writeLayout(df: DataFrame, layout: TableLayout, asTable: String,
+      location: Option[String] = None): Unit = {
     require(layout.bucketCols.nonEmpty,
       s"${layout.table}: no bucket key recommended — use plain partitionBy")
-    val w = df.write.mode("overwrite")
+    val w0 = df.write.mode("overwrite")
       .bucketBy(layout.buckets, layout.bucketCols.head, layout.bucketCols.tail: _*)
       .sortBy(layout.bucketCols.head, layout.bucketCols.tail: _*)
       .format("parquet")
+    val w = location.fold(w0)(p => w0.option("path", p))
     (if (layout.partitionCols.nonEmpty)
       w.partitionBy(layout.partitionCols: _*) else w).saveAsTable(asTable)
   }

@@ -744,9 +744,18 @@ object CorpusAnalytics {
       "q_doc_containment",
       (s, dir) => {
         val d = t(s, dir, "documents")
+        // hashed 64-bit shingles (round 10): every shuffle in the
+        // containment pipeline — df counts, the positional window, the
+        // prefix⋈postings candidate join, the compact-array verify — moves
+        // 8-byte longs instead of ~25-byte shingle strings, the same
+        // exact-up-to-64-bit-collisions contract the minhash path already
+        // runs on (the string oracle below stays valid because hash
+        // equality ≡ string equality at ~n²/2⁶⁵ collision odds; sf10:
+        // 249 s → measured in BASELINE.md)
         graft.ext.Dedup
-          .containmentPairs(graft.ext.Dedup.shingles(d, "doc_id", "text", 3),
-            4, 5, minShingles = 10)
+          .containmentPairs(graft.ext.Dedup
+            .hashedShingles(d, "doc_id", "text", 3)
+            .withColumnRenamed("sh", "shingle"), 4, 5, minShingles = 10)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t

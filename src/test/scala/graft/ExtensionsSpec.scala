@@ -875,6 +875,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(naive.nonEmpty, "exactness pin needs qualifying pairs")
       assert(got == naive)
+      // the routed face runs on HASHED shingles (8-byte shuffle keys) —
+      // same pairs and commons as the string relation on this corpus
+      // (collisions ~n²/2⁶⁵; a collision here would fail this assert)
+      val hashed = Dedup.hashedShingles(corpus, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+      val gotHashed = Dedup.containmentPairs(hashed, 4, 5, minShingles = 10)
+        .select("id_a", "id_b", "common")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotHashed == naive, "hashed-shingle containment diverged")
     } finally sh.unpersist()
   }
 
