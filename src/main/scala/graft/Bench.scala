@@ -136,7 +136,7 @@ object Bench {
     //    folded into query time. SPARK_GRAFT_ADVISED=off skips the pass. ──
     val advisedSpine =
       Seq("q_pricing_summary", "q_join_multi_hop", "q_topk_revenue",
-        "q_docflow_hop")
+        "q_docflow_hop", "q_events_window", "q_events_sessionize")
     val advised: Option[(Double, Seq[(String, Double)], Seq[(String, Double)])] =
       if (sys.env.getOrElse("SPARK_GRAFT_ADVISED", "on") == "off") None
       else {

@@ -91,11 +91,16 @@ object Tables {
     * recommendation transposed (orders = document header, lineitem = items),
     * proven at sf10 by graft.perf.AdvisorRehearsal: partition the bounded
     * year axis, bucket the document/join key so header⋈item joins and
-    * per-document aggregations need no query-time Exchange. */
+    * per-document aggregations need no query-time Exchange. Events bucket
+    * on `user_id` — the partition axis of every behavioral window
+    * (sessionize, paths, per-user ranks); a bucketed scan satisfies
+    * `Window.partitionBy(user_id)`'s required distribution the same way
+    * (graft.perf.CorpusLayoutRehearsal, 2.6-6.1× at sf10). */
   private val advisedLayouts: Seq[(String, Seq[String], String)] = Seq(
     ("orders", Seq("o_year"), "o_orderkey"),
     ("lineitem", Nil, "l_orderkey"),
-    ("customer", Nil, "c_custkey"))
+    ("customer", Nil, "c_custkey"),
+    ("events", Nil, "user_id"))
 
   /** Advised-layout registration (round 10 — the write-once-shuffle-never
     * layout as a first-class STORAGE MODE, not a rehearsal): write the

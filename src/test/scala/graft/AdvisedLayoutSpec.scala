@@ -63,7 +63,7 @@ class AdvisedLayoutSpec extends AnyFunSuite {
     try {
       // plain baselines BEFORE the swap
       Tables.register(spark, sf)
-      val plainSchemas = Seq("orders", "lineitem", "customer")
+      val plainSchemas = Seq("orders", "lineitem", "customer", "events")
         .map(n => n -> spark.table(n).schema).toMap
       val plainCounts = plainSchemas.keys
         .map(n => n -> spark.table(n).count()).toMap
@@ -94,10 +94,21 @@ class AdvisedLayoutSpec extends AnyFunSuite {
       // the orderkey hop regressed; the custkey hop needs one for orders)
       val j3 = shuffles(join3)
       assert(j3 == 1, s"join3 expected exactly the custkey Exchange, got $j3:\n${finalPlan(join3)}")
+      // events bucketed by user_id: the sessionization window's required
+      // distribution is satisfied at the file layout — zero Exchanges
+      // (the CorpusLayoutRehearsal mechanism, CI-pinned through the
+      // production registration path)
+      val sess = graft.ext.Sessionize.withSessionIds(
+        spark.table("events").select(col("user_id"), col("event_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us")))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(shuffles(sess) == 0,
+        s"user-bucketed sessionize must be shuffle-free:\n${finalPlan(sess)}")
 
       // (c) reattach: drop the catalog entries (external tables — files
       // stay), re-register → marker hits, zero write cost, plans still hold
-      Seq("adv_orders", "adv_lineitem", "adv_customer")
+      Seq("adv_orders", "adv_lineitem", "adv_customer", "adv_events")
         .foreach(t => spark.sql(s"DROP TABLE $t"))
       val writeSec2 = Tables.registerAdvised(spark, sf, buckets = 4)
       assert(writeSec2 == 0.0, s"reattach must not rewrite (spent $writeSec2 s)")
@@ -110,7 +121,7 @@ class AdvisedLayoutSpec extends AnyFunSuite {
       assert(writeSec3 > 0.0, "changed bucket count must force a rewrite")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      Seq("adv_orders", "adv_lineitem", "adv_customer")
+      Seq("adv_orders", "adv_lineitem", "adv_customer", "adv_events")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       Tables.registerPlain(spark, sf) // later suites must see plain views
     }
