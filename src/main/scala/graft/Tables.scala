@@ -101,6 +101,12 @@ object Tables {
     ("lineitem", Nil, "l_orderkey"),
     ("customer", Nil, "c_custkey"),
     ("events", Nil, "user_id"))
+  // documents are deliberately NOT advised: the dedup aggregates partial-
+  // aggregate map-side (one signature buffer per doc crosses the wire), so
+  // removing their doc_id Exchange saves ~nothing while bucketing pins the
+  // scan — measured slower at sf0.1 AND sf10. Bucketing pays where the
+  // operator must move FULL ROWS (windows, joins), not where partial
+  // aggregation already compresses the shuffle.
 
   /** Advised-layout registration (round 10 — the write-once-shuffle-never
     * layout as a first-class STORAGE MODE, not a rehearsal): write the
