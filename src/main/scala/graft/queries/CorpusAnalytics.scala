@@ -669,7 +669,9 @@ object CorpusAnalytics {
       (s, dir) => {
         val d = t(s, dir, "documents")
         graft.ext.Dedup
-          .jaccardPairsPrefix(graft.ext.Dedup.shingles(d, "doc_id", "text", 3), 4, 5)
+          .jaccardPairsPrefix(graft.ext.Dedup
+            .hashedShingles(d, "doc_id", "text", 3)
+            .withColumnRenamed("sh", "shingle"), 4, 5)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -788,7 +790,9 @@ object CorpusAnalytics {
       (s, dir) => {
         val d = t(s, dir, "documents")
         val pairs = graft.ext.Dedup
-          .jaccardPairsPrefix(graft.ext.Dedup.shingles(d, "doc_id", "text", 3), 4, 5)
+          .jaccardPairsPrefix(graft.ext.Dedup
+            .hashedShingles(d, "doc_id", "text", 3)
+            .withColumnRenamed("sh", "shingle"), 4, 5)
           .select(col("id_a"), col("id_b"))
         // plain shuffle joins: the pair set is tiny but the (doc_id,
         // source) dimension is corpus-sized — broadcasting it would not

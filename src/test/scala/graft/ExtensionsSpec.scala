@@ -798,6 +798,14 @@ class ExtensionsSpec extends AnyFunSuite {
       .select("id_a", "id_b", "common").as[(Long, Long, Long)].collect().toSet
     assert(naive.nonEmpty, "corpus should contain planted near-dups")
     assert(prefix == naive)
+    // the routed faces run on HASHED shingles (8-byte shuffle keys) — same
+    // pairs and commons as the string relation on this corpus (collisions
+    // ~n²/2⁶⁵; a collision here would fail this assert)
+    val hashed = Dedup.hashedShingles(docs, "doc_id", "text", 3)
+      .withColumnRenamed("sh", "shingle")
+    val prefixHashed = Dedup.jaccardPairsPrefix(hashed, 4, 5)
+      .select("id_a", "id_b", "common").as[(Long, Long, Long)].collect().toSet
+    assert(prefixHashed == naive, "hashed-shingle prefix join diverged")
   }
 
   test("symspell delete-neighborhood join finds every levenshtein<=2 pair") {

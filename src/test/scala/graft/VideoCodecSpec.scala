@@ -46,6 +46,37 @@ class VideoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("demuxer skips JUNK chunks (real-world AVI padding) and odd-size pads") {
+    // muxers pad with JUNK chunks for alignment; a demuxer that treats
+    // unknown ids as frames (or mis-walks their pad byte) returns wrong
+    // frame sets. Splice a JUNK chunk with an ODD payload length between
+    // hdrl and movi — the walker must skip id, size, AND the pad byte.
+    val frames = (0 until 3).map(f =>
+      ImageCodec.encodeGrayPng(9, 8, gradFrame(9, 8, f.toLong, invert = false)))
+    val avi = VideoCodec.encodeAviMpng(9, 8, 10, frames)
+    val bb = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // locate the movi LIST at top level to splice before it
+    var p = 12
+    while (!(bb.getInt(p) == 0x5453494c /* LIST */ &&
+      bb.getInt(p + 8) == 0x69766f6d /* movi */)) p += 8 + bb.getInt(p + 4) +
+      (bb.getInt(p + 4) & 1)
+    val junkPayload = 7 // odd on purpose
+    val junk = java.nio.ByteBuffer.allocate(8 + junkPayload + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.putInt(0x4b4e554a /* JUNK */).putInt(junkPayload)
+      .put(Array.fill[Byte](junkPayload + 1)(0x55))
+    val spliced = java.util.Arrays.copyOfRange(avi, 0, p) ++ junk.array() ++
+      java.util.Arrays.copyOfRange(avi, p, avi.length)
+    // fix the RIFF size for the inserted bytes
+    val out = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putInt(4, bb.getInt(4) + 8 + junkPayload + 1)
+    val (w, h, _, got) = VideoCodec.decodeAvi(spliced)
+    assert((w, h) == (9, 8) && got.length == 3)
+    got.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
   test("decodeVideoFrames + sceneCuts flags exactly the planted midpoint cut") {
     val docs = (0L until 40L).toDF("doc_id")
     val frames = Multimodal.decodeVideoFrames(Multimodal.videoPayload(docs))
