@@ -371,6 +371,83 @@ object Dedup {
         col("containment"))
   }
 
+  /** DECONTAMINATION — benchmark/eval overlap detection, the training-data
+    * pipeline's mandatory pre-training step: every (eval doc, train doc)
+    * pair where the EVAL doc's shingle set is ≥ cNum/cDen contained in the
+    * train doc. The cross-relation form of [[containmentPairs]], shaped for
+    * its real-world asymmetry: the eval/benchmark corpus is TINY next to
+    * the training corpus, and the prefix principle applies to the
+    * contained (eval) side only — so candidates are eval-prefix shingles ⋈
+    * train postings, never anything corpus × corpus, and the training side
+    * is touched once for document frequencies and once for the join.
+    *
+    * Both relations are (doc_id, shingle); positions come from ONE shared
+    * (df, shingle) global order over the union (the positional bound needs
+    * both docs' positions in the same order). Returns (eval_id, train_id,
+    * common, n_eval, n_train, containment) — exact; bounds are
+    * candidate-pruning only (pinned vs the unfiltered cross join in
+    * ExtensionsSpec). */
+  def decontaminate(trainSh: DataFrame, evalSh: DataFrame, cNum: Int,
+      cDen: Int, minShingles: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val threshold = cNum.toDouble / cDen
+    val tagged = trainSh.select(col("doc_id"), col("shingle"),
+        lit(false).as("__eval"))
+      .unionByName(evalSh.select(col("doc_id"), col("shingle"),
+        lit(true).as("__eval")))
+    val counts = tagged.groupBy("doc_id", "__eval")
+      .agg(count(lit(1)).as("n_sh"))
+    val dfreq = tagged.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("doc_id"), col("__eval"))
+      .orderBy(col("__df"), col("shingle"))
+    val posAll = tagged.join(dfreq, "shingle")
+      .withColumn("__pos", row_number().over(w))
+      .join(counts, Seq("doc_id", "__eval"))
+    // prefix on the EVAL side only: its (n − ⌈c·n⌉ + 1) rarest shingles
+    // (+ the ⌈ε·n⌉ rounding slack of [[containmentPairs]])
+    val prefixE = posAll
+      .filter(col("__eval"))
+      .filter(col("n_sh") >= minShingles)
+      .filter(col("__pos") <=
+        col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1 +
+        expr("(n_sh + 1999999) div 2000000"))
+      .select(col("doc_id").as("eval_id"), col("shingle"),
+        col("n_sh").as("na"), col("__pos").as("pa"))
+    val cand = prefixE
+      .join(posAll.filter(!col("__eval"))
+        .select(col("doc_id").as("train_id"), col("shingle"),
+          col("n_sh").as("nb"), col("__pos").as("pb")), Seq("shingle"))
+      // container-size + positional bounds, identical to containmentPairs
+      // (a train doc smaller than c·n_eval can never contain the eval doc;
+      // common ≤ 1 + min(na−pa, nb−pb) in the shared order)
+      .filter((col("nb") + expr("(na + 1999999) div 2000000")) * cDen >=
+        col("na") * cNum)
+      .filter((lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) +
+          expr("(na + 1999999) div 2000000")) * cDen >=
+        col("na") * cNum)
+      .select(col("eval_id"), col("train_id"))
+      .distinct()
+    val setsE = evalSh.groupBy("doc_id").agg(
+      sort_array(collect_list(col("shingle"))).as("__se"),
+      count(lit(1)).as("n_eval"))
+    val setsT = trainSh.groupBy("doc_id").agg(
+      sort_array(collect_list(col("shingle"))).as("__st"),
+      count(lit(1)).as("n_train"))
+    cand
+      .join(setsE.select(col("doc_id").as("eval_id"), col("__se"),
+        col("n_eval")), Seq("eval_id"))
+      .join(setsT.select(col("doc_id").as("train_id"), col("__st"),
+        col("n_train")), Seq("train_id"))
+      .withColumn("common",
+        size(array_intersect(col("__se"), col("__st"))).cast("long"))
+      .filter(col("common") > 0)
+      .withColumn("containment",
+        round(col("common").cast("double") / col("n_eval").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("eval_id"), col("train_id"), col("common"), col("n_eval"),
+        col("n_train"), col("containment"))
+  }
+
   /** MinHash signatures: k hash-function mins per doc in ONE typed
     * aggregate. The shingle is hashed once (codegen'd xxhash64); the k
     * per-position hashes derive from that base as a splitmix64 stream inside

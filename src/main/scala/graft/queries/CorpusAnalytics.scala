@@ -778,6 +778,47 @@ object CorpusAnalytics {
           AND ROUND(CAST(common AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) >= 0.8
         ORDER BY id_a, id_b""")),
 
+    // ── DECONTAMINATION (round 10): benchmark/eval overlap detection — the
+    //    mandatory pre-training step that finds eval documents leaked into
+    //    the training corpus. Cross-relation containment with the prefix
+    //    filter on the EVAL side only (the tiny side at 100 TB: candidates
+    //    are eval-prefix ⋈ train postings, never corpus × corpus); the
+    //    deterministic doc_id%7 split plants a real leaked set in the
+    //    driver corpus. Hashed 64-bit shingles end-to-end; exactness vs the
+    //    unfiltered cross join is pinned in ExtensionsSpec ─────────────────
+    Q(
+      "q_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val sh = graft.ext.Dedup.hashedShingles(d, "doc_id", "text", 3)
+          .withColumnRenamed("sh", "shingle")
+        graft.ext.Dedup.decontaminate(
+          sh.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          sh.filter(pmod(col("doc_id"), lit(7)) === 0),
+          4, 5, minShingles = 10)
+          .orderBy(col("eval_id"), col("train_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        ev AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+        tr AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+        ce AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+        ct AS (SELECT doc_id, COUNT(*) AS n FROM tr GROUP BY doc_id),
+        pairs AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+            COUNT(*) AS common
+          FROM ev e JOIN tr t ON e.shingle = t.shingle GROUP BY 1, 2)
+        SELECT eval_id, train_id, common, ce.n AS n_eval, ct.n AS n_train,
+          ROUND(CAST(common AS DOUBLE) / CAST(ce.n AS DOUBLE), 6) AS containment
+        FROM pairs
+        JOIN ce ON eval_id = ce.doc_id JOIN ct ON train_id = ct.doc_id
+        WHERE ce.n >= 10
+          AND ROUND(CAST(common AS DOUBLE) / CAST(ce.n AS DOUBLE), 6) >= 0.8
+        ORDER BY eval_id, train_id""")),
+
     // ── near-dup provenance matrix: exact Jaccard pairs joined back to the
     //    source dimension — which source pairs generate the duplication
     //    (cross-source dup means scraper overlap; within-source means

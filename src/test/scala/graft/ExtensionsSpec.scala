@@ -854,6 +854,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("decontaminate finds planted eval leaks, exactly the cross-join answer") {
+    // real corpus split eval/train + a planted LEAK: an eval doc fully
+    // contained in a train doc, plus a boundary and a disjoint control
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val planted = Seq(
+      (7000007L, body), // eval (id % 7 == 0), fully inside the train doc
+      (7000008L, body + " " + (100 to 160).map(i => s"pad$i").mkString(" ")),
+      (7000014L, (200 to 240).map(i => s"other$i").mkString(" ")) // eval, disjoint
+    ).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val sh = Dedup.hashedShingles(corpus, "doc_id", "text", 3)
+      .withColumnRenamed("sh", "shingle").cache()
+    try {
+      val evalSh = sh.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val trainSh = sh.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val got = Dedup.decontaminate(trainSh, evalSh, 4, 5, minShingles = 10)
+        .select("eval_id", "train_id", "common")
+        .as[(Long, Long, Long)].collect().toSet
+      // brute-force cross-relation answer — the exactness oracle for the
+      // prefix/positional/size candidate pruning
+      val ce = evalSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val naive = evalSh.select(col("doc_id").as("eval_id"), col("shingle"))
+        .join(trainSh.select(col("doc_id").as("train_id"), col("shingle")),
+          Seq("shingle"))
+        .groupBy("eval_id", "train_id").agg(count(lit(1)).as("common"))
+        .join(ce.select(col("doc_id").as("eval_id"), col("n")), Seq("eval_id"))
+        .filter(col("n") >= 10)
+        .filter(round(col("common") / col("n"), 6) >= 0.8)
+        .select("eval_id", "train_id", "common")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(naive.nonEmpty, "exactness pin needs qualifying leaks")
+      assert(got == naive)
+      // the planted full leak is flagged; the disjoint control is not
+      assert(got.exists { case (e, t, _) => e == 7000007L && t == 7000008L })
+      assert(!got.exists(_._1 == 7000014L))
+    } finally sh.unpersist()
+  }
+
   test("containment positional/size bounds are exact vs the unfiltered join") {
     // real corpus + planted positives (full subset, partial overlap at the
     // 0.8 boundary, disjoint) so the exactness pin exercises hits AND misses
