@@ -374,7 +374,9 @@ object Dedup {
   /** DECONTAMINATION — benchmark/eval overlap detection, the training-data
     * pipeline's mandatory pre-training step: every (eval doc, train doc)
     * pair where the EVAL doc's shingle set is ≥ cNum/cDen contained in the
-    * train doc. The cross-relation form of [[containmentPairs]], shaped for
+    * train doc. Complements [[contamination]] (the per-doc leaked-fraction
+    * AGGREGATE — cheap screen, no attribution): run the screen first, this
+    * pair-level form second to name WHICH training documents leaked. The cross-relation form of [[containmentPairs]], shaped for
     * its real-world asymmetry: the eval/benchmark corpus is TINY next to
     * the training corpus, and the prefix principle applies to the
     * contained (eval) side only — so candidates are eval-prefix shingles ⋈

@@ -156,7 +156,11 @@ object Extensions {
         val d = t(s, dir, "documents")
         val bucket = graft.ext.CorpusPipeline.splitBucket(col("doc_id"))
         val ids = d.select(col("doc_id"), bucket.as("b"))
-        val sh = Dedup.shingles(d, "doc_id", "text", 3)
+        // hashed 64-bit shingles (round 10): the train-side distinct and
+        // the semi-join shuffle 8-byte keys instead of shingle strings —
+        // the same collision contract as every routed dedup face
+        val sh = Dedup.hashedShingles(d, "doc_id", "text", 3)
+          .withColumnRenamed("sh", "shingle")
         Dedup.contamination(
             sh.join(ids.filter(col("b") >= 90).select("doc_id"), Seq("doc_id")),
             sh.join(ids.filter(col("b") < 90).select("doc_id"), Seq("doc_id")))
