@@ -100,6 +100,14 @@ object Tables {
     ("orders", Seq("o_year"), "o_orderkey"),
     ("lineitem", Nil, "l_orderkey"),
     ("customer", Nil, "c_custkey"),
+    // events: bucket-only. The user axis is where operators move full rows
+    // (every behavioral window — 2.6-6.1× at sf10); the clustering does
+    // cost time-axis scans ~2× (ts locality lost — measured, documented in
+    // BASELINE). Date hive-partitioning ON TOP was tried and REVERTED: at
+    // ≤10M-row corpora, dates × buckets fragments files below row-group
+    // size and slows BOTH axes; it pays only when one (date, bucket) cell
+    // holds at least a full row group (~100k+ rows — billions of events),
+    // which is exactly the 100 TB regime where you would turn it on
     ("events", Nil, "user_id"))
   // documents are deliberately NOT advised: the dedup aggregates partial-
   // aggregate map-side (one signature buffer per doc crosses the wire), so
@@ -107,6 +115,16 @@ object Tables {
   // scan — measured slower at sf0.1 AND sf10. Bucketing pays where the
   // operator must move FULL ROWS (windows, joins), not where partial
   // aggregation already compresses the shuffle.
+
+  /** Derived partition axes (dropped from the swapped views, so the
+    * advised mode stays schema-invisible). */
+  private def withDerivedAxes(name: String, df: DataFrame): DataFrame =
+    name match {
+      case "orders" => df.withColumn("o_year",
+        org.apache.spark.sql.functions.year(
+          org.apache.spark.sql.functions.col("o_orderdate")))
+      case _ => df
+    }
 
   /** Advised-layout registration (round 10 — the write-once-shuffle-never
     * layout as a first-class STORAGE MODE, not a rehearsal): write the
@@ -144,11 +162,7 @@ object Tables {
       val want = s"""{"dir":"$dir","buckets":$buckets}"""
       val markerOk = java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == want
-      def advisedDf = if (name == "orders")
-        plainTable(spark, dir, name).withColumn("o_year",
-          org.apache.spark.sql.functions.year(
-            org.apache.spark.sql.functions.col("o_orderdate")))
-      else plainTable(spark, dir, name)
+      def advisedDf = withDerivedAxes(name, plainTable(spark, dir, name))
       if (markerOk && spark.catalog.tableExists(advName)) {
         // this session already attached this exact layout
       } else if (markerOk) {
