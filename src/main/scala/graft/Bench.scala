@@ -143,8 +143,15 @@ object Bench {
         val spine = headline.filter(q => advisedSpine.contains(q.name))
         if (spine.isEmpty) None
         else try {
+          // bucket count is its OWN knob (SPARK_GRAFT_ADV_BUCKETS, default
+          // 64 to match the sf10 rehearsals that justified the layout) —
+          // reusing shuffle partitions here conflated the two: changing
+          // parallelism between runs silently invalidated the layout marker
+          // (full rewrite) and benched an unrehearsed bucket count
+          val advBuckets =
+            sys.env.getOrElse("SPARK_GRAFT_ADV_BUCKETS", "64").toInt
           val writeSec =
-            Tables.registerAdvised(spark, sfDir, shufflePartitions.toInt)
+            Tables.registerAdvised(spark, sfDir, advBuckets)
           val s = spine.map(q =>
             q.name -> (0 to warmRuns).map(_ => time(sink(q.build(spark, sfDir)))))
           Some((writeSec, s.map { case (n, x) => n -> x.head },

@@ -133,6 +133,7 @@ object GraphOps {
       val bloom = Bloom.build(eo, struct(col("s"), col("t")),
         expectedItems = m, fpp = fpp)
       val bcBloom = spark.sparkContext.broadcast(bloom)
+      try {
       // one row per source node: out-neighbors sorted by (deg, id) — the
       // groupBy reuses nothing downstream, and array payload totals m ids
       val adj = eo.groupBy(col("s"))
@@ -181,6 +182,10 @@ object GraphOps {
           "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
         .localCheckpoint(true)
+      // the eager localCheckpoint above materialized the count, so no
+      // executor needs the bloom again — release its tens of MB (bits ∝ m)
+      // now rather than waiting for GC-driven ContextCleaner cleanup
+      } finally bcBloom.destroy()
     } finally eo.unpersist()
   }
 

@@ -82,14 +82,15 @@ object Multimodal {
   }
 
   /** REAL video feature extraction (round 10 — AVI containers are no longer
-    * stubbed): demux the payload with [[VideoCodec]] (RIFF/AVI, PNG-in-AVI
-    * `MPNG` streams), decode every frame through `javax.imageio`
-    * ([[ImageCodec]]), and emit a 16-bin luminance histogram over ALL
-    * decoded frames' pixels, L1-normalized — the video analog of
-    * [[ImageDecodeExtractor]]. Same wire format / per-partition batch
-    * shape. COMPRESSED codecs (H.264 etc.) genuinely need external
-    * libraries this environment lacks and fail fast with a named message —
-    * that is now the only remaining media stub boundary. */
+    * stubbed): demux the payload with [[VideoCodec]] (RIFF/AVI, `MPNG`
+    * PNG-in-AVI or `MJPG` motion-JPEG streams), decode every frame through
+    * `javax.imageio` ([[ImageCodec]]), and emit a 16-bin luminance
+    * histogram over ALL decoded frames' pixels, L1-normalized — the video
+    * analog of [[ImageDecodeExtractor]]. Same wire format / per-partition
+    * batch shape. INTER-frame-compressed codecs (H.264 etc.) genuinely
+    * need external decoder libraries this environment lacks and fail fast
+    * with a named message — that is now the only remaining media
+    * boundary. */
   class MediaDecodeExtractor extends FeatureExtractor {
     val dims = 16
     def extract(payload: Array[Byte]): Array[Float] = {

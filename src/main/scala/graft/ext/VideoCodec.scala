@@ -10,9 +10,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * env-stubbed" gap the same way images (round 8, `javax.imageio`) and WAV
   * audio (round 9, `javax.sound.sampled`) closed: the container is a simple
   * chunk grammar needing no external codec, and every demuxed frame is a
-  * plain PNG that [[ImageCodec.decodeGray]] already decodes. Compressed
-  * video codecs (H.264 etc.) genuinely need external libraries and remain
-  * out of scope — [[Multimodal.MediaDecodeExtractor]] names that boundary.
+  * plain PNG that [[ImageCodec.decodeGray]] already decodes. The demuxer
+  * also accepts `MJPG` (motion JPEG — the common real-world intra-only AVI,
+  * whose frames are plain JPEGs `javax.imageio` likewise decodes). Only
+  * INTER-frame-compressed codecs (H.264 etc.) genuinely need external
+  * libraries and remain out of scope — [[Multimodal.MediaDecodeExtractor]]
+  * names that boundary.
   *
   * Determinism: PNG is lossless and the chunk layout is fully specified, so
   * a mux→demux→decode round trip reproduces pixel values EXACTLY — which is
@@ -43,6 +46,7 @@ object VideoCodec {
   private val STRF = fcc("strf")
   private val VIDS = fcc("vids")
   private val MPNG = fcc("MPNG")
+  private val MJPG = fcc("MJPG")
   private val MOVI = fcc("movi")
   private val DC00 = fcc("00dc")
   private val DB00 = fcc("00db")
@@ -51,8 +55,19 @@ object VideoCodec {
   /** Mux PNG frame payloads into an AVI container (stream fourcc `MPNG`).
     * `fps` becomes the stream rate over scale 1. */
   def encodeAviMpng(w: Int, h: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    encodeAvi(w, h, fps, "MPNG", frames)
+
+  /** Mux intra-coded frame payloads into an AVI container with an explicit
+    * stream fourcc: "MPNG" for PNG frames, "MJPG" for JPEG (motion JPEG).
+    * The frame bytes are stored verbatim — the caller supplies payloads
+    * already in the codec's frame format. */
+  def encodeAvi(w: Int, h: Int, fps: Int, fourccName: String,
       frames: Seq[Array[Byte]]): Array[Byte] = {
     require(w > 0 && h > 0 && fps > 0 && frames.nonEmpty)
+    val codec = fcc(fourccName)
+    require(codec == MPNG || codec == MJPG,
+      s"unsupported mux codec $fourccName (MPNG or MJPG)")
     val maxFrame = frames.map(_.length).max
 
     def chunk(id: Int, data: Array[Byte]): Array[Byte] = {
@@ -83,7 +98,7 @@ object VideoCodec {
     }
     val strh = {
       val bb = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putInt(VIDS).putInt(MPNG)
+      bb.putInt(VIDS).putInt(codec)
         .putInt(0)             // dwFlags
         .putShort(0).putShort(0) // wPriority, wLanguage
         .putInt(0)             // dwInitialFrames
@@ -100,7 +115,7 @@ object VideoCodec {
       val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
       bb.putInt(40).putInt(w).putInt(h)
         .putShort(1).putShort(24) // biPlanes, biBitCount
-        .putInt(MPNG)            // biCompression
+        .putInt(codec)           // biCompression
         .putInt(w * h * 3)       // biSizeImage (nominal)
       bb.array() // resolution/clr fields zero
     }
@@ -134,8 +149,9 @@ object VideoCodec {
 
   /** Demux an AVI payload: (width, height, usecPerFrame, frame payloads).
     * Frames come back as the stored compressed bytes (PNG for `MPNG`
-    * streams) in stream order; decode each with [[ImageCodec.decodeGray]].
-    * Fails loudly on a malformed or truncated container. */
+    * streams, JPEG for `MJPG`) in stream order; decode each with
+    * [[ImageCodec.decodeGray]]. Fails loudly on a malformed or truncated
+    * container. */
   def decodeAvi(payload: Array[Byte]): (Int, Int, Int, Vector[Array[Byte]]) = {
     require(payload != null && payload.length >= 24, "payload too short for AVI")
     val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
@@ -153,7 +169,9 @@ object VideoCodec {
       while (p + 8 <= to) {
         val id = bb.getInt(p)
         val size = bb.getInt(p + 4)
-        require(size >= 0 && p + 8 + size <= to,
+        // Long arithmetic: a hostile size near Int.MaxValue would wrap
+        // p + 8 + size negative and slip past an int-typed bound check
+        require(size >= 0 && p + 8L + size <= to,
           s"truncated chunk at offset $p (size $size, limit $to)")
         if (id == LIST) {
           val kind = bb.getInt(p + 8)
@@ -165,8 +183,15 @@ object VideoCodec {
           width = bb.getInt(p + 8 + 32)
           height = bb.getInt(p + 8 + 36)
         } else if (id == STRH) {
-          require(bb.getInt(p + 8) != VIDS || bb.getInt(p + 12) == MPNG,
-            "unsupported video stream codec (only MPNG/PNG frames)")
+          // intra-frame codecs whose frames javax.imageio decodes directly:
+          // MPNG (PNG-in-AVI, what encodeAviMpng writes) and MJPG (motion
+          // JPEG — the common real-world intra-only AVI). Inter-frame
+          // codecs (H.264 etc.) genuinely need external libraries.
+          val codec = bb.getInt(p + 12)
+          require(bb.getInt(p + 8) != VIDS || codec == MPNG || codec == MJPG,
+            "unsupported video stream codec (MPNG/PNG and MJPG/JPEG frames" +
+              " only; inter-frame-compressed codecs like H.264 need" +
+              " external decoder libraries)")
         } else if (id == DC00 || id == DB00) {
           frames += java.util.Arrays.copyOfRange(payload, p + 8, p + 8 + size)
           nFrames += 1

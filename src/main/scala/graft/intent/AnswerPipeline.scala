@@ -33,7 +33,12 @@ object AnswerPipeline {
     * report") carry zero SAP meaning but inflate the question token set,
     * and the min-normalized overlap is sensitive to that inflation — the
     * paraphrase fuzz (ParaphraseFuzzSpec) showed a politeness prefix
-    * flipping which template ranks first. Domain words never appear here. */
+    * flipping which template ranks first. Stripped from BOTH question and
+    * pattern token sets (round-10 ADVICE): "report"/"data" can appear in
+    * legitimate SAP phrasings ("month-end close report", "master data"),
+    * and a question-side-only strip lowered the min-normalized overlap
+    * asymmetrically — symmetric stripping means a filler word can neither
+    * inflate a match nor starve one. */
   private val discourseFillers = Set(
     "could", "would", "should", "you", "your", "please", "tell", "hey",
     "thanks", "thank", "wondering", "wonder", "need", "know", "give",
@@ -57,8 +62,9 @@ object AnswerPipeline {
   /** Best validated pattern for a question: token-overlap ranking over
     * pattern name + description + business context, requiring a minimum
     * overlap so unrelated questions do not route to a random template.
-    * Question tokens are filler-stripped and cross-axis (AR vs AP)
-    * matches are vetoed — both paraphrase-fuzz hardenings. */
+    * Both token sets are filler-stripped (symmetrically — see
+    * [[discourseFillers]]) and cross-axis (AR vs AP) matches are vetoed —
+    * both paraphrase-fuzz hardenings. */
   def bestPattern(question: String, minOverlap: Double = 0.34): Option[String] = {
     val qTok = tokens(question) -- discourseFillers
     if (qTok.isEmpty) return None
@@ -66,7 +72,9 @@ object AnswerPipeline {
     val scored = CatalogData.QueryPatterns
       .filter(p => SapTemplates.templates.contains(p.name))
       .map { p =>
-        val pTok = tokens(s"${p.name.replace('_', ' ')} ${p.description}")
+        val pTok =
+          tokens(s"${p.name.replace('_', ' ')} ${p.description}") --
+            discourseFillers
         val pAxis = axis(pTok)
         val overlap =
           if (pTok.isEmpty) 0.0

@@ -667,11 +667,13 @@ object CorpusAnalytics {
     Q(
       "q_setsim_prefix",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        // shingles via ShingleIndex.shinglesFor (round 11): the STORED
+        // bucket-by-shingle index when one matching `dir` is registered
+        // (corpus-wide df aggregate + df join run bucket-local), the plain
+        // derivation otherwise — hash-identical either way, pinned in
+        // ShingleIndexSpec
         graft.ext.Dedup
-          .jaccardPairsPrefix(graft.ext.Dedup
-            .hashedShingles(d, "doc_id", "text", 3)
-            .withColumnRenamed("sh", "shingle"), 4, 5)
+          .jaccardPairsPrefix(graft.ext.ShingleIndex.shinglesFor(s, dir), 4, 5)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -745,19 +747,18 @@ object CorpusAnalytics {
     Q(
       "q_doc_containment",
       (s, dir) => {
-        val d = t(s, dir, "documents")
         // hashed 64-bit shingles (round 10): every shuffle in the
         // containment pipeline — df counts, the positional window, the
         // prefix⋈postings candidate join, the compact-array verify — moves
         // 8-byte longs instead of ~25-byte shingle strings, the same
         // exact-up-to-64-bit-collisions contract the minhash path already
         // runs on (the string oracle below stays valid because hash
-        // equality ≡ string equality at ~n²/2⁶⁵ collision odds; sf10:
-        // 249 s → measured in BASELINE.md)
+        // equality ≡ string equality at ~n²/2⁶⁵ collision odds). Round 11:
+        // sourced through ShingleIndex.shinglesFor — the stored bucketed
+        // index when registered for `dir` (~3× at sf10), derived otherwise
         graft.ext.Dedup
-          .containmentPairs(graft.ext.Dedup
-            .hashedShingles(d, "doc_id", "text", 3)
-            .withColumnRenamed("sh", "shingle"), 4, 5, minShingles = 10)
+          .containmentPairs(graft.ext.ShingleIndex.shinglesFor(s, dir),
+            4, 5, minShingles = 10)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -789,9 +790,7 @@ object CorpusAnalytics {
     Q(
       "q_decontaminate",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        val sh = graft.ext.Dedup.hashedShingles(d, "doc_id", "text", 3)
-          .withColumnRenamed("sh", "shingle")
+        val sh = graft.ext.ShingleIndex.shinglesFor(s, dir)
         graft.ext.Dedup.decontaminate(
           sh.filter(pmod(col("doc_id"), lit(7)) =!= 0),
           sh.filter(pmod(col("doc_id"), lit(7)) === 0),
@@ -831,9 +830,7 @@ object CorpusAnalytics {
       (s, dir) => {
         val d = t(s, dir, "documents")
         val pairs = graft.ext.Dedup
-          .jaccardPairsPrefix(graft.ext.Dedup
-            .hashedShingles(d, "doc_id", "text", 3)
-            .withColumnRenamed("sh", "shingle"), 4, 5)
+          .jaccardPairsPrefix(graft.ext.ShingleIndex.shinglesFor(s, dir), 4, 5)
           .select(col("id_a"), col("id_b"))
         // plain shuffle joins: the pair set is tiny but the (doc_id,
         // source) dimension is corpus-sized — broadcasting it would not

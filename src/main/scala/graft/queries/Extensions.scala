@@ -114,10 +114,8 @@ object Extensions {
     Q(
       "q_dedup_cluster",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        val pairs = Dedup.jaccardPairsPrefix(Dedup
-          .hashedShingles(d, "doc_id", "text", 3)
-          .withColumnRenamed("sh", "shingle"), 4, 5)
+        val pairs = Dedup.jaccardPairsPrefix(
+          graft.ext.ShingleIndex.shinglesFor(s, dir), 4, 5)
         Dedup.connectedComponents(pairs)
           .groupBy(col("comp").as("component"))
           .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))

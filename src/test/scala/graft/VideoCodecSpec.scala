@@ -102,6 +102,55 @@ class VideoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPG (motion-JPEG) AVIs demux and decode; unknown codecs refused") {
+    // real-world intra-only AVIs carry plain JPEG frames javax.imageio
+    // already decodes. JPEG is lossy, so the pin is structural (dims,
+    // frame count, order) plus a tight tolerance on the flat-gray mean —
+    // the tolerance-free pixel-exact oracle face stays on PNG.
+    def jpegGray(w: Int, h: Int, level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val px = Array.fill(w * h)(level)
+      img.getRaster.setSamples(0, 0, w, h, 0, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val levels = Seq(40, 128, 220)
+    val frames = levels.map(jpegGray(16, 12, _))
+    val avi = VideoCodec.encodeAvi(16, 12, 10, "MJPG", frames)
+    val (w, h, usec, out) = VideoCodec.decodeAvi(avi)
+    assert((w, h, usec) == (16, 12, 100000) && out.length == 3)
+    out.zip(levels).foreach { case (f, lvl) =>
+      val (dw, dh, pix) = ImageCodec.decodeGray(f)
+      assert((dw, dh) == (16, 12))
+      val mean = pix.sum.toDouble / pix.length
+      assert(math.abs(mean - lvl) < 3.0, s"flat-$lvl decoded mean $mean")
+    }
+    // and the extractor path works end-to-end on MJPG payloads
+    val hist = new Multimodal.MediaDecodeExtractor().extract(avi)
+    assert(math.abs(hist.sum - 1.0f) < 1e-6)
+    // a codec we can't decode is refused BY NAME at demux: patch the strh
+    // fccHandler and strf biCompression from MJPG to a fake H264
+    val patched = avi.clone()
+    var hits = 0
+    var i = 0
+    while (i <= patched.length - 4) {
+      if (patched(i) == 'M' && patched(i + 1) == 'J' &&
+          patched(i + 2) == 'P' && patched(i + 3) == 'G') {
+        patched(i) = 'H'; patched(i + 1) = '2'
+        patched(i + 2) = '6'; patched(i + 3) = '4'
+        hits += 1
+      }
+      i += 1
+    }
+    assert(hits == 2) // strh fccHandler + strf biCompression
+    val err = intercept[IllegalArgumentException] {
+      VideoCodec.decodeAvi(patched)
+    }
+    assert(err.getMessage.contains("unsupported video stream codec"))
+  }
+
   test("MediaDecodeExtractor histograms genuinely decoded pixels") {
     // a flat-128 single-frame video: every pixel lands in bin 8, so the
     // histogram is a one-hot — wrong under any byte-histogram fallback
