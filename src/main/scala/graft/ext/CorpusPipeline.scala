@@ -198,18 +198,25 @@ object CorpusPipeline {
     *  2. near-dup removal via MinHash-LSH at `jaccard`: verified pairs are
     *     clustered into connected components and only the smallest id per
     *     CLUSTER survives (chain-correct keep-first-representative policy),
+    *  2b. decontamination (when `benchmark` is given): drop every doc
+    *     containing ≥ containNum/containDen of a benchmark document's
+    *     shingle set ([[Dedup.decontaminate]]) — benchmark material never
+    *     ships in any split,
     *  3. quality gate: minimum token count + language filter on the
     *     engine's language ID,
     *  4. deterministic train/eval/test split.
     *
     * Returns the surviving documents with `n_tokens`, `lang_id`, and
     * `split` columns. Shuffle profile: one hash shuffle for the exact
-    * dedup, the LSH pipeline's banded shuffles, one broadcast-able
-    * anti-join of drop ids — no stage is quadratic in the corpus. */
+    * dedup, the LSH pipeline's banded shuffles, the benchmark-sized
+    * decontamination join when enabled, one broadcast-able anti-join of
+    * drop ids — no stage is quadratic in the corpus. */
   def prepare(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       jaccard: Double = 0.8, minTokens: Long = 5,
       langs: Seq[String] = Seq("en"),
-      trainPct: Int = 90, evalPct: Int = 5): DataFrame = {
+      trainPct: Int = 90, evalPct: Int = 5,
+      benchmark: Option[DataFrame] = None,
+      containNum: Int = 4, containDen: Int = 5): DataFrame = {
     // 1. exact dedup: smallest id per identical text wins
     val exact = Dedup.exact(
       docs.withColumn("__h", sha2(encode(col(textCol), "UTF-8"), 256)),
@@ -225,8 +232,29 @@ object CorpusPipeline {
       .select(col("id").as(idCol))
     val deduped = exact.join(nearDupDrops, Seq(idCol), "left_anti")
 
+    // 2b. DECONTAMINATION (round 11): drop every surviving doc that
+    //     contains ≥ containNum/containDen of a benchmark/eval document's
+    //     shingles — benchmark material must never reach ANY split (a
+    //     leaked doc in train inflates eval; in eval it double-counts), so
+    //     the whole doc goes, before the gate/split stages. The benchmark
+    //     relation carries the same (idCol, textCol) columns. Cost scales
+    //     with benchmark size × posting rarity ([[Dedup.decontaminate]]'s
+    //     eval-side-only prefix filter), never corpus² — the flag is
+    //     per-document (|eval ∩ doc| / |eval|, exact verification), so
+    //     composing it here is row-equivalent to running prepare and then
+    //     filtering the flagged ids (pinned in ExtensionsSpec).
+    val decontaminated = benchmark.fold(deduped) { ev =>
+      val trainSh = Dedup.hashedShingles(deduped, idCol, textCol, 3)
+        .withColumnRenamed("sh", "shingle")
+      val evalSh = Dedup.hashedShingles(ev, idCol, textCol, 3)
+        .withColumnRenamed("sh", "shingle")
+      val leaked = Dedup.decontaminate(trainSh, evalSh, containNum, containDen)
+        .select(col("train_id").as(idCol)).distinct()
+      deduped.join(leaked, Seq(idCol), "left_anti")
+    }
+
     // 3. quality + language gate, 4. split
-    deduped
+    decontaminated
       .withColumn("n_tokens", size(split(lower(col(textCol)), " ")).cast("long"))
       .withColumn("lang_id", TextAnalysis.langId(col(textCol)))
       .filter(col("n_tokens") >= minTokens)

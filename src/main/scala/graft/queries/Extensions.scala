@@ -1386,6 +1386,114 @@ object Extensions {
            ELSE 'test' END), COUNT(*) FROM spl GROUP BY 1
         ORDER BY stage""")),
 
+    // ── composed corpus preparation WITH decontamination (round 11): the
+    //    production pipeline including the benchmark-overlap drop — eval
+    //    material (doc_id%7 plants a real leaked set) must not reach ANY
+    //    split. Stages 0-4 are the observable mirror of
+    //    CorpusPipeline.prepare's internals; the 5_split_* counts come
+    //    from the REAL prepare(benchmark = …) call, so the face fails if
+    //    the composition ever diverges from the mirrored stages
+    //    (prepare-with ≡ prepare-then-filter is additionally pinned in
+    //    ExtensionsSpec) ──────────────────────────────────────────────────
+    Q(
+      "q_corpus_decontam",
+      (s, dir) => {
+        import graft.ext.{CorpusPipeline, Dedup}
+        val d = t(s, dir, "documents")
+        val bench = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), col("text"))
+        val exact = Dedup.exact(
+          d.withColumn("__h", sha2(encode(col("text"), "UTF-8"), 256)),
+          Seq("__h"), "doc_id").drop("__h")
+        val pairs = Dedup.minhashDedup(exact, "doc_id", "text", 0.8)
+        val drops = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+        val deduped = exact.join(drops, Seq("doc_id"), "left_anti")
+        val leaked = Dedup.decontaminate(
+          Dedup.hashedShingles(deduped, "doc_id", "text", 3)
+            .withColumnRenamed("sh", "shingle"),
+          Dedup.hashedShingles(bench, "doc_id", "text", 3)
+            .withColumnRenamed("sh", "shingle"), 4, 5)
+          .select(col("train_id").as("doc_id")).distinct()
+        val decon = deduped.join(leaked, Seq("doc_id"), "left_anti")
+        val gated = decon
+          .withColumn("n_tokens",
+            size(split(lower(col("text")), " ")).cast("long"))
+          .filter(col("n_tokens") >= 5)
+        val prepared = CorpusPipeline.prepare(d, langs = Nil,
+          benchmark = Some(bench))
+        def stage(name: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(name).as("stage"), col("n_docs"))
+        stage("0_raw", d)
+          .unionAll(stage("1_exact_dedup", exact))
+          .unionAll(stage("2_near_dedup", deduped))
+          .unionAll(stage("3_decontam", decon))
+          .unionAll(stage("4_quality_gate", gated))
+          .unionAll(prepared
+            .groupBy(concat(lit("5_split_"), col("split")).as("stage"))
+            .agg(count(lit(1)).as("n_docs")))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH RECURSIVE
+        exact AS (SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+          FROM documents GROUP BY text),
+        toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM exact WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs_j AS (SELECT id_a, id_b FROM pr
+          JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+          WHERE ROUND(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) >= 0.8),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs_j
+          UNION SELECT id_b, id_a FROM pairs_j),
+        reach AS (SELECT u, v FROM edges
+          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+        drops AS (SELECT id AS doc_id FROM comp WHERE id <> comp),
+        deduped AS (SELECT e.doc_id, e.text FROM exact e
+          WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)),
+        evd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        evtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM evd WHERE len(string_split(lower(text), ' ')) >= 3),
+        evsh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM evtoks),
+        evcnt AS (SELECT doc_id, COUNT(*) AS n FROM evsh GROUP BY doc_id),
+        trsh AS (SELECT s.* FROM sh s
+          WHERE s.doc_id IN (SELECT doc_id FROM deduped)),
+        ov AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+            COUNT(*) AS common
+          FROM evsh e JOIN trsh t ON e.shingle = t.shingle GROUP BY 1, 2),
+        leaked AS (SELECT DISTINCT train_id AS doc_id FROM ov
+          JOIN evcnt ON ov.eval_id = evcnt.doc_id
+          WHERE evcnt.n >= 10
+            AND ROUND(CAST(common AS DOUBLE) / CAST(evcnt.n AS DOUBLE), 6) >= 0.8),
+        decon AS (SELECT * FROM deduped
+          WHERE doc_id NOT IN (SELECT doc_id FROM leaked)),
+        gated AS (SELECT doc_id, text,
+            len(string_split(lower(text), ' ')) AS n_tokens
+          FROM decon WHERE len(string_split(lower(text), ' ')) >= 5),
+        spl AS (SELECT doc_id,
+            ((CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616) // 8589934592 % 100 AS bucket
+          FROM gated)
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM documents
+        UNION ALL SELECT '1_exact_dedup', COUNT(*) FROM exact
+        UNION ALL SELECT '2_near_dedup', COUNT(*) FROM deduped
+        UNION ALL SELECT '3_decontam', COUNT(*) FROM decon
+        UNION ALL SELECT '4_quality_gate', COUNT(*) FROM gated
+        UNION ALL SELECT '5_split_' ||
+          (CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'eval'
+           ELSE 'test' END), COUNT(*) FROM spl GROUP BY 1
+        ORDER BY stage""")),
+
     // ── context-window chunking: token-bounded chunks with overlap (the
     //    pre-training windowing; stride = chunk − overlap). Narrow map —
     //    tokenize, posexplode chunk starts, slice ─────────────────────────

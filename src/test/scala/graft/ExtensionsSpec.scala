@@ -448,6 +448,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.columns.contains("lang_id") && out.columns.contains("n_tokens"))
   }
 
+  test("prepare with benchmark decontamination ≡ prepare then filter leaked ids") {
+    import graft.ext.{CorpusPipeline, Dedup}
+    val base = docs.select("doc_id", "text")
+    // the benchmark set: docs planted INSIDE the corpus (the leak case) —
+    // each eval doc is contained in itself, so it must be dropped, plus
+    // any other doc that contains ≥80% of an eval doc's shingles
+    val bench = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val withD = CorpusPipeline.prepare(base, langs = Nil,
+      benchmark = Some(bench)).cache()
+    val without = CorpusPipeline.prepare(base, langs = Nil).cache()
+    // the flag is per-document (|eval ∩ doc| / |eval| on the doc's own
+    // shingles), so leaked ids computed over the POST-prepare survivors
+    // equal the pipeline's internal (pre-gate) flags restricted to them
+    val leaked = Dedup.decontaminate(
+      Dedup.hashedShingles(without, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle"),
+      Dedup.hashedShingles(bench, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle"), 4, 5)
+      .select("train_id").as[Long].collect().toSet
+    assert(leaked.nonEmpty, "planted in-corpus benchmark found no leaks")
+    val idsWith = withD.select("doc_id").as[Long].collect().toSet
+    val idsWithout = without.select("doc_id").as[Long].collect().toSet
+    assert(idsWith == idsWithout -- leaked,
+      s"composition diverged: extra=${idsWith -- (idsWithout -- leaked)} " +
+        s"missing=${(idsWithout -- leaked) -- idsWith}")
+    // surviving eval-id docs are gone from every split (the leak case)
+    assert(idsWith.forall(id => id % 7 != 0 || !idsWithout.contains(id) ||
+      !leaked.contains(id)), "a leaked benchmark doc shipped in a split")
+    // non-id columns unchanged for survivors
+    val rowsWith = withD.orderBy("doc_id").collect()
+    val rowsKept = without.filter(!col("doc_id").isin(leaked.toSeq: _*))
+      .orderBy("doc_id").collect()
+    assert(rowsWith.sameElements(rowsKept))
+  }
+
   test("split bucketing survives structured ids (strides, shard prefixes)") {
     import graft.ext.CorpusPipeline
     // ids that are all ≡ 0 (mod 100) — a low-residue bucket would put 100%
