@@ -75,11 +75,26 @@ object AnswerPipeline {
         val pTok =
           tokens(s"${p.name.replace('_', ' ')} ${p.description}") --
             discourseFillers
-        val pAxis = axis(pTok)
+        // the catalog MODULE is the authoritative AR/AP axis — token
+        // sniffing missed patterns like ap_aging whose only payable-side
+        // marker is the 2-char "AP" the tokenizer drops (round 11: that
+        // let "customer aging" route to the vendor-side aging report)
+        val pAxis = p.module match {
+          case "FI_AR" => 1
+          case "FI_AP" => -1
+          case _ => axis(pTok)
+        }
+        // min-normalized overlap with a FLOOR of 2 on the denominator: a
+        // one-token pattern (ar_aging ≈ {aging}) would otherwise score a
+        // perfect 1.0 on any question containing its single token and
+        // shadow every more-specific template (round 11 — "customer open
+        // items with aging buckets" must rank the open-items view above
+        // the bare aging rollup)
         val overlap =
           if (pTok.isEmpty) 0.0
           else if (qAxis != 0 && pAxis != 0 && qAxis != pAxis) 0.0
-          else (qTok & pTok).size.toDouble / math.min(qTok.size, pTok.size)
+          else (qTok & pTok).size.toDouble /
+            math.max(2, math.min(qTok.size, pTok.size))
         p.name -> overlap
       }
       .sortBy { case (n, o) => (-o, n) }

@@ -22,7 +22,11 @@ import graft.intent.AnswerPipeline
   *
   * One face per routed template family: trial balance (value-chain),
   * FBL5N overdue, FBL1N open-items, IW49N cancelled operations, three-way
-  * match, and R2R close status.
+  * match, and R2R close status; round 11 doubles the surface with top
+  * vendors by spend, cost-center actual-vs-plan, sales orders by period,
+  * AR aging buckets, PO over threshold, and employee headcount (the
+  * PII-gate-interacting one — its face also pins the aggregate-only
+  * governance note).
   */
 object NlFaces {
 
@@ -31,7 +35,7 @@ object NlFaces {
       throw new IllegalArgumentException(s"no template analog named $name"))
 
   private def nlFace(slug: String, question: String, expectTemplate: String,
-      analogName: String): Q = {
+      analogName: String, piiAggOnly: Boolean = false): Q = {
     val analog = analogByName(analogName)
     Q(s"q_nl_$slug",
       (s, dir) => {
@@ -39,14 +43,32 @@ object NlFaces {
         val ans = AnswerPipeline.answer(s, question)
         val ok = ans.templateName.contains(expectTemplate) &&
           ans.envelope.exists(_.rowCount > 0)
-        analog.build(s, dir)
+        val base = analog.build(s, dir)
           .withColumn("routed_template",
             lit(ans.templateName.getOrElse("<none>")))
           .withColumn("envelope_nonempty", lit(ok))
+        // PII-interacting faces (employee headcount): the routed template
+        // is the AGGREGATE form and executed (envelope_nonempty above);
+        // additionally pin that the SAME session's governance gate BLOCKS
+        // the naked person-level listing — the two halves of the
+        // aggregate-only policy (PiiGate, wired in front of Engine.execute)
+        if (piiAggOnly) {
+          val blocked =
+            try {
+              graft.Engine.execute(s, "SELECT VORNA, NACHN FROM PA0002", 10)
+              false
+            } catch {
+              case e: Throwable =>
+                e.getMessage != null && e.getMessage.contains("governance_block")
+            }
+          base.withColumn("pii_naked_listing_blocked", lit(blocked))
+        } else base
       },
       analog.oracle.map(sql =>
         s"SELECT a.*, '$expectTemplate' AS routed_template, " +
-          s"TRUE AS envelope_nonempty FROM ($sql) a"))
+          s"TRUE AS envelope_nonempty" +
+          (if (piiAggOnly) ", TRUE AS pii_naked_listing_blocked" else "") +
+          s" FROM ($sql) a"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -67,5 +89,24 @@ object NlFaces {
       "three_way_match", "q_tmpl_three_way_match"),
     nlFace("close_status",
       "What is the record-to-report month-end close status?",
-      "value_chain_record_to_report_close_status", "q_tmpl_r2r_reconciliation"))
+      "value_chain_record_to_report_close_status", "q_tmpl_r2r_reconciliation"),
+    // ── round 11: six more routed business questions (verdict task 3) ──
+    nlFace("top_vendors",
+      "Who are the top vendors by total spend?",
+      "top_vendors_by_spend", "q_tmpl_top_vendors"),
+    nlFace("cost_center_variance",
+      "Compare cost center actual versus planned spending",
+      "cost_center_actual_vs_plan", "q_tmpl_cost_center_variance"),
+    nlFace("orders_by_period",
+      "Show sales orders created in the first quarter of 2025",
+      "sales_orders_by_period", "q_tmpl_orders_by_period"),
+    nlFace("customer_aging",
+      "Show the customer aging report by bucket",
+      "tcode_fbl5n_customer_aging_bucket", "q_tmpl_aging_bucket"),
+    nlFace("po_over_threshold",
+      "Show purchase orders over the threshold value with vendor details",
+      "Purchase orders over threshold value", "q_tmpl_po_over_threshold"),
+    nlFace("headcount",
+      "What is the employee headcount by organizational unit?",
+      "employee_headcount", "q_tmpl_headcount", piiAggOnly = true))
 }

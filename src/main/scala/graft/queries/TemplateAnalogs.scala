@@ -188,6 +188,162 @@ object TemplateAnalogs {
         WHERE shipped_dec <> ordered_dec OR kept_dec <> ordered_dec
         ORDER BY l_orderkey""")),
 
+    // ── top_vendors_by_spend: signed spend rollup + deterministic TOP-5 ────
+    Q(
+      "q_tmpl_top_vendors",
+      (s, dir) => {
+        val su = t(s, dir, "supplier")
+        val l = t(s, dir, "lineitem")
+        val spend = l.groupBy(col("l_suppkey"))
+          .agg(sum(signedAmount(col("l_returnflag"),
+            money(col("l_extendedprice")), "R")).as("spend_dec"))
+        spend.join(su, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey").as("vendor_number"),
+            col("s_name").as("vendor_name"),
+            col("spend_dec").cast("double").as("total_spend"))
+          .orderBy(desc("total_spend"), col("vendor_number"))
+          .limit(5)
+      },
+      Some("""SELECT s_suppkey AS vendor_number, s_name AS vendor_name,
+          CAST(SUM(CASE WHEN l_returnflag = 'R'
+              THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+              ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_spend
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+        ORDER BY total_spend DESC, vendor_number LIMIT 5""")),
+
+    // ── cost_center_actual_vs_plan: two conditional measures + variance
+    //    over one fact table (WRTTP='04' vs '01' transposed to the order-
+    //    status axis; "cost center" = order priority class) ─────────────────
+    Q(
+      "q_tmpl_cost_center_variance",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.groupBy(col("o_orderpriority").as("cost_center"))
+          .agg(sum(when(col("o_orderstatus") === "F",
+              money(col("o_totalprice"))).otherwise(lit(0))).as("act_dec"),
+            sum(when(col("o_orderstatus") === "O",
+              money(col("o_totalprice"))).otherwise(lit(0))).as("plan_dec"))
+          .select(col("cost_center"),
+            col("act_dec").cast("double").as("actual_amount"),
+            col("plan_dec").cast("double").as("plan_amount"),
+            (col("act_dec") - col("plan_dec")).cast("double").as("variance"))
+          .orderBy(col("cost_center"))
+      },
+      Some("""SELECT o_orderpriority AS cost_center,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS actual_amount,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS plan_amount,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+             - SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS variance
+        FROM orders GROUP BY o_orderpriority ORDER BY cost_center""")),
+
+    // ── sales_orders_by_period: date-range listing with partner names ──────
+    Q(
+      "q_tmpl_orders_by_period",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        o.filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-04-01"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey").as("sales_order"),
+            to_date(col("o_orderdate")).as("created_on"),
+            col("o_orderpriority").as("order_type"),
+            col("c_custkey").as("customer_number"),
+            col("c_name").as("customer_name"),
+            money(col("o_totalprice")).cast("double").as("order_value"))
+          .orderBy(col("created_on"), col("sales_order"))
+      },
+      Some("""SELECT o_orderkey AS sales_order, CAST(o_orderdate AS DATE) AS created_on,
+          o_orderpriority AS order_type, c_custkey AS customer_number,
+          c_name AS customer_name,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS order_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        ORDER BY created_on, sales_order""")),
+
+    // ── ar_aging: per-partner aging buckets over open items (CASE bucket +
+    //    count/sum; lexicographic bucket labels sort in age order) ───────────
+    Q(
+      "q_tmpl_aging_bucket",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val days = datediff(lit("1998-08-02").cast("date"),
+          to_date(col("o_orderdate")))
+        val bucket = when(days <= 30, "0-30 days")
+          .when(days <= 60, "31-60 days")
+          .when(days <= 90, "61-90 days")
+          .otherwise("90+ days")
+        o.filter(col("o_orderstatus") === "O")
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"),
+            bucket.as("aging_bucket"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(money(col("o_totalprice"))).cast("double").as("open_amount"))
+          .orderBy(col("c_custkey"), col("aging_bucket"))
+      },
+      Some("""SELECT c_custkey, c_name,
+          CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02') <= 30 THEN '0-30 days'
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02') <= 60 THEN '31-60 days'
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02') <= 90 THEN '61-90 days'
+               ELSE '90+ days' END AS aging_bucket,
+          COUNT(*) AS n_items,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_amount
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY 1, 2, 3 ORDER BY c_custkey, aging_bucket""")),
+
+    // ── PO over threshold: per-document line rollup + HAVING + partner ─────
+    Q(
+      "q_tmpl_po_over_threshold",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val c = t(s, dir, "customer")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey").as("po_number"),
+            col("c_custkey").as("vendor_number"),
+            col("c_name").as("vendor_name"),
+            to_date(col("o_orderdate")).as("po_date"))
+          .agg(count(lit(1)).as("line_items"),
+            sum(money(col("l_extendedprice"))).as("val_dec"))
+          .filter(col("val_dec") > 300000)
+          .select(col("po_number"), col("vendor_number"), col("vendor_name"),
+            col("po_date"), col("line_items"),
+            col("val_dec").cast("double").as("total_po_value"))
+          .orderBy(desc("total_po_value"), col("po_number"))
+      },
+      Some("""SELECT o_orderkey AS po_number, c_custkey AS vendor_number,
+          c_name AS vendor_name, CAST(o_orderdate AS DATE) AS po_date,
+          COUNT(*) AS line_items,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_po_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2, 3, 4
+        HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2))) > 300000
+        ORDER BY total_po_value DESC, po_number""")),
+
+    // ── employee_headcount: AGGREGATE-ONLY rollup (the governance-clean
+    //    form — counts per org axis, no person-level rows) ───────────────────
+    Q(
+      "q_tmpl_headcount",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("org_unit"),
+            col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("headcount"))
+          .orderBy(col("org_unit"), col("segment"))
+      },
+      Some("""SELECT n_name AS org_unit, c_mktsegment AS segment,
+          COUNT(*) AS headcount
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY org_unit, segment""")),
+
     // ── ME2M: by-material rollup with master-text join ─────────────────────
     Q(
       "q_tmpl_by_material",

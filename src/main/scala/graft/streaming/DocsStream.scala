@@ -69,30 +69,43 @@ object DocsStream {
     * reason. One foreachBatch evaluates the gate once per batch and writes
     * both sides; nothing is silently dropped — the reject stream is
     * inspectable and replayable after a rule fix (the same contract as
-    * Ingest.jsonlWithQuarantine). Exactly-once per input file via the
-    * checkpoint. */
+    * Ingest.jsonlWithQuarantine).
+    *
+    * Exactly-once across CRASHES (round 11): foreachBatch is at-least-once
+    * — a batch whose writes land but whose checkpoint commit doesn't is
+    * REPLAYED on restart, and a plain append would double every row. Each
+    * batch therefore overwrites its own `batch=<id>` partition directory
+    * (batchId is stable across replays), so a replay rewrites the same
+    * files instead of appending new ones — the standard idempotent-sink
+    * pattern. Readers see an extra `batch` partition column via normal
+    * partition discovery ([[StreamingSpec]] pins replay ≡ once). */
   def route(docs: DataFrame, acceptPath: String, rejectPath: String,
       checkpoint: String, minTokens: Long = 5, minStopword: Double = 0.0,
-      maxStopword: Double = 1.0): org.apache.spark.sql.streaming.StreamingQuery = {
-    val step: (DataFrame, Long) => Unit = { (batch, _) =>
-      val e = enrich(batch)
-        .withColumn("reject_reason",
-          when(col("n_tokens") < minTokens, "too_short")
-            .when(col("stopword_ratio") < minStopword, "stopword_low")
-            .when(col("stopword_ratio") > maxStopword, "stopword_high"))
-        .cache()
-      try {
-        e.filter(col("reject_reason").isNull).drop("reject_reason")
-          .write.mode("append").parquet(acceptPath)
-        e.filter(col("reject_reason").isNotNull)
-          .write.mode("append").parquet(rejectPath)
-      } finally { e.unpersist(); () }
-    }
+      maxStopword: Double = 1.0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(step)
+      .foreachBatch(routeStep(acceptPath, rejectPath, minTokens,
+        minStopword, maxStopword))
       .start()
+
+  /** The per-batch body of [[route]], exposed so crash-replay (same
+    * batchId twice) is directly testable. */
+  private[graft] def routeStep(acceptPath: String, rejectPath: String,
+      minTokens: Long, minStopword: Double, maxStopword: Double)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val e = enrich(batch)
+      .withColumn("reject_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("stopword_ratio") < minStopword, "stopword_low")
+          .when(col("stopword_ratio") > maxStopword, "stopword_high"))
+      .cache()
+    try {
+      e.filter(col("reject_reason").isNull).drop("reject_reason")
+        .write.mode("overwrite").parquet(s"$acceptPath/batch=$batchId")
+      e.filter(col("reject_reason").isNotNull)
+        .write.mode("overwrite").parquet(s"$rejectPath/batch=$batchId")
+    } finally { e.unpersist(); () }
   }
 
   /** Continuous growing-corpus ingest with near-dup screening: every
@@ -108,37 +121,48 @@ object DocsStream {
     * `Dedup.minhashDedup` over the batch first if it matters). The
     * checkpoint makes ingest exactly-once per input file across restarts;
     * at scale the corpus side's signatures are precomputed and stored
-    * rather than derived per batch. */
+    * rather than derived per batch.
+    *
+    * Crash-replay safety (round 11): the append is SELF-SCREENING — a
+    * replayed batch (writes landed, checkpoint commit didn't) re-runs the
+    * content-hash anti-join against a corpus that now CONTAINS its own
+    * docs, so every replayed row is dropped as an exact duplicate and the
+    * corpus is unchanged (pinned by [[StreamingSpec]]'s double-step
+    * replay test). No batchId bookkeeping is needed — the sink's own
+    * dedup semantics make it idempotent. */
   def ingestNearDup(docs: DataFrame, corpusPath: String, checkpoint: String,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
-    val step: (DataFrame, Long) => Unit = { (batch, _) =>
-      val spark = batch.sparkSession
-      val inBatch = graft.ext.Dedup.exact(enrich(batch), Seq("content_hash"), "doc_id")
-      // a previous empty append leaves a directory with no part files, which
-      // spark.read.parquet cannot infer a schema from — require actual data
-      // files, not just the directory (Hadoop FS listing at scale)
-      val corpusFiles = Option(new java.io.File(corpusPath).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-      val hasCorpus = corpusFiles.exists(_.getName.endsWith(".parquet"))
-      val (survivors, cleanup) =
-        if (!hasCorpus) (inBatch, () => ())
-        else {
-          val corpus = spark.read.parquet(corpusPath)
-          val afterExact =
-            graft.ext.Dedup.incrementalExact(inBatch, corpus, Seq("content_hash"))
-          val (pairs, release) = graft.ext.Dedup.incrementalMinhashPairsManaged(
-            afterExact, corpus, "doc_id", "text", threshold)
-          val nearDup = pairs.select(col("delta_id")).distinct()
-          (afterExact.join(nearDup,
-            afterExact("doc_id") === nearDup("delta_id"), "left_anti"), release)
-        }
-      try survivors.write.mode("append").parquet(corpusPath)
-      finally cleanup()
-    }
+      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(step)
+      .foreachBatch(ingestStep(corpusPath, threshold))
       .start()
+
+  /** The per-batch body of [[ingestNearDup]], exposed so crash-replay
+    * (same batch twice) is directly testable. */
+  private[graft] def ingestStep(corpusPath: String, threshold: Double)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val spark = batch.sparkSession
+    val inBatch = graft.ext.Dedup.exact(enrich(batch), Seq("content_hash"), "doc_id")
+    // a previous empty append leaves a directory with no part files, which
+    // spark.read.parquet cannot infer a schema from — require actual data
+    // files, not just the directory (Hadoop FS listing at scale)
+    val corpusFiles = Option(new java.io.File(corpusPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val hasCorpus = corpusFiles.exists(_.getName.endsWith(".parquet"))
+    val (survivors, cleanup) =
+      if (!hasCorpus) (inBatch, () => ())
+      else {
+        val corpus = spark.read.parquet(corpusPath)
+        val afterExact =
+          graft.ext.Dedup.incrementalExact(inBatch, corpus, Seq("content_hash"))
+        val (pairs, release) = graft.ext.Dedup.incrementalMinhashPairsManaged(
+          afterExact, corpus, "doc_id", "text", threshold)
+        val nearDup = pairs.select(col("delta_id")).distinct()
+        (afterExact.join(nearDup,
+          afterExact("doc_id") === nearDup("delta_id"), "left_anti"), release)
+      }
+    try survivors.write.mode("append").parquet(corpusPath)
+    finally cleanup()
   }
 }

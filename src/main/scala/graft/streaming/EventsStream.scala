@@ -340,11 +340,62 @@ object EventsStream {
     * eagerly localCheckpoint'ed BEFORE overwriting the state dir — the
     * read-your-own-overwrite hazard of parquet self-merge. Decimal sums
     * keep the totals order-independent; the widened decimal(38,6) is
-    * pinned on both branches so the union type is round-stable. */
+    * pinned on both branches so the union type is round-stable.
+    *
+    * Crash-replay safety (round 11): a fold is NOT naturally idempotent —
+    * replaying a batch whose state write landed but whose checkpoint
+    * commit didn't would double-count it, and an in-place overwrite has a
+    * worse window still: mode("overwrite") DELETES the old state before
+    * the new write completes, so a kill inside the write loses the state
+    * entirely (StreamingSpec's kill test caught exactly that). The state
+    * therefore lives in VERSIONED snapshot dirs `snap-<batchId>`: each
+    * fold reads the latest COMPLETE snapshot (has `_SUCCESS`), writes the
+    * merged result as its own snapshot, and garbage-collects older ones
+    * only after the new one is complete. Replay of an applied batchId is
+    * skipped by the snapshot high-water mark; a torn snapshot (no
+    * `_SUCCESS`) is invisible to readers and overwritten by the replay.
+    * Read the current state with [[rollupState]]. */
   def incrementalRollup(events: DataFrame, statePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val step: (DataFrame, Long) => Unit = { (batch, _) =>
-      val spark = batch.sparkSession
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(rollupStep(statePath))
+      .start()
+
+  /** Latest complete snapshot (id, dir) under the state root. */
+  private def latestSnap(root: java.io.File): Option[(Long, java.io.File)] =
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("snap-").toLong).toOption.map(_ -> f))
+      .sortBy { case (id, _) => -id }.headOption
+
+  /** The current rollup state: the latest complete snapshot, or None when
+    * no batch has been applied yet. */
+  def rollupState(spark: SparkSession, statePath: String): Option[DataFrame] =
+    latestSnap(new java.io.File(statePath)).map { case (_, dir) =>
+      spark.read.parquet(dir.toString) }
+
+  /** The per-batch body of [[incrementalRollup]], exposed so crash-replay
+    * (same batchId twice) is directly testable. */
+  private[graft] def rollupStep(statePath: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val root = new java.io.File(statePath)
+    root.mkdirs()
+    val latest = latestSnap(root)
+    if (latest.exists { case (id, _) => id >= batchId }) {
+      // replay of an already-applied batch: fold nothing (the double-count
+      // guard); just GC any stale older snapshots a prior crash left
+      latest.foreach { case (id, _) =>
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("snap-") && scala.util.Try(
+            f.getName.stripPrefix("snap-").toLong).toOption.exists(_ < id))
+          .foreach(f => graft.perf.Measure.deleteRecursively(f.toString))
+      }
+    } else {
       val part = batch
         .select(col("event_type"),
           expr("unix_micros(ts) div 86400000000").as("day"),
@@ -352,24 +403,27 @@ object EventsStream {
         .groupBy("event_type", "day")
         .agg(count(lit(1)).as("n"),
           sum(col("v")).cast(DecimalType(38, 6)).as("sv"))
-      val merged =
-        if (new java.io.File(statePath).exists()) {
-          val prior = spark.read.parquet(statePath)
+      val merged = latest match {
+        case Some((_, dir)) =>
+          spark.read.parquet(dir.toString)
             .select(col("event_type"), col("day"), col("n"),
               col("sv").cast(DecimalType(38, 6)).as("sv"))
-          prior.union(part).groupBy("event_type", "day")
+            .union(part).groupBy("event_type", "day")
             .agg(sum(col("n")).as("n"),
               sum(col("sv")).cast(DecimalType(38, 6)).as("sv"))
-        } else part
+        case None => part
+      }
+      // eager materialization BEFORE the write: the merge reads the very
+      // snapshot family the GC below deletes
       val pinned = merged.localCheckpoint(true)
-      try pinned.write.mode("overwrite").parquet(statePath)
+      try pinned.write.mode("overwrite")
+        .parquet(s"$statePath/snap-$batchId")
       finally { pinned.unpersist(); () }
+      // GC strictly after the new snapshot is complete — a crash between
+      // the write and here just leaves one extra snapshot for next time
+      latest.foreach { case (_, dir) =>
+        graft.perf.Measure.deleteRecursively(dir.toString) }
     }
-    events.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(step)
-      .start()
   }
 
   /** Run a streaming query to a named in-memory sink until input is

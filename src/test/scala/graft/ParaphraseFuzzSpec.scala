@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.intent.{AnswerPipeline, HeuristicClassifier}
 
 /** NL-routing paraphrase fuzz (round-10 task 5, the DialectFuzzSpec pattern
-  * applied to questions): the six q_nl_* faces pin ONE phrasing each, but
+  * applied to questions): the twelve q_nl_* faces pin ONE phrasing each, but
   * users ask the same question many ways. Every seeded meaning-preserving
   * mutation of a routed question must either still route to the SAME
   * validated template or degrade to disambiguation (no template) — NEVER
@@ -44,7 +44,7 @@ class ParaphraseFuzzSpec extends AnyFunSuite {
     "for-report" -> s"${q.stripSuffix("?")} for my report")
 
   // (question, expected template, acceptable same-answer siblings) — the
-  // exact six pairs the q_nl_* oracle faces pin; a drift here must update
+  // exact twelve pairs the q_nl_* oracle faces pin; a drift here must update
   // both places consciously. `acceptable` covers catalog template FAMILIES
   // that answer the SAME business question at different granularity (the
   // three IW49N cancelled-operations views): paraphrase drift inside such a
@@ -66,7 +66,23 @@ class ParaphraseFuzzSpec extends AnyFunSuite {
     ("Show the three-way match for purchase orders",
       "three_way_match", Set.empty[String]),
     ("What is the record-to-report month-end close status?",
-      "value_chain_record_to_report_close_status", Set.empty[String]))
+      "value_chain_record_to_report_close_status", Set.empty[String]),
+    // round 11: the six new q_nl_* faces
+    ("Who are the top vendors by total spend?",
+      "top_vendors_by_spend", Set.empty[String]),
+    ("Compare cost center actual versus planned spending",
+      "cost_center_actual_vs_plan", Set.empty[String]),
+    ("Show sales orders created in the first quarter of 2025",
+      "sales_orders_by_period", Set.empty[String]),
+    // the FBL5N bucket summary and ar_aging are the same business question
+    // (AR aging by bucket) at different granularity — a declared family,
+    // like the IW49N trio above
+    ("Show the customer aging report by bucket",
+      "tcode_fbl5n_customer_aging_bucket", Set("ar_aging")),
+    ("Show purchase orders over the threshold value with vendor details",
+      "Purchase orders over threshold value", Set.empty[String]),
+    ("What is the employee headcount by organizational unit?",
+      "employee_headcount", Set.empty[String]))
 
   for ((question, expected, siblings) <- faces)
     test(s"routing stable under paraphrase: $expected") {

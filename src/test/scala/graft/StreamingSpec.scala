@@ -289,7 +289,7 @@ class StreamingSpec extends AnyFunSuite {
       EventsStream.read(spark, multiDir, maxFilesPerTrigger = Some(1)),
       statePath, ckpt)
     q.awaitTermination()
-    val state = spark.read.parquet(statePath)
+    val state = EventsStream.rollupState(spark, statePath).get
       .select(col("event_type"), col("day"), col("n"),
         col("sv").cast("decimal(38,6)").as("sv"))
     val batch = Tables(spark, sf, "events")
@@ -300,6 +300,113 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(38,6)").as("sv"))
     assert(state.count() == batch.count())
     assert(state.except(batch).isEmpty && batch.except(state).isEmpty)
+  }
+
+  test("crash replay: every foreachBatch sink is idempotent per redelivered batch") {
+    import spark.implicits._
+    // foreachBatch is at-least-once: a batch whose writes landed but whose
+    // checkpoint commit didn't is REDELIVERED with the SAME batchId on
+    // restart. Each sink's step function is applied twice with one batchId
+    // (the exact crash-replay schedule) and the result must equal the
+    // uninterrupted single application — no dropped batch, no double-count.
+    val ev = Tables(spark, sf, "events")
+
+    // ── incrementalRollup: fold guarded by the applied_batch high-water ──
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-replay-state").resolve("state").toString
+    val fold = EventsStream.rollupStep(statePath)
+    val b0 = ev.filter(pmod(col("user_id"), lit(2)) === 0)
+    val b1 = ev.filter(pmod(col("user_id"), lit(2)) =!= 0)
+    def state() = EventsStream.rollupState(spark, statePath).get
+      .select(col("event_type"), col("day"), col("n"),
+        col("sv").cast("decimal(38,6)").as("sv"))
+    fold(b0, 0)
+    val once = state().collect().toSet
+    fold(b0, 0) // crash replay of batch 0
+    assert(state().collect().toSet == once,
+      "replayed rollup batch was folded twice")
+    fold(b1, 1)
+    fold(b1, 1) // crash replay of batch 1
+    val expected = ev
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(38,6)").as("sv"))
+    assert(state().except(expected).isEmpty &&
+      expected.except(state()).isEmpty,
+      "rollup after replays diverges from the uninterrupted batch rollup")
+
+    // ── route: per-batch partition overwrite ─────────────────────────────
+    val docs = Tables(spark, sf, "documents")
+    val accept = java.nio.file.Files.createTempDirectory("graft-ra").toString
+    val reject = java.nio.file.Files.createTempDirectory("graft-rr").toString
+    val routeS = DocsStream.routeStep(accept, reject, 40, 0.0, 1.0)
+    routeS(docs, 0)
+    val (nA, nR) = (spark.read.parquet(accept).count(),
+      spark.read.parquet(reject).count())
+    assert(nA + nR == docs.count(), "router lost rows")
+    routeS(docs, 0) // crash replay overwrites batch=0, never appends
+    assert(spark.read.parquet(accept).count() == nA &&
+      spark.read.parquet(reject).count() == nR,
+      "replayed route batch double-appended")
+    routeS(docs.limit(30), 1) // a NEW batch still appends (its own partition)
+    assert(spark.read.parquet(accept).count() +
+      spark.read.parquet(reject).count() == docs.count() + 30)
+
+    // ── ingestNearDup: self-screening append ─────────────────────────────
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-replay-corpus").resolve("corpus").toString
+    val ingest = DocsStream.ingestStep(corpus, 0.8)
+    val d0 = docs.limit(50)
+    ingest(d0, 0)
+    val c1 = spark.read.parquet(corpus).count()
+    assert(c1 > 0)
+    ingest(d0, 0) // crash replay: every row is its own exact dup now
+    assert(spark.read.parquet(corpus).count() == c1,
+      "replayed ingest batch re-appended its documents")
+  }
+
+  test("mid-stream kill + checkpoint restart equals the uninterrupted run") {
+    import spark.implicits._
+    // the end-to-end form of the replay contract: 3 files forced into 3
+    // micro-batches, the query KILLED as soon as the first state write
+    // lands (possibly mid-batch), then restarted from the same checkpoint
+    // — the final rollup must equal the uninterrupted batch aggregation
+    // (no dropped batch, no double-fold).
+    val multiDir = java.nio.file.Files
+      .createTempDirectory("graft-kill-multi").toString
+    Tables(spark, sf, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(multiDir)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-kill-state").resolve("state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-kill-ckpt").toString
+    def start() = EventsStream.incrementalRollup(
+      EventsStream.read(spark, multiDir, maxFilesPerTrigger = Some(1)),
+      statePath, ckpt)
+    val q = start()
+    val deadline = System.currentTimeMillis + 120000
+    while (EventsStream.rollupState(spark, statePath).isEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    q.stop() // the kill — at least one batch landed, the rest did not run
+    assert(EventsStream.rollupState(spark, statePath).nonEmpty,
+      "no batch landed before kill")
+    val q2 = start() // restart from the checkpoint
+    q2.awaitTermination()
+    val state = EventsStream.rollupState(spark, statePath).get
+      .select(col("event_type"), col("day"), col("n"),
+        col("sv").cast("decimal(38,6)").as("sv"))
+    val batch = Tables(spark, sf, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(38,6)").as("sv"))
+    assert(state.except(batch).isEmpty && batch.except(state).isEmpty,
+      "killed-and-restarted rollup diverges from the uninterrupted run")
   }
 
   test("streaming scd2 closed versions equal the batch history exactly") {
