@@ -127,6 +127,20 @@ object GraphOps {
       // buffer over zero rows, so short-circuit rather than NPE
       if (m == 0)
         return spark.range(1).select(lit(0L).as("n_triangles"))
+      triangleCountFrom(eo, m, fpp)
+    } finally eo.unpersist()
+  }
+
+  /** The triangle kernel over an already-oriented (s, t, dt) relation with
+    * known edge count `m` — split out (private[graft]) so the perf
+    * rehearsal can feed it a STORED s-bucketed orientation, which removes
+    * the adjacency groupBy(s) Exchange and the closing-edge semi-join's
+    * eo-side shuffle (graft.perf.TriangleSweep measures whether that pays
+    * at sf10). Same exactness contract as [[triangleCount]]. */
+  private[graft] def triangleCountFrom(eo: DataFrame, m: Long,
+      fpp: Double): DataFrame = {
+    val spark = eo.sparkSession
+    locally {
       // [[Bloom.build]] raises the runtime-filter size clamps (4M items /
       // 64M bits — a SATURATED bloom past them passes everything: correct,
       // invisible to oracles, pure perf cliff, caught by the sf10 sweep)
@@ -186,7 +200,7 @@ object GraphOps {
       // executor needs the bloom again — release its tens of MB (bits ∝ m)
       // now rather than waiting for GC-driven ContextCleaner cleanup
       } finally bcBloom.destroy()
-    } finally eo.unpersist()
+    }
   }
 
   /** Breadth-first hop distance from a seed set, `maxHops` synchronous

@@ -101,11 +101,18 @@ object ScaleUp {
     val spark = graft.Tables.session("graft-scaleup")
     import spark.implicits._
 
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      df.drop("r").repartition(parts)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scaleup] wrote $name x$n")
-    }
+    // SPARK_GRAFT_TABLES narrows the rewrite to a comma-list of tables
+    // (default: all) — a skew-mode events corpus shares every other table
+    // with its uniform sibling, so regenerate ONLY events and link the
+    // rest rather than re-replicating 2 GB of identical parquet
+    val only = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+    def write(name: String, df: => DataFrame, parts: Int): Unit =
+      if (only.forall(_.contains(name))) {
+        df.drop("r").repartition(parts)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[scaleup] wrote $name x$n")
+      } else println(s"[scaleup] skipped $name (SPARK_GRAFT_TABLES)")
 
     graft.Tables.register(spark, src)
 
@@ -115,10 +122,13 @@ object ScaleUp {
     // referentially inconsistent corpus
     val textMode = sys.env.getOrElse("SPARK_GRAFT_TEXT_MODE", "rot5")
     val embMode = sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "copy")
+    val eventsMode = sys.env.getOrElse("SPARK_GRAFT_EVENTS_MODE", "uniform")
     require(Set("rot5", "distinct")(textMode),
       s"SPARK_GRAFT_TEXT_MODE must be rot5|distinct, got '$textMode'")
     require(Set("copy", "distinct")(embMode),
       s"SPARK_GRAFT_EMB_MODE must be copy|distinct, got '$embMode'")
+    require(Set("uniform", "zipf")(eventsMode),
+      s"SPARK_GRAFT_EVENTS_MODE must be uniform|zipf, got '$eventsMode'")
     // the 'distinct' modes are injective only within a bounded replica
     // range (text: 5 vowel × 20 consonant rotations = 100 compositions;
     // embeddings: rotation+negation repeats at r = 2·dims) — beyond it the
@@ -153,9 +163,29 @@ object ScaleUp {
     write("lineitem",
       offsetKeys(replicate(spark.table("lineitem"), n),
         Seq("l_orderkey", "l_partkey", "l_suppkey")), 32)
+    // events: `uniform` keeps the generator's benign replica-disjoint user
+    // axis. `zipf` (round-11 skew rehearsal) REASSIGNS each event's user to
+    // a Zipf(s=1)-distributed rank drawn deterministically from the event
+    // id: uniform u in [0,1) from xxhash64(event_id), rank = ⌊exp(u·lnN)⌋
+    // (the s=1 inverse CDF, CDF(r) ≈ ln r / ln N), so rank 1 holds
+    // ~1/lnN of ALL events — the hot-user shape real behavioral corpora
+    // have and the user-bucketed advised layout must survive. Determinism:
+    // same corpus every run, no RNG. Referential scope: events.user_id is
+    // self-contained (behavioral operators only), so remapping it breaks
+    // no FK edge; event_id/ts/value are untouched.
+    val evScaled = offsetKeys(replicate(spark.table("events"), n),
+      Seq("event_id", "user_id"))
     write("events",
-      offsetKeys(replicate(spark.table("events"), n),
-        Seq("event_id", "user_id")), 8)
+      if (eventsMode == "uniform") evScaled
+      else {
+        val nUsers = spark.table("events")
+          .agg(countDistinct(col("user_id"))).head().getLong(0) * n
+        require(nUsers >= 2, "zipf mode needs at least 2 users")
+        val u = (pmod(xxhash64(col("event_id")), lit(1000000L)).cast("double")
+          + lit(0.5)) / lit(1000000.0)
+        evScaled.withColumn("user_id",
+          floor(exp(u * lit(math.log(nUsers.toDouble)))).cast("long") - 1L)
+      }, 8)
 
     val docs = replicate(spark.table("documents"), n)
     write("documents",

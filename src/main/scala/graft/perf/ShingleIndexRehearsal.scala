@@ -1,0 +1,91 @@
+package graft.perf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, ShingleIndex}
+
+/** Stored shingle index at scale (round-11 judge task 1, measurement
+  * half): one timed index write, a timed marker reattach (must be ~0),
+  * the three routed dedup operators measured on the STORED bucketed
+  * relation vs the plain per-query derivation, and the O(delta) append
+  * cost for a 1% document delta. CorpusLayoutRehearsal measured the
+  * containment face on a rehearsal-scoped bucketed table last round
+  * (~2.3×); this main measures the PRODUCTION mode (ShingleIndex routing)
+  * across all three operators. One JSON line.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default scaledata/sf10), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SHUFFLE_PARTITIONS, SPARK_GRAFT_ADV_BUCKETS (default 64),
+  * SPARK_GRAFT_ADV_RUNS (default 3). */
+object ShingleIndexRehearsal {
+
+  import Measure.{sink, time, median}
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "scaledata/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_ADV_BUCKETS", "64").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_ADV_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.register(spark, sfDir)
+
+    // fresh index: wipe any prior rehearsal state, time the write, then
+    // time the DDL reattach after dropping only the catalog entry
+    spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
+    Measure.deleteRecursively(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      ShingleIndex.tableName).toString)
+    val writeSec = ShingleIndex.register(spark, sfDir, buckets)
+    spark.sql(s"DROP TABLE ${ShingleIndex.tableName}")
+    val reattach = time { ShingleIndex.register(spark, sfDir, buckets) }
+
+    def ops(sh: => DataFrame): Seq[(String, () => DataFrame)] = Seq(
+      ("containment", () => Dedup.containmentPairs(sh, 4, 5, minShingles = 10)),
+      ("setsim_prefix", () => Dedup.jaccardPairsPrefix(sh, 4, 5)),
+      ("decontaminate", () => Dedup.decontaminate(
+        sh.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        sh.filter(pmod(col("doc_id"), lit(7)) === 0), 4, 5, minShingles = 10)))
+
+    def measure(sh: => DataFrame): Seq[(String, Double)] =
+      ops(sh).map { case (name, q) =>
+        sink(q()) // warm
+        name -> median((1 to runs).map(_ => time(sink(q()))))
+      }
+    // stored first (shinglesFor routes onto the registered index), then
+    // the derived control (explicit derivation, same session)
+    val storedT = measure(ShingleIndex.shinglesFor(spark, sfDir))
+    val derivedT = measure(ShingleIndex.derive(spark, sfDir))
+
+    // O(delta) append: 1% new docs (fresh ids, text perturbed)
+    val docs = spark.table("documents")
+    val delta = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(lit("appended variant "), col("text")).as("text"))
+    val nDelta = delta.count()
+    val appendSec = time { ShingleIndex.append(spark, delta) }
+
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(1,
+          BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
+    def f1(v: Double) =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    println(s"""{"metric":"shingle_index","sf":"$sfDir",""" +
+      s""""buckets":$buckets,"runs":$runs,""" +
+      s""""write_sec":${f1(writeSec)},"reattach_sec":${f1(reattach)},""" +
+      s""""stored_sec":${obj(storedT)},"derived_sec":${obj(derivedT)},""" +
+      s""""append_docs":$nDelta,"append_sec":${f1(appendSec)}}""")
+    spark.stop()
+  }
+}

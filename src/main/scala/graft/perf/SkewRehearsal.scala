@@ -1,0 +1,175 @@
+package graft.perf
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.TableLayout
+
+/** Skew rehearsal (round-11 judge task 4): every behavioral measurement so
+  * far ran on the generator's benign user distribution; real event corpora
+  * are Zipf-distributed, and the advised user-bucketed layout pins hot
+  * keys to single buckets that AQE cannot re-split (bucketed scans bypass
+  * skew-join splitting). This main measures the behavioral operator set on
+  * a `SPARK_GRAFT_EVENTS_MODE=zipf` corpus (ScaleUp), on BOTH bindings:
+  *
+  *  - sessionize / session paths / per-user rank — user-partitioned
+  *    windows: a hot user is ONE window partition on either binding, so
+  *    the interesting number is whether bucketing makes it worse;
+  *  - hot-axis aggregation (the q_skew_salted_agg shape) — partial
+  *    aggregation should make groupBy skew-immune; measured to confirm;
+  *  - hot-key join (events ⋈ per-user dim) — plain gets AQE skew
+  *    splitting, bucketed does not; plus [[Skew.saltedJoin]] as the
+  *    mitigation candidate on both bindings.
+  *
+  * Straggler attribution, not just wall clock: a SparkListener records
+  * every task duration; per query we report the worst per-stage
+  * max/median task ratio over stages with ≥ 8 tasks and max ≥ 1 s (small
+  * stages make the ratio meaningless).
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default scaledata/sf10z), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SHUFFLE_PARTITIONS, SPARK_GRAFT_ADV_BUCKETS (default 64),
+  * SPARK_GRAFT_ADV_RUNS (default 3). One JSON line.
+  */
+object SkewRehearsal {
+
+  import Measure.{sink, time, median}
+
+  private final class TaskStats extends SparkListener {
+    private val q =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) { q.add((t.stageId, t.taskInfo.duration)); () }
+    def reset(): Unit = q.clear()
+    /** Worst max/median task-duration ratio across qualifying stages. */
+    def worstStraggler(): Double = {
+      import scala.jdk.CollectionConverters._
+      q.asScala.toSeq.groupBy(_._1).values
+        .map(_.map(_._2).sorted)
+        .filter(ds => ds.length >= 8 && ds.last >= 1000)
+        .map(ds => ds.last.toDouble / math.max(1L, ds(ds.length / 2)))
+        .foldLeft(1.0)(math.max)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "scaledata/sf10z")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64")
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_ADV_BUCKETS", "64").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_ADV_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+    graft.Tables.register(spark, sfDir)
+
+    // skew context: how hot IS the hot key in this corpus
+    val hist = spark.table("events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).orderBy(desc("n")).limit(1)
+      .collect()(0)
+    val total = spark.table("events").count()
+    val topShare = hist.getLong(1).toDouble / total
+
+    // advised binding: events bucketed by user_id (rehearsal-scoped write,
+    // no marker — this is a measurement, not the production mode)
+    spark.sql("DROP TABLE IF EXISTS skew_adv_events")
+    Measure.deleteRecursively(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "skew_adv_events").toString)
+    val writeSec = time {
+      graft.model.PartitionAdvisor.writeLayout(spark.table("events"),
+        TableLayout("events", Nil, Seq("user_id"), buckets,
+          "user axis under zipf skew"), "skew_adv_events")
+    }
+
+    def events(adv: Boolean): DataFrame =
+      if (adv) spark.table("skew_adv_events") else spark.table("events")
+
+    def sessionize(adv: Boolean): DataFrame =
+      graft.ext.Sessionize.withSessionIds(
+        events(adv).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us")))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("s_us"),
+          max(col("us")).as("e_us"))
+
+    def paths(adv: Boolean): DataFrame = {
+      val sess = graft.ext.Sessionize.withSessionIds(
+        events(adv).select(col("user_id"), col("event_id"),
+          col("event_type"), unix_micros(col("ts")).as("us")))
+      val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+        .orderBy(col("us"), col("event_id"))
+      sess.withColumn("rn", row_number().over(ws))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(array_join(expr("transform(array_sort(collect_list(" +
+          "struct(rn, event_type))), x -> x.event_type)"), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+    }
+
+    def userRank(adv: Boolean): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("value"), col("event_id"))
+      events(adv).withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("user_id"), col("rk"), col("event_type"), col("value"))
+    }
+
+    def hotAgg(adv: Boolean): DataFrame =
+      events(adv).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+
+    def userDim(adv: Boolean): DataFrame =
+      events(adv).groupBy(col("user_id"))
+        .agg(min(col("ts").cast("date")).as("cohort_day"))
+
+    def hotJoin(adv: Boolean): DataFrame =
+      events(adv).join(userDim(adv), Seq("user_id"))
+        .groupBy(col("cohort_day")).agg(count(lit(1)).as("n"))
+
+    def hotJoinSalted(adv: Boolean): DataFrame =
+      Skew.saltedJoin(events(adv).select(col("user_id"), col("ts")),
+          userDim(adv), "user_id", 16)
+        .groupBy(col("cohort_day")).agg(count(lit(1)).as("n"))
+
+    val queries: Seq[(String, Boolean => DataFrame)] = Seq(
+      ("sessionize", sessionize), ("paths", paths), ("user_rank", userRank),
+      ("hot_agg", hotAgg), ("hot_join", hotJoin),
+      ("hot_join_salted", hotJoinSalted))
+
+    def measure(adv: Boolean): (Seq[(String, Double)], Seq[(String, Double)]) = {
+      val rows = queries.map { case (name, q) =>
+        sink(q(adv)) // warm (JIT + page cache); straggler read on warm runs
+        stats.reset()
+        val med = median((1 to runs).map(_ => time(sink(q(adv)))))
+        (name -> med, name -> stats.worstStraggler())
+      }
+      (rows.map(_._1), rows.map(_._2))
+    }
+    val (plainT, plainS) = measure(adv = false)
+    val (advT, advS) = measure(adv = true)
+
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
+    println(s"""{"metric":"skew_rehearsal","sf":"$sfDir",""" +
+      s""""buckets":$buckets,"runs":$runs,""" +
+      s""""top_user_share":${BigDecimal(topShare).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP)},"n_events":$total,""" +
+      s""""adv_write_sec":${BigDecimal(writeSec).setScale(1,
+        BigDecimal.RoundingMode.HALF_UP)},""" +
+      s""""plain_sec":${obj(plainT)},"advised_sec":${obj(advT)},""" +
+      s""""plain_straggler":${obj(plainS)},"advised_straggler":${obj(advS)}}""")
+    spark.stop()
+  }
+}
