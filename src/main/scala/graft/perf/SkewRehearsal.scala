@@ -124,6 +124,28 @@ object SkewRehearsal {
         .select(col("user_id"), col("rk"), col("event_type"), col("value"))
     }
 
+    // the window-cliff MITIGATION candidate: a small-k rank window is
+    // expressible as k partial-aggregate passes (max of an order-struct,
+    // then max below the previous winner) — partial aggregation combines
+    // map-side, so the hot user never forms one giant window partition on
+    // EITHER binding. Same rows as userRank for k=2 (struct order =
+    // (value desc, event_id asc) via negated id).
+    def userRankAgg(adv: Boolean): DataFrame = {
+      val ev = events(adv).select(col("user_id"),
+        struct(col("value"), negate(col("event_id")).as("nid"),
+          col("event_type")).as("o"))
+      val r1 = ev.groupBy(col("user_id")).agg(max(col("o")).as("o1"))
+      val r2 = ev.join(r1, Seq("user_id"))
+        .filter(col("o") < col("o1"))
+        .groupBy(col("user_id")).agg(max(col("o")).as("o2"))
+      def emit(o: org.apache.spark.sql.Column, rk: Int) =
+        Seq(col("user_id"), lit(rk).as("rk"),
+          o.getField("event_type").as("event_type"),
+          o.getField("value").as("value"))
+      r1.select(emit(col("o1"), 1): _*)
+        .unionAll(r2.select(emit(col("o2"), 2): _*))
+    }
+
     def hotAgg(adv: Boolean): DataFrame =
       events(adv).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
@@ -143,8 +165,15 @@ object SkewRehearsal {
 
     val queries: Seq[(String, Boolean => DataFrame)] = Seq(
       ("sessionize", sessionize), ("paths", paths), ("user_rank", userRank),
+      ("user_rank_agg", userRankAgg),
       ("hot_agg", hotAgg), ("hot_join", hotJoin),
       ("hot_join_salted", hotJoinSalted))
+
+    // the mitigation must be row-identical to the window form before its
+    // timing means anything
+    require(userRankAgg(adv = false).exceptAll(userRank(adv = false)).isEmpty &&
+      userRank(adv = false).exceptAll(userRankAgg(adv = false)).isEmpty,
+      "user_rank_agg diverges from the window form")
 
     def measure(adv: Boolean): (Seq[(String, Double)], Seq[(String, Double)]) = {
       val rows = queries.map { case (name, q) =>

@@ -77,33 +77,61 @@ object TriangleSweep {
       (label, sec, tri)
     }
 
-    val sweeps = Seq(0.02, 0.01, 0.005).map(f =>
-      f -> run(s"fpp_$f", eo, f))
-
-    // structural variant: the orientation stored bucketed by s
-    spark.sql("DROP TABLE IF EXISTS tri_eo_bucketed")
-    Measure.deleteRecursively(java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      "tri_eo_bucketed").toString)
-    val writeSec = time {
-      eo.write.bucketBy(buckets, "s").sortBy("s")
-        .format("parquet").saveAsTable("tri_eo_bucketed")
-    }
-    eo.unpersist()
-    val stored = run("bucketed_eo", spark.table("tri_eo_bucketed"), 0.01)
-
-    val counts = (sweeps.map(_._2._3) :+ stored._3).distinct
-    require(counts.size == 1,
-      s"variants disagree on the triangle count: $counts")
-
+    // SPARK_GRAFT_SWEEP_VARIANT isolates ONE variant per JVM: the first
+    // all-in-one run measured 325/522/494 s for fpp 0.02/0.01/0.005 in
+    // run order — non-monotone in candidate count and ordered by run
+    // position, the shared-JVM contamination signature (cache + GC state
+    // accumulate across variants). Fresh-JVM-per-variant is the honest
+    // protocol; the all-variants mode remains for smoke use.
+    val variant = sys.env.get("SPARK_GRAFT_SWEEP_VARIANT")
     def f3(v: Double) =
       BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
-    println(s"""{"metric":"triangle_sweep","sf":"$sfDir","m":$m,""" +
-      s""""buckets":$buckets,"triangles":${stored._3},""" +
-      sweeps.map { case (f, (_, s, _)) => s""""sec_fpp_$f":${f3(s)}""" }
-        .mkString(",") +
-      s""","bucketed_write_sec":${f3(writeSec)},""" +
-      s""""sec_bucketed_fpp_0.01":${f3(stored._2)}}""")
+
+    variant match {
+      case Some(v) if v.startsWith("fpp_") =>
+        val f = v.stripPrefix("fpp_").toDouble
+        val (_, sec, tri) = run(v, eo, f)
+        println(s"""{"metric":"triangle_sweep_variant","variant":"$v",""" +
+          s""""sf":"$sfDir","m":$m,"sec":${f3(sec)},"triangles":$tri}""")
+      case Some("bucketed") =>
+        spark.sql("DROP TABLE IF EXISTS tri_eo_bucketed")
+        Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          "tri_eo_bucketed").toString)
+        val writeSec = time {
+          eo.write.bucketBy(buckets, "s").sortBy("s")
+            .format("parquet").saveAsTable("tri_eo_bucketed")
+        }
+        eo.unpersist()
+        val (_, sec, tri) = run("bucketed_eo", spark.table("tri_eo_bucketed"), 0.01)
+        println(s"""{"metric":"triangle_sweep_variant","variant":"bucketed",""" +
+          s""""sf":"$sfDir","m":$m,"write_sec":${f3(writeSec)},""" +
+          s""""sec":${f3(sec)},"triangles":$tri}""")
+      case Some(other) =>
+        sys.error(s"unknown SPARK_GRAFT_SWEEP_VARIANT '$other'")
+      case None =>
+        val sweeps = Seq(0.02, 0.01, 0.005).map(f =>
+          f -> run(s"fpp_$f", eo, f))
+        spark.sql("DROP TABLE IF EXISTS tri_eo_bucketed")
+        Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          "tri_eo_bucketed").toString)
+        val writeSec = time {
+          eo.write.bucketBy(buckets, "s").sortBy("s")
+            .format("parquet").saveAsTable("tri_eo_bucketed")
+        }
+        eo.unpersist()
+        val stored = run("bucketed_eo", spark.table("tri_eo_bucketed"), 0.01)
+        val counts = (sweeps.map(_._2._3) :+ stored._3).distinct
+        require(counts.size == 1,
+          s"variants disagree on the triangle count: $counts")
+        println(s"""{"metric":"triangle_sweep","sf":"$sfDir","m":$m,""" +
+          s""""buckets":$buckets,"triangles":${stored._3},""" +
+          sweeps.map { case (f, (_, s, _)) => s""""sec_fpp_$f":${f3(s)}""" }
+            .mkString(",") +
+          s""","bucketed_write_sec":${f3(writeSec)},""" +
+          s""""sec_bucketed_fpp_0.01":${f3(stored._2)}}""")
+    }
     spark.stop()
   }
 }
