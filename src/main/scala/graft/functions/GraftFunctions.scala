@@ -82,6 +82,12 @@ object GraftFunctions {
       arity("misra_gries", 2, e); MisraGriesAgg(e(0), intLit(e(1), "capacity"))
     }
 
+    // top_k_struct(o struct, k) → array<struct> (desc): bounded aggregate,
+    // the skew-immune rank-window replacement
+    register("top_k_struct") { e =>
+      arity("top_k_struct", 2, e); TopKStructAgg(e(0), intLit(e(1), "k"))
+    }
+
     // vec_dot(a array<float|double>, b) → double: codegen'd in-order fold
     register("vec_dot") { e => arity("vec_dot", 2, e); VecDot(e(0), e(1)) }
 

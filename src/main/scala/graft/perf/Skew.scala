@@ -33,4 +33,34 @@ object Skew {
     * used to decide whether salting is needed at all. */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n")).orderBy(desc("n")).limit(topN)
+
+  /** Skew-immune per-key top-k: `row_number() OVER (PARTITION BY keys
+    * ORDER BY …) <= k` rewritten as ONE bounded aggregate
+    * ([[graft.functions.TopKStructAgg]] — a k-element heap that partial-
+    * aggregation combines map-side, so a Zipf-hot key never forms a giant
+    * window partition; SkewRehearsal measured the window form at 13.7×
+    * max/median task skew and this form at 1.0×).
+    *
+    * `order` is a struct column shaped for DESCENDING-first comparison
+    * (put the ranking value first; negate an id for an ascending
+    * tiebreak). Returns the key columns, `rk` (1-based), and the struct's
+    * fields, row-identical to the window form (pinned in ExtensionsSpec).
+    * At small scale Catalyst may still prefer the window; this form is
+    * for the corpus whose key histogram ([[keyHistogram]]) says otherwise. */
+  def topKPerKey(df: DataFrame, keys: Seq[String],
+      order: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val fields = {
+      // resolve the struct's field names through a zero-row plan probe
+      val probe = df.select(order.as("__o")).schema("__o").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      probe.fields.map(_.name).toSeq
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKFunctions.topKStruct(order, k).as("__topk"))
+      .select(keys.map(col) :+
+        posexplode(col("__topk")).as(Seq("__pos", "__row")): _*)
+      .select(keys.map(col) ++
+        Seq((col("__pos") + 1).cast("int").as("rk")) ++
+        fields.map(f => col(s"__row.$f").as(f)): _*)
+  }
 }

@@ -163,17 +163,38 @@ object SkewRehearsal {
           userDim(adv), "user_id", 16)
         .groupBy(col("cohort_day")).agg(count(lit(1)).as("n"))
 
+    // the PRODUCTION mitigation: the library's bounded top-k aggregate
+    // (Skew.topKPerKey / TopKStructAgg) — one pass for any k, vs the
+    // k-pass max trick above
+    def userRankTopK(adv: Boolean): DataFrame =
+      Skew.topKPerKey(
+        events(adv).select(col("user_id"), col("value"), col("event_id"),
+          col("event_type")),
+        Seq("user_id"),
+        struct(col("value"), negate(col("event_id")).as("nid"),
+          col("event_type")), 2)
+        .select(col("user_id"), col("rk"), col("event_type"), col("value"))
+
     val queries: Seq[(String, Boolean => DataFrame)] = Seq(
       ("sessionize", sessionize), ("paths", paths), ("user_rank", userRank),
-      ("user_rank_agg", userRankAgg),
+      ("user_rank_agg", userRankAgg), ("user_rank_topk", userRankTopK),
       ("hot_agg", hotAgg), ("hot_join", hotJoin),
       ("hot_join_salted", hotJoinSalted))
 
-    // the mitigation must be row-identical to the window form before its
-    // timing means anything
-    require(userRankAgg(adv = false).exceptAll(userRank(adv = false)).isEmpty &&
-      userRank(adv = false).exceptAll(userRankAgg(adv = false)).isEmpty,
+    // the mitigations must be row-identical to the window form before
+    // their timings mean anything
+    val winForm = userRank(adv = false)
+    require(userRankAgg(adv = false).exceptAll(winForm).isEmpty &&
+      winForm.exceptAll(userRankAgg(adv = false)).isEmpty,
       "user_rank_agg diverges from the window form")
+    val topkForm = userRankTopK(adv = false)
+      .select(col("user_id"), col("rk").cast("int").as("rk"),
+        col("event_type"), col("value"))
+    val winCols = winForm.select(col("user_id"), col("rk"),
+      col("event_type"), col("value"))
+    require(topkForm.exceptAll(winCols).isEmpty &&
+      winCols.exceptAll(topkForm).isEmpty,
+      "user_rank_topk diverges from the window form")
 
     def measure(adv: Boolean): (Seq[(String, Double)], Seq[(String, Double)]) = {
       val rows = queries.map { case (name, q) =>

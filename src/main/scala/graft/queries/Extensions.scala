@@ -628,6 +628,35 @@ object Extensions {
           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1 ORDER BY event_type""")),
 
+    // ── skew-immune per-key top-k (round 11): the rank-window filter
+    //    row_number() OVER (PARTITION BY user ORDER BY value DESC, id) <= 2
+    //    rewritten as ONE bounded aggregate (TopKStructAgg — a k-element
+    //    heap combined map-side, so a Zipf-hot user never forms a giant
+    //    window partition: 13.7× → 1.0× max/median task skew in the sf10z
+    //    rehearsal). The oracle IS the window form: the rewrite must be
+    //    row-invisible ─────────────────────────────────────────────────────
+    Q(
+      "q_topk_per_key",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        graft.perf.Skew.topKPerKey(
+          e.select(col("user_id"), col("value"), col("event_id"),
+            col("event_type")),
+          Seq("user_id"),
+          // struct shaped for desc-value, asc-id (negated) comparison
+          struct(col("value"), (-col("event_id")).as("nid"),
+            col("event_type")), 2)
+          .select(col("user_id"), col("rk").cast("long").as("rk"),
+            (-col("nid")).as("event_id"), col("event_type"), col("value"))
+          .orderBy(col("user_id"), col("rk"))
+      },
+      Some("""SELECT user_id, rk, event_id, event_type, value FROM (
+          SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id) AS BIGINT) AS rk,
+            event_id, event_type, value
+          FROM events)
+        WHERE rk <= 2 ORDER BY user_id, rk""")),
+
     // ── heavy hitters: Misra–Gries candidate sketch (capacity 32, one
     //    bounded buffer per partition, map-side mergeable) → exact count of
     //    CANDIDATE terms only → threshold cnt·33 > N. The MG bound makes

@@ -448,6 +448,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.columns.contains("lang_id") && out.columns.contains("n_tokens"))
   }
 
+  test("topKPerKey ≡ the rank window under hot keys, ties, and the SQL route") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    // plant a Zipf-like hot key: 80% of events remapped onto one user —
+    // the distribution the aggregate form exists for; ties on value occur
+    // naturally in the generator data and resolve on event_id both ways
+    val hot = ev.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) =!= 0, lit(-1L))
+        .otherwise(col("user_id")))
+    val orderStruct = struct(col("value"), (-col("event_id")).as("nid"),
+      col("event_type"))
+    for (k <- Seq(1, 2, 3)) {
+      val viaAgg = graft.perf.Skew.topKPerKey(hot, Seq("user_id"),
+        orderStruct, k)
+        .select(col("user_id"), col("rk"), (-col("nid")).as("event_id"),
+          col("event_type"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("value"), col("event_id"))
+      val viaWin = hot.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("user_id"), col("rk"), col("event_id"),
+          col("event_type"), col("value"))
+      assert(viaAgg.exceptAll(viaWin).isEmpty &&
+        viaWin.exceptAll(viaAgg).isEmpty, s"k=$k diverges from the window")
+    }
+    // the skew contract is structural: a PARTIAL aggregate must appear in
+    // the plan (map-side combine of the bounded heap — without it the hot
+    // key still lands whole on one reducer)
+    val plan = graft.perf.Skew.topKPerKey(hot, Seq("user_id"), orderStruct, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_struct"),
+      s"no partial top_k_struct phase in:\n$plan")
+    // SQL route (HanaDialect sessions get it via GraftFunctions.install)
+    graft.functions.GraftFunctions.install(spark)
+    hot.createOrReplaceTempView("__topk_ev")
+    val viaSql = spark.sql("SELECT user_id, top_k_struct(" +
+      "struct(value, -event_id, event_type), 2) AS t FROM __topk_ev " +
+      "GROUP BY user_id")
+    assert(viaSql.count() == hot.select("user_id").distinct().count())
+    // a non-orderable struct is refused at analysis, not at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      hot.groupBy(col("user_id"))
+        .agg(graft.functions.TopKFunctions.topKStruct(
+          struct(map(lit("k"), col("value")).as("m")), 2))
+        .collect()
+    }
+  }
+
   test("prepare with benchmark decontamination ≡ prepare then filter leaked ids") {
     import graft.ext.{CorpusPipeline, Dedup}
     val base = docs.select("doc_id", "text")
