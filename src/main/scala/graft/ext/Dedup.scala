@@ -43,12 +43,20 @@ object Dedup {
 
   /** Exact deduplication: keep one representative row per key (the smallest
     * `orderCol`). Equivalent to `dropDuplicates` but with a deterministic
-    * winner. */
+    * winner (callers pass a unique-per-group orderCol — doc_id/event_id).
+    *
+    * One `min_by` aggregate, NOT a rank window (round 11): the window form
+    * co-locates every copy of a key in one task before ranking, so a viral
+    * duplicate — the exact document this operator exists for — becomes the
+    * straggler; min_by partial-aggregates map-side, reducing each key to
+    * ONE candidate row per input partition before the shuffle, the same
+    * bounded-buffer argument as [[graft.functions.TopKStructAgg]] at
+    * k = 1 (and min_by is the codegen'd declarative form of it). */
   def exact(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, col(orderCol)).as("__win"))
+      .select(df.columns.map(c => col(s"__win.`$c`").as(c)): _*)
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle).

@@ -38,16 +38,35 @@ object Similarity {
   /** L2 norm via the native dot: sqrt(Σ xᵢ², same fold the HOF form used). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Shared ranking tail for every KNN kernel: per-`qid` row_number over
-    * (score DESC, `cid`), capped at k. The `cid` tie-break, the
-    * `.cast("long")` on rk, and the column order are oracle-parity-critical
-    * — keep exactly one copy. */
-  private def topKByScore(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(desc(scoreCol), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", scoreCol, "rk")
-  }
+  /** Shared ranking tail for every KNN kernel: per-`qid` top-k by
+    * (score DESC, `cid` ASC) — semantics of `row_number() OVER
+    * (PARTITION BY qid ORDER BY score DESC, cid) <= k`, but computed with
+    * the BOUNDED aggregate ([[graft.functions.TopKStructAgg]] via
+    * `Skew.topKPerKey`, round 11): the window form sorts a corpus-sized
+    * partition per query in one task (the per-query candidate set IS the
+    * corpus for exact KNN), while the aggregate reduces each query to k
+    * rows per map partition before any shuffle. Row-identical (the
+    * q_embed_knn* oracles pin it). The `cid` tie-break (negated inside the
+    * order struct), the `.cast("long")` on rk, and the column order are
+    * oracle-parity-critical — keep exactly one copy. */
+  private def topKByScore(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    graft.perf.Skew.topKPerKey(
+      scored.select(col("qid"), col("cid"), col(scoreCol)), Seq("qid"),
+      struct(col(scoreCol), (-col("cid")).as("__nc")), k)
+      .select(col("qid"), (-col("__nc")).as("cid"), col(scoreCol),
+        col("rk").cast("long").as("rk"))
+
+  /** Ascending-distance twin of [[topKByScore]]: per-`qid` top-k by
+    * (`distCol` ASC, `cid` ASC) — both axes negated inside the order
+    * struct so the bounded keep-largest aggregate keeps the SMALLEST
+    * distances. Double negation round-trips IEEE doubles exactly (sign
+    * flip), and a +0.0 distance maps to -0.0 and back to +0.0. */
+  private def topKByDistance(scored: DataFrame, distCol: String, k: Int): DataFrame =
+    graft.perf.Skew.topKPerKey(
+      scored.select(col("qid"), col("cid"), col(distCol)), Seq("qid"),
+      struct(negate(col(distCol)).as("__nd"), (-col("cid")).as("__nc")), k)
+      .select(col("qid"), (-col("__nc")).as("cid"),
+        negate(col("__nd")).as(distCol), col("rk").cast("long").as("rk"))
 
   /** Exact top-k cosine neighbors of each query vector over the corpus.
     * `queries` is expected to be small (broadcast side). */
@@ -77,10 +96,14 @@ object Similarity {
       .select(col("qid"), col("qlabel"), col("cid"),
         (round(dot(col("qe"), col("ce")) / (l2norm(col("qe")) * l2norm(col("ce"))), 6)
           + lit(0.0)).as("cos")) // + 0.0 folds IEEE -0.0 to 0.0 (oracle parity)
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "qlabel", "cid", "cos", "rk")
+    // same bounded-aggregate tail as topKByScore, with the query label
+    // riding as a second (functionally dependent) group key
+    graft.perf.Skew.topKPerKey(
+      scored.select(col("qid"), col("qlabel"), col("cid"), col("cos")),
+      Seq("qid", "qlabel"),
+      struct(col("cos"), (-col("cid")).as("__nc")), k)
+      .select(col("qid"), col("qlabel"), (-col("__nc")).as("cid"),
+        col("cos"), col("rk").cast("long").as("rk"))
   }
 
   /** Johnson–Lindenstrauss random projection to `outDims` dimensions with a
@@ -260,10 +283,7 @@ object Similarity {
           val d = x.cast("double") - y.cast("double")
           d * d
         }), lit(0.0), (acc, v) => acc + v).as("d2"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "d2", "rk")
+    topKByDistance(scored, "d2", k)
   }
 
   /** recall@k of an approximate KNN result against an exact baseline:
@@ -477,9 +497,15 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
         (dot(col("embedding"), col("centroid")) /
           (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
-    val wq = Window.partitionBy(col("qid")).orderBy(desc("sim"), col("cell"))
-    qScored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe).select(col("qid"), col("qe"), col("cell"))
+    // bounded top-nprobe per query (candidates per query = nCells ≈ √n —
+    // grows with the corpus, so the window form's per-query sort does too);
+    // qe rides the order struct as a never-compared trailing field
+    // ((sim, cell) is unique per qid)
+    graft.perf.Skew.topKPerKey(
+      qScored.select(col("qid"), col("sim"), col("cell"), col("qe")),
+      Seq("qid"),
+      struct(col("sim"), (-col("cell")).as("__ncell"), col("qe")), nprobe)
+      .select(col("qid"), col("qe"), (-col("__ncell")).as("cell"))
   }
 
   /** IVF SEARCH half, over a prebuilt index (trained `cents` + cell-assigned
@@ -679,10 +705,7 @@ object Similarity {
       .groupBy("qid", "cid").agg(sum(col("d2q")).as("di"))
       .select(col("qid"), col("cid"),
         round(col("di").cast("double") / 1e6, 6).as("adist"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "adist", "rk")
+    topKByDistance(scored, "adist", k)
   }
 
   /** IVF+PQ hybrid (the FAISS IVFPQ shape): coarse IVF cells bound the
@@ -733,9 +756,6 @@ object Similarity {
       .groupBy("qid", "cid").agg(sum(col("d2q")).as("di"))
       .select(col("qid"), col("cid"),
         round(col("di").cast("double") / 1e6, 6).as("adist"))
-    val w2 = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-    scored.withColumn("rk", row_number().over(w2).cast("long"))
-      .filter(col("rk") <= k)
-      .select("qid", "cid", "adist", "rk")
+    topKByDistance(scored, "adist", k)
   }
 }
