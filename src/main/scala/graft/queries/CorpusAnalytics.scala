@@ -695,18 +695,23 @@ object CorpusAnalytics {
     // ── per-source document cap: keep at most K docs per source in the
     //    deterministic shuffle order (the downsampling half of mixture
     //    rebalancing — q_mixture_sample_rates computes rates, this applies
-    //    a hard ceiling). One source-partitioned window over a pure hash
-    //    key; no RNG, stable across engines and cluster sizes ────────────────
+    //    a hard ceiling). Round 11: the source-partitioned rank window
+    //    became the bounded top-k aggregate — a source IS a corpus-scale
+    //    hot partition (corpus/|sources| rows through ONE window task at
+    //    100 TB), exactly the TopKStructAgg shape; ascending order rides
+    //    negated fields in the keep-largest struct. No RNG, stable across
+    //    engines and cluster sizes; the oracle stays the window form ───────
     Q(
       "q_source_cap",
       (s, dir) => {
         val d = t(s, dir, "documents")
         val key = graft.ext.CorpusPipeline.shuffleKey(col("doc_id"))
-        val w = Window.partitionBy(col("source"))
-          .orderBy(key, col("doc_id"))
-        d.select(col("source"), col("doc_id"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 40)
+        graft.perf.Skew.topKPerKey(
+          d.select(col("source"), col("doc_id"), key.as("__k")),
+          Seq("source"),
+          struct((-col("__k")).as("__nk"), (-col("doc_id")).as("__nid")), 40)
+          .select(col("source"), (-col("__nid")).as("doc_id"),
+            col("rk").cast("long").as("rn"))
           .orderBy(col("source"), col("rn"))
       },
       Some("""SELECT source, doc_id, rn FROM (
