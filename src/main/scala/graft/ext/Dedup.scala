@@ -688,6 +688,49 @@ object Dedup {
       () => { shD.unpersist(); shC.unpersist(); () })
   }
 
+  /** [[incrementalMinhashPairsManaged]] against a STORED shingle index
+    * ([[ShingleIndex.liveFor]]) instead of a re-derived corpus — the
+    * round-12 ingest consumer. Per-batch corpus-side work collapses from
+    * (full text re-shingle + corpus-wide signature shuffle) to three scans:
+    * delta bands broadcast-join the stored band relation for candidates,
+    * and verification reads postings for candidate docs only. Zero
+    * corpus-wide shuffles per batch — the true O(delta) ingest shape.
+    *
+    * `corpusIds` (the doc_ids actually IN the corpus) guards against
+    * PHANTOM postings: an ingest that crashed after its index append but
+    * before its corpus write leaves index entries for docs the corpus never
+    * received, and on replay those phantoms would match the replayed docs
+    * against themselves (Jaccard 1.0 → rejected → data loss). Restricting
+    * candidates to real corpus ids makes the crash window harmless — the
+    * semi-join runs on the tiny candidate set, never the postings.
+    *
+    * Row-identical to the derived path when index ≡ corpus (same banding
+    * expression — [[ShingleIndex.bandsOf]] — same verification kernel;
+    * pinned by StreamingSpec). */
+  def incrementalMinhashPairsIndexed(delta: DataFrame, corpusIds: DataFrame,
+      idx: ShingleIndex.LiveIndex, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): (DataFrame, () => Unit) = {
+    val shD = hashedShingles(delta, idCol, textCol, n).cache()
+    val bandedD = ShingleIndex.bandsOf(
+      shD.withColumnRenamed("sh", "shingle"), idx.k, idx.nBands, idx.rowsPerBand)
+    val cands = broadcast(bandedD
+      .select(col("band"), col("bucket"), col("doc_id").as("delta_id")))
+      .join(idx.bands
+        .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select("delta_id", "corpus_id").distinct()
+      // phantom guard: only docs the corpus actually holds may reject a doc
+      .join(corpusIds.select(col("doc_id").as("corpus_id")),
+        Seq("corpus_id"), "left_semi")
+    // verification touches postings for candidate corpus docs only — a
+    // broadcast semi-join prunes the scan before the per-doc set aggregate
+    val candIds = cands.select(col("corpus_id").as("doc_id")).distinct()
+    val shC = idx.postings.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .withColumnRenamed("shingle", "sh")
+    (jaccardVerify(cands, shD, shC, "delta_id", "corpus_id", threshold),
+      () => { shD.unpersist(); () })
+  }
+
   /** Train/eval contamination check: the fraction of each eval document's
     * shingles that occur anywhere in the training corpus — the standard
     * benchmark-leakage screen run before training. Inputs are shingle

@@ -15,21 +15,53 @@ import org.apache.spark.sql.functions._
   *
   * Write-once contract (identical to the relational spine's): the table
   * directory carries a `_graft_layout` marker recording the source corpus
-  * dir, shingle width `n`, and bucket count. A later session that finds a
-  * matching marker REATTACHES the files via DDL at zero write cost; a
-  * missing/stale marker triggers a rewrite; a mismatched bucket count is
-  * NEVER silently reattached (bucket ids live in file names — reading them
-  * under a wrong spec corrupts co-partitioning).
+  * tag (a testdata dir for the batch faces, a live corpus path for the
+  * streaming ingest), shingle width `n`, and bucket count. A later session
+  * that finds a matching marker REATTACHES the files via DDL at zero write
+  * cost; a missing/stale marker triggers a rewrite; a mismatched bucket
+  * count is NEVER silently reattached (bucket ids live in file names —
+  * reading them under a wrong spec corrupts co-partitioning).
+  *
+  * Optionally (`withBands = true`) a companion BAND table is stored next to
+  * the postings: `(band, bucket, doc_id)` — the MinHash-LSH banding of each
+  * document's signature, the exact relation
+  * [[Dedup.incrementalMinhashPairsManaged]] otherwise re-derives per ingest
+  * batch with a corpus-wide groupBy. With bands stored, a per-batch
+  * near-dup screen is delta-sized: delta bands broadcast-join the stored
+  * band scan, and verification reads postings for candidate docs only —
+  * zero corpus-wide shuffles per batch (round-12 judge task 2).
   *
   * Incremental ingest: [[append]] derives the delta documents' shingles
   * (a narrow map over the delta only) and INSERTs them into the bucketed
-  * table — O(delta) work, the round-3 `incrementalMinhashPairs` ingest
-  * contract applied to storage. Appends are counted in the marker: an
-  * appended index is the truth for the LIVE corpus it tracks, but no
+  * table(s) — O(delta) work, the round-3 `incrementalMinhashPairs` ingest
+  * contract applied to storage.
+  *
+  * CRASH ORDERING (round-12 task 1, the round-10 `appendLsh` lesson —
+  * invalidate routing BEFORE mutating data): [[append]] first rewrites the
+  * marker (append counter bumped, an in-flight `"appending":"<token>"`
+  * recorded), THEN inserts the delta rows, THEN finalizes the marker
+  * (`appending` → `last_append`). A kill at any point between the first
+  * marker write and the finalize leaves a marker that (a) no longer claims
+  * zero appends, so [[shinglesFor]] keeps dir-derived queries on the fresh
+  * derivation, and (b) carries the `appending` token, so [[liveFor]] stops
+  * serving live-corpus consumers too — the index is POISONED (its contents
+  * are an unknown superset) and every caller falls back to deriving until a
+  * re-registration rewrites it. A crash costs a derivation fallback, never
+  * correctness. The previous ordering (insert first, count after) could
+  * leave dir ∪ delta rows under an `"appends":0` marker — silently wrong
+  * document frequencies on every routed face.
+  *
+  * Idempotent appends: callers replaying a unit of work (a Structured
+  * Streaming foreachBatch redelivering a batch) pass a stable `token`; an
+  * append whose token equals the marker's `last_append` is a no-op, so a
+  * redelivered batch cannot double-insert its shingles.
+  *
+  * An appended index is the truth for the LIVE corpus it tracks, but no
   * longer equals a fresh derivation from the original `dir`, so
   * [[shinglesFor]] stops routing dir-derived queries onto it (they fall
   * back to deriving from the documents table — correctness never depends
-  * on the index being fresh).
+  * on the index being fresh). Live-corpus consumers use [[liveFor]], which
+  * accepts any append count but never a poisoned marker.
   *
   * 100 TB framing: the shingle relation is the largest derived corpus
   * artifact (~n̄ rows per document); deriving it per-query re-pays the
@@ -39,24 +71,43 @@ import org.apache.spark.sql.functions._
   * a bucket-local partial aggregate. */
 object ShingleIndex {
 
-  /** Catalog name of the stored index (session temp catalog; the files
+  /** Catalog name of the stored postings (session temp catalog; the files
     * live in the warehouse dir and outlive the session). */
   val tableName = "adv_doc_shingles"
 
-  private def markerPath(spark: SparkSession): java.nio.file.Path =
+  /** Catalog name of the optional stored LSH band relation. */
+  val bandsTableName = "adv_doc_bands"
+
+  /** A live (appendable) index attachment: the postings and band relations
+    * plus the banding geometry they were built with. */
+  final case class LiveIndex(postings: DataFrame, bands: DataFrame,
+      k: Int, nBands: Int, rowsPerBand: Int)
+
+  private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path =
     java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      tableName, "_graft_layout")
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+
+  private def markerPath(spark: SparkSession): java.nio.file.Path =
+    warehousePath(spark, tableName).resolve("_graft_layout")
 
   private def markerBase(dir: String, n: Int, buckets: Int): String =
     s"""{"dir":"$dir","n":$n,"buckets":$buckets"""
 
-  private def readMarker(spark: SparkSession): Option[String] = {
+  private[graft] def readMarker(spark: SparkSession): Option[String] = {
     val p = markerPath(spark)
     if (java.nio.file.Files.exists(p))
       Some(java.nio.file.Files.readString(p))
     else None
   }
+
+  private def intField(m: String, field: String): Option[Int] =
+    s""""$field":(\\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
+
+  private def sigSpec(m: String): Option[(Int, Int, Int)] =
+    """"sig":"(\d+)/(\d+)/(\d+)"""".r.findFirstMatchIn(m)
+      .map(x => (x.group(1).toInt, x.group(2).toInt, x.group(3).toInt))
+
+  private def isPoisoned(m: String): Boolean = m.contains(""""appending":""")
 
   /** Derive the hashed-shingle relation for a corpus dir's documents table
     * (the plain, always-correct path the index routes around). */
@@ -65,68 +116,173 @@ object ShingleIndex {
       graft.Tables(spark, dir, "documents"), "doc_id", "text", n)
       .withColumnRenamed("sh", "shingle")
 
-  /** Register (write or reattach) the stored shingle index for `dir`.
-    * Returns seconds spent WRITING (0.0 on reattach). Bucket-count or
-    * shingle-width changes force a rewrite. */
-  def register(spark: SparkSession, dir: String, buckets: Int = 64,
-      n: Int = 3): Double = synchronized {
-    val loc = markerPath(spark).getParent
-    val marker = markerPath(spark)
-    val base = markerBase(dir, n, buckets)
-    // reattach accepts ANY append count (the files + DDL are identical);
-    // only dir/n/buckets must match
-    val markerOk = readMarker(spark).exists(_.startsWith(base))
-    if (markerOk && spark.catalog.tableExists(tableName)) {
-      0.0 // this session already attached this exact index
-    } else if (markerOk) {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      spark.sql(s"CREATE TABLE $tableName (doc_id BIGINT, shingle BIGINT) " +
-        s"USING parquet CLUSTERED BY (shingle) SORTED BY (shingle) " +
-        s"INTO $buckets BUCKETS LOCATION '${loc.toUri}'")
-      0.0
-    } else {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      graft.perf.Measure.deleteRecursively(loc.toString)
-      val t0 = System.nanoTime()
-      graft.model.PartitionAdvisor.writeLayout(derive(spark, dir, n),
-        graft.model.TableLayout("doc_shingles", Nil, Seq("shingle"), buckets,
-          "dedup candidate axis: df aggregate + df join + postings join"),
-        tableName, Some(loc.toString))
-      val sec = (System.nanoTime() - t0) / 1e9
-      java.nio.file.Files.writeString(marker, base + ",\"appends\":0}")
-      sec
-    }
+  /** The LSH banding of a hashed-shingle relation: (band, bucket, doc_id).
+    * EXACTLY the expression [[Dedup.incrementalMinhashPairsManaged]] bands
+    * with, so stored bands can never diverge from a fresh derivation. */
+  private[graft] def bandsOf(shingles: DataFrame, k: Int, nBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sigs = shingles.groupBy("doc_id")
+      .agg(graft.functions.HashFunctions.minhashSig(col("shingle"), k).as("sig"))
+    sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${nBands - 1}), j -> hash(slice(sig, j * $rowsPerBand + 1, $rowsPerBand)))"))
+      .as(Seq("band", "bucket")))
+      .select(col("band"), col("bucket"), col("doc_id"))
   }
+
+  private def attachPostingsDdl(spark: SparkSession, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"CREATE TABLE $tableName (doc_id BIGINT, shingle BIGINT) " +
+      s"USING parquet CLUSTERED BY (shingle) SORTED BY (shingle) " +
+      s"INTO $buckets BUCKETS LOCATION '${warehousePath(spark, tableName).toUri}'")
+  }
+
+  private def attachBandsDdl(spark: SparkSession): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $bandsTableName")
+    spark.sql(s"CREATE TABLE $bandsTableName (band INT, bucket INT, doc_id BIGINT) " +
+      s"USING parquet LOCATION '${warehousePath(spark, bandsTableName).toUri}'")
+  }
+
+  /** Register (write or reattach) the stored shingle index for a testdata
+    * `dir`'s documents table. Returns seconds spent WRITING (0.0 on
+    * reattach). Bucket-count or shingle-width changes — and a poisoned
+    * marker from an interrupted append — force a rewrite. */
+  def register(spark: SparkSession, dir: String, buckets: Int = 64,
+      n: Int = 3, withBands: Boolean = false): Double =
+    registerDocs(spark, dir, derive(spark, dir, n), buckets, n, withBands)
+
+  /** Register the index for an arbitrary document frame under an arbitrary
+    * identity `tag` (the streaming ingest registers its live corpus path
+    * over the — possibly empty — initial corpus). `docs` here is already
+    * the hashed-shingle relation (doc_id, shingle); [[register]] wraps the
+    * dir-derivation form. */
+  def registerDocs(spark: SparkSession, tag: String, shingles: => DataFrame,
+      buckets: Int = 64, n: Int = 3, withBands: Boolean = false,
+      k: Int = 64, nBands: Int = 16, rowsPerBand: Int = 4): Double =
+    synchronized {
+      val loc = warehousePath(spark, tableName)
+      val marker = markerPath(spark)
+      val base = markerBase(tag, n, buckets)
+      // reattach accepts ANY append count (the files + DDL are identical);
+      // dir/n/buckets — and the band-store spec, when requested — must
+      // match, and an in-flight append token (a crashed append: contents
+      // unknown) must never be reattached
+      val m = readMarker(spark)
+      val markerOk = m.exists { mm =>
+        mm.startsWith(base) && !isPoisoned(mm) &&
+          (!withBands || sigSpec(mm).contains((k, nBands, rowsPerBand)))
+      }
+      if (markerOk && spark.catalog.tableExists(tableName) &&
+          (!withBands || spark.catalog.tableExists(bandsTableName))) {
+        0.0 // this session already attached this exact index
+      } else if (markerOk) {
+        attachPostingsDdl(spark, buckets)
+        if (m.exists(sigSpec(_).isDefined)) attachBandsDdl(spark)
+        0.0
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS $tableName")
+        spark.sql(s"DROP TABLE IF EXISTS $bandsTableName")
+        graft.perf.Measure.deleteRecursively(loc.toString)
+        graft.perf.Measure.deleteRecursively(
+          warehousePath(spark, bandsTableName).toString)
+        val t0 = System.nanoTime()
+        val sh = shingles
+        graft.model.PartitionAdvisor.writeLayout(sh,
+          graft.model.TableLayout("doc_shingles", Nil, Seq("shingle"), buckets,
+            "dedup candidate axis: df aggregate + df join + postings join"),
+          tableName, Some(loc.toString))
+        if (withBands) {
+          // band derivation reads the just-written postings, not the
+          // incoming frame — one corpus pass, and bands provably derive
+          // from exactly the stored rows
+          bandsOf(spark.table(tableName), k, nBands, rowsPerBand)
+            .write.mode("overwrite").format("parquet")
+            .option("path", warehousePath(spark, bandsTableName).toString)
+            .saveAsTable(bandsTableName)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val sig = if (withBands) s""","sig":"$k/$nBands/$rowsPerBand"""" else ""
+        java.nio.file.Files.writeString(marker, base + sig + ",\"appends\":0}")
+        sec
+      }
+    }
 
   /** The stored relation (register first). */
   def table(spark: SparkSession): DataFrame = spark.table(tableName)
 
   /** Incremental ingest: derive the DELTA documents' shingles and append
-    * them into the bucketed store — O(delta) derivation, one bucketed
-    * write of delta-sized data, the corpus never re-derived. The marker's
-    * append counter increments, which takes the index out of
-    * [[shinglesFor]]'s dir-routing (it now describes dir ∪ deltas, not
-    * dir). Caller contract: delta doc_ids are new (same as any ingest
-    * path); re-appending an existing doc duplicates its rows. */
+    * them into the bucketed store (and their bands into the band store,
+    * when one exists) — O(delta) derivation, one bucketed write of
+    * delta-sized data, the corpus never re-derived.
+    *
+    * Ordering (see object doc): marker first (counter bump + `appending`
+    * token — routing invalidated), data second, marker finalize last.
+    * Returns true if the delta was inserted, false if `token` matches the
+    * marker's `last_append` (a replay — already applied, no-op). Throws
+    * [[IllegalStateException]] on a poisoned marker (an earlier append
+    * crashed mid-flight; re-register to heal). Caller contract: delta
+    * doc_ids are new (same as any ingest path); re-appending an existing
+    * doc under a fresh token duplicates its rows. */
   def append(spark: SparkSession, deltaDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3): Unit = synchronized {
+      n: Int = 3, token: Option[String] = None): Boolean = synchronized {
     val m = readMarker(spark).getOrElse(
       throw new IllegalStateException(
         s"$tableName is not registered — call ShingleIndex.register first"))
     require(spark.catalog.tableExists(tableName),
       s"$tableName marker exists but table is not attached in this session")
-    val mN = """"n":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
+    val mN = intField(m, "n")
     require(mN.contains(n),
       s"index was built with n=${mN.orNull}, append called with n=$n")
-    Dedup.hashedShingles(deltaDocs, idCol, textCol, n)
+    if (token.exists(t => m.contains(s""""last_append":"$t""""))) false
+    else if (isPoisoned(m))
+      throw new IllegalStateException(
+        s"$tableName marker carries an in-flight append token — an earlier " +
+          "append crashed between marker and data; contents are unknown. " +
+          "Re-register the index over the current corpus to heal.")
+    else {
+      val tok = token.getOrElse(java.util.UUID.randomUUID().toString)
+      beginAppend(spark, m, tok)
+      insertDelta(spark, m, deltaDocs, idCol, textCol, n)
+      finalizeAppend(spark, tok)
+      true
+    }
+  }
+
+  /** Phase 1 of [[append]], exposed for the kill-window spec: bump the
+    * append counter and record the in-flight token — after this write and
+    * before [[finalizeAppend]], NO routing path may serve the index. */
+  private[graft] def beginAppend(spark: SparkSession, m: String,
+      tok: String): Unit = {
+    val appends = intField(m, "appends").getOrElse(0)
+    val bumped = m
+      .replaceAll(""","last_append":"[^"]*"""", "")
+      .replaceAll(""""appends":\d+""", s""""appends":${appends + 1}""")
+    java.nio.file.Files.writeString(markerPath(spark),
+      bumped.stripSuffix("}") + s""","appending":"$tok"}""")
+  }
+
+  /** Phase 2 of [[append]]: the data inserts (postings, then bands when the
+    * marker carries a band spec). A kill anywhere in here leaves the
+    * in-flight token from [[beginAppend]] — poisoned, never served. */
+  private[graft] def insertDelta(spark: SparkSession, m: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String, n: Int): Unit = {
+    val sh = Dedup.hashedShingles(deltaDocs, idCol, textCol, n)
       .withColumnRenamed("sh", "shingle")
       .select(col("doc_id"), col("shingle"))
-      .write.mode("append").insertInto(tableName)
-    val appends = """"appends":(\d+)""".r.findFirstMatchIn(m)
-      .map(_.group(1).toLong).getOrElse(0L)
+    sh.write.mode("append").insertInto(tableName)
+    sigSpec(m).foreach { case (k, nBands, rowsPerBand) =>
+      bandsOf(sh, k, nBands, rowsPerBand)
+        .write.mode("append").insertInto(bandsTableName)
+    }
+  }
+
+  /** Phase 3 of [[append]]: swap the in-flight token for `last_append` —
+    * the append is committed and [[liveFor]] routing resumes. */
+  private[graft] def finalizeAppend(spark: SparkSession, tok: String): Unit = {
+    val m = readMarker(spark).getOrElse(
+      throw new IllegalStateException("marker vanished mid-append"))
     java.nio.file.Files.writeString(markerPath(spark),
-      m.replaceAll(""""appends":\d+""", s""""appends":${appends + 1}"""))
+      m.replace(s""""appending":"$tok"""", s""""last_append":"$tok""""))
   }
 
   /** Routing: the stored index when it exactly matches a fresh derivation
@@ -134,20 +290,44 @@ object ShingleIndex {
     * the catalog entry is missing), else the plain derivation. The routed
     * dedup faces call THIS, so they are hash-identical with or without a
     * registered index, and an appended (live-corpus) index never serves a
-    * dir-derived query. */
+    * dir-derived query. A mid-append marker fails the `"appends":0` test
+    * by construction (the counter bumps before any data lands). */
   def shinglesFor(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     synchronized {
       val fresh = readMarker(spark).exists { m =>
         m.contains(s""""dir":"$dir"""") && m.contains(s""""n":$n""") &&
-          m.contains(""""appends":0""")
+          m.contains(""""appends":0""") && !isPoisoned(m)
       }
       if (fresh) {
         if (!spark.catalog.tableExists(tableName)) {
-          val buckets = """"buckets":(\d+)""".r
-            .findFirstMatchIn(readMarker(spark).get).get.group(1).toInt
+          val buckets = intField(readMarker(spark).get, "buckets").get
           register(spark, dir, buckets, n) // marker matches → pure reattach
         }
         table(spark)
       } else derive(spark, dir, n)
+    }
+
+  /** Live-corpus routing (round-12 task 2): the attached postings + bands
+    * for consumers that track a GROWING corpus under `tag` — any append
+    * count is acceptable (each committed append is part of the corpus
+    * truth), a poisoned marker never is. Returns None when no matching
+    * band-backed index exists; callers fall back to per-batch derivation
+    * (correct, just slower). Reattaches the catalog entries if only they
+    * are missing. */
+  def liveFor(spark: SparkSession, tag: String, n: Int = 3): Option[LiveIndex] =
+    synchronized {
+      readMarker(spark).flatMap { m =>
+        val ok = m.startsWith(markerBase(tag, n,
+          intField(m, "buckets").getOrElse(-1))) && !isPoisoned(m)
+        sigSpec(m).filter(_ => ok).map { case (k, nBands, rowsPerBand) =>
+          if (!spark.catalog.tableExists(tableName) ||
+              !spark.catalog.tableExists(bandsTableName)) {
+            attachPostingsDdl(spark, intField(m, "buckets").get)
+            attachBandsDdl(spark)
+          }
+          LiveIndex(spark.table(tableName), spark.table(bandsTableName),
+            k, nBands, rowsPerBand)
+        }
+      }
     }
 }

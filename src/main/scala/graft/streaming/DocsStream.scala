@@ -129,7 +129,22 @@ object DocsStream {
     * docs, so every replayed row is dropped as an exact duplicate and the
     * corpus is unchanged (pinned by [[StreamingSpec]]'s double-step
     * replay test). No batchId bookkeeping is needed — the sink's own
-    * dedup semantics make it idempotent. */
+    * dedup semantics make it idempotent.
+    *
+    * Stored-index mode (round 12): when [[graft.ext.ShingleIndex.liveFor]]
+    * finds a band-backed index registered under `corpusPath`, the per-batch
+    * near-dup screen reads corpus postings/bands from the STORE instead of
+    * re-shingling the whole corpus text per batch
+    * ([[graft.ext.Dedup.incrementalMinhashPairsIndexed]] — zero corpus-wide
+    * shuffles per batch), and each batch appends its accepted docs'
+    * shingles back in the same foreachBatch. Ordering + idempotence: the
+    * index append runs BEFORE the corpus write under token
+    * `ingest-<batchId>` — a crash between the two leaves phantom postings
+    * that the indexed screen's corpus-id guard filters, and a replayed
+    * batch's append is a token no-op; a crash INSIDE the append poisons the
+    * marker and every later batch falls back to the derived screen
+    * (correct, just slower) until the index is re-registered. With-index ≡
+    * without-index accept sets are pinned by [[StreamingSpec]]. */
   def ingestNearDup(docs: DataFrame, corpusPath: String, checkpoint: String,
       threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -141,8 +156,9 @@ object DocsStream {
   /** The per-batch body of [[ingestNearDup]], exposed so crash-replay
     * (same batch twice) is directly testable. */
   private[graft] def ingestStep(corpusPath: String, threshold: Double)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
+    val live = graft.ext.ShingleIndex.liveFor(spark, corpusPath)
     val inBatch = graft.ext.Dedup.exact(enrich(batch), Seq("content_hash"), "doc_id")
     // a previous empty append leaves a directory with no part files, which
     // spark.read.parquet cannot infer a schema from — require actual data
@@ -156,13 +172,29 @@ object DocsStream {
         val corpus = spark.read.parquet(corpusPath)
         val afterExact =
           graft.ext.Dedup.incrementalExact(inBatch, corpus, Seq("content_hash"))
-        val (pairs, release) = graft.ext.Dedup.incrementalMinhashPairsManaged(
-          afterExact, corpus, "doc_id", "text", threshold)
+        val (pairs, release) = live match {
+          case Some(idx) => graft.ext.Dedup.incrementalMinhashPairsIndexed(
+            afterExact, corpus.select("doc_id"), idx, "doc_id", "text", threshold)
+          case None => graft.ext.Dedup.incrementalMinhashPairsManaged(
+            afterExact, corpus, "doc_id", "text", threshold)
+        }
         val nearDup = pairs.select(col("delta_id")).distinct()
         (afterExact.join(nearDup,
           afterExact("doc_id") === nearDup("delta_id"), "left_anti"), release)
       }
-    try survivors.write.mode("append").parquet(corpusPath)
-    finally cleanup()
+    // survivors feed two sinks (index append + corpus write) — pin the set
+    // once so both see identical rows
+    val s = survivors.cache()
+    try {
+      // index append BEFORE the corpus write: a crash between the two
+      // leaves phantom postings, which the indexed screen filters via its
+      // corpus-id guard; the reverse order would lose the batch's postings
+      // forever (replay self-screens to empty). Token = batchId → replay
+      // no-op. A poisoned index is simply not `live` next batch.
+      live.foreach { _ =>
+        graft.ext.ShingleIndex.append(spark, s, token = Some(s"ingest-$batchId"))
+      }
+      s.write.mode("append").parquet(corpusPath)
+    } finally { s.unpersist(); cleanup() }
   }
 }

@@ -30,11 +30,18 @@ class ShingleIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   private def wipe(): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
-    graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      ShingleIndex.tableName).toString)
+    for (t <- Seq(ShingleIndex.tableName, ShingleIndex.bandsTableName)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        t).toString)
+    }
   }
+
+  private def delta(offset: Long): DataFrame =
+    Tables(spark, sf, "documents").limit(5)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(lit(s"appended variant $offset "), col("text")).as("text"))
 
   test("stored ≡ derived, reattach is free, appends stay exact, df shuffle gone") {
     wipe()
@@ -112,6 +119,106 @@ class ShingleIndexSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         ShingleIndex.append(spark, delta, n = 4)
       }
+    } finally wipe()
+  }
+
+  test("append crash window: routing is invalidated BEFORE any data lands") {
+    wipe()
+    try {
+      ShingleIndex.register(spark, sf, buckets = 4)
+      val derived = rows(ShingleIndex.derive(spark, sf))
+
+      // kill #1: the process dies after phase 1 (marker bump + in-flight
+      // token), before any insert — dir routing must already have fallen
+      // back, live routing must refuse, appends must refuse
+      ShingleIndex.beginAppend(spark, ShingleIndex.readMarker(spark).get, "kill-1")
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .forall(!_.contains(ShingleIndex.tableName)),
+        "dir routing served an index with an in-flight append")
+      assert(ShingleIndex.liveFor(spark, sf).isEmpty,
+        "live routing served a poisoned marker")
+      intercept[IllegalStateException] { ShingleIndex.append(spark, delta(1)) }
+      // routed faces stay correct THROUGH the poisoned state (fallback path)
+      assert(rows(ShingleIndex.shinglesFor(spark, sf)) == derived)
+
+      // register must heal by REWRITING, never by reattaching the unknown
+      // contents
+      assert(ShingleIndex.register(spark, sf, buckets = 4) > 0.0,
+        "register reattached a poisoned index")
+      assert(rows(ShingleIndex.table(spark)) == derived)
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .exists(_.contains(ShingleIndex.tableName)), "healed index not routed")
+
+      // kill #2: the process dies after the data insert but before the
+      // finalize — the OLD bug's window (data in, counter stale). The
+      // marker-first ordering means the table is a superset under a marker
+      // that already refuses routing.
+      val m = ShingleIndex.readMarker(spark).get
+      ShingleIndex.beginAppend(spark, m, "kill-2")
+      ShingleIndex.insertDelta(spark, m, delta(2), "doc_id", "text", 3)
+      assert(rows(ShingleIndex.table(spark)) != derived,
+        "kill #2 setup should leave a strict superset in the table")
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .forall(!_.contains(ShingleIndex.tableName)),
+        "dir routing served a half-appended superset index")
+      assert(rows(ShingleIndex.shinglesFor(spark, sf)) == derived,
+        "fallback derivation polluted by the half-appended table")
+      assert(ShingleIndex.register(spark, sf, buckets = 4) > 0.0)
+      assert(rows(ShingleIndex.table(spark)) == derived)
+    } finally wipe()
+  }
+
+  test("appends are idempotent per token (streaming replay contract)") {
+    wipe()
+    try {
+      ShingleIndex.register(spark, sf, buckets = 4)
+      assert(ShingleIndex.append(spark, delta(100), token = Some("b1")))
+      val after = rows(ShingleIndex.table(spark))
+      // replay of the same unit of work: no-op, rows unchanged
+      assert(!ShingleIndex.append(spark, delta(100), token = Some("b1")))
+      assert(rows(ShingleIndex.table(spark)) == after)
+      // a NEW token appends
+      assert(ShingleIndex.append(spark, delta(200), token = Some("b2")))
+      assert(rows(ShingleIndex.table(spark)) != after)
+      // only the LATEST token is remembered (sequential-batch contract)
+      assert(!ShingleIndex.append(spark, delta(200), token = Some("b2")))
+    } finally wipe()
+  }
+
+  test("band-backed live index: stored bands ≡ derived banding, appends feed both") {
+    wipe()
+    try {
+      val sh0 = ShingleIndex.derive(spark, sf)
+      ShingleIndex.registerDocs(spark, "live-tag", sh0, buckets = 4,
+        withBands = true)
+      // dir routing never serves a foreign tag; live routing serves it
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .forall(!_.contains(ShingleIndex.tableName)))
+      assert(ShingleIndex.liveFor(spark, "other-tag").isEmpty)
+      val idx = ShingleIndex.liveFor(spark, "live-tag").get
+      assert(rows(idx.postings) == rows(sh0))
+      def bandRows(df: DataFrame): Set[(Int, Int, Long)] =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(bandRows(idx.bands) ==
+        bandRows(ShingleIndex.bandsOf(sh0, idx.k, idx.nBands, idx.rowsPerBand)),
+        "stored bands diverge from the derivation expression")
+
+      // an append feeds BOTH relations and live routing keeps serving
+      val d = delta(300)
+      assert(ShingleIndex.append(spark, d, token = Some("b1")))
+      val shD = graft.ext.Dedup.hashedShingles(d, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+      val idx2 = ShingleIndex.liveFor(spark, "live-tag").get
+      assert(rows(idx2.postings) == rows(sh0) ++ rows(shD))
+      assert(bandRows(idx2.bands) ==
+        bandRows(ShingleIndex.bandsOf(sh0, idx.k, idx.nBands, idx.rowsPerBand)) ++
+          bandRows(ShingleIndex.bandsOf(shD, idx.k, idx.nBands, idx.rowsPerBand)))
+
+      // a band-backed reattach restores both tables
+      spark.sql(s"DROP TABLE ${ShingleIndex.tableName}")
+      spark.sql(s"DROP TABLE ${ShingleIndex.bandsTableName}")
+      assert(ShingleIndex.liveFor(spark, "live-tag").isDefined)
+      assert(rows(ShingleIndex.table(spark)) == rows(sh0) ++ rows(shD))
     } finally wipe()
   }
 }

@@ -210,6 +210,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ext.Dedup.jaccardPairs(sh, 0.6).count() == 0)
   }
 
+  test("indexed near-dup ingest ≡ derived ingest, and the crash windows heal") {
+    import spark.implicits._
+    import graft.ext.ShingleIndex
+
+    def wipeIndex(): Unit =
+      for (t <- Seq(ShingleIndex.tableName, ShingleIndex.bandsTableName)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          t).toString)
+      }
+
+    def doc(id: Long, text: String): (Long, String) = id -> text
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batches: b0 seeds; b1 has an exact dup (3), a near-dup (4), a novel
+    // doc (5); b2 has a near-dup of a doc accepted in b1 (6) and a novel (7)
+    val batches = Seq(
+      Seq(doc(1, base),
+        doc(2, "completely different words about spark shuffles and joins here")),
+      Seq(doc(3, base), doc(4, base + " extra"),
+        doc(5, "entirely novel content with nothing shared among previous documents at all")),
+      Seq(doc(6, "entirely novel content with nothing shared among previous documents anywhere"),
+        doc(7, "a third topic mentioning bucketed layouts and broadcast joins in detail")))
+
+    def runAll(corpusPath: String): List[Long] = {
+      batches.zipWithIndex.foreach { case (docs, i) =>
+        val batch = docs.toDF("doc_id", "text")
+          .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        DocsStream.ingestStep(corpusPath, 0.6)(batch, i.toLong)
+      }
+      spark.read.parquet(corpusPath).select("doc_id").as[Long]
+        .collect().sorted.toList
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-idx")
+    wipeIndex()
+    try {
+      // derived path (no index registered)
+      val plainIds = runAll(root.resolve("plain").toString)
+
+      // indexed path: register an EMPTY band-backed index over the corpus
+      // tag before the first batch; every batch screens against the store
+      // and appends its survivors
+      val idxCorpus = root.resolve("indexed").toString
+      ShingleIndex.registerDocs(spark, idxCorpus,
+        Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
+        buckets = 4, withBands = true)
+      val indexedIds = runAll(idxCorpus)
+      assert(indexedIds == plainIds,
+        s"indexed accept set $indexedIds != derived $plainIds")
+      // the index tracks the corpus exactly: postings ≡ re-derivation
+      def postingRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("doc_id"), col("shingle")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromCorpus = graft.ext.Dedup.hashedShingles(
+        spark.read.parquet(idxCorpus), "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+      assert(postingRows(ShingleIndex.table(spark)) == postingRows(fromCorpus),
+        "index diverged from the corpus it tracks")
+
+      // CRASH WINDOW 1 (append committed, corpus write lost): replay must
+      // accept the doc — its phantom postings may not reject it against
+      // itself — and converge index ≡ corpus
+      val d8 = Seq(doc(8, "fresh material concerning window functions and watermark semantics"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      // impersonate the first (crashed) attempt of batch 3: index append
+      // landed under the batch token, corpus write did not
+      ShingleIndex.append(spark, d8, token = Some("ingest-3"))
+      DocsStream.ingestStep(idxCorpus, 0.6)(d8, 3L) // the replay
+      val afterReplay = spark.read.parquet(idxCorpus)
+        .filter(col("doc_id") === 8L).count()
+      assert(afterReplay == 1L,
+        s"phantom postings rejected the replayed doc (count $afterReplay)")
+      assert(postingRows(ShingleIndex.table(spark)) == postingRows(
+        graft.ext.Dedup.hashedShingles(spark.read.parquet(idxCorpus),
+          "doc_id", "text", 3).withColumnRenamed("sh", "shingle")),
+        "replay did not converge index ≡ corpus")
+
+      // CRASH WINDOW 2 (kill INSIDE the append): the marker is poisoned —
+      // later batches must fall back to the derived screen and stay correct
+      ShingleIndex.beginAppend(spark,
+        ShingleIndex.readMarker(spark).get, "ingest-4")
+      assert(ShingleIndex.liveFor(spark, idxCorpus).isEmpty,
+        "live routing served a poisoned index")
+      val b5 = Seq(
+        doc(9, base + " again"), // near-dup of accepted doc 1 → reject
+        doc(10, "final unrelated subject matter covering parquet row groups and encodings"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      DocsStream.ingestStep(idxCorpus, 0.6)(b5, 4L)
+      val finalIds = spark.read.parquet(idxCorpus).select("doc_id")
+        .as[Long].collect().sorted.toList
+      assert(finalIds == (plainIds ++ List(8L, 10L)).sorted,
+        s"poisoned-fallback batch wrong: $finalIds")
+    } finally {
+      wipeIndex()
+      graft.perf.Measure.deleteRecursively(root.toString)
+    }
+  }
+
   test("stream-static enrichment join matches the batch join") {
     import spark.implicits._
     val batch = Tables(spark, sf, "events")
