@@ -75,6 +75,34 @@ object ShingleIndexRehearsal {
     val nDelta = delta.count()
     val appendSec = time { ShingleIndex.append(spark, delta) }
 
+    // round-12 task 2 — the appended index's CONSUMER: per-batch near-dup
+    // ingest screen, derived (re-shingle the whole corpus per batch, the
+    // pre-round-12 ingestNearDup shape) vs indexed (stored postings+bands,
+    // zero corpus-wide shuffles per batch). Band-backed registration is
+    // timed separately so write_sec stays comparable across rounds.
+    val bandsWriteSec = ShingleIndex.registerDocs(spark, sfDir,
+      ShingleIndex.derive(spark, sfDir), buckets, withBands = true)
+    val idx = ShingleIndex.liveFor(spark, sfDir).get
+    val batch = docs.limit(1000)
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
+        concat(lit("ingest batch variant "), col("text")).as("text"))
+      .cache()
+    val nBatch = batch.count()
+    val corpusIds = docs.select("doc_id")
+    def ingestDerived(): Double = time {
+      val (pairs, rel) = Dedup.incrementalMinhashPairsManaged(
+        batch, docs, "doc_id", "text", 0.8)
+      try sink(pairs) finally rel()
+    }
+    def ingestIndexed(): Double = time {
+      val (pairs, rel) = Dedup.incrementalMinhashPairsIndexed(
+        batch, corpusIds, idx, "doc_id", "text", 0.8)
+      try sink(pairs) finally rel()
+    }
+    ingestIndexed(); val ingestIdxSec = median((1 to runs).map(_ => ingestIndexed()))
+    ingestDerived(); val ingestDerSec = median((1 to runs).map(_ => ingestDerived()))
+    batch.unpersist()
+
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) =>
         "\"" + k + "\":" + BigDecimal(v).setScale(1,
@@ -85,7 +113,10 @@ object ShingleIndexRehearsal {
       s""""buckets":$buckets,"runs":$runs,""" +
       s""""write_sec":${f1(writeSec)},"reattach_sec":${f1(reattach)},""" +
       s""""stored_sec":${obj(storedT)},"derived_sec":${obj(derivedT)},""" +
-      s""""append_docs":$nDelta,"append_sec":${f1(appendSec)}}""")
+      s""""append_docs":$nDelta,"append_sec":${f1(appendSec)},""" +
+      s""""bands_write_sec":${f1(bandsWriteSec)},"ingest_batch_docs":$nBatch,""" +
+      s""""ingest_derived_sec":${f1(ingestDerSec)},""" +
+      s""""ingest_indexed_sec":${f1(ingestIdxSec)}}""")
     spark.stop()
   }
 }
