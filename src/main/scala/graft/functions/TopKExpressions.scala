@@ -57,14 +57,25 @@ case class TopKStructAgg(
   override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[InternalRow] =
     scala.collection.mutable.PriorityQueue.empty[InternalRow](minFirst)
 
-  /** Bounded offer: rows are copied ONLY when kept (child.eval returns a
-    * reused row). */
+  // ownership projection for kept rows: child.eval on a struct-building
+  // expression returns a GenericInternalRow whose variable-length fields
+  // (UTF8String, binary) still POINT INTO the operator's reused input
+  // buffer — a shallow row.copy() clones the reference array, not the
+  // bytes, and the kept "row" silently mutates when the scan reuses the
+  // buffer (caught by capPerKey's wide-payload round-trip: a content_hash
+  // came back as a window into later rows' bytes). Projecting to an
+  // UnsafeRow and copying owns every byte; numeric-only structs never hit
+  // the alias, which is why the small rank/KNN structs were clean.
+  private lazy val ownProj =
+    UnsafeProjection.create(structType.fields.map(_.dataType))
+
+  /** Bounded offer: rows are deep-copied ONLY when kept. */
   private def offer(buf: scala.collection.mutable.PriorityQueue[InternalRow],
       row: InternalRow, owned: Boolean): Unit =
-    if (buf.size < k) buf.enqueue(if (owned) row else row.copy())
+    if (buf.size < k) buf.enqueue(if (owned) row else ownProj(row).copy())
     else if (ord.compare(row, buf.head) > 0) {
       buf.dequeue()
-      buf.enqueue(if (owned) row else row.copy())
+      buf.enqueue(if (owned) row else ownProj(row).copy())
     }
 
   override def update(

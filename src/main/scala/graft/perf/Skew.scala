@@ -63,4 +63,35 @@ object Skew {
         Seq((col("__pos") + 1).cast("int").as("rk")) ++
         fields.map(f => col(s"__row.$f").as(f)): _*)
   }
+
+  /** Ingest-time per-key row CAP: keep at most `k` rows per key, dropping
+    * the rest — the guard for operators whose per-key work is semantically
+    * unsplittable (session windows: a hot user IS one window partition on
+    * any layout, bucketed or not, and AQE cannot split it; SkewRehearsal's
+    * measured honest limit). Built on the same bounded heap as
+    * [[topKPerKey]], so the cap itself is skew-immune: a pathological key
+    * reduces to k rows per input partition BEFORE the shuffle.
+    *
+    * `orderCols` pick WHICH k rows survive, descending-first (the
+    * [[topKPerKey]] convention — negate a column to keep the smallest);
+    * ties beyond `orderCols` are broken by the remaining columns' values,
+    * so the survivor set is deterministic, never scheduler-dependent. All
+    * original columns come back unchanged; every column must be orderable
+    * (the aggregate's analysis check refuses maps by name).
+    *
+    * DATA-LOSS CONTRACT: rows beyond k per key are gone — this is a
+    * deliberate completeness-for-boundedness trade the CALLER owns. Run
+    * [[keyHistogram]] first and pick k above the legitimate-user quantile
+    * so only pathological keys (bots, test rigs, log loops) are clipped;
+    * report the clipped share ([[graft.perf.SkewRehearsal]] does). */
+  def capPerKey(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    val payloadCols = df.columns.toSeq
+    val order = struct((orderCols :+
+      struct(payloadCols.map(col): _*).as("__row")): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TopKFunctions.topKStruct(order, k).as("__topk"))
+      .select(explode(col("__topk")).as("__o"))
+      .select(payloadCols.map(c => col(s"__o.__row.$c").as(c)): _*)
+  }
 }

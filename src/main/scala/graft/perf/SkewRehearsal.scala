@@ -94,17 +94,33 @@ object SkewRehearsal {
     def events(adv: Boolean): DataFrame =
       if (adv) spark.table("skew_adv_events") else spark.table("events")
 
-    def sessionize(adv: Boolean): DataFrame =
+    // round-12 task 3 — the session-window guard: sessions are per-user
+    // and semantically unsplittable, so the only scale lever is capping
+    // pathological users at ingest. Cap self-sizes to the p99.9 of the
+    // per-user event count (legitimate users keep everything; only the
+    // Zipf head clips), applied here corpus-wide — the batch stand-in for
+    // the per-batch cap the streaming ingest wires
+    // (EventsStream.rollupStep / DocsStream.routeStep maxPer* options).
+    val cap = math.max(1L, spark.table("events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(expr("percentile_approx(n, 0.999)")).collect()(0).getLong(0))
+    def cappedEvents(adv: Boolean): DataFrame = Skew.capPerKey(
+      events(adv), Seq("user_id"),
+      Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), cap.toInt)
+    val keptShare = cappedEvents(adv = false).count().toDouble / total
+
+    def sessionizeOf(ev: DataFrame): DataFrame =
       graft.ext.Sessionize.withSessionIds(
-        events(adv).select(col("user_id"), col("event_id"),
+        ev.select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("us")))
         .groupBy(col("user_id"), col("sess_id"))
         .agg(count(lit(1)).as("n_events"), min(col("us")).as("s_us"),
           max(col("us")).as("e_us"))
+    def sessionize(adv: Boolean): DataFrame = sessionizeOf(events(adv))
 
-    def paths(adv: Boolean): DataFrame = {
+    def pathsOf(ev: DataFrame): DataFrame = {
       val sess = graft.ext.Sessionize.withSessionIds(
-        events(adv).select(col("user_id"), col("event_id"),
+        ev.select(col("user_id"), col("event_id"),
           col("event_type"), unix_micros(col("ts")).as("us")))
       val ws = Window.partitionBy(col("user_id"), col("sess_id"))
         .orderBy(col("us"), col("event_id"))
@@ -115,6 +131,7 @@ object SkewRehearsal {
           "struct(rn, event_type))), x -> x.event_type)"), ">").as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
     }
+    def paths(adv: Boolean): DataFrame = pathsOf(events(adv))
 
     def userRank(adv: Boolean): DataFrame = {
       val w = Window.partitionBy(col("user_id"))
@@ -176,7 +193,10 @@ object SkewRehearsal {
         .select(col("user_id"), col("rk"), col("event_type"), col("value"))
 
     val queries: Seq[(String, Boolean => DataFrame)] = Seq(
-      ("sessionize", sessionize), ("paths", paths), ("user_rank", userRank),
+      ("sessionize", sessionize), ("paths", paths),
+      ("sessionize_capped", adv => sessionizeOf(cappedEvents(adv))),
+      ("paths_capped", adv => pathsOf(cappedEvents(adv))),
+      ("user_rank", userRank),
       ("user_rank_agg", userRankAgg), ("user_rank_topk", userRankTopK),
       ("hot_agg", hotAgg), ("hot_join", hotJoin),
       ("hot_join_salted", hotJoinSalted))
@@ -216,6 +236,8 @@ object SkewRehearsal {
       s""""buckets":$buckets,"runs":$runs,""" +
       s""""top_user_share":${BigDecimal(topShare).setScale(4,
         BigDecimal.RoundingMode.HALF_UP)},"n_events":$total,""" +
+      s""""user_cap_p999":$cap,"cap_kept_share":${BigDecimal(keptShare)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)},""" +
       s""""adv_write_sec":${BigDecimal(writeSec).setScale(1,
         BigDecimal.RoundingMode.HALF_UP)},""" +
       s""""plain_sec":${obj(plainT)},"advised_sec":${obj(advT)},""" +

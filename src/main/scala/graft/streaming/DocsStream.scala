@@ -81,18 +81,29 @@ object DocsStream {
     * partition discovery ([[StreamingSpec]] pins replay ≡ once). */
   def route(docs: DataFrame, acceptPath: String, rejectPath: String,
       checkpoint: String, minTokens: Long = 5, minStopword: Double = 0.0,
-      maxStopword: Double = 1.0): org.apache.spark.sql.streaming.StreamingQuery =
+      maxStopword: Double = 1.0, maxPerSource: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch(routeStep(acceptPath, rejectPath, minTokens,
-        minStopword, maxStopword))
+        minStopword, maxStopword, maxPerSource))
       .start()
 
   /** The per-batch body of [[route]], exposed so crash-replay (same
-    * batchId twice) is directly testable. */
+    * batchId twice) is directly testable.
+    *
+    * `maxPerSource` is the round-12 ingest cap (the session-window skew
+    * guard applied at the document gate): at most k quality-passing docs
+    * per source per BATCH reach the accept sink — the k smallest doc_ids,
+    * picked by the skew-immune bounded heap
+    * ([[graft.perf.Skew.capPerKey]]); the overflow goes to the REJECT sink
+    * with reason `source_cap`, so the cap loses nothing silently — clipped
+    * docs are inspectable and replayable with a raised cap, the same
+    * contract as every other reject reason. */
   private[graft] def routeStep(acceptPath: String, rejectPath: String,
-      minTokens: Long, minStopword: Double, maxStopword: Double)
+      minTokens: Long, minStopword: Double, maxStopword: Double,
+      maxPerSource: Option[Int] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val e = enrich(batch)
       .withColumn("reject_reason",
@@ -101,9 +112,17 @@ object DocsStream {
           .when(col("stopword_ratio") > maxStopword, "stopword_high"))
       .cache()
     try {
-      e.filter(col("reject_reason").isNull).drop("reject_reason")
-        .write.mode("overwrite").parquet(s"$acceptPath/batch=$batchId")
-      e.filter(col("reject_reason").isNotNull)
+      val pass = e.filter(col("reject_reason").isNull).drop("reject_reason")
+      val accepted = maxPerSource.fold(pass)(k =>
+        graft.perf.Skew.capPerKey(
+          pass, Seq("source"), Seq(negate(col("doc_id"))), k))
+      // multiset difference, not an id anti-join: correct even if a batch
+      // carries duplicate doc_ids
+      val capped = maxPerSource.map(_ => pass.exceptAll(accepted)
+        .withColumn("reject_reason", lit("source_cap")))
+      accepted.write.mode("overwrite").parquet(s"$acceptPath/batch=$batchId")
+      val rejects = e.filter(col("reject_reason").isNotNull)
+      capped.fold(rejects)(rejects.unionByName(_))
         .write.mode("overwrite").parquet(s"$rejectPath/batch=$batchId")
     } finally { e.unpersist(); () }
   }

@@ -356,11 +356,12 @@ object EventsStream {
     * `_SUCCESS`) is invisible to readers and overwritten by the replay.
     * Read the current state with [[rollupState]]. */
   def incrementalRollup(events: DataFrame, statePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, maxPerUser: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(rollupStep(statePath))
+      .foreachBatch(rollupStep(statePath, maxPerUser))
       .start()
 
   /** Latest complete snapshot (id, dir) under the state root. */
@@ -379,9 +380,21 @@ object EventsStream {
       spark.read.parquet(dir.toString) }
 
   /** The per-batch body of [[incrementalRollup]], exposed so crash-replay
-    * (same batchId twice) is directly testable. */
-  private[graft] def rollupStep(statePath: String)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    * (same batchId twice) is directly testable.
+    *
+    * `maxPerUser` is the round-12 ingest cap (the session-window skew
+    * guard): at most k events per user per BATCH fold into the rollup,
+    * keeping the EARLIEST k by (ts, event_id) via the skew-immune bounded
+    * heap ([[graft.perf.Skew.capPerKey]] — a Zipf-hot user reduces to k
+    * rows per input partition before any shuffle). Deliberate, documented
+    * data loss: events beyond the cap never reach the state — size k off
+    * [[graft.perf.Skew.keyHistogram]] so only pathological users clip. */
+  private[graft] def rollupStep(statePath: String,
+      maxPerUser: Option[Int] = None)
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
+    val batch = maxPerUser.fold(batch0)(k => graft.perf.Skew.capPerKey(
+      batch0, Seq("user_id"),
+      Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), k))
     val spark = batch.sparkSession
     val root = new java.io.File(statePath)
     root.mkdirs()

@@ -497,6 +497,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerKey keeps exactly the first-k rows per key, all columns intact") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+    // hot key planted as in the topKPerKey pin; event_id is unique, so the
+    // window form is an exact expectation
+    val hot = ev.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) =!= 0, lit(-1L))
+        .otherwise(col("user_id")))
+    for (k <- Seq(1, 7)) {
+      // "earliest k per user" — the ingest-cap shape (ts, event_id asc)
+      val capped = graft.perf.Skew.capPerKey(hot, Seq("user_id"),
+        Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), k)
+      assert(capped.columns.toSeq == hot.columns.toSeq,
+        "cap must return the original columns unchanged")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val expected = hot.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+      assert(capped.exceptAll(expected).isEmpty &&
+        expected.exceptAll(capped).isEmpty,
+        s"cap k=$k diverges from the earliest-k window form")
+    }
+    // skew immunity is structural here too: partial heap before the shuffle
+    val plan = graft.perf.Skew.capPerKey(hot, Seq("user_id"),
+      Seq(negate(col("event_id"))), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_struct"),
+      s"no partial top_k_struct phase in:\n$plan")
+  }
+
   test("prepare with benchmark decontamination ≡ prepare then filter leaked ids") {
     import graft.ext.{CorpusPipeline, Dedup}
     val base = docs.select("doc_id", "text")

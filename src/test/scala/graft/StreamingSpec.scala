@@ -314,6 +314,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("route per-source cap clips overflow to the reject sink, losing nothing") {
+    import org.apache.spark.sql.expressions.Window
+    val accept = java.nio.file.Files.createTempDirectory("graft-cap-acc").toString
+    val reject = java.nio.file.Files.createTempDirectory("graft-cap-rej").toString
+    val batch = Tables(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    DocsStream.routeStep(accept, reject, 5, 0.0, 1.0, Some(3))(batch, 0L)
+    val acc = spark.read.parquet(accept)
+    val rej = spark.read.parquet(reject)
+    // accounting: every input doc lands exactly once across the two sinks
+    assert(acc.count() + rej.count() == batch.count(),
+      "cap lost or duplicated rows")
+    // at most k accepted per source; overflow carries the cap reason
+    assert(acc.groupBy("source").count()
+      .filter(col("count") > 3).count() == 0)
+    val capped = rej.filter(col("reject_reason") === "source_cap")
+    assert(capped.count() > 0, "fixture should overflow a 3-per-source cap")
+    // the survivors are exactly the k smallest doc_ids among gate-passers
+    val pass = DocsStream.enrich(batch).filter(col("n_tokens") >= 5)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val expected = pass.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3).select("doc_id")
+    assert(acc.select("doc_id").exceptAll(expected).isEmpty &&
+      expected.exceptAll(acc.select("doc_id")).isEmpty,
+      "cap kept different docs than the earliest-k-per-source contract")
+    // clipped docs are gate-PASSING docs (the cap never relabels a
+    // quality reject) and are replayable: reasons partition cleanly
+    assert(rej.filter(col("reject_reason").isNull).count() == 0)
+    assert(capped.select("doc_id").exceptAll(pass.select("doc_id")).isEmpty)
+  }
+
+  test("rollup per-user cap folds exactly the earliest-k events per user per batch") {
+    import org.apache.spark.sql.types.DecimalType
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft-cap-rollup").toString
+    val ev = Tables(spark, sf, "events")
+    EventsStream.rollupStep(statePath, Some(5))(ev, 0L)
+    val state = EventsStream.rollupState(spark, statePath).get
+      .select(col("event_type"), col("day"), col("n"),
+        col("sv").cast("double").as("sv"))
+    val expected = graft.perf.Skew.capPerKey(ev, Seq("user_id"),
+      Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), 5)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        col("value").cast(DecimalType(18, 6)).as("v"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sv"))
+    assert(state.exceptAll(expected).isEmpty &&
+      expected.exceptAll(state).isEmpty,
+      "capped rollup diverges from the capped-batch fold")
+    // the cap actually clipped something in the fixture
+    val full = ev.count()
+    val kept = graft.perf.Skew.capPerKey(ev, Seq("user_id"),
+      Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), 5).count()
+    assert(kept < full, "fixture should overflow a 5-per-user cap")
+  }
+
   test("stream-static enrichment join matches the batch join") {
     import spark.implicits._
     val batch = Tables(spark, sf, "events")
