@@ -159,33 +159,56 @@ object Tables {
       val advName = s"adv_$name"
       val loc = java.nio.file.Paths.get(warehouse, advName)
       val marker = loc.resolve("_graft_layout")
-      val want = s"""{"dir":"$dir","buckets":$buckets}"""
-      val markerOk = java.nio.file.Files.exists(marker) &&
-        java.nio.file.Files.readString(marker) == want
+      // marker identity = (dir, REQUESTED buckets); the guard's raised
+      // bucket count and skew telemetry ride as extra fields so reattach
+      // never has to re-scan the data (the "," terminator keeps a
+      // requested-3 probe from prefix-matching a stored-32 marker)
+      val base = s"""{"dir":"$dir","buckets":$buckets"""
+      val stored = if (java.nio.file.Files.exists(marker))
+        Some(java.nio.file.Files.readString(marker)) else None
+      val markerOk = stored.exists(m =>
+        m == base + "}" || m.startsWith(base + ","))
+      def effBuckets = stored.flatMap(m =>
+        """"eff_buckets":(\d+)""".r.findFirstMatchIn(m)
+          .map(_.group(1).toInt)).getOrElse(buckets)
       def advisedDf = withDerivedAxes(name, plainTable(spark, dir, name))
       if (markerOk && spark.catalog.tableExists(advName)) {
         // this session already attached this exact layout
       } else if (markerOk) {
-        // files on disk match: reattach metadata only
+        // files on disk match: reattach metadata only, at the bucket count
+        // the files were WRITTEN with (the guard may have raised it)
         val partClause = if (partCols.nonEmpty)
           s"PARTITIONED BY (${partCols.mkString(", ")}) " else ""
         spark.sql(s"DROP TABLE IF EXISTS $advName")
         spark.sql(s"CREATE TABLE $advName (${advisedDf.schema.toDDL}) " +
           s"USING parquet $partClause" +
           s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
-          s"INTO $buckets BUCKETS LOCATION '${loc.toUri}'")
+          s"INTO $effBuckets BUCKETS LOCATION '${loc.toUri}'")
         if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $advName")
       } else {
         spark.sql(s"DROP TABLE IF EXISTS $advName")
         graft.perf.Measure.deleteRecursively(loc.toString)
         val t0 = System.nanoTime()
+        // write-time hot-bucket guard (round 12): diagnose the bucket key's
+        // skew BEFORE committing to a layout — a Zipf-hot key exceeding 2
+        // fair-bucket loads gets the bucket count raised so bystander keys
+        // spread out (the hot key itself is unsplittable by bucketing; see
+        // PartitionAdvisor.skewGuard for the honest mechanics)
+        val guard = graft.model.PartitionAdvisor.skewGuard(
+          advisedDf, bucketCol, buckets)
         // external table (explicit location): the files must outlive this
         // session's in-memory catalog entry or reattach has nothing to find
         graft.model.PartitionAdvisor.writeLayout(advisedDf,
-          graft.model.TableLayout(name, partCols, Seq(bucketCol), buckets,
-            "advised spine layout"), advName, Some(loc.toString))
+          graft.model.TableLayout(name, partCols, Seq(bucketCol),
+            guard.effectiveBuckets, "advised spine layout"),
+          advName, Some(loc.toString))
         writeSec += (System.nanoTime() - t0) / 1e9
-        java.nio.file.Files.writeString(marker, want)
+        java.nio.file.Files.writeString(marker, base +
+          s""","eff_buckets":${guard.effectiveBuckets}""" +
+          s""","bucket_key_top_share":${BigDecimal(guard.topShare)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)}""" +
+          s""","hot_ratio":${BigDecimal(guard.hotRatio)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP)}}""")
       }
       // swap the standing view; derived partition axes stay internal so the
       // advised mode is output-schema-invisible to every registry query

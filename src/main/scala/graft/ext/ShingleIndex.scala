@@ -167,8 +167,11 @@ object ShingleIndex {
       // match, and an in-flight append token (a crashed append: contents
       // unknown) must never be reattached
       val m = readMarker(spark)
+      // base + "," — a bare prefix would let a requested-buckets=3 probe
+      // match a stored-buckets=32 marker (every stored marker continues
+      // with ",", so this is exact on all three identity fields)
       val markerOk = m.exists { mm =>
-        mm.startsWith(base) && !isPoisoned(mm) &&
+        mm.startsWith(base + ",") && !isPoisoned(mm) &&
           (!withBands || sigSpec(mm).contains((k, nBands, rowsPerBand)))
       }
       if (markerOk && spark.catalog.tableExists(tableName) &&
@@ -295,7 +298,7 @@ object ShingleIndex {
   def shinglesFor(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     synchronized {
       val fresh = readMarker(spark).exists { m =>
-        m.contains(s""""dir":"$dir"""") && m.contains(s""""n":$n""") &&
+        m.contains(s""""dir":"$dir"""") && m.contains(s""""n":$n,""") &&
           m.contains(""""appends":0""") && !isPoisoned(m)
       }
       if (fresh) {
@@ -318,7 +321,7 @@ object ShingleIndex {
     synchronized {
       readMarker(spark).flatMap { m =>
         val ok = m.startsWith(markerBase(tag, n,
-          intField(m, "buckets").getOrElse(-1))) && !isPoisoned(m)
+          intField(m, "buckets").getOrElse(-1)) + ",") && !isPoisoned(m)
         sigSpec(m).filter(_ => ok).map { case (k, nBands, rowsPerBand) =>
           if (!spark.catalog.tableExists(tableName) ||
               !spark.catalog.tableExists(bandsTableName)) {

@@ -183,14 +183,15 @@ object SkewRehearsal {
     // the PRODUCTION mitigation: the library's bounded top-k aggregate
     // (Skew.topKPerKey / TopKStructAgg) — one pass for any k, vs the
     // k-pass max trick above
-    def userRankTopK(adv: Boolean): DataFrame =
+    def userRankTopKOf(ev: DataFrame): DataFrame =
       Skew.topKPerKey(
-        events(adv).select(col("user_id"), col("value"), col("event_id"),
+        ev.select(col("user_id"), col("value"), col("event_id"),
           col("event_type")),
         Seq("user_id"),
         struct(col("value"), negate(col("event_id")).as("nid"),
           col("event_type")), 2)
         .select(col("user_id"), col("rk"), col("event_type"), col("value"))
+    def userRankTopK(adv: Boolean): DataFrame = userRankTopKOf(events(adv))
 
     val queries: Seq[(String, Boolean => DataFrame)] = Seq(
       ("sessionize", sessionize), ("paths", paths),
@@ -228,6 +229,38 @@ object SkewRehearsal {
     val (plainT, plainS) = measure(adv = false)
     val (advT, advS) = measure(adv = true)
 
+    // round-12 task 4: the write-time skew guard's RAISED layout, measured.
+    // Raising cannot split the hot key (hash bucketing is per-key); it
+    // sheds the bystander keys out of the hot bucket — the hot task's load
+    // drops toward the irreducible hotShare floor and everything else
+    // gains parallelism. Measured on the per-user window queries (the
+    // cliff's victims).
+    val guard = graft.model.PartitionAdvisor.skewGuard(
+      spark.table("events"), "user_id", buckets)
+    val (raisedT, raisedS) =
+      if (!guard.hot) (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
+      else {
+        spark.sql("DROP TABLE IF EXISTS skew_adv_events_raised")
+        Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          "skew_adv_events_raised").toString)
+        graft.model.PartitionAdvisor.writeLayout(spark.table("events"),
+          TableLayout("events", Nil, Seq("user_id"), guard.effectiveBuckets,
+            "guard-raised user axis"), "skew_adv_events_raised")
+        val ev = spark.table("skew_adv_events_raised")
+        val rq: Seq[(String, () => DataFrame)] = Seq(
+          ("sessionize", () => sessionizeOf(ev)),
+          ("paths", () => pathsOf(ev)),
+          ("user_rank_topk", () => userRankTopKOf(ev)))
+        val rows = rq.map { case (name, q) =>
+          sink(q())
+          stats.reset()
+          val med = median((1 to runs).map(_ => time(sink(q()))))
+          (name -> med, name -> stats.worstStraggler())
+        }
+        (rows.map(_._1), rows.map(_._2))
+      }
+
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) =>
         "\"" + k + "\":" + BigDecimal(v).setScale(3,
@@ -241,7 +274,9 @@ object SkewRehearsal {
       s""""adv_write_sec":${BigDecimal(writeSec).setScale(1,
         BigDecimal.RoundingMode.HALF_UP)},""" +
       s""""plain_sec":${obj(plainT)},"advised_sec":${obj(advT)},""" +
-      s""""plain_straggler":${obj(plainS)},"advised_straggler":${obj(advS)}}""")
+      s""""plain_straggler":${obj(plainS)},"advised_straggler":${obj(advS)},""" +
+      s""""guard_hot":${guard.hot},"guard_eff_buckets":${guard.effectiveBuckets},""" +
+      s""""raised_sec":${obj(raisedT)},"raised_straggler":${obj(raisedS)}}""")
     spark.stop()
   }
 }

@@ -79,4 +79,83 @@ class AdvisorSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS adv_bseg")
     }
   }
+
+  test("write-time skew guard: a planted hot key raises buckets and lands in the marker") {
+    import org.apache.spark.sql.functions._
+    // unit surface first: benign key → no raise; hot key → power-of-2 raise
+    val ev = Tables(spark, sf, "events")
+    val benign = PartitionAdvisor.skewGuard(ev, "user_id", 4)
+    assert(!benign.hot && benign.effectiveBuckets == 4,
+      s"fixture user axis should be benign, got $benign")
+    val hotDf = ev.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) =!= 0, lit(-1L))
+        .otherwise(col("user_id")))
+    val hot = PartitionAdvisor.skewGuard(hotDf, "user_id", 4)
+    assert(hot.hot && hot.topShare > 0.7 && hot.hotRatio > 2.0,
+      s"planted 80% key not diagnosed: $hot")
+    assert(hot.effectiveBuckets == 8, // ceil(3.2/2)=2 → next pow2 = 2 → 4×2
+      s"expected a 2x raise, got $hot")
+
+    // production path: a corpus dir whose events table carries the hot key
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skewdir")
+    try {
+      for (n <- Tables.names if n != "events")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sf/$n.parquet"),
+          tmp.resolve(s"$n.parquet"))
+      hotDf.coalesce(1).write.parquet(tmp.resolve("events.parquet").toString)
+
+      val writeSec = Tables.registerAdvised(spark, tmp.toString, buckets = 4)
+      assert(writeSec > 0.0)
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      def marker(t: String): String = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(warehouse, t, "_graft_layout"))
+      // the hot axis is recorded and the layout was written RAISED
+      val m = marker("adv_events")
+      assert(m.contains(""""eff_buckets":8"""), s"adv_events marker: $m")
+      assert(""""bucket_key_top_share":0\.(7|8)""".r
+        .findFirstIn(m).isDefined, s"top share missing/wrong in: $m")
+      assert(m.contains(""""hot_ratio":3."""), s"hot ratio missing in: $m")
+      // benign tables keep the requested count
+      assert(marker("adv_orders").contains(""""eff_buckets":4"""))
+      val desc = spark.sql("DESCRIBE FORMATTED adv_events").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("Num Buckets").exists(_.trim == "8"),
+        s"table not written at the raised count: ${desc.get("Num Buckets")}")
+
+      // reattach honors the RAISED count without re-scanning
+      spark.sql("DROP TABLE adv_events")
+      val writeSec2 = Tables.registerAdvised(spark, tmp.toString, buckets = 4)
+      assert(writeSec2 == 0.0, s"reattach must not rewrite (spent $writeSec2)")
+      val desc2 = spark.sql("DESCRIBE FORMATTED adv_events").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc2.get("Num Buckets").exists(_.trim == "8"),
+        "reattach lost the raised bucket count")
+      // the raised layout still satisfies the per-user window distribution
+      val sess = graft.ext.Sessionize.withSessionIds(
+        spark.table("events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us")))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+      sess.queryExecution.toRdd.foreach(_ => ())
+      val plan = sess.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!"Exchange (hash|range|Single)".r.findFirstIn(plan).isDefined,
+        s"raised bucketing broke the window distribution:\n$plan")
+    } finally {
+      Seq("adv_orders", "adv_lineitem", "adv_customer", "adv_events")
+        .foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+            spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+            t).toString)
+        }
+      Tables.registerPlain(spark, sf) // later suites must see plain views
+      graft.perf.Measure.deleteRecursively(tmp.toString)
+    }
+  }
 }
