@@ -24,9 +24,19 @@ final case class Answer(
 
 object AnswerPipeline {
 
+  /** Tokenize with LIGHT PLURAL FOLDING (round 12): "entries"→"entry",
+    * "vendors"→"vendor" — the sidebar battery caught "journal entries"
+    * scoring zero against a "journal entry detail" pattern because the
+    * overlap was exact-string. Folding applies symmetrically to question
+    * and pattern tokens, so it can only align, never skew. */
   private def tokens(s: String): Set[String] =
     s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").split("\\s+")
-      .filter(_.length > 2).toSet
+      .filter(_.length > 2).map(fold).toSet
+
+  private def fold(t: String): String =
+    if (t.length > 4 && t.endsWith("ies")) t.dropRight(3) + "y"
+    else if (t.length > 3 && t.endsWith("s") && !t.endsWith("ss")) t.dropRight(1)
+    else t
 
   /** Discourse fillers stripped from QUESTION tokens before ranking:
     * politeness wrappers and meta-words ("could you tell me …", "… for my
@@ -38,12 +48,27 @@ object AnswerPipeline {
     * legitimate SAP phrasings ("month-end close report", "master data"),
     * and a question-side-only strip lowered the min-normalized overlap
     * asymmetrically — symmetric stripping means a filler word can neither
-    * inflate a match nor starve one. */
+    * inflate a match nor starve one. Round 12 added the interrogative /
+    * imperative frame words (show, list, what, which, the, …): the sidebar
+    * battery showed them costing real matches ("Show headcount by
+    * organizational unit" scored 0.33 — one filler short of the 0.34
+    * threshold its faced sibling cleared). Entries are PRE-FOLD surface
+    * forms; membership is tested on folded tokens, so both forms appear
+    * where folding changes the word. */
   private val discourseFillers = Set(
     "could", "would", "should", "you", "your", "please", "tell", "hey",
     "thanks", "thank", "wondering", "wonder", "need", "know", "give",
     "want", "like", "just", "really", "basically", "kindly", "report",
-    "question", "answer", "info", "data")
+    "question", "answer", "info", "data",
+    "the", "show", "shows", "list", "lists", "display", "displays",
+    "find", "see", "get", "what", "whats", "which", "who", "how",
+    "are", "our", "all", "with", "about", "many", "much", "for",
+    // auxiliaries/demonstratives: "I was wondering, show the …" must score
+    // exactly like the bare question (the sidebar battery caught "was"
+    // diluting an o2c question into an IW49N tie)
+    "was", "were", "has", "have", "had", "does", "did", "will", "can",
+    "this", "that", "these", "those"
+  ).map(fold)
 
   // receivable/payable axis words: a question asking about CUSTOMERS must
   // never route to a vendor-side template (and vice versa) — the one
@@ -59,22 +84,53 @@ object AnswerPipeline {
     if (ar && !ap) 1 else if (ap && !ar) -1 else 0
   }
 
+  /** Validated patterns beyond the reference catalog's 58: templates this
+    * engine ships with full oracle coverage whose business questions the
+    * reference UI asks but whose catalog has no pattern entry (the
+    * reference answers them through its LLM path). Scored identically to
+    * catalog patterns; listed here, not in the generated CatalogData,
+    * because the catalog is reference DATA and must stay parity-exact. */
+  private val supplementaryPatterns: Seq[graft.model.QueryPattern] = Seq(
+    graft.model.QueryPattern("benefits_enrollment_summary",
+      "Benefit enrollment counts by plan type", "BEN",
+      Seq("PA0167", "PA0168"),
+      "Aggregate-only benefits enrollment: count enrollments per benefit plan and plan category."),
+    graft.model.QueryPattern("payroll_period_summary",
+      "Payroll totals by pay period", "PAY",
+      Seq("HRPY_RGDIR"),
+      "Aggregate-only payroll cost per payroll period from the payroll results directory."))
+
   /** Best validated pattern for a question: token-overlap ranking over
     * pattern name + description + business context, requiring a minimum
     * overlap so unrelated questions do not route to a random template.
     * Both token sets are filler-stripped (symmetrically — see
     * [[discourseFillers]]) and cross-axis (AR vs AP) matches are vetoed —
     * both paraphrase-fuzz hardenings. */
-  def bestPattern(question: String, minOverlap: Double = 0.34): Option[String] = {
+  def bestPattern(question: String, minOverlap: Double = 0.34): Option[String] =
+    bestPatternScored(question, minOverlap).map(_._1)
+
+  /** [[bestPattern]] plus its winning overlap score — the score doubles as
+    * routing confidence ([[routeDecision]]'s strong-match override). */
+  def bestPatternScored(question: String,
+      minOverlap: Double = 0.34): Option[(String, Double)] = {
     val qTok = tokens(question) -- discourseFillers
     if (qTok.isEmpty) return None
     val qAxis = axis(qTok)
-    val scored = CatalogData.QueryPatterns
+    val scored = (CatalogData.QueryPatterns ++ supplementaryPatterns)
       .filter(p => SapTemplates.templates.contains(p.name))
       .map { p =>
-        val pTok =
+        val ndTok =
           tokens(s"${p.name.replace('_', ' ')} ${p.description}") --
             discourseFillers
+        // business context CONTRIBUTES to the scoring text (it holds the
+        // axis words the terse descriptions drop — "org unit", "plan type")
+        // but its lift is CAPPED below the strong-evidence bar: contexts
+        // are verbose instructions, and with min-normalization an uncapped
+        // context let top_vendors' context tie the trial-balance question
+        // at 0.667 and win alphabetically (round-12 sidebar battery). The
+        // name+description overlap is the authoritative score; context can
+        // clear the routing threshold, never outrank a real nd match.
+        val ctxTok = tokens(p.businessContext) -- discourseFillers
         // the catalog MODULE is the authoritative AR/AP axis — token
         // sniffing missed patterns like ap_aging whose only payable-side
         // marker is the 2-char "AP" the tokenizer drops (round 11: that
@@ -82,7 +138,7 @@ object AnswerPipeline {
         val pAxis = p.module match {
           case "FI_AR" => 1
           case "FI_AP" => -1
-          case _ => axis(pTok)
+          case _ => axis(ndTok ++ ctxTok)
         }
         // min-normalized overlap with a FLOOR of 2 on the denominator: a
         // one-token pattern (ar_aging ≈ {aging}) would otherwise score a
@@ -90,16 +146,44 @@ object AnswerPipeline {
         // shadow every more-specific template (round 11 — "customer open
         // items with aging buckets" must rank the open-items view above
         // the bare aging rollup)
-        val overlap =
-          if (pTok.isEmpty) 0.0
+        def ov(pt: Set[String]): Double =
+          if (pt.isEmpty) 0.0
           else if (qAxis != 0 && pAxis != 0 && qAxis != pAxis) 0.0
-          else (qTok & pTok).size.toDouble /
-            math.max(2, math.min(qTok.size, pTok.size))
-        p.name -> overlap
+          else (qTok & pt).size.toDouble /
+            math.max(2, math.min(qTok.size, pt.size))
+        val nd = ov(ndTok)
+        val full = ov(ndTok ++ ctxTok)
+        (p.name, math.max(nd, math.min(full, contextCap)), full)
       }
-      .sortBy { case (n, o) => (-o, n) }
-    scored.headOption.collect { case (name, o) if o >= minOverlap => name }
+      // tiebreak capped-equal scores by the uncapped overlap, then name
+      .sortBy { case (n, o, f) => (-o, -f, n) }
+    scored.headOption.collect {
+      case (name, o, _) if o >= minOverlap => (name, o)
+    }
   }
+
+  /** Ceiling on what business-context tokens alone can score (kept below
+    * [[strongOverlap]], so context can never be its own module evidence). */
+  private val contextCap = 0.45
+
+  /** Overlap at which a pattern match is module evidence in its own right:
+    * module detection (reference keyword data) misses some legitimate
+    * phrasings ("Show the month-end close status" names no module keyword),
+    * and the reference handles that by proceeding with ALL modules into its
+    * LLM. The deterministic analog: a match this strong routes even when
+    * the classifier's module slot came up empty (low confidence); weaker
+    * matches still require module corroboration. */
+  private val strongOverlap = 0.5
+
+  /** THE routing gate — the one decision both [[answer]] and the routing
+    * fuzz batteries test: route to a validated template iff a pattern
+    * matches AND (the classifier has module evidence OR the match is strong
+    * enough to be its own evidence). */
+  def routeDecision(question: String, c: Classification): Option[String] =
+    bestPatternScored(question).collect {
+      case (name, score) if c.confidence != "low" || score >= strongOverlap =>
+        name
+    }
 
   /** Answer a question end-to-end. Raw SQL (SELECT/WITH) skips
     * classification and executes directly, like the reference's dev path.
@@ -117,10 +201,11 @@ object AnswerPipeline {
         s"Executed as SQL (${env.rowCount} rows${if (env.hasMore) ", more available" else ""}).")
     }
     val c = HeuristicClassifier.classify(trimmed, history)
-    bestPattern(trimmed)
+    routeDecision(trimmed, c)
       .orElse(if (history.isEmpty) None
-        else bestPattern((history.takeRight(2) :+ trimmed).mkString(" "))) match {
-      case Some(name) if c.confidence != "low" =>
+        else routeDecision(
+          (history.takeRight(2) :+ trimmed).mkString(" "), c)) match {
+      case Some(name) =>
         val df = SapTemplates.run(spark, name)
         val env = ResultEnvelope.fromDataFrame(df, maxRows,
           Some(SapTemplates.templates(name)))

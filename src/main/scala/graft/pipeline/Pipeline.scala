@@ -13,32 +13,72 @@ import graft.model.{Catalog, SemanticModel}
   */
 object ModuleDetector {
 
-  /** Keyword map per module (reference detect_modules keyword scoring,
-    * sap_sql_engine.py:105-190). */
+  /** Keyword map per module — the reference's FULL MODULE_KEYWORDS data
+    * (sap_sql_engine.py:105-168; declared keyword DATA, synced verbatim for
+    * detection parity — round 12 closed the gap where a trimmed list missed
+    * the reference UI's own sidebar phrasings, e.g. "journal entries",
+    * "organizational unit", "payroll cost", "enrollment"). Keywords like
+    * "gl "/"ap " carry the reference's trailing-space word-boundary hack. */
   val keywords: Map[String, Seq[String]] = Map(
-    "FI_GL" -> Seq("journal", "ledger", "gl", "account balance", "trial balance",
-      "posting", "fiscal", "accounting document", "balance sheet"),
-    "FI_AP" -> Seq("vendor", "payable", "supplier invoice", "payment", "aging",
-      "open items", "spend"),
-    "FI_AR" -> Seq("customer", "receivable", "dunning", "customer invoice",
-      "customer aging", "collections"),
-    "CO" -> Seq("cost center", "controlling", "internal order", "actual vs plan",
-      "variance", "cost element", "overhead"),
-    "MM" -> Seq("purchase", "procurement", "material", "goods receipt", "po",
-      "requisition", "inventory", "stock"),
-    "SD" -> Seq("sales", "order to cash", "delivery", "billing", "shipment",
-      "quotation", "revenue"),
-    "PM" -> Seq("maintenance", "work order", "equipment", "breakdown",
-      "operation", "confirmation"),
-    "HR" -> Seq("employee", "headcount", "personnel", "org unit", "position",
-      "hire"),
-    "PAY" -> Seq("payroll", "salary", "wage", "compensation", "pay period"),
-    "BEN" -> Seq("benefit", "enrollment", "health plan", "insurance"))
+    "FI_GL" -> Seq(
+      "general ledger", "gl ", "g/l", "journal entry", "journal entries",
+      "posting", "document number", "bkpf", "bseg", "chart of accounts",
+      "account balance", "trial balance", "fb03", "fbl3n", "fiscal year",
+      "ledger", "glt0", "ska1", "skat", "skb1", "period balance",
+      "financial statement", "account group", "reconciliation",
+      "faglflext", "faglflexa", "asset", "anla", "depreciation"),
+    "FI_AP" -> Seq(
+      "accounts payable", "ap ", "a/p", "vendor", "supplier",
+      "invoice", "payment", "payable", "lfa1", "bsik", "bsak",
+      "fk03", "fbl1n", "rbkp", "rseg", "aging", "overdue",
+      "procure to pay", "vendor master", "xk03"),
+    "FI_AR" -> Seq(
+      "accounts receivable", "fi-ar", "a/r", "customer", "receivable",
+      "bsid", "bsad", "kna1", "knb1", "knvk", "fbl5n",
+      "customer master", "xd03", "collections", "credit memo",
+      "contact person", "customer balance"),
+    "CO" -> Seq(
+      "controlling", "cost center", "cost element", "internal order",
+      "csks", "cosp", "coss", "coep", "cobk", "aufk", "cepc",
+      "ksb1", "kob1", "actual vs plan", "budget", "variance",
+      "overhead", "profit center"),
+    "MM" -> Seq(
+      "material", "purchase order", "procurement", "inventory",
+      "stock", "requisition", "goods receipt", "vendor evaluation",
+      "mara", "makt", "marc", "mard", "ekko", "ekpo", "eban",
+      "me23n", "me2m", "me5a", "mb51", "mbew", "warehouse",
+      "storage location", "bom", "bill of material",
+      "three way match", "3-way match"),
+    "SD" -> Seq(
+      "sales", "sales order", "delivery", "billing", "revenue",
+      "vbak", "vbap", "likp", "lips", "vbrk", "vbrp",
+      "va03", "vf03", "backlog", "order to cash",
+      "shipping", "customer sales"),
+    "PM" -> Seq(
+      "maintenance", "equipment", "work order", "plant maintenance",
+      "aufk", "afih", "afko", "afvc", "afru", "equi", "eqkt",
+      "iw49n", "functional location", "breakdown", "preventive",
+      "maintenance plan", "ip03", "notification"),
+    "HR" -> Seq(
+      "human resources", "employee", "headcount", "personnel",
+      "pa0001", "pa0002", "pa0006", "pa0008", "pa0014",
+      "organizational unit", "personnel area", "hire date",
+      "employee group", "employee subgroup"),
+    "PAY" -> Seq(
+      "payroll", "salary", "wage", "compensation", "pay scale",
+      "hrpy_rgdir", "t511", "t512t", "earnings",
+      "payroll cost", "wage type"),
+    "BEN" -> Seq(
+      "benefit", "enrollment", "health plan", "insurance",
+      "pa0167", "pa0168", "pa0169", "benefit plan",
+      "savings plan", "benefit option"))
 
   /** Score modules by keyword hits, ranked desc; empty → all modules
-    * (reference fallback). */
+    * (reference fallback). Hyphens normalize to spaces first so the
+    * reference UI's own "order-to-cash" / "procure-to-pay" phrasings hit
+    * the space-separated keywords ("month-end" similarly tokenizes). */
   def detect(question: String): Seq[String] = {
-    val q = question.toLowerCase
+    val q = question.toLowerCase.replace('-', ' ')
     val scored = keywords.toSeq
       .map { case (m, kws) => m -> kws.count(q.contains) }
       .filter(_._2 > 0)

@@ -81,9 +81,14 @@ object NlFaces {
     nlFace("vendor_open_items",
       "Show all open vendor items (unpaid invoices)",
       "Unpaid vendor invoices by vendor name", "q_tmpl_open_cleared_union"),
+    // round 12: the scoring rework (plural folding — "orders"→"order" now
+    // hits) settled this question on the orders-with-cancelled-operations
+    // view, the family sibling that actually carries the "work order
+    // details" the question asks for; conscious pin update, mirrored in
+    // ParaphraseFuzzSpec
     nlFace("cancelled_operations",
       "Show cancelled maintenance operations with work order details",
-      "cancelled_operations_iw49n", "q_tmpl_cancelled_operations"),
+      "tcode_iw49n_orders_with_cancelled_operations", "q_tmpl_cancelled_operations"),
     nlFace("three_way_match",
       "Show the three-way match for purchase orders",
       "three_way_match", "q_tmpl_three_way_match"),

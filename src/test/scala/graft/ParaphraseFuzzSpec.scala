@@ -15,11 +15,10 @@ import graft.intent.{AnswerPipeline, HeuristicClassifier}
   * template. */
 class ParaphraseFuzzSpec extends AnyFunSuite {
 
-  /** The routing decision AnswerPipeline.answer makes before execution. */
-  private def route(q: String): Option[String] = {
-    val c = HeuristicClassifier.classify(q)
-    AnswerPipeline.bestPattern(q).filter(_ => c.confidence != "low")
-  }
+  /** The routing decision AnswerPipeline.answer makes before execution —
+    * the production gate itself (routeDecision), not a re-derivation. */
+  private def route(q: String): Option[String] =
+    AnswerPipeline.routeDecision(q, HeuristicClassifier.classify(q))
 
   private def lcFirst(s: String): String =
     if (s.isEmpty) s else s.head.toLower +: s.tail
@@ -59,10 +58,13 @@ class ParaphraseFuzzSpec extends AnyFunSuite {
       "tcode_fbl5n_customer_overdue", Set.empty[String]),
     ("Show all open vendor items (unpaid invoices)",
       "Unpaid vendor invoices by vendor name", Set.empty[String]),
+    // round 12: plural folding settled this on the orders-with-cancelled-
+    // operations sibling (it carries the asked-for work order details);
+    // NlFaces pins the same name
     ("Show cancelled maintenance operations with work order details",
-      "cancelled_operations_iw49n",
+      "tcode_iw49n_orders_with_cancelled_operations",
       Set("tcode_iw49n_cancelled_operations",
-        "tcode_iw49n_orders_with_cancelled_operations")),
+        "cancelled_operations_iw49n")),
     ("Show the three-way match for purchase orders",
       "three_way_match", Set.empty[String]),
     ("What is the record-to-report month-end close status?",
@@ -105,6 +107,129 @@ class ParaphraseFuzzSpec extends AnyFunSuite {
       assert(stillRouted * 2 >= ms.size,
         s"only $stillRouted/${ms.size} paraphrases still route to $expected: " +
           outcomes.collect { case (l, _, None) => l }.mkString(", "))
+    }
+
+  // ── round-12 task 5: the FULL 27-button sidebar surface ──────────────────
+  // Every example question the reference UI ships
+  // (/root/reference/sap_sql_ui.html:1693-1734), verbatim, with its declared
+  // routing outcome: the expected template, the template FAMILY whose members
+  // answer the same business question at different granularity, or None for
+  // questions no validated template covers (the reference hands those to its
+  // LLM; our deterministic router must disambiguate, never guess). The
+  // invariant for every question AND every paraphrase mutation: route inside
+  // the declared family or not at all — never to a different business
+  // question.
+  private val sidebar: Seq[(String, Option[String], Set[String])] = {
+    val iw49nFamily = Set("cancelled_operations_iw49n",
+      "tcode_iw49n_cancelled_operations",
+      "tcode_iw49n_orders_with_cancelled_operations",
+      "tcode_iw49n_cancelled_by_equipment", "order_operations_iw49n")
+    val fbl5nOpenFamily = Set("tcode_fbl5n", "tcode_fbl5n_customer_open_items",
+      "tcode_fbl5n_open_items_by_customer", "open_ar_items",
+      "tcode_fbl5n_customer_aging_bucket", "ar_aging")
+    val ksb1Family = Set("tcode_ksb1_cost_center_actual_line_items",
+      "tcode_ksb1_cost_center_postings_by_year",
+      "tcode_ksb1_cost_center_by_cost_element", "cost_center_spend")
+    val o2cFamily = Set("order_to_cash_trace", "value_chain_order_to_cash_trace",
+      "value_chain_o2c_pipeline_summary", "value_chain_o2c_cycle_time")
+    val p2pFamily = Set("procure_to_pay_trace", "value_chain_procure_to_pay_trace",
+      "value_chain_p2p_pipeline_summary", "value_chain_p2p_cycle_time")
+    Seq(
+      // FI_GL
+      ("What is the trial balance for company code 1000?",
+        Some("value_chain_trial_balance"), Set("trial_balance")),
+      ("Show journal entries posted in March 2026",
+        Some("journal_entry_detail"), Set("tcode_fb03")),
+      // FI_AP
+      ("Who are our top 10 vendors by total spend?",
+        Some("top_vendors_by_spend"), Set("vendor_spend_by_quarter")),
+      ("Show all open vendor items (unpaid invoices)",
+        Some("Unpaid vendor invoices by vendor name"),
+        Set("open_ap_items", "tcode_fbl1n")),
+      // FI_AR — FBL5N
+      ("Show customer open items with aging buckets",
+        Some("tcode_fbl5n_customer_open_items"), fbl5nOpenFamily),
+      ("Which customers have overdue invoices past 60 days?",
+        Some("tcode_fbl5n_customer_overdue"), Set.empty),
+      ("What is the total outstanding receivables by customer?",
+        Some("tcode_fbl5n_customer_outstanding_receivables"), Set.empty),
+      ("Show open items for customer 1001 with document dates",
+        Some("open_ar_items"), fbl5nOpenFamily),
+      // CO — KSB1
+      ("Show cost center actual vs plan variance",
+        Some("tcode_ksb1_actual_vs_plan_variance"),
+        Set("cost_center_actual_vs_plan")),
+      ("What are the actual line items for cost center 1000?",
+        Some("tcode_ksb1_cost_center_actual_line_items"), ksb1Family),
+      ("Show actual postings to cost center 4100 in 2026",
+        Some("tcode_ksb1_cost_center_actual_line_items"), ksb1Family),
+      ("Show cost center spending by cost element",
+        Some("tcode_ksb1_cost_center_by_cost_element"), ksb1Family),
+      // MM
+      ("Show purchase orders over $50,000 that are still open",
+        Some("Purchase orders over threshold value"),
+        Set("purchase_order_status", "tcode_me2m", "tcode_me23n")),
+      ("What materials are below reorder point?", None, Set.empty),
+      // SD
+      ("What sales orders were created in Q1 2026?",
+        Some("sales_orders_by_period"), Set.empty),
+      ("Show the order-to-cash pipeline status",
+        Some("order_to_cash_trace"), o2cFamily),
+      ("Trace the O2C cycle for a sales order",
+        Some("value_chain_order_to_cash_trace"), o2cFamily),
+      // PM — IW49N
+      ("Show cancelled maintenance operations with work order details",
+        Some("tcode_iw49n_orders_with_cancelled_operations"), iw49nFamily),
+      ("Which work orders have cancelled operations and why?",
+        Some("tcode_iw49n_orders_with_cancelled_operations"), iw49nFamily),
+      ("List cancelled operations for plant 1000 with cancellation reasons",
+        Some("tcode_iw49n_cancelled_by_equipment"), iw49nFamily),
+      ("Show equipment maintenance history",
+        Some("equipment_maintenance_history"), Set.empty),
+      // HR / PAY / BEN
+      ("Show headcount by organizational unit",
+        Some("employee_headcount"), Set.empty),
+      ("What is the total payroll cost by cost center?",
+        Some("payroll_period_summary"), Set("payroll_by_department")),
+      ("Show benefit enrollment counts by plan type",
+        Some("benefits_enrollment_summary"), Set.empty),
+      // Value chains
+      ("Show the procure-to-pay pipeline",
+        Some("procure_to_pay_trace"), p2pFamily),
+      ("What is our order-to-cash cycle time?",
+        Some("value_chain_o2c_cycle_time"), o2cFamily),
+      ("Show the month-end close status",
+        Some("value_chain_record_to_report_close_status"),
+        Set("value_chain_r2r_co_reconciliation")))
+  }
+
+  test("sidebar battery covers all 27 reference UI questions") {
+    assert(sidebar.size == 27)
+  }
+
+  for (((question, expected, family), i) <- sidebar.zipWithIndex)
+    test(f"sidebar ${i + 1}%02d routes inside its family: " +
+        question.take(48)) {
+      val ok = family ++ expected
+      expected match {
+        case Some(e) =>
+          assert(route(question).contains(e),
+            s"base phrasing routes to ${route(question)}, declared $e")
+        case None =>
+          assert(route(question).isEmpty,
+            s"no-template question routed to ${route(question)}")
+      }
+      val ms = mutations(question)
+      val outcomes = ms.map { case (label, m) => (label, m, route(m)) }
+      for ((label, m, got) <- outcomes)
+        assert(got.forall(ok.contains),
+          s"[$label] '$m' routed to $got — outside the declared family $ok")
+      if (expected.isDefined) {
+        val stillRouted = outcomes.count(_._3.exists(ok.contains))
+        assert(stillRouted * 2 >= ms.size,
+          s"only $stillRouted/${ms.size} paraphrases still route: " +
+            outcomes.collect { case (l, _, None) => l }.mkString(", "))
+      }
     }
 
   test("non-domain questions never route to a template") {

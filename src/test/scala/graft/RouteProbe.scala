@@ -10,7 +10,8 @@ object RouteProbe {
   def main(args: Array[String]): Unit =
     args.foreach { q =>
       val c = HeuristicClassifier.classify(q)
-      println(s"[probe] conf=${c.confidence} route=" +
-        s"${AnswerPipeline.bestPattern(q)} '$q'")
+      println(s"[probe] conf=${c.confidence} " +
+        s"scored=${AnswerPipeline.bestPatternScored(q)} " +
+        s"route=${AnswerPipeline.routeDecision(q, c)} '$q'")
     }
 }
