@@ -18,13 +18,19 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object AudioCodec {
 
-  /** Encode mono 16-bit signed PCM samples (values in [-32768, 32767]) as a
+  /** Encode 16-bit signed PCM samples (values in [-32768, 32767]) as a
     * WAV container at `sampleRate` Hz, little-endian — the canonical
-    * PCM16LE WAV every audio tool reads. */
-  def encodePcm16Wav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    * PCM16LE WAV every audio tool reads. `channels > 1` takes the samples
+    * CHANNEL-INTERLEAVED in frame order (L R L R …), the WAV wire layout
+    * (round 12 widened from mono — real corpora are stereo). */
+  def encodePcm16Wav(sampleRate: Int, samples: Array[Int],
+      channels: Int = 1): Array[Byte] = {
     require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    require(channels > 0, s"channels must be positive, got $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples do not interleave into $channels channels")
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat, false)
     val bytes = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -38,7 +44,7 @@ object AudioCodec {
       i += 1
     }
     val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt,
-      samples.length.toLong)
+      (samples.length / channels).toLong) // AudioInputStream length is FRAMES
     val bos = new ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray

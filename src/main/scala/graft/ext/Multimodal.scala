@@ -307,18 +307,64 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STEREO sibling of [[audioPayload]] (round 12): two deterministic
+    * channels interleaved into one real PCM16 WAV per doc — the left
+    * channel is [[audioPayload]]'s formula, the right channel runs a
+    * distinct stride (step₂ = (i%13)+5, offset 2i) under the same
+    * near-silence divisor, so the two channels' statistics genuinely
+    * differ and a channel-mixing bug cannot cancel out. Every operand
+    * stays non-negative before the one subtraction, so the SQL oracle
+    * reproduces both channels exactly (q_media_audio_stereo). */
+  def audioPayloadStereo(docs: DataFrame,
+      samplesPerFrame: Int = 160): DataFrame = {
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("channels", IntegerType, nullable = false))),
+        nullable = false)))
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = ((id % 7).toInt + 2) * samplesPerFrame
+        val step = (id % 11) + 3
+        val step2 = (id % 13) + 5
+        val dv = if (id % 5 == 0) 64 else 1
+        val interleaved = Array.tabulate(2 * n) { j =>
+          val t = j / 2
+          if (j % 2 == 0)
+            (((t * step + id) % 4097) / dv - 2048 / dv).toInt
+          else
+            (((t * step2 + 2 * id) % 4097) / dv - 2048 / dv).toInt
+        }
+        Row(id, AudioCodec.encodePcm16Wav(8000, interleaved, channels = 2),
+          Row("audio/wav", 8000, 2))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL audio decode per media row: `javax.sound.sampled` decodes the WAV
-    * container and emits per-media integer statistics over DECODED samples
-    * — frame count, exact power sum, global peak, and the count of silent
-    * frames (per-frame peak ≤ `silencePeak`, an integer compare — no
-    * floating point anywhere, so the oracle is hash-exact). Narrow map,
-    * nothing on the driver. */
+    * container and emits PER-CHANNEL integer statistics over DECODED
+    * samples — one output row per (media, channel), the image path's
+    * per-band precedent (round 12 widened from the mono-only fail-fast:
+    * real corpora are stereo). The decoder de-interleaves the WAV frame
+    * layout (sample t of channel c sits at t·ch + c), so each channel's
+    * frame count, exact power sum, global peak, and silent-frame count
+    * (per-frame peak ≤ `silencePeak`, an integer compare — no floating
+    * point anywhere) stay oracle hash-exact. Mono payloads emit exactly
+    * the single row they always did (channel 0). Narrow map, nothing on
+    * the driver. */
   def decodeAudioStats(media: DataFrame, samplesPerFrame: Int = 160,
       silencePeak: Int = 64): DataFrame = {
     require(samplesPerFrame > 0)
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
       StructField("sample_rate", IntegerType, nullable = false),
       StructField("n_channels", IntegerType, nullable = false),
       StructField("n_samples", LongType, nullable = false),
@@ -328,33 +374,34 @@ object Multimodal {
       StructField("n_silent", LongType, nullable = false)))
     val rdd = media.select(col("media_id"), col("payload")).rdd
       .mapPartitions { rows =>
-        rows.map { r =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
           val (sr, ch, samples) = AudioCodec.decodePcm16(r.getAs[Array[Byte]](1))
-          // the frame loop below treats the sample stream as mono; a
-          // multi-channel payload would interleave channels into frames and
-          // produce plausible-but-wrong stats, so fail fast instead
-          require(ch == 1, s"decodeAudioStats expects mono PCM, got $ch " +
-            s"channels for media_id ${r.getLong(0)}")
-          val nFrames = (samples.length + samplesPerFrame - 1) / samplesPerFrame
-          var sumSq = 0L; var peak = 0L; var nSilent = 0L
-          var f = 0
-          while (f < nFrames) {
-            var t = f * samplesPerFrame
-            val end = math.min(samples.length, t + samplesPerFrame)
-            var fPeak = 0L
-            while (t < end) {
-              val v = samples(t).toLong
-              sumSq += v * v
-              val a = math.abs(v)
-              if (a > fPeak) fPeak = a
-              t += 1
+          require(samples.length % ch == 0,
+            s"media $id: ${samples.length} samples not divisible by $ch channels")
+          val nPerCh = samples.length / ch
+          val nFrames = (nPerCh + samplesPerFrame - 1) / samplesPerFrame
+          (0 until ch).iterator.map { c =>
+            var sumSq = 0L; var peak = 0L; var nSilent = 0L
+            var f = 0
+            while (f < nFrames) {
+              var t = f * samplesPerFrame
+              val end = math.min(nPerCh, t + samplesPerFrame)
+              var fPeak = 0L
+              while (t < end) {
+                val v = samples(t * ch + c).toLong
+                sumSq += v * v
+                val a = math.abs(v)
+                if (a > fPeak) fPeak = a
+                t += 1
+              }
+              if (fPeak > peak) peak = fPeak
+              if (fPeak <= silencePeak) nSilent += 1
+              f += 1
             }
-            if (fPeak > peak) peak = fPeak
-            if (fPeak <= silencePeak) nSilent += 1
-            f += 1
+            Row(id, c, sr, ch, nPerCh.toLong, nFrames.toLong,
+              sumSq, peak, nSilent)
           }
-          Row(r.getLong(0), sr, ch, samples.length.toLong, nFrames.toLong,
-            sumSq, peak, nSilent)
         }
       }
     spark.createDataFrame(rdd, outSchema)

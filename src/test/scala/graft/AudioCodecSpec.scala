@@ -20,6 +20,27 @@ class AudioCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("stereo WAV roundtrips interleaved samples exactly, per channel") {
+    val n = 320 // frames
+    val interleaved = Array.tabulate(2 * n) { j =>
+      val t = j / 2
+      if (j % 2 == 0) ((t * 31) % 65536) - 32768 else ((t * 57 + 11) % 65536) - 32768
+    }
+    val (sr, ch, out) = AudioCodec.decodePcm16(
+      AudioCodec.encodePcm16Wav(8000, interleaved, channels = 2))
+    assert((sr, ch) == (8000, 2))
+    assert(out.sameElements(interleaved), "stereo roundtrip mismatch")
+    // de-interleaved views reconstruct each channel's stream
+    val left = Array.tabulate(n)(t => out(2 * t))
+    val right = Array.tabulate(n)(t => out(2 * t + 1))
+    assert(left.sameElements(Array.tabulate(n)(t => ((t * 31) % 65536) - 32768)))
+    assert(right.sameElements(Array.tabulate(n)(t => ((t * 57 + 11) % 65536) - 32768)))
+    // a sample count that does not interleave is refused
+    intercept[IllegalArgumentException] {
+      AudioCodec.encodePcm16Wav(8000, new Array[Int](7), channels = 2)
+    }
+  }
+
   test("decoder honors a big-endian container (AIFF) for the same samples") {
     val samples = Array.tabulate(64)(t => t * 100 - 3200)
     val fmt = new javax.sound.sampled.AudioFormat(
