@@ -362,5 +362,84 @@ object TemplateAnalogs {
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_partkey, p_name
-        ORDER BY p_partkey""")))
+        ORDER BY p_partkey""")),
+
+    // ── payroll_period_summary analog (round 12 — the YYYYMMDD date-format
+    //    landmine, SURVEY §1.3): HR/PAY tables store dates as CHAR(8)
+    //    'YYYYMMDD' strings (HRPY_RGDIR.FPBEG/FPEND), so every period query
+    //    must round-trip string → real date for range logic and back for
+    //    display. The analog ENCODES o_orderdate to the stored string form,
+    //    PARSES it back for a real date-range filter, and groups by the raw
+    //    string — a format-pattern slip (Spark 'yyyyMMdd'/'yyyy-MM' vs
+    //    DuckDB '%Y%m%d'/'%Y-%m') or a lexicographic-vs-date compare flips
+    //    the hash ─────────────────────────────────────────────────────────
+    Q(
+      "q_tmpl_payroll_period",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val stored = o.select(
+          date_format(col("o_orderdate"), "yyyyMMdd").as("fpbeg"),
+          col("o_custkey"))
+        val parsed = stored
+          .withColumn("d", to_date(col("fpbeg"), "yyyyMMdd"))
+          .filter(col("d").between(lit("1994-01-01"), lit("1996-12-31")))
+        parsed
+          .groupBy(col("fpbeg"),
+            date_format(col("d"), "yyyy-MM").as("period_month"))
+          .agg(count(lit(1)).as("n_results"),
+            countDistinct(col("o_custkey")).as("n_employees"))
+          .orderBy(col("fpbeg"))
+      },
+      Some("""WITH stored AS (
+          SELECT strftime(o_orderdate, '%Y%m%d') AS fpbeg, o_custkey
+          FROM orders),
+        parsed AS (
+          SELECT fpbeg, o_custkey,
+            CAST(strptime(fpbeg, '%Y%m%d') AS DATE) AS d
+          FROM stored)
+        SELECT fpbeg, strftime(d, '%Y-%m') AS period_month,
+          COUNT(*) AS n_results,
+          COUNT(DISTINCT o_custkey) AS n_employees
+        FROM parsed
+        WHERE d BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+        GROUP BY fpbeg, period_month
+        ORDER BY fpbeg""")),
+
+    // ── KSB1/COSP OBJNR-prefix analog (round 12 — the OBJNR encoding
+    //    landmine, reference sap_semantic_model.json:7537-7547): CO object
+    //    keys are 'KS' + 10-char zero-padded cost center, joined on the
+    //    FULL key but reported via SUBSTR(OBJNR, 7) — 1-based, drops the
+    //    2-char type tag plus the first 4 pad chars. The analog builds the
+    //    same encoded key from customers, joins the fact side on the full
+    //    key, and groups by the extracted suffix — an off-by-one in the
+    //    1-based offset or a join on the suffix instead of the full key
+    //    flips the hash ──────────────────────────────────────────────────
+    Q(
+      "q_tmpl_objnr_prefix",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val dim = c.select(
+          concat(lit("KS"), lpad(col("c_custkey").cast("string"), 10, "0"))
+            .as("objnr"),
+          col("c_custkey"))
+        o.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .groupBy(substring(col("objnr"), 7, 6).as("cost_center"),
+            col("o_orderpriority").as("cost_element"))
+          .agg(count(lit(1)).as("n_postings"),
+            sum(money(col("o_totalprice"))).cast("double").as("actual_amount"))
+          .orderBy(col("cost_center"), col("cost_element"))
+      },
+      Some("""WITH dim AS (
+          SELECT 'KS' || lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS objnr,
+            c_custkey
+          FROM customer)
+        SELECT SUBSTR(objnr, 7) AS cost_center,
+          o_orderpriority AS cost_element,
+          COUNT(*) AS n_postings,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS actual_amount
+        FROM orders JOIN dim ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        ORDER BY cost_center, cost_element""")))
 }
