@@ -107,12 +107,20 @@ object AnswerPipeline {
     * [[discourseFillers]]) and cross-axis (AR vs AP) matches are vetoed —
     * both paraphrase-fuzz hardenings. */
   def bestPattern(question: String, minOverlap: Double = 0.34): Option[String] =
-    bestPatternScored(question, minOverlap).map(_._1)
+    bestPatternFull(question, minOverlap).map(_._1)
 
   /** [[bestPattern]] plus its winning overlap score — the score doubles as
     * routing confidence ([[routeDecision]]'s strong-match override). */
   def bestPatternScored(question: String,
-      minOverlap: Double = 0.34): Option[(String, Double)] = {
+      minOverlap: Double = 0.34): Option[(String, Double)] =
+    bestPatternFull(question, minOverlap).map(t => (t._1, t._2))
+
+  /** (name, score, matched-token count) — the hit count gates the strong
+    * override: a one-token hit can min-normalize to 0.5 on a two-token
+    * question ("count of documents" → a summary pattern's "count"), which
+    * is not module evidence, just a short question. */
+  private def bestPatternFull(question: String,
+      minOverlap: Double = 0.34): Option[(String, Double, Int)] = {
     val qTok = tokens(question) -- discourseFillers
     if (qTok.isEmpty) return None
     val qAxis = axis(qTok)
@@ -153,12 +161,13 @@ object AnswerPipeline {
             math.max(2, math.min(qTok.size, pt.size))
         val nd = ov(ndTok)
         val full = ov(ndTok ++ ctxTok)
-        (p.name, math.max(nd, math.min(full, contextCap)), full)
+        (p.name, math.max(nd, math.min(full, contextCap)), full,
+          (qTok & (ndTok ++ ctxTok)).size)
       }
       // tiebreak capped-equal scores by the uncapped overlap, then name
-      .sortBy { case (n, o, f) => (-o, -f, n) }
+      .sortBy { case (n, o, f, _) => (-o, -f, n) }
     scored.headOption.collect {
-      case (name, o, _) if o >= minOverlap => (name, o)
+      case (name, o, _, hits) if o >= minOverlap => (name, o, hits)
     }
   }
 
@@ -178,10 +187,13 @@ object AnswerPipeline {
   /** THE routing gate — the one decision both [[answer]] and the routing
     * fuzz batteries test: route to a validated template iff a pattern
     * matches AND (the classifier has module evidence OR the match is strong
-    * enough to be its own evidence). */
+    * enough — score AND matched-token substance — to be its own evidence;
+    * a bare disambiguation slot answer like "count of documents" hits one
+    * generic token and must keep waiting for history). */
   def routeDecision(question: String, c: Classification): Option[String] =
-    bestPatternScored(question).collect {
-      case (name, score) if c.confidence != "low" || score >= strongOverlap =>
+    bestPatternFull(question).collect {
+      case (name, score, hits)
+        if c.confidence != "low" || (score >= strongOverlap && hits >= 2) =>
         name
     }
 
