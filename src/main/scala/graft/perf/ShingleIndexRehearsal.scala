@@ -16,7 +16,16 @@ import graft.ext.{Dedup, ShingleIndex}
   *
   * Env: SPARK_GRAFT_SF_DIR (default scaledata/sf10), SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_SHUFFLE_PARTITIONS, SPARK_GRAFT_ADV_BUCKETS (default 64),
-  * SPARK_GRAFT_ADV_RUNS (default 3). */
+  * SPARK_GRAFT_ADV_RUNS (default 3).
+  *
+  * SPARK_GRAFT_SHINGLE_MODE (round 12 — the triangle-sweep fresh-JVM
+  * lesson applied here): `all` (default) runs everything in one JVM;
+  * `stored` / `derived` measure ONLY that binding's three operators so an
+  * A/B can run each binding in its own JVM (shared-JVM ordering favors
+  * whichever binding runs second — JIT, code cache, broadcast reuse;
+  * round-12's in-JVM decontaminate numbers inverted round-11's, which is
+  * what this knob exists to settle). `stored` reattaches (or writes) the
+  * index first; `derived` touches no index state. */
 object ShingleIndexRehearsal {
 
   import Measure.{sink, time, median}
@@ -40,15 +49,28 @@ object ShingleIndexRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.register(spark, sfDir)
 
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_MODE", "all")
+    require(Set("all", "stored", "derived").contains(mode),
+      s"SPARK_GRAFT_SHINGLE_MODE must be all|stored|derived, got $mode")
+
     // fresh index: wipe any prior rehearsal state, time the write, then
-    // time the DDL reattach after dropping only the catalog entry
-    spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
-    Measure.deleteRecursively(java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      ShingleIndex.tableName).toString)
-    val writeSec = ShingleIndex.register(spark, sfDir, buckets)
-    spark.sql(s"DROP TABLE ${ShingleIndex.tableName}")
-    val reattach = time { ShingleIndex.register(spark, sfDir, buckets) }
+    // time the DDL reattach after dropping only the catalog entry.
+    // `stored` mode reattaches an existing on-disk index instead of
+    // rewiping, so the A/B protocol pays the write once; `derived` mode
+    // touches no index state at all.
+    val (writeSec, reattach) =
+      if (mode == "derived") (0.0, 0.0)
+      else if (mode == "stored") {
+        (ShingleIndex.register(spark, sfDir, buckets), 0.0)
+      } else {
+        spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
+        Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          ShingleIndex.tableName).toString)
+        val w = ShingleIndex.register(spark, sfDir, buckets)
+        spark.sql(s"DROP TABLE ${ShingleIndex.tableName}")
+        (w, time { ShingleIndex.register(spark, sfDir, buckets) })
+      }
 
     def ops(sh: => DataFrame): Seq[(String, () => DataFrame)] = Seq(
       ("containment", () => Dedup.containmentPairs(sh, 4, 5, minShingles = 10)),
@@ -64,8 +86,22 @@ object ShingleIndexRehearsal {
       }
     // stored first (shinglesFor routes onto the registered index), then
     // the derived control (explicit derivation, same session)
-    val storedT = measure(ShingleIndex.shinglesFor(spark, sfDir))
-    val derivedT = measure(ShingleIndex.derive(spark, sfDir))
+    val storedT = if (mode != "derived")
+      measure(ShingleIndex.shinglesFor(spark, sfDir)) else Nil
+    val derivedT = if (mode != "stored")
+      measure(ShingleIndex.derive(spark, sfDir)) else Nil
+
+    if (mode != "all") {
+      def obj0(kvs: Seq[(String, Double)]): String =
+        kvs.map { case (k, v) =>
+          "\"" + k + "\":" + BigDecimal(v).setScale(1,
+            BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
+      println(s"""{"metric":"shingle_index_$mode","sf":"$sfDir",""" +
+        s""""buckets":$buckets,"runs":$runs,""" +
+        s""""stored_sec":${obj0(storedT)},"derived_sec":${obj0(derivedT)}}""")
+      spark.stop()
+      return
+    }
 
     // O(delta) append: 1% new docs (fresh ids, text perturbed)
     val docs = spark.table("documents")
