@@ -109,6 +109,40 @@ object SkewRehearsal {
       Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), cap.toInt)
     val keptShare = cappedEvents(adv = false).count().toDouble / total
 
+    // SPARK_GRAFT_SKEW_MODE=capbatch (round 12): the cap's PRODUCTION
+    // placement is per-ingest-batch (rollupStep maxPerUser / routeStep
+    // maxPerSource), not corpus-wide — measure the guard's cost at batch
+    // size: a ~10% deterministic slice of the stream, scanned bare vs
+    // capped vs capped-then-rolled-up (the actual sink shape). One JSON
+    // line, then exit (fresh-JVM protocol).
+    if (sys.env.get("SPARK_GRAFT_SKEW_MODE").contains("capbatch")) {
+      val batch = spark.table("events")
+        .filter(pmod(xxhash64(col("event_id")), lit(10)) === 0)
+      val nBatch = batch.count()
+      def rollupOf(b: DataFrame) = b
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("value").cast("decimal(18,6)").as("v"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      def cappedBatch = Skew.capPerKey(batch, Seq("user_id"),
+        Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), cap.toInt)
+      sink(batch); sink(cappedBatch); sink(rollupOf(cappedBatch)) // warm
+      val scanSec = median((1 to runs).map(_ => time(sink(batch))))
+      val capSec = median((1 to runs).map(_ => time(sink(cappedBatch))))
+      val foldPlain = median((1 to runs).map(_ => time(sink(rollupOf(batch)))))
+      val foldCapped = median((1 to runs).map(_ => time(sink(rollupOf(cappedBatch)))))
+      def f3(v: Double) =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(s"""{"metric":"skew_capbatch","sf":"$sfDir","runs":$runs,""" +
+        s""""cap":$cap,"batch_rows":$nBatch,""" +
+        s""""batch_scan_sec":${f3(scanSec)},"batch_cap_sec":${f3(capSec)},""" +
+        s""""rollup_plain_sec":${f3(foldPlain)},""" +
+        s""""rollup_capped_sec":${f3(foldCapped)}}""")
+      spark.stop()
+      return
+    }
+
     def sessionizeOf(ev: DataFrame): DataFrame =
       graft.ext.Sessionize.withSessionIds(
         ev.select(col("user_id"), col("event_id"),
