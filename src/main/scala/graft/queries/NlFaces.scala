@@ -113,5 +113,15 @@ object NlFaces {
       "Purchase orders over threshold value", "q_tmpl_po_over_threshold"),
     nlFace("headcount",
       "What is the employee headcount by organizational unit?",
-      "employee_headcount", "q_tmpl_headcount", piiAggOnly = true))
+      "employee_headcount", "q_tmpl_headcount", piiAggOnly = true),
+    // ── round 12: two faces for routing paths the sidebar battery OPENED
+    //    (keyword-data sync + plural folding gave journal entries a route;
+    //    the supplementary patterns gave benefits one) — each face pins the
+    //    new path end-to-end in the oracle gate, not just in local fuzz ──
+    nlFace("journal_entries",
+      "Show journal entries posted in March 2026",
+      "journal_entry_detail", "q_tmpl_journal_detail"),
+    nlFace("benefits",
+      "Show benefit enrollment counts by plan type",
+      "benefits_enrollment_summary", "q_tmpl_enrollment"))
 }

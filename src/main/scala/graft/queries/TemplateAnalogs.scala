@@ -441,5 +441,56 @@ object TemplateAnalogs {
             AS actual_amount
         FROM orders JOIN dim ON o_custkey = c_custkey
         GROUP BY 1, 2
-        ORDER BY cost_center, cost_element""")))
+        ORDER BY cost_center, cost_element""")),
+
+    // ── journal_entry_detail analog (round 12): the reference's loudest
+    //    guideline — currency (WAERS) lives on the HEADER (BKPF), never the
+    //    line items (BSEG); a line listing must attribute it through the
+    //    header join. Analog: per-document listing where the CHAR status
+    //    axis comes from the orders header while quantities roll up from
+    //    lineitem — attributing the axis from the wrong side changes the
+    //    grouping and flips the hash ─────────────────────────────────────
+    Q(
+      "q_tmpl_journal_detail",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"),
+            col("o_orderstatus").as("doc_currency"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(money(col("l_extendedprice"))).cast("double").as("doc_total"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS doc_currency,
+          COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS doc_total
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderstatus
+        ORDER BY o_orderkey""")),
+
+    // ── benefits_enrollment_summary analog (round 12): aggregate-only
+    //    enrollment rollup — distinct members and coverage totals per
+    //    (plan, category) through a member⋈enrollment join ────────────────
+    Q(
+      "q_tmpl_enrollment",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment").as("benefit_plan"),
+            col("o_orderpriority").as("category"))
+          .agg(countDistinct(col("c_custkey")).as("n_enrolled"),
+            sum(money(col("o_totalprice"))).cast("double").as("total_coverage"))
+          .orderBy(col("benefit_plan"), col("category"))
+      },
+      Some("""SELECT c_mktsegment AS benefit_plan,
+          o_orderpriority AS category,
+          COUNT(DISTINCT c_custkey) AS n_enrolled,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_coverage
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2
+        ORDER BY benefit_plan, category""")))
 }

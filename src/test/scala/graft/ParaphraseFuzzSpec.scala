@@ -84,7 +84,13 @@ class ParaphraseFuzzSpec extends AnyFunSuite {
     ("Show purchase orders over the threshold value with vendor details",
       "Purchase orders over threshold value", Set.empty[String]),
     ("What is the employee headcount by organizational unit?",
-      "employee_headcount", Set.empty[String]))
+      "employee_headcount", Set.empty[String]),
+    // round 12: the two faces pinned on routing paths the sidebar battery
+    // opened (q_nl_journal_entries, q_nl_benefits)
+    ("Show journal entries posted in March 2026",
+      "journal_entry_detail", Set("tcode_fb03")),
+    ("Show benefit enrollment counts by plan type",
+      "benefits_enrollment_summary", Set.empty[String]))
 
   for ((question, expected, siblings) <- faces)
     test(s"routing stable under paraphrase: $expected") {
