@@ -713,22 +713,31 @@ object Dedup {
     val shD = hashedShingles(delta, idCol, textCol, n).cache()
     val bandedD = ShingleIndex.bandsOf(
       shD.withColumnRenamed("sh", "shingle"), idx.k, idx.nBands, idx.rowsPerBand)
-    val cands = broadcast(bandedD
+    val cands0 = broadcast(bandedD
       .select(col("band"), col("bucket"), col("doc_id").as("delta_id")))
       .join(idx.bands
         .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
         Seq("band", "bucket"))
       .select("delta_id", "corpus_id").distinct()
-      // phantom guard: only docs the corpus actually holds may reject a doc
-      .join(corpusIds.select(col("doc_id").as("corpus_id")),
-        Seq("corpus_id"), "left_semi")
+    // phantom guard: only docs the corpus actually holds may reject a doc.
+    // Shaped as (corpus-id scan) ⋈ broadcast(candidates) — a semi-join the
+    // other way around would SHUFFLE the corpus id column per batch (the
+    // plan probe caught exactly that); this way the only corpus-side work
+    // is a streamed single-column scan. Corpus ids are unique, so the
+    // inner join is the filter, not an expansion.
+    // cached: the candidate set feeds BOTH the postings prune and the
+    // verification join — uncached, the whole bands-join subtree runs
+    // twice per batch (the plan probe showed the duplicate)
+    val cands = corpusIds.select(col("doc_id").as("corpus_id"))
+      .join(broadcast(cands0), Seq("corpus_id"))
+      .select("delta_id", "corpus_id").cache()
     // verification touches postings for candidate corpus docs only — a
     // broadcast semi-join prunes the scan before the per-doc set aggregate
     val candIds = cands.select(col("corpus_id").as("doc_id")).distinct()
     val shC = idx.postings.join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .withColumnRenamed("shingle", "sh")
     (jaccardVerify(cands, shD, shC, "delta_id", "corpus_id", threshold),
-      () => { shD.unpersist(); () })
+      () => { shD.unpersist(); cands.unpersist(); () })
   }
 
   /** Train/eval contamination check: the fraction of each eval document's
