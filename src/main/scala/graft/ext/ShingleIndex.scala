@@ -100,6 +100,22 @@ object ShingleIndex {
     else None
   }
 
+  /** Every marker write lands via sibling-temp + ATOMIC_MOVE, never a
+    * direct writeString: a torn direct write in [[finalizeAppend]] could
+    * persist a marker missing the `last_append` token, so a replayed batch
+    * under the same token would pass the no-op check and re-insert —
+    * duplicated postings/bands, breaking the "a crash costs a fallback,
+    * never correctness" contract. With the rename, the marker is always
+    * either the complete old or the complete new content. */
+  private[graft] def writeMarker(spark: SparkSession, content: String): Unit = {
+    val p = markerPath(spark)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def intField(m: String, field: String): Option[Int] =
     s""""$field":(\\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
 
@@ -160,7 +176,6 @@ object ShingleIndex {
       k: Int = 64, nBands: Int = 16, rowsPerBand: Int = 4): Double =
     synchronized {
       val loc = warehousePath(spark, tableName)
-      val marker = markerPath(spark)
       val base = markerBase(tag, n, buckets)
       // reattach accepts ANY append count (the files + DDL are identical);
       // dir/n/buckets — and the band-store spec, when requested — must
@@ -204,7 +219,7 @@ object ShingleIndex {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val sig = if (withBands) s""","sig":"$k/$nBands/$rowsPerBand"""" else ""
-        java.nio.file.Files.writeString(marker, base + sig + ",\"appends\":0}")
+        writeMarker(spark, base + sig + ",\"appends\":0}")
         sec
       }
     }
@@ -260,8 +275,7 @@ object ShingleIndex {
     val bumped = m
       .replaceAll(""","last_append":"[^"]*"""", "")
       .replaceAll(""""appends":\d+""", s""""appends":${appends + 1}""")
-    java.nio.file.Files.writeString(markerPath(spark),
-      bumped.stripSuffix("}") + s""","appending":"$tok"}""")
+    writeMarker(spark, bumped.stripSuffix("}") + s""","appending":"$tok"}""")
   }
 
   /** Phase 2 of [[append]]: the data inserts (postings, then bands when the
@@ -284,7 +298,7 @@ object ShingleIndex {
   private[graft] def finalizeAppend(spark: SparkSession, tok: String): Unit = {
     val m = readMarker(spark).getOrElse(
       throw new IllegalStateException("marker vanished mid-append"))
-    java.nio.file.Files.writeString(markerPath(spark),
+    writeMarker(spark,
       m.replace(s""""appending":"$tok"""", s""""last_append":"$tok""""))
   }
 

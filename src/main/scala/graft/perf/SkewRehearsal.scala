@@ -107,7 +107,6 @@ object SkewRehearsal {
     def cappedEvents(adv: Boolean): DataFrame = Skew.capPerKey(
       events(adv), Seq("user_id"),
       Seq(negate(unix_micros(col("ts"))), negate(col("event_id"))), cap.toInt)
-    val keptShare = cappedEvents(adv = false).count().toDouble / total
 
     // SPARK_GRAFT_SKEW_MODE=capbatch (round 12): the cap's PRODUCTION
     // placement is per-ingest-batch (rollupStep maxPerUser / routeStep
@@ -142,6 +141,12 @@ object SkewRehearsal {
       spark.stop()
       return
     }
+
+    // keptShare is a full-corpus pass (cap + count) used only by the full
+    // mode's JSON line — computed AFTER the capbatch early-return so the
+    // fresh-JVM per-batch measurement neither pays it nor pre-warms the
+    // cap code path before its own measurements
+    val keptShare = cappedEvents(adv = false).count().toDouble / total
 
     def sessionizeOf(ev: DataFrame): DataFrame =
       graft.ext.Sessionize.withSessionIds(

@@ -76,11 +76,14 @@ object ModuleDetector {
   /** Score modules by keyword hits, ranked desc; empty → all modules
     * (reference fallback). Hyphens normalize to spaces first so the
     * reference UI's own "order-to-cash" / "procure-to-pay" phrasings hit
-    * the space-separated keywords ("month-end" similarly tokenizes). */
+    * the space-separated keywords ("month-end" similarly tokenizes).
+    * Keywords normalize the same way at match time — the reference list
+    * itself carries hyphens ("fi-ar", "3-way match") which could never
+    * match a question whose hyphens were already folded to spaces. */
   def detect(question: String): Seq[String] = {
     val q = question.toLowerCase.replace('-', ' ')
     val scored = keywords.toSeq
-      .map { case (m, kws) => m -> kws.count(q.contains) }
+      .map { case (m, kws) => m -> kws.count(kw => q.contains(kw.replace('-', ' '))) }
       .filter(_._2 > 0)
       .sortBy { case (m, s) => (-s, m) }
       .map(_._1)

@@ -111,11 +111,19 @@ object DocsStream {
           .when(col("stopword_ratio") < minStopword, "stopword_low")
           .when(col("stopword_ratio") > maxStopword, "stopword_high"))
       .cache()
+    // cached (when capping) because accepted feeds BOTH sinks — the accept
+    // write and the exceptAll inside the reject write; uncached, the cap
+    // aggregate would run twice per batch, and determinism across the two
+    // evaluations would rest on capPerKey's full-payload tiebreak instead
+    // of on a single shared computation
+    val accepted = {
+      val pass = e.filter(col("reject_reason").isNull).drop("reject_reason")
+      maxPerSource.fold(pass)(k =>
+        graft.perf.Skew.capPerKey(
+          pass, Seq("source"), Seq(negate(col("doc_id"))), k).cache())
+    }
     try {
       val pass = e.filter(col("reject_reason").isNull).drop("reject_reason")
-      val accepted = maxPerSource.fold(pass)(k =>
-        graft.perf.Skew.capPerKey(
-          pass, Seq("source"), Seq(negate(col("doc_id"))), k))
       // multiset difference, not an id anti-join: correct even if a batch
       // carries duplicate doc_ids
       val capped = maxPerSource.map(_ => pass.exceptAll(accepted)
@@ -124,7 +132,10 @@ object DocsStream {
       val rejects = e.filter(col("reject_reason").isNotNull)
       capped.fold(rejects)(rejects.unionByName(_))
         .write.mode("overwrite").parquet(s"$rejectPath/batch=$batchId")
-    } finally { e.unpersist(); () }
+    } finally {
+      if (maxPerSource.isDefined) accepted.unpersist()
+      e.unpersist(); ()
+    }
   }
 
   /** Continuous growing-corpus ingest with near-dup screening: every
