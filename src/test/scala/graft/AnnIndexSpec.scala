@@ -116,4 +116,61 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(idxRefs.subsetOf(Set("codes", "centroids", "codebooks")),
       s"ivfpq search must only scan encoded/bounded artifacts, saw $idxRefs")
   }
+
+  test("lsh compaction: keys/search identical, files shrink, kill window refuses, rebuild heals") {
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+    val delta = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val idx = tmp("graft-annspec-compact")
+    val (keys, vecs) = AnnIndex.buildLsh(base, planes = 5, tables = 12)
+    AnnIndex.writeLsh(idx, keys, vecs, planes = 5, dims = 64, tables = 12)
+    AnnIndex.appendLsh(spark, idx, delta)
+
+    def keySet() = spark.read.parquet(s"$idx/keys.parquet")
+      .select(col("vec_id"), col("tbl").cast("int"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    def searchSet() = AnnIndex.searchLsh(spark, idx, q10, 3).collect()
+      .map(_.toString).toSet
+    val keysBefore = keySet()
+    val searchBefore = searchSet()
+    val filesBefore = AnnIndex.fileCounts(spark, idx)
+    assert(filesBefore("keys.parquet") > 12,
+      s"append should fragment past one file per tbl, got $filesBefore")
+
+    AnnIndex.compact(spark, idx)
+    assert(keySet() == keysBefore, "compaction changed the key multiset")
+    assert(searchSet() == searchBefore, "compaction changed search results")
+    val filesAfter = AnnIndex.fileCounts(spark, idx)
+    assert(filesAfter("keys.parquet") == 12,
+      s"keys must compact to one file per tbl, got ${filesAfter("keys.parquet")}")
+    assert(filesAfter("vectors.parquet") <= filesBefore("vectors.parquet"))
+
+    // ivfpq: appended codes compact to one file per cell, search identical
+    val idx2 = tmp("graft-annspec-compact-pq")
+    val (cents, books, baseCodes) =
+      AnnIndex.buildIvfPq(base, nCells = 16, kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx2, cents, books, baseCodes,
+      nCells = 16, m = 8, kCodes = 64, dims = 64)
+    AnnIndex.appendIvfPq(spark, idx2, delta)
+    val pqBefore = AnnIndex.searchIvfPq(spark, idx2, q10, 3, nprobe = 8)
+      .collect().map(_.toString).toSet
+    AnnIndex.compact(spark, idx2)
+    assert(AnnIndex.searchIvfPq(spark, idx2, q10, 3, nprobe = 8)
+      .collect().map(_.toString).toSet == pqBefore,
+      "ivfpq compaction changed search results")
+
+    // kill window: sentinel present between swap begin and finalize — every
+    // readParams-gated entry point refuses the possibly-torn index
+    AnnIndex.beginCompactSwap(idx)
+    intercept[IllegalStateException] { AnnIndex.searchLsh(spark, idx, q10, 3) }
+    intercept[IllegalStateException] { AnnIndex.appendLsh(spark, idx, delta) }
+    intercept[IllegalStateException] { AnnIndex.compact(spark, idx) }
+    intercept[IllegalStateException] { AnnIndex.fileCounts(spark, idx) }
+    // a full rebuild replaces every artifact and clears the sentinel
+    val (k2, v2) = AnnIndex.buildLsh(emb, planes = 5, tables = 12)
+    AnnIndex.writeLsh(idx, k2, v2, planes = 5, dims = 64, tables = 12)
+    assert(searchSet() == searchBefore,
+      "rebuild over the union must reproduce the compacted index's search")
+    graft.perf.Measure.deleteRecursively(idx)
+    graft.perf.Measure.deleteRecursively(idx2)
+  }
 }

@@ -221,4 +221,84 @@ class ShingleIndexSpec extends AnyFunSuite {
       assert(rows(ShingleIndex.table(spark)) == rows(sh0) ++ rows(shD))
     } finally wipe()
   }
+
+  test("compaction: row-identical, marker survives, file count bounded, kill windows refuse") {
+    wipe()
+    try {
+      def bandRows(df: DataFrame): Set[(Int, Int, Long)] =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+
+      // zero-append compaction keeps dir routing: the index still equals a
+      // fresh derivation, so shinglesFor must keep serving it
+      ShingleIndex.register(spark, sf, buckets = 4, withBands = true)
+      val derived = rows(ShingleIndex.derive(spark, sf))
+      ShingleIndex.compact(spark)
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .exists(_.contains(ShingleIndex.tableName)),
+        "a compacted zero-append index must still serve dir-derived queries")
+      assert(rows(ShingleIndex.table(spark)) == derived)
+
+      // append (fragments the store), then compact: row multiset, bands,
+      // and every marker identity field must survive; the postings land at
+      // exactly one file per bucket
+      assert(ShingleIndex.append(spark, delta(500), token = Some("soak-1")))
+      val before = rows(ShingleIndex.table(spark))
+      val bandsBefore = bandRows(spark.table(ShingleIndex.bandsTableName))
+      val (pf0, bf0) = ShingleIndex.fileCounts(spark)
+      assert(pf0 > 4, s"append should fragment past one file per bucket, got $pf0")
+      ShingleIndex.compact(spark)
+      assert(rows(ShingleIndex.table(spark)) == before,
+        "compaction changed the postings multiset")
+      assert(bandRows(spark.table(ShingleIndex.bandsTableName)) == bandsBefore,
+        "compaction changed the band multiset")
+      val (pf1, bf1) = ShingleIndex.fileCounts(spark)
+      assert(pf1 == 4, s"postings must compact to one file per bucket, got $pf1")
+      assert(bf1 <= bf0)
+      val m1 = ShingleIndex.readMarker(spark).get
+      assert(m1.contains(""""appends":1"""), "append counter lost")
+      assert(m1.contains(""""last_append":"soak-1""""), "replay token lost")
+      assert(m1.contains(""""compactions":2"""), "compaction counter wrong")
+      // the replay no-op contract survives compaction
+      assert(!ShingleIndex.append(spark, delta(500), token = Some("soak-1")))
+      assert(ShingleIndex.liveFor(spark, sf).isDefined,
+        "live routing must keep serving a compacted index")
+
+      // kill window A: death during the rewrite phase costs NOTHING — the
+      // live index stays attached, routable, and identical; the next
+      // compact sweeps the stale temp dirs and completes
+      ShingleIndex.prepareCompact(spark, ShingleIndex.readMarker(spark).get)
+      assert(ShingleIndex.liveFor(spark, sf).isDefined)
+      assert(rows(ShingleIndex.table(spark)) == before)
+      ShingleIndex.compact(spark)
+      assert(rows(ShingleIndex.table(spark)) == before)
+
+      // kill window B: death after beginSwap, before the swap — poisoned:
+      // nothing serves, append and compact refuse, register heals by rewrite
+      ShingleIndex.beginSwap(spark, ShingleIndex.readMarker(spark).get,
+        "kill-swap")
+      assert(ShingleIndex.liveFor(spark, sf).isEmpty,
+        "live routing served a mid-compaction marker")
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .forall(!_.contains(ShingleIndex.tableName)))
+      intercept[IllegalStateException] { ShingleIndex.append(spark, delta(501)) }
+      intercept[IllegalStateException] { ShingleIndex.compact(spark) }
+      assert(ShingleIndex.register(spark, sf, buckets = 4, withBands = true) > 0.0,
+        "register reattached a mid-compaction index")
+
+      // kill window C: death after the directory swap, before the finalize
+      // — the marker vanished with the old dir; nothing serves, register
+      // heals by rewrite
+      val mC = ShingleIndex.readMarker(spark).get
+      val (tp, tb) = ShingleIndex.prepareCompact(spark, mC)
+      ShingleIndex.beginSwap(spark, mC, "kill-swap-2")
+      ShingleIndex.swapCompacted(spark, mC, tp, tb)
+      assert(ShingleIndex.readMarker(spark).isEmpty,
+        "the old marker must disappear with the old postings dir")
+      assert(ShingleIndex.liveFor(spark, sf).isEmpty)
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .forall(!_.contains(ShingleIndex.tableName)))
+      assert(ShingleIndex.register(spark, sf, buckets = 4, withBands = true) > 0.0)
+      assert(rows(ShingleIndex.table(spark)) == derived)
+    } finally wipe()
+  }
 }
