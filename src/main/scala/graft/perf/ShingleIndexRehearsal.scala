@@ -50,8 +50,73 @@ object ShingleIndexRehearsal {
     graft.Tables.register(spark, sfDir)
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_MODE", "all")
-    require(Set("all", "stored", "derived").contains(mode),
-      s"SPARK_GRAFT_SHINGLE_MODE must be all|stored|derived, got $mode")
+    require(Set("all", "stored", "derived", "compact").contains(mode),
+      s"SPARK_GRAFT_SHINGLE_MODE must be all|stored|derived|compact, got $mode")
+
+    // SPARK_GRAFT_SHINGLE_MODE=compact (round 13 — the append-fragmentation
+    // telemetry the compact operator exists to bound): fresh band-backed
+    // index, N append batches (SPARK_GRAFT_APPENDS, default 20 × ~1% of the
+    // corpus each), then file counts + the per-batch indexed ingest-screen
+    // latency BEFORE and AFTER one compaction. One JSON line, then exit
+    // (fresh-JVM protocol — run this in its own JVM like stored/derived).
+    if (mode == "compact") {
+      import graft.ext.ShingleIndex.{tableName, bandsTableName}
+      for (t <- Seq(tableName, bandsTableName)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          t).toString)
+      }
+      val writeSec = ShingleIndex.registerDocs(spark, sfDir,
+        ShingleIndex.derive(spark, sfDir), buckets, withBands = true)
+      val docs = spark.table("documents")
+      val nAppends = sys.env.getOrElse("SPARK_GRAFT_APPENDS", "20").toInt
+      val appendSec = (0 until nAppends).map { i =>
+        // disjoint deterministic ~1% slices with fresh ids per batch
+        val delta = docs.filter(pmod(col("doc_id"), lit(100)) === i)
+          .select((col("doc_id") + (i + 1) * 10000000000L).as("doc_id"),
+            concat(lit(s"append batch $i variant "), col("text")).as("text"))
+        time { ShingleIndex.append(spark, delta, token = Some(s"frag-$i")) }
+      }.sum
+      val batch = docs.limit(1000)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(lit("ingest batch variant "), col("text")).as("text"))
+        .cache()
+      batch.count()
+      // the live corpus id set = original docs + every appended batch's ids
+      // (the production shape: ingest keeps a corpus table; the phantom
+      // guard reads only its id column)
+      val corpusIds = (0 until nAppends)
+        .map(i => docs.filter(pmod(col("doc_id"), lit(100)) === i)
+          .select((col("doc_id") + (i + 1) * 10000000000L).as("doc_id")))
+        .foldLeft(docs.select(col("doc_id")))(_ unionByName _)
+      def screen(): Double = time {
+        val (pairs, rel) = Dedup.incrementalMinhashPairsIndexed(
+          batch, corpusIds, ShingleIndex.liveFor(spark, sfDir).get,
+          "doc_id", "text", 0.8)
+        try sink(pairs) finally rel()
+      }
+      screen() // warm
+      val screenBefore = median((1 to runs).map(_ => screen()))
+      val (pfB, bfB) = ShingleIndex.fileCounts(spark)
+      val compactSec = time { ShingleIndex.compact(spark) }
+      val (pfA, bfA) = ShingleIndex.fileCounts(spark)
+      screen() // warm the post-compaction file listing
+      val screenAfter = median((1 to runs).map(_ => screen()))
+      batch.unpersist()
+      def f1(v: Double) =
+        BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      println(s"""{"metric":"shingle_index_compact","sf":"$sfDir",""" +
+        s""""buckets":$buckets,"runs":$runs,"appends":$nAppends,""" +
+        s""""write_sec":${f1(writeSec)},"append_total_sec":${f1(appendSec)},""" +
+        s""""files_before":{"postings":$pfB,"bands":$bfB},""" +
+        s""""files_after":{"postings":$pfA,"bands":$bfA},""" +
+        s""""compact_sec":${f1(compactSec)},""" +
+        s""""screen_before_sec":${f1(screenBefore)},""" +
+        s""""screen_after_sec":${f1(screenAfter)}}""")
+      spark.stop()
+      return
+    }
 
     // fresh index: wipe any prior rehearsal state, time the write, then
     // time the DDL reattach after dropping only the catalog entry.

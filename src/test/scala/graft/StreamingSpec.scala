@@ -571,6 +571,151 @@ class StreamingSpec extends AnyFunSuite {
       "killed-and-restarted rollup diverges from the uninterrupted run")
   }
 
+  test("ingest soak: 20 batches with seeded kills and mid-run compactions converge to the uninterrupted run") {
+    // round-13 judge task 2: the per-window crash proofs, composed — a
+    // 20-batch ingest with kills injected at seeded batches in every
+    // distinct phase (full-writes replay; index-append-committed /
+    // corpus-write-lost; kill INSIDE the append → poisoned fallback +
+    // operational heal), one standalone compaction mid-stream AND one
+    // compaction inside a crash-replay window (the replay token must
+    // survive it). Done = accept set ≡ an uninterrupted control run and
+    // index ≡ a re-derivation from the final corpus.
+    import spark.implicits._
+    import graft.ext.ShingleIndex
+
+    def wipeIndex(): Unit =
+      for (t <- Seq(ShingleIndex.tableName, ShingleIndex.bandsTableName)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          t).toString)
+      }
+
+    // ── deterministic batch generation (one pass, shared by both runs):
+    //    ~60% novel docs (disjoint vocabularies — zero shingle overlap),
+    //    ~20% exact dups, ~20% near-dups (one appended token, J ≈ 0.9) of
+    //    any previously EMITTED doc — dup-of-rejected included, the accept
+    //    decision is still deterministic against the corpus ────────────────
+    val nBatches = 20
+    val rnd = new scala.util.Random(13)
+    val allDocs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val batches: Seq[Seq[(Long, String)]] = (0 until nBatches).map { i =>
+      val docs = (0 until (3 + rnd.nextInt(3))).map { j =>
+        val id = i * 100L + j
+        val text = rnd.nextInt(10) match {
+          case k if k < 6 || allDocs.isEmpty =>
+            (0 until 12).map(w => s"d${id}w$w").mkString(" ")
+          case k if k < 8 => allDocs(rnd.nextInt(allDocs.size))._2
+          case _ => allDocs(rnd.nextInt(allDocs.size))._2 + s" tail$id"
+        }
+        allDocs += (id -> text)
+        (id, text)
+      }
+      docs
+    }
+    def frame(docs: Seq[(Long, String)]) = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def corpusIds(path: String): List[Long] =
+      spark.read.parquet(path).select("doc_id").as[Long].collect().sorted.toList
+    def postingRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_id"), col("shingle")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def emptyIndex(tag: String): Unit = {
+      wipeIndex()
+      ShingleIndex.registerDocs(spark, tag,
+        Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
+        buckets = 4, withBands = true)
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-soak")
+    try {
+      // control: uninterrupted indexed run
+      val controlPath = root.resolve("control").toString
+      emptyIndex(controlPath)
+      batches.zipWithIndex.foreach { case (docs, i) =>
+        DocsStream.ingestStep(controlPath, 0.6)(frame(docs), i.toLong)
+      }
+      val controlIds = corpusIds(controlPath)
+      assert(controlIds.nonEmpty)
+
+      // soak: same batches, kills injected per the seeded schedule
+      // (batch 0 always clean; 4/7/13/16 force one of each window)
+      val forced = Map(4 -> 1, 7 -> 2, 13 -> 3, 16 -> 2)
+      val rnd2 = new scala.util.Random(31)
+      val modes = (0 until nBatches).map(i =>
+        if (i == 0) 0 else forced.getOrElse(i, rnd2.nextInt(4)))
+      val soakPath = root.resolve("soak").toString
+      emptyIndex(soakPath)
+      def files(): Set[String] =
+        Option(new java.io.File(soakPath).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .map(_.getName).filter(_.endsWith(".parquet")).toSet
+      def step(i: Int): Unit =
+        DocsStream.ingestStep(soakPath, 0.6)(frame(batches(i)), i.toLong)
+
+      modes.zipWithIndex.foreach { case (mode, i) =>
+        mode match {
+          case 1 =>
+            // crash after ALL writes, before the checkpoint commit: the
+            // redelivered batch must self-screen to a no-op
+            step(i); step(i)
+          case 2 =>
+            // crash between the index append and the corpus write: the
+            // batch's postings are phantoms; the replay must re-accept
+            val before = files()
+            step(i)
+            (files() -- before).foreach(n => java.nio.file.Files.delete(
+              java.nio.file.Paths.get(soakPath, n)))
+            if (i == 16) {
+              // compaction INSIDE the crash-replay window: the replay
+              // token must survive the rewrite or the replay double-inserts
+              ShingleIndex.compact(spark)
+              assert(ShingleIndex.readMarker(spark).get
+                .contains(s""""last_append":"ingest-$i""""),
+                "compaction dropped the in-flight replay token")
+            }
+            step(i)
+          case 3 =>
+            // kill INSIDE the append: marker poisoned — this and later
+            // batches fall back to the derived screen (correct, slower)
+            // until an operational heal re-registers over the corpus
+            ShingleIndex.beginAppend(spark,
+              ShingleIndex.readMarker(spark).get, s"killed-$i")
+            assert(ShingleIndex.liveFor(spark, soakPath).isEmpty)
+            step(i)
+            val healed = graft.ext.Dedup.hashedShingles(
+              spark.read.parquet(soakPath), "doc_id", "text", 3)
+              .withColumnRenamed("sh", "shingle")
+            wipeIndex()
+            ShingleIndex.registerDocs(spark, soakPath, healed,
+              buckets = 4, withBands = true)
+          case _ => step(i)
+        }
+        if (i == 11) ShingleIndex.compact(spark) // standalone mid-run compaction
+      }
+
+      // convergence: accept set ≡ control, index ≡ corpus re-derivation,
+      // bands ≡ the banding expression over the same postings
+      assert(corpusIds(soakPath) == controlIds,
+        s"soak accept set ${corpusIds(soakPath)} != control $controlIds")
+      val fromCorpus = graft.ext.Dedup.hashedShingles(
+        spark.read.parquet(soakPath), "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+      assert(postingRows(ShingleIndex.table(spark)) == postingRows(fromCorpus),
+        "soak index diverged from the corpus it tracks")
+      val live = ShingleIndex.liveFor(spark, soakPath).get
+      def bandRows(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long)] =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(bandRows(live.bands) == bandRows(ShingleIndex.bandsOf(
+        fromCorpus, live.k, live.nBands, live.rowsPerBand)),
+        "soak bands diverged from the banding of the tracked corpus")
+    } finally {
+      wipeIndex()
+      graft.perf.Measure.deleteRecursively(root.toString)
+    }
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
