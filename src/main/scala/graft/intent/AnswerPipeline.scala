@@ -67,7 +67,13 @@ object AnswerPipeline {
     // exactly like the bare question (the sidebar battery caught "was"
     // diluting an o2c question into an IW49N tie)
     "was", "were", "has", "have", "had", "does", "did", "will", "can",
-    "this", "that", "these", "those"
+    "this", "that", "these", "those",
+    // possessive pronouns (round 13, the CLI-10 battery): "employees with
+    // THEIR positions" / "orders and THEIR delivery status" — zero SAP
+    // meaning, and the employee-positions question scored 0.333 (one
+    // filler short of the 0.34 threshold) against the reference's
+    // employee listing pattern purely because of "their"
+    "their", "theirs", "its"
   ).map(fold)
 
   // receivable/payable axis words: a question asking about CUSTOMERS must

@@ -123,5 +123,20 @@ object NlFaces {
       "journal_entry_detail", "q_tmpl_journal_detail"),
     nlFace("benefits",
       "Show benefit enrollment counts by plan type",
-      "benefits_enrollment_summary", "q_tmpl_enrollment"))
+      "benefits_enrollment_summary", "q_tmpl_enrollment"),
+    // ── round 13: two faces for routing paths the CLI-10 battery opened ──
+    // person-level employee listing (CLI example 7): the possessive-filler
+    // fix routes it onto the reference's employee pattern, whose validated
+    // template is the AGGREGATE-ONLY form — this face pins both halves of
+    // the PII policy on the new phrasing (aggregate runs, naked listing
+    // governance-blocked), exactly like q_nl_headcount does for its own
+    nlFace("employee_positions",
+      "List all employees in personnel area 1000 with their positions",
+      "employee_headcount", "q_tmpl_headcount", piiAggOnly = true),
+    // named-entity vendor slot (CLI example 2): the winning template is
+    // the reference's LFA1 name-resolution guideline shape — BSIK open
+    // items joined to LFA1 to filter by NAME1
+    nlFace("vendor_by_name",
+      "Show me all open vendor items (unpaid invoices) for vendor Acme Corp",
+      "Unpaid vendor invoices by vendor name", "q_tmpl_open_cleared_union"))
 }

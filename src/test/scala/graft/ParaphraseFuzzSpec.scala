@@ -90,10 +90,18 @@ class ParaphraseFuzzSpec extends AnyFunSuite {
     ("Show journal entries posted in March 2026",
       "journal_entry_detail", Set("tcode_fb03")),
     ("Show benefit enrollment counts by plan type",
-      "benefits_enrollment_summary", Set.empty[String]))
+      "benefits_enrollment_summary", Set.empty[String]),
+    // round 13: the two faces pinned on routing paths the CLI-10 battery
+    // opened (q_nl_employee_positions — possessive-filler fix routed the
+    // person-level listing onto the aggregate-safe reference pattern;
+    // q_nl_vendor_by_name — the named-entity vendor shape)
+    ("List all employees in personnel area 1000 with their positions",
+      "employee_headcount", Set.empty[String]),
+    ("Show me all open vendor items (unpaid invoices) for vendor Acme Corp",
+      "Unpaid vendor invoices by vendor name", Set.empty[String]))
 
   for ((question, expected, siblings) <- faces)
-    test(s"routing stable under paraphrase: $expected") {
+    test(s"routing stable under paraphrase: $expected <- '${question.take(32)}'") {
       val ok = siblings + expected
       // the pinned phrasing itself must route (guards a vacuous pass where
       // every mutation "degrades" because the base question stopped routing)
@@ -216,6 +224,91 @@ class ParaphraseFuzzSpec extends AnyFunSuite {
   for (((question, expected, family), i) <- sidebar.zipWithIndex)
     test(f"sidebar ${i + 1}%02d routes inside its family: " +
         question.take(48)) {
+      val ok = family ++ expected
+      expected match {
+        case Some(e) =>
+          assert(route(question).contains(e),
+            s"base phrasing routes to ${route(question)}, declared $e")
+        case None =>
+          assert(route(question).isEmpty,
+            s"no-template question routed to ${route(question)}")
+      }
+      val ms = mutations(question)
+      val outcomes = ms.map { case (label, m) => (label, m, route(m)) }
+      for ((label, m, got) <- outcomes)
+        assert(got.forall(ok.contains),
+          s"[$label] '$m' routed to $got — outside the declared family $ok")
+      if (expected.isDefined) {
+        val stillRouted = outcomes.count(_._3.exists(ok.contains))
+        assert(stillRouted * 2 >= ms.size,
+          s"only $stillRouted/${ms.size} paraphrases still route: " +
+            outcomes.collect { case (l, _, None) => l }.mkString(", "))
+      }
+    }
+
+  // ── round-13 task 3: the reference CLI's 10 example questions ───────────
+  // (sap_sql_engine.py:1773-1783, verbatim) with declared routing outcomes.
+  // Beyond the sidebar overlap these add three shapes: a named-entity vendor
+  // slot ("for vendor Acme Corp" — must land on the LFA1 name-resolution
+  // template), a person-level employee listing (must negotiate the PII
+  // gate by routing to the AGGREGATE-safe reference pattern — the naked
+  // listing stays governance-blocked, pinned in q_nl_employee_positions),
+  // and materials-below-reorder-point. Same invariant as the sidebar: route
+  // inside the declared family or not at all.
+  private val cli10: Seq[(String, Option[String], Set[String])] = {
+    val fbl5nFamily = Set("tcode_fbl5n", "tcode_fbl5n_customer_open_items",
+      "tcode_fbl5n_open_items_by_customer", "open_ar_items",
+      "tcode_fbl5n_customer_aging_bucket", "ar_aging",
+      "tcode_fbl5n_customer_outstanding_receivables")
+    val ksb1Family = Set("tcode_ksb1_actual_vs_plan_variance",
+      "tcode_ksb1_cost_center_actual_line_items",
+      "tcode_ksb1_cost_center_postings_by_year",
+      "tcode_ksb1_cost_center_by_cost_element", "cost_center_spend")
+    Seq(
+      ("Who are our top 10 vendors by total spend in company code 1000?",
+        Some("top_vendors_by_spend"), Set("vendor_spend_by_quarter")),
+      // the named-entity shape: the winning template IS the reference's
+      // LFA1-join guideline ("join LFA1 to filter by NAME1")
+      ("Show me all open vendor items (unpaid invoices) for vendor Acme Corp",
+        Some("Unpaid vendor invoices by vendor name"),
+        Set("open_ap_items", "tcode_fbl1n")),
+      ("What is the GL trial balance for company 1000 in fiscal year 2025?",
+        Some("value_chain_trial_balance"), Set("trial_balance")),
+      ("Show me all purchase orders over $50,000 that are still open",
+        Some("Purchase orders over threshold value"),
+        Set("purchase_order_status", "tcode_me2m", "tcode_me23n")),
+      // compound question: the delivery-status clause is the asked-for
+      // output; the period-listing siblings answer the same order set
+      ("What sales orders were created in Q1 2025 and what is their delivery status?",
+        Some("delivery_status"),
+        Set("sales_orders_by_period", "sales_order_backlog",
+          "order_to_cash_trace", "value_chain_order_to_cash_trace")),
+      ("Show me cost center actual vs plan for cost center 1000 in 2025",
+        Some("cost_center_actual_vs_plan"), ksb1Family),
+      // person-level listing: routes to the reference's employee pattern,
+      // whose validated template here is the aggregate-only form — the PII
+      // gate blocks the naked listing (q_nl_employee_positions pins both)
+      ("List all employees in personnel area 1000 with their positions",
+        Some("employee_headcount"), Set.empty[String]),
+      ("What journal entries were posted to account 400000 in January 2025?",
+        Some("journal_entry_detail"), Set("tcode_fb03")),
+      ("Show me customer open items (outstanding receivables) by aging bucket",
+        Some("tcode_fbl5n_customer_open_items"), fbl5nFamily),
+      // the reference catalog's MARC carries NO reorder-point column
+      // (MINBE is absent from sap_semantic_model.json's MARC) — no
+      // validated template can answer this without fabricating data, so
+      // the deterministic router must disambiguate (the reference hands
+      // it to its LLM, which would have to improvise the same way)
+      ("What materials have inventory below reorder point?",
+        None, Set.empty[String]))
+  }
+
+  test("CLI battery covers all 10 reference example questions") {
+    assert(cli10.size == 10)
+  }
+
+  for (((question, expected, family), i) <- cli10.zipWithIndex)
+    test(f"cli ${i + 1}%02d routes inside its family: " + question.take(48)) {
       val ok = family ++ expected
       expected match {
         case Some(e) =>
