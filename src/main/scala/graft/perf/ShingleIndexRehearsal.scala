@@ -123,10 +123,17 @@ object ShingleIndexRehearsal {
     // `stored` mode reattaches an existing on-disk index instead of
     // rewiping, so the A/B protocol pays the write once; `derived` mode
     // touches no index state at all.
+    // SPARK_GRAFT_SHINGLE_GUARD=off disables the write-time hot-bucket
+    // guard (round-13 A/B control: requested buckets verbatim vs the
+    // guard's raised count on a boilerplate-heavy corpus). The marker
+    // identity is the REQUESTED count, so wipe the warehouse between
+    // bindings — a guard-off probe would otherwise reattach the raised
+    // files
+    val guardOn = !sys.env.get("SPARK_GRAFT_SHINGLE_GUARD").contains("off")
     val (writeSec, reattach) =
       if (mode == "derived") (0.0, 0.0)
       else if (mode == "stored") {
-        (ShingleIndex.register(spark, sfDir, buckets), 0.0)
+        (ShingleIndex.register(spark, sfDir, buckets, guard = guardOn), 0.0)
       } else {
         spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
         Measure.deleteRecursively(java.nio.file.Paths.get(
@@ -161,8 +168,15 @@ object ShingleIndexRehearsal {
         kvs.map { case (k, v) =>
           "\"" + k + "\":" + BigDecimal(v).setScale(1,
             BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
+      // surface the write-time skew diagnosis (eff_buckets + telemetry)
+      // straight from the marker, so the A/B JSON lines carry the binding
+      val skew = ShingleIndex.readMarker(spark).map { m =>
+        Seq("eff_buckets", "bucket_key_top_share", "hot_ratio").flatMap(f =>
+          s""""$f":([0-9.]+)""".r.findFirstMatchIn(m)
+            .map(x => s""""$f":${x.group(1)}""")).mkString(",")
+      }.filter(_.nonEmpty).fold("")("," + _)
       println(s"""{"metric":"shingle_index_$mode","sf":"$sfDir",""" +
-        s""""buckets":$buckets,"runs":$runs,""" +
+        s""""buckets":$buckets,"runs":$runs,"guard":$guardOn$skew,""" +
         s""""stored_sec":${obj0(storedT)},"derived_sec":${obj0(derivedT)}}""")
       spark.stop()
       return

@@ -222,6 +222,73 @@ class ShingleIndexSpec extends AnyFunSuite {
     } finally wipe()
   }
 
+  test("shingle skew guard: template-spam corpus raises the bucket count, reattach and compact honor it") {
+    import spark.implicits._
+    wipe()
+    try {
+      // template spam: 95% of docs are a shared 12-token boilerplate plus a
+      // 2-token unique tail — every boilerplate shingle appears in ~95% of
+      // docs while the per-doc shingle count stays small, so the top key's
+      // share × buckets clears the guard's 2.0 fair-load threshold
+      val boiler = "terms and conditions apply all rights reserved contact us for details"
+      val docs = (1 to 400).map { i =>
+        if (i % 20 != 0) (i.toLong, s"$boiler item$i ref$i")
+        else (i.toLong, (0 until 30).map(w => s"d${i}w$w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = graft.ext.Dedup.hashedShingles(docs, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+      val spamRows = rows(sh)
+
+      // per-KEY share on the shingle axis maxes at ~1/(shingles per doc)
+      // (a boilerplate shingle appears once per document), so the guard
+      // binds when the bucket count is large relative to the spam docs'
+      // shingle count: ~0.074 share x 64 buckets = 4.7 fair loads
+      ShingleIndex.registerDocs(spark, "spam-tag", sh, buckets = 64,
+        withBands = true)
+      val m = ShingleIndex.readMarker(spark).get
+      val eff = """"eff_buckets":(\d+)""".r.findFirstMatchIn(m)
+        .map(_.group(1).toInt)
+      assert(eff.exists(_ > 64),
+        s"guard did not raise the bucket count on a template-spam corpus: $m")
+      assert(m.contains(""""bucket_key_top_share":""") &&
+        m.contains(""""hot_ratio":"""), s"skew telemetry missing: $m")
+      assert(rows(ShingleIndex.table(spark)) == spamRows)
+
+      // reattach must use the RAISED count (bucket ids live in file names;
+      // attaching at the requested 8 would corrupt co-partitioning)
+      spark.sql(s"DROP TABLE ${ShingleIndex.tableName}")
+      spark.sql(s"DROP TABLE ${ShingleIndex.bandsTableName}")
+      assert(ShingleIndex.registerDocs(spark, "spam-tag", sh, buckets = 64,
+        withBands = true) == 0.0, "matching marker must reattach, not rewrite")
+      assert(rows(ShingleIndex.table(spark)) == spamRows)
+      assert(ShingleIndex.liveFor(spark, "spam-tag").isDefined)
+
+      // append + compact preserve the raised geometry and the row multiset
+      val d = (1001 to 1005).map(i =>
+        (i.toLong, s"fresh append content row number $i alpha beta gamma"))
+        .toDF("doc_id", "text")
+      assert(ShingleIndex.append(spark, d, token = Some("spam-1")))
+      ShingleIndex.compact(spark)
+      val m2 = ShingleIndex.readMarker(spark).get
+      assert("""("eff_buckets":\d+)""".r.findFirstIn(m2) ==
+        """("eff_buckets":\d+)""".r.findFirstIn(m),
+        "compaction changed the effective bucket count")
+      val (pf, _) = ShingleIndex.fileCounts(spark)
+      assert(pf <= eff.get, s"compacted to $pf files, expected <= ${eff.get}")
+      val dSh = rows(graft.ext.Dedup.hashedShingles(d, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle"))
+      assert(rows(ShingleIndex.table(spark)) == spamRows ++ dSh)
+
+      // guard=false control: requested count honored verbatim
+      wipe()
+      ShingleIndex.registerDocs(spark, "spam-tag", sh, buckets = 8,
+        guard = false)
+      val m3 = ShingleIndex.readMarker(spark).get
+      assert(m3.contains(""""eff_buckets":8"""),
+        s"guard=false must keep the requested count: $m3")
+    } finally wipe()
+  }
+
   test("compaction: row-identical, marker survives, file count bounded, kill windows refuse") {
     wipe()
     try {
