@@ -492,5 +492,119 @@ object TemplateAnalogs {
             AS total_coverage
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY 1, 2
-        ORDER BY benefit_plan, category""")))
+        ORDER BY benefit_plan, category""")),
+
+    // ── value_chain_p2p_cycle_time analog (round 13, reference
+    //    sap_semantic_model.json:7828-7840): anchor-header cycle-time chain
+    //    — event rows filtered by a movement-type IN-list (BWART IN
+    //    ('101','161')), MIN/MAX stage dates per document, then a datediff
+    //    chain between consecutive stages plus the end-to-end total.
+    //    Events are PRE-AGGREGATED per document before the join (MIN/MAX
+    //    are duplication-immune, so this equals the reference's
+    //    join-then-group shape while keeping the big side 1:1 — no row
+    //    explosion at scale); documents with no qualifying events keep
+    //    NULL stages through the left join, exactly like a PO with no
+    //    goods receipt ─────────────────────────────────────────────────────
+    Q(
+      "q_tmpl_p2p_cycle_time",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        // three event stages from the one movement table, exactly the
+        // reference's shape (EKBE receipts / RBKP invoices / BSIK postings
+        // are three conditional date streams): IN-list gates which rows
+        // are events at all, per-stage conditions pick each stage's dates
+        val ev = l.filter(col("l_returnflag").isin("N", "R"))
+          .groupBy(col("l_orderkey"))
+          .agg(min(to_date(col("l_shipdate"))).as("first_receipt_date"),
+            max(when(col("l_linestatus") === "F", to_date(col("l_shipdate"))))
+              .as("invoice_date"),
+            max(when(col("l_returnflag") === "R", to_date(col("l_shipdate"))))
+              .as("ap_posting_date"))
+        o.join(ev, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey").as("purchase_order"),
+            to_date(col("o_orderdate")).as("po_date"),
+            col("first_receipt_date"),
+            datediff(col("first_receipt_date"), to_date(col("o_orderdate")))
+              .cast("long").as("po_to_gr_days"),
+            col("invoice_date"),
+            datediff(col("invoice_date"), col("first_receipt_date"))
+              .cast("long").as("gr_to_invoice_days"),
+            col("ap_posting_date"),
+            datediff(col("ap_posting_date"), col("invoice_date"))
+              .cast("long").as("invoice_to_ap_days"),
+            datediff(col("ap_posting_date"), to_date(col("o_orderdate")))
+              .cast("long").as("total_p2p_days"))
+          .orderBy(col("po_date").desc, col("purchase_order"))
+      },
+      Some("""WITH ev AS (SELECT l_orderkey,
+            MIN(CAST(l_shipdate AS DATE)) AS first_receipt_date,
+            MAX(CASE WHEN l_linestatus = 'F' THEN CAST(l_shipdate AS DATE)
+                END) AS invoice_date,
+            MAX(CASE WHEN l_returnflag = 'R' THEN CAST(l_shipdate AS DATE)
+                END) AS ap_posting_date
+          FROM lineitem WHERE l_returnflag IN ('N', 'R')
+          GROUP BY l_orderkey)
+        SELECT o_orderkey AS purchase_order,
+          CAST(o_orderdate AS DATE) AS po_date,
+          first_receipt_date,
+          date_diff('day', CAST(o_orderdate AS DATE), first_receipt_date)
+            AS po_to_gr_days,
+          invoice_date,
+          date_diff('day', first_receipt_date, invoice_date)
+            AS gr_to_invoice_days,
+          ap_posting_date,
+          date_diff('day', invoice_date, ap_posting_date)
+            AS invoice_to_ap_days,
+          date_diff('day', CAST(o_orderdate AS DATE), ap_posting_date)
+            AS total_p2p_days
+        FROM orders LEFT JOIN ev ON o_orderkey = l_orderkey
+        ORDER BY po_date DESC, purchase_order""")),
+
+    // ── tcode_ksb1_cost_center_actual_line_items analog (round 13,
+    //    reference sap_semantic_model.json:7679-7690): the LIKE-on-
+    //    COMPUTED-prefix join idiom — the reference joins COEP to CSKS on
+    //    the equi key and then requires e.OBJNR LIKE SUBSTR(s.OBJNR,1,8)
+    //    || '%', a prefix computed from the joined ROW, not a literal —
+    //    neither engine can constant-fold the pattern. Analog: the joined
+    //    customer's name must match a prefix computed from the document
+    //    key (~10% selective), on top of the equi joins; plus the KSB1
+    //    listing shape — fiscal year / period derivation, signed amount,
+    //    dim text, multi-key ORDER BY ─────────────────────────────────────
+    Q(
+      "q_tmpl_ksb1_line_items",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .filter(expr(
+            "c_name LIKE 'Customer#00000' || CAST(o_orderkey % 10 AS STRING) || '%'"))
+          .select(col("c_custkey").as("cost_center"),
+            col("c_name").as("cost_center_name"),
+            year(col("o_orderdate")).cast("long").as("fiscal_year"),
+            month(col("o_orderdate")).cast("long").as("period"),
+            col("o_orderkey").as("document_number"),
+            signedAmount(col("o_orderstatus"), money(col("o_totalprice")), "O")
+              .cast("double").as("amount"),
+            col("n_name").as("currency_area"))
+          .orderBy(col("fiscal_year"), col("period"), col("cost_center"),
+            col("document_number"))
+      },
+      Some("""SELECT c_custkey AS cost_center, c_name AS cost_center_name,
+          CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS fiscal_year,
+          CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS period,
+          o_orderkey AS document_number,
+          CAST(CASE WHEN o_orderstatus = 'O'
+               THEN -CAST(o_totalprice AS DECIMAL(18,2))
+               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE)
+            AS amount,
+          n_name AS currency_area
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_name LIKE 'Customer#00000' || CAST(o_orderkey % 10 AS VARCHAR)
+          || '%'
+        ORDER BY fiscal_year, period, cost_center, document_number""")))
 }
