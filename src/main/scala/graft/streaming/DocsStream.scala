@@ -176,16 +176,30 @@ object DocsStream {
     * (correct, just slower) until the index is re-registered. With-index ≡
     * without-index accept sets are pinned by [[StreamingSpec]]. */
   def ingestNearDup(docs: DataFrame, corpusPath: String, checkpoint: String,
-      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.8,
+      autoCompactFactor: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(ingestStep(corpusPath, threshold))
+      .foreachBatch(ingestStep(corpusPath, threshold, autoCompactFactor))
       .start()
 
   /** The per-batch body of [[ingestNearDup]], exposed so crash-replay
-    * (same batch twice) is directly testable. */
-  private[graft] def ingestStep(corpusPath: String, threshold: Double)
+    * (same batch twice) is directly testable.
+    *
+    * `autoCompactFactor` (round 13): self-sizing index maintenance for
+    * sustained ingest — after the batch commits, compact the stored index
+    * when its postings have fragmented past factor × buckets
+    * ([[graft.ext.ShingleIndex.maybeCompact]]), so a long-running ingest
+    * keeps its own scan cost bounded with no operator intervention. The
+    * compaction runs AFTER the corpus write (the batch is already
+    * committed; a kill inside the compaction poisons the marker and later
+    * batches fall back to the derived screen until a re-registration —
+    * the same crash contract as the append), and a replayed batch may
+    * re-trigger it harmlessly (compaction is content-preserving). */
+  private[graft] def ingestStep(corpusPath: String, threshold: Double,
+      autoCompactFactor: Option[Int] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val live = graft.ext.ShingleIndex.liveFor(spark, corpusPath)
@@ -225,6 +239,11 @@ object DocsStream {
         graft.ext.ShingleIndex.append(spark, s, token = Some(s"ingest-$batchId"))
       }
       s.write.mode("append").parquet(corpusPath)
+      // maintenance AFTER the batch commits: fragmentation-triggered
+      // compaction keeps the stored index's file count bounded across a
+      // sustained ingest (see scaladoc crash/replay contract)
+      for (f <- autoCompactFactor if live.isDefined)
+        graft.ext.ShingleIndex.maybeCompact(spark, f)
     } finally { s.unpersist(); cleanup() }
   }
 }

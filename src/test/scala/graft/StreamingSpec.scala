@@ -716,6 +716,80 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-compaction keeps the stored index file count bounded across sustained ingest") {
+    import spark.implicits._
+    import graft.ext.ShingleIndex
+
+    def wipeIndex(): Unit =
+      for (t <- Seq(ShingleIndex.tableName, ShingleIndex.bandsTableName)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          t).toString)
+      }
+    val batches: Seq[Seq[(Long, String)]] = (0 until 12).map(i =>
+      (0 until 3).map { j =>
+        val id = i * 100L + j
+        (id, (0 until 12).map(w => s"a${id}w$w").mkString(" "))
+      })
+    def frame(docs: Seq[(Long, String)]) = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def ids(path: String): List[Long] =
+      spark.read.parquet(path).select("doc_id").as[Long].collect()
+        .sorted.toList
+
+    val root = java.nio.file.Files.createTempDirectory("graft-autocompact")
+    try {
+      // control: same batches, no auto-compaction
+      val control = root.resolve("control").toString
+      wipeIndex()
+      ShingleIndex.registerDocs(spark, control,
+        Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
+        buckets = 4, withBands = true)
+      batches.zipWithIndex.foreach { case (d, i) =>
+        DocsStream.ingestStep(control, 0.6)(frame(d), i.toLong)
+      }
+      val controlIds = ids(control)
+      val (pfUnbounded, _) = ShingleIndex.fileCounts(spark)
+      assert(pfUnbounded > 3 * 4,
+        s"control should fragment well past one file per bucket, got $pfUnbounded")
+
+      // auto-compacting run: factor 2 → compact whenever postings exceed
+      // 8 files; the count must stay bounded THROUGHOUT, not just at the
+      // end, and the accept set must be unchanged
+      val auto = root.resolve("auto").toString
+      wipeIndex()
+      ShingleIndex.registerDocs(spark, auto,
+        Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
+        buckets = 4, withBands = true)
+      val bound = 2 * 4 + 4 // trigger threshold + at most one more append
+      batches.zipWithIndex.foreach { case (d, i) =>
+        DocsStream.ingestStep(auto, 0.6, Some(2))(frame(d), i.toLong)
+        val (pf, _) = ShingleIndex.fileCounts(spark)
+        assert(pf <= bound,
+          s"batch $i: postings at $pf files exceeds the auto-compact bound $bound")
+      }
+      assert(ids(auto) == controlIds,
+        "auto-compaction changed the accept set")
+      val m = ShingleIndex.readMarker(spark).get
+      assert(m.contains(""""compactions":"""),
+        s"sustained ingest never triggered a compaction: $m")
+      // the index still tracks the corpus exactly
+      val fromCorpus = graft.ext.Dedup.hashedShingles(
+        spark.read.parquet(auto), "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+      def postingRows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("doc_id"), col("shingle")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(postingRows(ShingleIndex.table(spark)) == postingRows(fromCorpus),
+        "auto-compacted index diverged from the corpus it tracks")
+    } finally {
+      wipeIndex()
+      graft.perf.Measure.deleteRecursively(root.toString)
+    }
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
