@@ -505,4 +505,22 @@ object AnnIndex {
     fragmentingArtifacts(kind).map(a =>
       a -> graft.perf.Measure.parquetFileCount(s"$dir/$a")).toMap
   }
+
+  /** Self-sizing compaction trigger ([[graft.ext.ShingleIndex.maybeCompact]]
+    * on the ANN store): compact iff the PRIMARY fragmenting artifact's file
+    * count exceeds `factor` × its build-time shape — one file per tbl/cell
+    * for the partitioned families, the shuffle-partition count for plain
+    * pq codes. One directory listing per call (the very cost compaction
+    * bounds); a torn index refuses via [[readParams]] like every other
+    * entry point. Returns true iff a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8): Boolean = {
+    val (kind, nCellsOrTables, _, _, _) = readParams(spark, dir)
+    val baseline = kind match {
+      case "pq" => math.max(1, spark.sessionState.conf.numShufflePartitions)
+      case _ => math.max(1, nCellsOrTables)
+    }
+    val primary = fragmentingArtifacts(kind).head
+    val count = graft.perf.Measure.parquetFileCount(s"$dir/$primary")
+    if (count > factor * baseline) { compact(spark, dir); true } else false
+  }
 }

@@ -44,6 +44,52 @@ object AnnBench {
     val q = e.filter(col("vec_id") < 10).cache()
     sink(q.toDF())
 
+    // SPARK_GRAFT_ANN_MODE=fragment (round 13 — the ANN half of the
+    // compaction telemetry): build LSH on ~80% of the corpus, append the
+    // rest in SPARK_GRAFT_APPENDS batches (each adds ~1 file per tbl dir +
+    // 1 vector file), measure stored-search latency + file counts on the
+    // fragmented index, compact, re-measure. One JSON line, then exit
+    // (fresh-JVM protocol).
+    if (sys.env.get("SPARK_GRAFT_ANN_MODE").contains("fragment")) {
+      val nAppends = sys.env.getOrElse("SPARK_GRAFT_APPENDS", "20").toInt
+      val dir = s"$root/lsh-frag"
+      val mod = nAppends * 5 // base = ~4/5 of the corpus, appends split the rest
+      val base = e.filter(pmod(col("vec_id"), lit(mod)) >= nAppends)
+      val (keys, vecs) = AnnIndex.buildLsh(base, planes = planes,
+        tables = tables)
+      AnnIndex.writeLsh(dir, keys, vecs, planes = planes, dims = 64,
+        tables = tables)
+      val appendSec = (0 until nAppends).map { i =>
+        time { AnnIndex.appendLsh(spark, dir,
+          e.filter(pmod(col("vec_id"), lit(mod)) === i)) }
+      }.sum
+      def searchMedian(): Double = {
+        sink(AnnIndex.searchLsh(spark, dir, q, 3)) // warm
+        median((1 to runs).map(_ =>
+          time(sink(AnnIndex.searchLsh(spark, dir, q, 3)))))
+      }
+      val filesBefore = AnnIndex.fileCounts(spark, dir)
+      val searchBefore = searchMedian()
+      val compactSec = time { AnnIndex.compact(spark, dir) }
+      val filesAfter = AnnIndex.fileCounts(spark, dir)
+      val searchAfter = searchMedian()
+      def f2(v: Double) =
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      def fobj(m: Map[String, Int]): String =
+        m.map { case (k, v) => "\"" + k.stripSuffix(".parquet") + "\":" + v }
+          .mkString("{", ",", "}")
+      println(s"""{"metric":"ann_fragment","sf":"$sfDir","runs":$runs,""" +
+        s""""appends":$nAppends,"tables":$tables,"planes":$planes,""" +
+        s""""append_total_sec":${f2(appendSec)},""" +
+        s""""files_before":${fobj(filesBefore)},""" +
+        s""""files_after":${fobj(filesAfter)},""" +
+        s""""compact_sec":${f2(compactSec)},""" +
+        s""""search_before_sec":${f2(searchBefore)},""" +
+        s""""search_after_sec":${f2(searchAfter)}}""")
+      spark.stop()
+      return
+    }
+
     // build once per kind (timed: train + encode + write)
     val buildT = Seq(
       "lsh" -> time {

@@ -173,4 +173,30 @@ class AnnIndexSpec extends AnyFunSuite {
     graft.perf.Measure.deleteRecursively(idx)
     graft.perf.Measure.deleteRecursively(idx2)
   }
+
+  test("maybeCompact: sustained appends stay file-bounded, search equals a one-shot build") {
+    val idx = tmp("graft-annspec-maybecompact")
+    val base = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val (k0, v0) = AnnIndex.buildLsh(base, planes = 5, tables = 4)
+    AnnIndex.writeLsh(idx, k0, v0, planes = 5, dims = 64, tables = 4)
+    var compacted = 0
+    val bound = 1 * 4 + 4 // trigger threshold + at most one more append
+    for (i <- 1 to 6) {
+      AnnIndex.appendLsh(spark, idx,
+        emb.filter(pmod(col("vec_id"), lit(7)) === i))
+      if (AnnIndex.maybeCompact(spark, idx, factor = 1)) compacted += 1
+      assert(AnnIndex.fileCounts(spark, idx)("keys.parquet") <= bound,
+        s"append $i: keys exceeded the maintenance bound")
+    }
+    assert(compacted >= 1, "sustained appends never triggered maintenance")
+    // the maintained index answers exactly like a one-shot build of the
+    // full corpus (LSH keys are deterministic from the stored geometry)
+    val (ku, vu) = AnnIndex.buildLsh(emb, planes = 5, tables = 4)
+    val mem = Similarity.lshSearch(ku, vu, q10, 3, planes = 5, dims = 64,
+      tables = 4).collect().map(_.toString).toSet
+    assert(AnnIndex.searchLsh(spark, idx, q10, 3).collect()
+      .map(_.toString).toSet == mem,
+      "maintained index diverged from a one-shot build")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
 }
