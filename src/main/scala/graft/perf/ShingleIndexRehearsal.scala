@@ -169,8 +169,12 @@ object ShingleIndexRehearsal {
           "\"" + k + "\":" + BigDecimal(v).setScale(1,
             BigDecimal.RoundingMode.HALF_UP) }.mkString("{", ",", "}")
       // surface the write-time skew diagnosis (eff_buckets + telemetry)
-      // straight from the marker, so the A/B JSON lines carry the binding
-      val skew = ShingleIndex.readMarker(spark).map { m =>
+      // straight from the marker, so the A/B JSON lines carry the binding.
+      // Stored mode only — the derived binding touches no index state, and
+      // printing a leftover marker's fields would attribute another
+      // binding's diagnosis to it
+      val skew = ShingleIndex.readMarker(spark).filter(_ => mode == "stored")
+        .map { m =>
         Seq("eff_buckets", "bucket_key_top_share", "hot_ratio").flatMap(f =>
           s""""$f":([0-9.]+)""".r.findFirstMatchIn(m)
             .map(x => s""""$f":${x.group(1)}""")).mkString(",")

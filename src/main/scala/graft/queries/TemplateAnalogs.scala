@@ -606,5 +606,69 @@ object TemplateAnalogs {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE c_name LIKE 'Customer#00000' || CAST(o_orderkey % 10 AS VARCHAR)
           || '%'
-        ORDER BY fiscal_year, period, cost_center, document_number""")))
+        ORDER BY fiscal_year, period, cost_center, document_number""")),
+
+    // ── value_chain_o2c_pipeline_summary analog (round 13): the FUNNEL
+    //    shape — a UNION ALL of per-stage one-row aggregates where each
+    //    stage's population is carved out by an ANTI-JOIN against the next
+    //    stage's key set (the reference's `NOT IN (SELECT …)` per pipeline
+    //    stage: orders with no delivery, deliveries with no invoice, …).
+    //    Spark side uses left_anti (the NOT-IN rewrite that stays
+    //    null-safe and broadcastable); stage labels carry an ordinal so
+    //    the funnel orders deterministically. Empty stages still emit
+    //    their row (global agg) with a zero total — the funnel never
+    //    silently loses a stage ───────────────────────────────────────────
+    Q(
+      "q_tmpl_o2c_pipeline",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val shipped = l.filter(col("l_linestatus") === "F")
+          .select(col("l_orderkey")).distinct()
+        val returned = l.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")).distinct()
+        def stage(label: String, df: DataFrame, key: String,
+            amount: org.apache.spark.sql.Column) =
+          df.agg(countDistinct(col(key)).as("n_docs"),
+            coalesce(sum(amount), lit(0)).cast("double").as("total_value"))
+            .select(lit(label).as("pipeline_stage"), col("n_docs"),
+              col("total_value"))
+        val s1 = stage("1 Unshipped Orders",
+          o.join(shipped, o("o_orderkey") === shipped("l_orderkey"),
+            "left_anti"),
+          "o_orderkey", money(col("o_totalprice")))
+        val s2 = stage("2 Shipped Unreturned",
+          l.filter(col("l_linestatus") === "F")
+            .join(returned, Seq("l_orderkey"), "left_anti"),
+          "l_orderkey", money(col("l_extendedprice")))
+        val s3 = stage("3 Returned",
+          l.filter(col("l_returnflag") === "R"),
+          "l_orderkey",
+          signedAmount(col("l_linestatus"), money(col("l_extendedprice")), "O"))
+        s1.unionAll(s2).unionAll(s3).orderBy(col("pipeline_stage"))
+      },
+      Some("""SELECT '1 Unshipped Orders' AS pipeline_stage,
+          COUNT(DISTINCT o_orderkey) AS n_docs,
+          CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+            AS DOUBLE) AS total_value
+        FROM orders
+        WHERE o_orderkey NOT IN
+          (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+        UNION ALL
+        SELECT '2 Shipped Unreturned',
+          COUNT(DISTINCT l_orderkey),
+          CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0)
+            AS DOUBLE)
+        FROM lineitem WHERE l_linestatus = 'F'
+          AND l_orderkey NOT IN
+            (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        UNION ALL
+        SELECT '3 Returned',
+          COUNT(DISTINCT l_orderkey),
+          CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+              THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+              ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END), 0)
+            AS DOUBLE)
+        FROM lineitem WHERE l_returnflag = 'R'
+        ORDER BY pipeline_stage""")))
 }
