@@ -202,6 +202,9 @@ object DocsStream {
       autoCompactFactor: Option[Int] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
+    // a corpus compaction killed mid-swap must be resumed BEFORE anything
+    // lists or reads the corpus (one Files.exists when healthy)
+    graft.ext.CorpusCompact.resumeIfNeeded(corpusPath)
     val live = graft.ext.ShingleIndex.liveFor(spark, corpusPath)
     val inBatch = graft.ext.Dedup.exact(enrich(batch), Seq("content_hash"), "doc_id")
     // a previous empty append leaves a directory with no part files, which
@@ -240,10 +243,14 @@ object DocsStream {
       }
       s.write.mode("append").parquet(corpusPath)
       // maintenance AFTER the batch commits: fragmentation-triggered
-      // compaction keeps the stored index's file count bounded across a
-      // sustained ingest (see scaladoc crash/replay contract)
-      for (f <- autoCompactFactor if live.isDefined)
-        graft.ext.ShingleIndex.maybeCompact(spark, f)
+      // compaction keeps BOTH stores' file counts bounded across a
+      // sustained ingest — the stored index (poison-marker protocol) and
+      // the corpus parquet dir itself (resumable-swap protocol; the
+      // corpus is data, so its compaction heals forward, never poisons)
+      for (f <- autoCompactFactor) {
+        if (live.isDefined) graft.ext.ShingleIndex.maybeCompact(spark, f)
+        graft.ext.CorpusCompact.maybeCompact(spark, corpusPath, f)
+      }
     } finally { s.unpersist(); cleanup() }
   }
 }

@@ -764,11 +764,17 @@ class StreamingSpec extends AnyFunSuite {
         Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
         buckets = 4, withBands = true)
       val bound = 2 * 4 + 4 // trigger threshold + at most one more append
+      // corpus bound: factor × the session shuffle-partition target, plus
+      // one batch's worth of appended files
+      val corpusBound = 2 * spark.sessionState.conf.numShufflePartitions + 4
       batches.zipWithIndex.foreach { case (d, i) =>
         DocsStream.ingestStep(auto, 0.6, Some(2))(frame(d), i.toLong)
         val (pf, _) = ShingleIndex.fileCounts(spark)
         assert(pf <= bound,
           s"batch $i: postings at $pf files exceeds the auto-compact bound $bound")
+        val cf = graft.ext.CorpusCompact.fileCount(auto)
+        assert(cf <= corpusBound,
+          s"batch $i: corpus at $cf files exceeds the bound $corpusBound")
       }
       assert(ids(auto) == controlIds,
         "auto-compaction changed the accept set")
@@ -788,6 +794,82 @@ class StreamingSpec extends AnyFunSuite {
       wipeIndex()
       graft.perf.Measure.deleteRecursively(root.toString)
     }
+  }
+
+  test("corpus compaction: resumable swap preserves rows through every kill window") {
+    import spark.implicits._
+    import graft.ext.CorpusCompact
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-compact")
+      .toString
+    // corpus built through the real ingest (enriched schema), one batch
+    // per call — each doc fully distinct vocabulary so everything accepts
+    def append(n: Int, off: Long): Unit = {
+      val b = (0 until n).map { i =>
+        val id = off + i
+        (id, (0 until 8).map(w => s"c${id}w$w").mkString(" "))
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      DocsStream.ingestStep(dir, 0.6)(b, off)
+    }
+    def docIds(): List[Long] = spark.read.parquet(dir).select("doc_id")
+      .as[Long].collect().sorted.toList
+    val marker = java.nio.file.Paths.get(dir, "_graft_corpus_swap")
+    val staging = java.nio.file.Paths.get(dir, ".compact-tmp")
+    try {
+      append(5, 0); append(5, 100); append(5, 200)
+      val before = docIds()
+      assert(CorpusCompact.fileCount(dir) >= 3)
+
+      // kill window A: death during STAGING — only the hidden dot-dir
+      // exists, the live corpus is untouched and Spark readers never see
+      // the partial copy; the next compact sweeps the stale staging
+      java.nio.file.Files.createDirectories(staging)
+      java.nio.file.Files.writeString(staging.resolve("part-junk.parquet"),
+        "partial garbage from a killed staging write")
+      assert(docIds() == before, "staging leaked into the visible corpus")
+      CorpusCompact.compact(spark, dir, targetFiles = 2)
+      assert(docIds() == before, "compaction changed the corpus rows")
+      assert(CorpusCompact.fileCount(dir) <= 2)
+
+      // kill window B: death MID-SWAP — staged set complete, marker
+      // written, old files already deleted, nothing moved yet. The marker
+      // makes the staged set the truth; resume completes the swap
+      append(5, 300)
+      val before2 = docIds()
+      spark.read.parquet(dir).coalesce(1).write.mode("overwrite")
+        .parquet(staging.toString)
+      java.nio.file.Files.writeString(marker, "testtok")
+      Option(new java.io.File(dir).listFiles()).get
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
+      assert(CorpusCompact.resumeIfNeeded(dir), "marker present but no resume")
+      assert(docIds() == before2, "resumable swap lost corpus rows")
+      assert(!java.nio.file.Files.exists(marker))
+
+      // kill window C: death after the move, before the marker clear —
+      // resume is a pure idempotent cleanup (visible files already carry
+      // the token prefix)
+      java.nio.file.Files.writeString(marker, "testtok")
+      assert(CorpusCompact.resumeIfNeeded(dir))
+      assert(docIds() == before2)
+
+      // the ingest step heals a leftover marker on its own before reading
+      java.nio.file.Files.writeString(marker, "testtok")
+      val b = Seq((999L, "a totally new and unrelated document about fresh topics entirely"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      DocsStream.ingestStep(dir, 0.6)(b, 99L)
+      assert(docIds() == (before2 :+ 999L).sorted)
+
+      // a CORRUPT marker (names no staged and no moved files) must refuse
+      // loudly rather than delete the corpus behind it
+      java.nio.file.Files.writeString(marker, "bogus-token")
+      intercept[IllegalArgumentException] { CorpusCompact.resumeIfNeeded(dir) }
+      java.nio.file.Files.delete(marker)
+      assert(docIds() == (before2 :+ 999L).sorted)
+    } finally graft.perf.Measure.deleteRecursively(dir)
   }
 
   test("streaming scd2 closed versions equal the batch history exactly") {
