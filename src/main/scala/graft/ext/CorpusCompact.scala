@@ -115,6 +115,18 @@ object CorpusCompact {
     * marker-guarded and resumable. No-op on an empty/absent corpus. */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 0): Unit = {
     resumeIfNeeded(dir)
+    // flat append-mode dirs ONLY: on a hive-partitioned dir the staging
+    // read would absorb every nested row while the swap deletes only
+    // top-level files — the moved-in consolidated copy would then
+    // DUPLICATE the untouched subdirectories' rows. Refuse up front.
+    val subdirs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"CorpusCompact supports flat append-mode dirs only; $dir has " +
+        s"subdirectories ${subdirs.map(_.getName).take(3).mkString(", ")} " +
+        "(a partitioned layout compacts per-partition, not whole-dir)")
     if (visibleParquet(dir).isEmpty) return
     val target = math.max(1,
       if (targetFiles > 0) targetFiles

@@ -869,6 +869,18 @@ class StreamingSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] { CorpusCompact.resumeIfNeeded(dir) }
       java.nio.file.Files.delete(marker)
       assert(docIds() == (before2 :+ 999L).sorted)
+
+      // a hive-partitioned dir is refused up front — whole-dir compaction
+      // there would duplicate the untouched subdirectories' rows
+      val part = java.nio.file.Files
+        .createTempDirectory("graft-part-corpus").toString
+      try {
+        Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+          .write.mode("overwrite").partitionBy("doc_id").parquet(part)
+        intercept[IllegalArgumentException] {
+          CorpusCompact.compact(spark, part)
+        }
+      } finally graft.perf.Measure.deleteRecursively(part)
     } finally graft.perf.Measure.deleteRecursively(dir)
   }
 
