@@ -79,15 +79,22 @@ object AnnIndex {
   private def sentinelPath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_graft_compacting")
 
+  /** The sentinel gate every access path shares — search/append via
+    * [[readParams]], and the public `read*` artifact helpers directly
+    * (an external caller reading artifacts right after a mid-swap kill
+    * must refuse just as loudly as a search would). */
+  private def refuseTorn(dir: String): Unit =
+    if (java.nio.file.Files.exists(sentinelPath(dir)))
+      throw new IllegalStateException(
+        s"ANN index at $dir was killed mid-compaction swap — artifacts may " +
+          "be torn; rebuild the index (write*) to heal")
+
   /** (kind, nCells, m, kCodes, dims) of a stored index. Refuses an index
     * whose compaction swap was killed mid-flight — its artifacts may be
     * torn (a directory deleted but not yet replaced), and a loud refusal
     * beats a search that silently misses half its candidates. */
   def readParams(spark: SparkSession, dir: String): (String, Int, Int, Int, Int) = {
-    if (java.nio.file.Files.exists(sentinelPath(dir)))
-      throw new IllegalStateException(
-        s"ANN index at $dir was killed mid-compaction swap — artifacts may " +
-          "be torn; rebuild the index (write*) to heal")
+    refuseTorn(dir)
     val r = spark.read.parquet(s"$dir/params.parquet").head()
     (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
   }
@@ -139,6 +146,7 @@ object AnnIndex {
     * comes back type-inferred (int) — cast to long restores the build-side
     * schema exactly. */
   def readIvf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    refuseTorn(dir)
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
     val indexed = spark.read.parquet(s"$dir/vectors.parquet")
       .withColumn("cell", col("cell").cast("long"))
@@ -212,10 +220,12 @@ object AnnIndex {
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
   }
 
-  def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    refuseTorn(dir)
     (spark.read.parquet(s"$dir/keys.parquet")
       .withColumn("tbl", col("tbl").cast("int")),
       spark.read.parquet(s"$dir/vectors.parquet"))
+  }
 
   def searchLsh(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int): DataFrame = {
@@ -268,9 +278,11 @@ object AnnIndex {
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
   }
 
-  def readPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def readPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    refuseTorn(dir)
     (spark.read.parquet(s"$dir/codebooks.parquet"),
       spark.read.parquet(s"$dir/codes.parquet"))
+  }
 
   def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int): DataFrame = {
@@ -315,11 +327,13 @@ object AnnIndex {
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
   }
 
-  def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+  def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    refuseTorn(dir)
     (spark.read.parquet(s"$dir/centroids.parquet"),
       spark.read.parquet(s"$dir/codebooks.parquet"),
       spark.read.parquet(s"$dir/codes.parquet")
         .withColumn("cell", col("cell").cast("long")))
+  }
 
   def searchIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4): DataFrame = {
@@ -420,7 +434,10 @@ object AnnIndex {
     * silently incomplete candidate set.
     *
     * Returns seconds spent in the rewrite phase. */
-  def compact(spark: SparkSession, dir: String): Double = {
+  def compact(spark: SparkSession, dir: String): Double = synchronized {
+    // synchronized like the ShingleIndex counterpart: two same-JVM threads
+    // compacting one dir would interleave swap phases (the second
+    // ATOMIC_MOVE throws) and strand the sentinel despite intact data
     val params = readParams(spark, dir) // sentinel-checked: refuses torn state
     val t0 = System.nanoTime()
     prepareCompactArtifacts(spark, dir, params)
@@ -475,9 +492,19 @@ object AnnIndex {
   /** Swap phase 1 of [[compact]]: drop the sentinel — from here until
     * [[finalizeCompactSwap]], every readParams-gated entry point refuses
     * the index. */
-  private[graft] def beginCompactSwap(dir: String): Unit =
-    java.nio.file.Files.writeString(sentinelPath(dir),
+  private[graft] def beginCompactSwap(dir: String): Unit = {
+    // temp + ATOMIC_MOVE for uniformity with every other marker write (a
+    // torn sentinel would still refuse — any partial file trips the
+    // existence check — but one direct-write site invites copies of the
+    // pattern into markers where a tear is NOT fail-safe)
+    val p = sentinelPath(dir)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp,
       s"""{"compacting":"${java.util.UUID.randomUUID()}"}""")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Swap phase 2 of [[compact]]: exchange each live artifact dir for its
     * compacted temp. A kill between the delete and the move leaves a
@@ -513,7 +540,7 @@ object AnnIndex {
     * pq codes. One directory listing per call (the very cost compaction
     * bounds); a torn index refuses via [[readParams]] like every other
     * entry point. Returns true iff a compaction ran. */
-  def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8): Boolean = {
+  def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8): Boolean = synchronized {
     val (kind, nCellsOrTables, _, _, _) = readParams(spark, dir)
     val baseline = kind match {
       case "pq" => math.max(1, spark.sessionState.conf.numShufflePartitions)

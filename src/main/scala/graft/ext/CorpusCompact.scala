@@ -132,8 +132,23 @@ object CorpusCompact {
       if (targetFiles > 0) targetFiles
       else spark.sessionState.conf.numShufflePartitions)
     graft.perf.Measure.deleteRecursively(stagingPath(dir).toString)
+    // tripwire for the single-writer contract: snapshot the visible file
+    // set the staging read absorbs, and recheck it just before the marker
+    // lands — a writer that appended between the two would otherwise have
+    // its rows DELETED by the swap with no trace. Aborting here is free
+    // (no marker yet → the corpus is untouched; staging is swept).
+    val snapshot = visibleParquet(dir).map(_.getName).toSet
     spark.read.parquet(dir).coalesce(target)
       .write.mode("overwrite").parquet(stagingPath(dir).toString)
+    val now = visibleParquet(dir).map(_.getName).toSet
+    if (now != snapshot) {
+      graft.perf.Measure.deleteRecursively(stagingPath(dir).toString)
+      throw new IllegalStateException(
+        s"corpus at $dir changed during compaction staging " +
+          s"(${(now -- snapshot).size} new / ${(snapshot -- now).size} " +
+          "removed files) — a concurrent writer violated the single-writer " +
+          "contract; swap aborted, corpus untouched")
+    }
     val tok = java.util.UUID.randomUUID().toString.take(8)
     writeMarkerAtomic(dir, tok)
     finishSwap(dir, tok)

@@ -79,6 +79,7 @@ object AdvisorRehearsal {
       // with this off (rows with equal full keys share a bucket — correct,
       // shuffle-free); see AdvisorSpec
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.warehouse.dir", Measure.warehouseDir("advisor"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables.register(spark, sfDir)

@@ -59,6 +59,8 @@ object CorpusLayoutRehearsal {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      .config("spark.sql.warehouse.dir",
+        Measure.warehouseDir("corpus-layout"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,6 +41,8 @@ object IngestRehearsal {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      .config("spark.sql.warehouse.dir",
+        Measure.warehouseDir("ingest"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,6 +40,21 @@ object Measure {
     }
   }
 
+  /** Warehouse root for a perf main — ISOLATED from the default
+    * `./spark-warehouse` that Verify (and the driver's face runs) use, so a
+    * rehearsal and a Verify run can execute concurrently without one
+    * rewriting the other's stored-index marker mid-measurement (the
+    * round-13 contamination: a face that registers the shingle index
+    * rewrote the marker mid-A/B and the "stored" binding silently measured
+    * the derivation fallback). Stable per MAIN, not per run, so the
+    * fresh-JVM A/B protocol still reattaches a stored index registered by
+    * an earlier binding of the same rehearsal. `SPARK_GRAFT_WAREHOUSE`
+    * overrides the root. */
+  def warehouseDir(mainName: String): String =
+    new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "rehearsal-warehouse"),
+      mainName).getAbsolutePath
+
   /** Recursively delete a directory tree (no-op if absent). */
   def deleteRecursively(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)

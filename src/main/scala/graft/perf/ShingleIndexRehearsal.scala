@@ -44,6 +44,8 @@ object ShingleIndexRehearsal {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      .config("spark.sql.warehouse.dir",
+        Measure.warehouseDir("shingle-index"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

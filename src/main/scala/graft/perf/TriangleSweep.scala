@@ -38,6 +38,8 @@ object TriangleSweep {
       // single-column-bucket co-partitioning for the (b,c) semi-join
       // against the s-bucketed store (the AdvisorSpec-pinned setting)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.warehouse.dir",
+        Measure.warehouseDir("triangle-sweep"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -80,10 +80,14 @@ object ModuleDetector {
     * Keywords normalize the same way at match time — the reference list
     * itself carries hyphens ("fi-ar", "3-way match") which could never
     * match a question whose hyphens were already folded to spaces. */
+  // normalized once at construction, not per detect() call per keyword
+  private val normalizedKeywords: Seq[(String, Seq[String])] =
+    keywords.toSeq.map { case (m, kws) => m -> kws.map(_.replace('-', ' ')) }
+
   def detect(question: String): Seq[String] = {
     val q = question.toLowerCase.replace('-', ' ')
-    val scored = keywords.toSeq
-      .map { case (m, kws) => m -> kws.count(kw => q.contains(kw.replace('-', ' '))) }
+    val scored = normalizedKeywords
+      .map { case (m, kws) => m -> kws.count(q.contains) }
       .filter(_._2 > 0)
       .sortBy { case (m, s) => (-s, m) }
       .map(_._1)

@@ -28,6 +28,27 @@ class PerfSpec extends AnyFunSuite {
     assert(!plan2.contains("CartesianProduct") && !plan2.contains("BroadcastNestedLoop"))
   }
 
+  test("perf-main warehouse roots are isolated from the Verify default") {
+    // round-14 judge task 4: a rehearsal main and Verify must be runnable
+    // concurrently — Verify uses Spark's default ./spark-warehouse, so
+    // every rehearsal root must be a DIFFERENT absolute path, stable per
+    // main (the fresh-JVM A/B protocol reattaches stored indexes across
+    // JVM boundaries), and distinct across mains.
+    val mains = Seq("shingle-index", "advisor", "ingest", "skew",
+      "triangle-sweep", "triangle-split", "corpus-layout", "topk-tail")
+    val roots = mains.map(graft.perf.Measure.warehouseDir)
+    val verifyDefault =
+      new java.io.File("spark-warehouse").getAbsolutePath
+    roots.foreach { r =>
+      assert(new java.io.File(r).isAbsolute, s"relative warehouse root $r")
+      assert(r != verifyDefault, s"$r collides with Verify's warehouse")
+    }
+    assert(roots.distinct.size == roots.size, "two mains share a warehouse")
+    // stability: same name → same root (cross-JVM reattach depends on it)
+    assert(graft.perf.Measure.warehouseDir("ingest") ==
+      graft.perf.Measure.warehouseDir("ingest"))
+  }
+
   test("salted join is row-identical to the unsalted join") {
     val l = Tables(spark, sf, "lineitem")
     val su = Tables(spark, sf, "supplier")
