@@ -138,8 +138,9 @@ object AnnIndex {
     indexed.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
     // a full rebuild replaces every artifact — a torn-compaction sentinel
-    // (if any) no longer describes anything real
+    // (if any) and pending tombstones no longer describe anything real
     java.nio.file.Files.deleteIfExists(sentinelPath(dir))
+    graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
   }
 
   /** (centroids, indexed) of a stored IVF index. The hive partition column
@@ -177,7 +178,8 @@ object AnnIndex {
     // themselves — no hinting needed here
     val cells = probedCells(cents, queries, nprobe)
     Similarity.ivfSearch(cents,
-      indexed.filter(col("cell").isin(cells: _*)), queries, k, nprobe)
+      minusTombs(spark, dir, indexed.filter(col("cell").isin(cells: _*))),
+      queries, k, nprobe)
   }
 
   // ── sign-LSH ───────────────────────────────────────────────────────────
@@ -218,6 +220,7 @@ object AnnIndex {
       .parquet(s"$dir/keys.parquet")
     vectors.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
+    graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
   }
 
   def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -253,7 +256,8 @@ object AnnIndex {
       .filter(col("bucket").isin(qKeys.map(_._2).distinct: _*))
       .filter((shiftleft(col("tbl").cast("long"), planes)
         .bitwiseOR(col("bucket"))).isin(flat: _*))
-    Similarity.lshSearch(pruned, vectors, queries, k, planes, dims, nTables)
+    Similarity.lshSearch(minusTombs(spark, dir, pruned), vectors, queries,
+      k, planes, dims, nTables)
   }
 
   // ── PQ ─────────────────────────────────────────────────────────────────
@@ -276,6 +280,7 @@ object AnnIndex {
     books.write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
     codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
+    graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
   }
 
   def readPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -289,7 +294,8 @@ object AnnIndex {
     requireKind(spark, dir, "pq")
     val (_, _, m, _, dims) = readParams(spark, dir)
     val (books, codes) = readPq(spark, dir)
-    Similarity.pqSearch(books, codes, queries, k, m, dims)
+    Similarity.pqSearch(books, minusTombs(spark, dir, codes), queries,
+      k, m, dims)
   }
 
   // ── IVF+PQ ─────────────────────────────────────────────────────────────
@@ -325,6 +331,7 @@ object AnnIndex {
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
+    graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
   }
 
   def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -342,7 +349,8 @@ object AnnIndex {
     val (cents, books, codes) = readIvfPq(spark, dir)
     val cells = probedCells(cents, queries, nprobe)
     Similarity.ivfpqSearch(cents, books,
-      codes.filter(col("cell").isin(cells: _*)), queries, k, nprobe, m, dims)
+      minusTombs(spark, dir, codes.filter(col("cell").isin(cells: _*))),
+      queries, k, nprobe, m, dims)
   }
 
   /** Incremental maintenance: encode `delta` vectors with the FROZEN stored
@@ -400,6 +408,79 @@ object AnnIndex {
       .parquet(s"$dir/vectors.parquet")
   }
 
+  // ── deletion / retraction (round-14 judge task 1) ──────────────────────
+
+  private def annTombRoot(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "tombstones")
+
+  private def annTombDir(dir: String, tok: String): java.nio.file.Path =
+    annTombRoot(dir).resolve(s"tok=$tok")
+
+  /** Tokens of the pending (not yet compacted-away) tombstone batches. */
+  def pendingTombstoneBatches(dir: String): Seq[String] = {
+    val root = annTombRoot(dir)
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("tok="))
+      .map(_.getName.stripPrefix("tok=")).toSeq.sorted
+  }
+
+  /** The pending tombstoned vec_ids (None when no batch is pending) —
+    * bounded by compaction cadence, so reads treat it as broadcast-sized. */
+  def pendingTombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    if (pendingTombstoneBatches(dir).isEmpty) None
+    else Some(spark.read.parquet(annTombRoot(dir).toString).select("vec_id"))
+
+  /** Anti-join pending tombstones out of a vec_id-keyed artifact — applied
+    * to the candidate-generating artifact of every search path, so a
+    * retracted vector can never reach a top-k between its delete and the
+    * compaction that physically purges it. */
+  private def minusTombs(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    pendingTombstones(spark, dir).fold(df)(t =>
+      // re-select: the USING-join moves vec_id first; artifact schemas are
+      // positional contracts (rewrites + searches read them back)
+      df.join(broadcast(t), Seq("vec_id"), "left_anti")
+        .select(df.columns.toIndexedSeq.map(col): _*))
+
+  /** Retract vectors from a stored index ([[graft.ext.ShingleIndex.delete]]
+    * on the ANN store — takedown / license revocation / PII purge): journal
+    * the vec_ids as a tombstone batch that every `search*` anti-joins out
+    * immediately, and that the next [[compact]] applies PHYSICALLY to every
+    * fragmenting artifact (keys, raw vectors, codes — the bytes are gone).
+    *
+    * Crash contract: the batch is staged in a hidden `.tok=<token>.tmp`
+    * dir and PUBLISHED by one atomic rename — readers see the complete
+    * batch or none of it; a kill mid-write leaves only hidden staging
+    * (swept on the next delete of the same token). No poison window is
+    * needed — there is no multi-file state to tear. Idempotent replay: an
+    * existing `tok=<token>` directory is the commit point, a redelivered
+    * batch is a no-op (returns false).
+    *
+    * Caller contract: vec_ids are never reused after deletion (a re-added
+    * id inside the pending window would be wrongly anti-joined). Refuses a
+    * torn (mid-compaction-kill) index like every other entry point. */
+  def delete(spark: SparkSession, dir: String, vecIds: DataFrame,
+      idCol: String = "vec_id", token: Option[String] = None): Boolean =
+    synchronized {
+      readParams(spark, dir) // refuses torn state + validates the index
+      val tok = token.getOrElse(java.util.UUID.randomUUID().toString)
+      require(tok.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+        s"delete token '$tok' must be [A-Za-z0-9][A-Za-z0-9._-]*")
+      if (java.nio.file.Files.exists(annTombDir(dir, tok))) false
+      else {
+        val root = annTombRoot(dir)
+        java.nio.file.Files.createDirectories(root)
+        val tmp = root.resolve(s".tok=$tok.tmp")
+        graft.perf.Measure.deleteRecursively(tmp.toString)
+        vecIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        java.nio.file.Files.move(tmp, annTombDir(dir, tok),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    }
+
   // ── compaction (round-13 judge task 1) ─────────────────────────────────
 
   /** The artifacts a family's appends fragment — what [[compact]] rewrites.
@@ -440,10 +521,17 @@ object AnnIndex {
     // ATOMIC_MOVE throws) and strand the sentinel despite intact data
     val params = readParams(spark, dir) // sentinel-checked: refuses torn state
     val t0 = System.nanoTime()
+    // tombstone batches visible NOW are physically applied by the rewrite
+    // (every staged artifact is tombstone-subtracted) and swept inside the
+    // sentinel window — a kill mid-sweep refuses until a rebuild heals, so
+    // a batch is never swept while its rows still exist
+    val applied = pendingTombstoneBatches(dir)
     prepareCompactArtifacts(spark, dir, params)
     val sec = (System.nanoTime() - t0) / 1e9
     beginCompactSwap(dir)
     swapCompactedArtifacts(dir, fragmentingArtifacts(params._1))
+    applied.foreach(t => graft.perf.Measure.deleteRecursively(
+      annTombDir(dir, t).toString))
     finalizeCompactSwap(dir)
     sec
   }
@@ -458,32 +546,36 @@ object AnnIndex {
     def tmp(a: String): String = s"$dir/$a.compact"
     fragmentingArtifacts(kind).foreach(a =>
       graft.perf.Measure.deleteRecursively(tmp(a))) // stale temp sweep
+    // every rewrite source is tombstone-SUBTRACTED: compaction is where a
+    // journaled delete becomes a physical purge of keys/vectors/codes
+    def purged(artifact: String): DataFrame =
+      minusTombs(spark, dir, spark.read.parquet(s"$dir/$artifact"))
     kind match {
       case "lsh" =>
         // same repartition-by-tbl + bucket-sort shape as writeLsh: one task
         // per tbl → one file per tbl dir, rows clustered for the row-group
         // bucket pruning the search relies on
-        spark.read.parquet(s"$dir/keys.parquet")
+        purged("keys.parquet")
           .repartition(nCellsOrTables, col("tbl"))
           .sortWithinPartitions(col("bucket"))
           .write.mode("overwrite").partitionBy("tbl")
           .parquet(tmp("keys.parquet"))
-        spark.read.parquet(s"$dir/vectors.parquet")
+        purged("vectors.parquet")
           .coalesce(math.max(1, plainFiles))
           .write.mode("overwrite").parquet(tmp("vectors.parquet"))
       case "ivf" =>
         // one task per cell → exactly one file per cell partition
-        spark.read.parquet(s"$dir/vectors.parquet")
+        purged("vectors.parquet")
           .repartition(nCellsOrTables, col("cell"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(tmp("vectors.parquet"))
       case "ivfpq" =>
-        spark.read.parquet(s"$dir/codes.parquet")
+        purged("codes.parquet")
           .repartition(nCellsOrTables, col("cell"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(tmp("codes.parquet"))
       case "pq" =>
-        spark.read.parquet(s"$dir/codes.parquet")
+        purged("codes.parquet")
           .coalesce(math.max(1, plainFiles))
           .write.mode("overwrite").parquet(tmp("codes.parquet"))
     }

@@ -44,6 +44,14 @@ object CorpusCompact {
   private def stagingPath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, ".compact-tmp")
 
+  /** Tombstone journal root — dot-prefixed so Spark's file listing never
+    * absorbs it into a corpus scan. */
+  private def tombRoot(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, ".tombstones")
+
+  private def tombDir(dir: String, tok: String): java.nio.file.Path =
+    tombRoot(dir).resolve(s"tok=$tok")
+
   private def visibleParquet(dir: String): Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -51,6 +59,67 @@ object CorpusCompact {
 
   /** Visible corpus part files — the fragmentation telemetry. */
   def fileCount(dir: String): Int = visibleParquet(dir).size
+
+  // ── row tombstoning (round-14 judge task 1) ────────────────────────────
+
+  /** Tokens of the pending (not yet compacted-away) tombstone batches. */
+  def pendingTombstoneBatches(dir: String): Seq[String] = {
+    val root = tombRoot(dir)
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("tok="))
+      .map(_.getName.stripPrefix("tok=")).toSeq.sorted
+  }
+
+  /** The pending tombstoned doc_ids (None when no batch is pending) —
+    * bounded by compaction cadence, broadcast-sized by contract. */
+  def pendingTombstones(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.DataFrame] =
+    if (pendingTombstoneBatches(dir).isEmpty) None
+    else Some(spark.read.parquet(tombRoot(dir).toString).select("doc_id"))
+
+  /** Tombstone corpus rows by doc_id (takedown / license revocation / PII
+    * purge): journal the ids as a batch that [[read]] anti-joins out
+    * immediately and the next [[compact]] applies PHYSICALLY (the rewrite
+    * drops the rows, the swap deletes the old part files — the bytes are
+    * gone). The batch is staged in a hidden dot-dir and PUBLISHED by one
+    * atomic rename; an existing `tok=<token>` dir is the commit point, so
+    * a redelivered batch is a no-op (returns false) and a kill mid-write
+    * leaves only hidden staging. Caller contract: doc_ids are never reused
+    * after deletion. */
+  def tombstone(spark: SparkSession, dir: String,
+      docIds: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      token: Option[String] = None): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val tok = token.getOrElse(java.util.UUID.randomUUID().toString)
+    require(tok.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"tombstone token '$tok' must be [A-Za-z0-9][A-Za-z0-9._-]*")
+    if (java.nio.file.Files.exists(tombDir(dir, tok))) false
+    else {
+      val root = tombRoot(dir)
+      java.nio.file.Files.createDirectories(root)
+      val tmp = root.resolve(s".tok=$tok.tmp")
+      graft.perf.Measure.deleteRecursively(tmp.toString)
+      docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(tmp, tombDir(dir, tok),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
+  /** Tombstone-aware corpus read: the visible part files MINUS pending
+    * tombstones — the logical truth of the corpus after retractions. Same
+    * caller contract as any corpus read: [[resumeIfNeeded]] first. */
+  def read(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val raw = spark.read.parquet(dir)
+    pendingTombstones(spark, dir).fold(raw)(t =>
+      // re-select: the USING-join moves doc_id first; keep the on-disk
+      // column order so compaction rewrites are schema-stable
+      raw.join(broadcast(t), Seq("doc_id"), "left_anti")
+        .select(raw.columns.toIndexedSeq.map(col): _*))
+  }
 
   private def writeMarkerAtomic(dir: String, tok: String): Unit = {
     val p = markerPath(dir)
@@ -62,10 +131,13 @@ object CorpusCompact {
   }
 
   /** Phases 3-4, exposed for the kill-window spec: delete old visible
-    * files, move staged files in, clear staging + marker. Every step is
-    * idempotent — a re-run after a kill at ANY point completes the same
-    * swap. */
-  private[graft] def finishSwap(dir: String, tok: String): Unit = {
+    * files, move staged files in, sweep the tombstone batches this swap
+    * physically applied, clear staging + marker. Every step is idempotent —
+    * a re-run after a kill at ANY point completes the same swap. `applied`
+    * rides in the marker (line 2), so a resume sweeps exactly the batches
+    * the staged copy already subtracted — never one journaled later. */
+  private[graft] def finishSwap(dir: String, tok: String,
+      applied: Seq[String] = Nil): Unit = {
     val prefix = s"compacted-$tok-"
     val staged = Option(stagingPath(dir).toFile.listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -90,6 +162,8 @@ object CorpusCompact {
         java.nio.file.Paths.get(dir, prefix + f.getName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    applied.foreach(t =>
+      graft.perf.Measure.deleteRecursively(tombDir(dir, t).toString))
     graft.perf.Measure.deleteRecursively(stagingPath(dir).toString)
     java.nio.file.Files.deleteIfExists(markerPath(dir))
     ()
@@ -103,7 +177,12 @@ object CorpusCompact {
     val m = markerPath(dir)
     if (!java.nio.file.Files.exists(m)) false
     else {
-      finishSwap(dir, java.nio.file.Files.readString(m).trim)
+      // marker line 1 = swap token; optional line 2 = the tombstone batch
+      // tokens the staged copy physically applied (swept on completion)
+      val lines = java.nio.file.Files.readString(m).trim.split('\n')
+      val applied = lines.lift(1).map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      finishSwap(dir, lines(0).trim, applied)
       true
     }
   }
@@ -138,7 +217,12 @@ object CorpusCompact {
     // its rows DELETED by the swap with no trace. Aborting here is free
     // (no marker yet → the corpus is untouched; staging is swept).
     val snapshot = visibleParquet(dir).map(_.getName).toSet
-    spark.read.parquet(dir).coalesce(target)
+    // the staged copy is the tombstone-SUBTRACTED corpus — compaction is
+    // where a journaled retraction becomes a physical purge; the batches
+    // captured here ride in the marker so the swap (or its resume) sweeps
+    // exactly the set it applied
+    val applied = pendingTombstoneBatches(dir)
+    read(spark, dir).coalesce(target)
       .write.mode("overwrite").parquet(stagingPath(dir).toString)
     val now = visibleParquet(dir).map(_.getName).toSet
     if (now != snapshot) {
@@ -150,8 +234,9 @@ object CorpusCompact {
           "contract; swap aborted, corpus untouched")
     }
     val tok = java.util.UUID.randomUUID().toString.take(8)
-    writeMarkerAtomic(dir, tok)
-    finishSwap(dir, tok)
+    writeMarkerAtomic(dir,
+      if (applied.isEmpty) tok else tok + "\n" + applied.mkString(","))
+    finishSwap(dir, tok, applied)
   }
 
   /** Self-sizing trigger ([[ShingleIndex.maybeCompact]]'s contract on the
@@ -163,7 +248,12 @@ object CorpusCompact {
     val target = math.max(1,
       if (targetFiles > 0) targetFiles
       else spark.sessionState.conf.numShufflePartitions)
-    if (fileCount(dir) > factor * target) { compact(spark, dir, target); true }
-    else false
+    // two fragmentation axes (the ShingleIndex.maybeCompact contract):
+    // appended part files, and pending tombstone batches every
+    // tombstone-aware read pays an anti-join input for
+    if (fileCount(dir) > factor * target ||
+        pendingTombstoneBatches(dir).size > factor) {
+      compact(spark, dir, target); true
+    } else false
   }
 }

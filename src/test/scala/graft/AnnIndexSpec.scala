@@ -174,6 +174,79 @@ class AnnIndexSpec extends AnyFunSuite {
     graft.perf.Measure.deleteRecursively(idx2)
   }
 
+  test("delete: retracted vectors leave every search immediately, compact purges the bytes, replay is a no-op") {
+    val dead = emb.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val survivors = emb.filter(pmod(col("vec_id"), lit(4)) =!= 2)
+    val deadIds = dead.select("vec_id")
+
+    // LSH: search-after-delete must equal an in-memory search over a build
+    // of the SURVIVING corpus (keys are deterministic per vector, so
+    // filtering the full build's keys ≡ building from survivors)
+    val idx = tmp("graft-annspec-delete-lsh")
+    val (keys, vecs) = AnnIndex.buildLsh(emb, planes = 5, tables = 12)
+    AnnIndex.writeLsh(idx, keys, vecs, planes = 5, dims = 64, tables = 12)
+    assert(AnnIndex.delete(spark, idx, deadIds, token = Some("t1")))
+    val (sk, sv) = AnnIndex.buildLsh(survivors, planes = 5, tables = 12)
+    val memSurvivors = Similarity.lshSearch(sk, sv, q10, 3, planes = 5,
+      dims = 64, tables = 12).collect().map(_.toString).toSet
+    def searchSet() = AnnIndex.searchLsh(spark, idx, q10, 3).collect()
+      .map(_.toString).toSet
+    assert(searchSet() == memSurvivors,
+      "post-delete search diverged from a rebuild over the survivors")
+
+    // replay: the published token directory is the commit point
+    assert(!AnnIndex.delete(spark, idx, deadIds, token = Some("t1")))
+    assert(AnnIndex.pendingTombstoneBatches(idx) == Seq("t1"))
+
+    // compact purges PHYSICALLY: keys and raw vectors no longer carry the
+    // retracted ids (the takedown contract — bytes gone), batch swept,
+    // search unchanged
+    AnnIndex.compact(spark, idx)
+    assert(AnnIndex.pendingTombstoneBatches(idx).isEmpty,
+      "applied tombstone batch not swept")
+    val deadSet = deadIds.collect().map(_.getLong(0)).toSet
+    for (a <- Seq("keys.parquet", "vectors.parquet")) {
+      val remaining = spark.read.parquet(s"$idx/$a").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(remaining.intersect(deadSet).isEmpty,
+        s"$a still carries retracted vec_ids after compaction")
+    }
+    assert(searchSet() == memSurvivors, "compaction changed post-delete search")
+
+    // a rebuild wipes the journal with the old artifacts
+    AnnIndex.delete(spark, idx, deadIds.limit(1), token = Some("t2"))
+    val (k2, v2) = AnnIndex.buildLsh(emb, planes = 5, tables = 12)
+    AnnIndex.writeLsh(idx, k2, v2, planes = 5, dims = 64, tables = 12)
+    assert(AnnIndex.pendingTombstoneBatches(idx).isEmpty,
+      "rebuild must wipe tombstones of the replaced artifacts")
+
+    // IVFPQ: the cell-partitioned codes path — search-after-delete equals
+    // in-memory search over the surviving codes, compact purges codes
+    val idx2 = tmp("graft-annspec-delete-pq")
+    val (cents, books, codes) =
+      AnnIndex.buildIvfPq(emb, nCells = 16, kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx2, cents, books, codes,
+      nCells = 16, m = 8, kCodes = 64, dims = 64)
+    assert(AnnIndex.delete(spark, idx2, deadIds, token = Some("t1")))
+    val memPq = Similarity.ivfpqSearch(cents, books,
+      codes.join(deadIds, Seq("vec_id"), "left_anti"),
+      q10, 3, nprobe = 8, m = 8, dims = 64)
+      .collect().map(_.toString).toSet
+    def pqSet() = AnnIndex.searchIvfPq(spark, idx2, q10, 3, nprobe = 8)
+      .collect().map(_.toString).toSet
+    assert(pqSet() == memPq,
+      "ivfpq post-delete search diverged from the surviving-codes search")
+    AnnIndex.compact(spark, idx2)
+    val remainingCodes = spark.read.parquet(s"$idx2/codes.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(remainingCodes.intersect(deadSet).isEmpty,
+      "codes still carry retracted vec_ids after compaction")
+    assert(pqSet() == memPq)
+
+    graft.perf.Measure.deleteRecursively(idx)
+    graft.perf.Measure.deleteRecursively(idx2)
+  }
+
   test("maybeCompact: sustained appends stay file-bounded, search equals a one-shot build") {
     val idx = tmp("graft-annspec-maybecompact")
     val base = emb.filter(pmod(col("vec_id"), lit(7)) === 0)

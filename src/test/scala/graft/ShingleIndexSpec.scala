@@ -36,6 +36,9 @@ class ShingleIndexSpec extends AnyFunSuite {
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
         t).toString)
     }
+    graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      ShingleIndex.tombstonesDirName).toString)
   }
 
   private def delta(offset: Long): DataFrame =
@@ -286,6 +289,112 @@ class ShingleIndexSpec extends AnyFunSuite {
       val m3 = ShingleIndex.readMarker(spark).get
       assert(m3.contains(""""eff_buckets":8"""),
         s"guard=false must keep the requested count: $m3")
+    } finally wipe()
+  }
+
+  test("delete: logical retraction is immediate, compact purges physically, replay is a no-op, kill windows stay conservative") {
+    wipe()
+    try {
+      def bandRows(df: DataFrame): Set[(Int, Int, Long)] =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      ShingleIndex.register(spark, sf, buckets = 4, withBands = true)
+      val docs = Tables(spark, sf, "documents")
+      val dead = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select("doc_id")
+      val surviving = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      val survivingSh = rows(
+        Dedup.hashedShingles(surviving, "doc_id", "text", 3)
+          .withColumnRenamed("sh", "shingle"))
+      val full = rows(ShingleIndex.table(spark))
+      assert(survivingSh != full, "test corpus must actually lose docs")
+
+      // commit the delete: logical reads exclude IMMEDIATELY
+      assert(ShingleIndex.delete(spark, dead, token = Some("d1")))
+      assert(rows(ShingleIndex.postings(spark)) == survivingSh,
+        "postings() must exclude tombstoned docs before any compaction")
+      val idx = ShingleIndex.liveFor(spark, sf).get
+      assert(rows(idx.postings) == survivingSh,
+        "liveFor postings served tombstoned docs")
+      // materialized NOW: idx.bands is a lazy plan over the pre-compaction
+      // files, which the compact below swaps away
+      val survivingBands = bandRows(idx.bands)
+      assert(survivingBands == bandRows(ShingleIndex.bandsOf(
+        Dedup.hashedShingles(surviving, "doc_id", "text", 3)
+          .withColumnRenamed("sh", "shingle"),
+        idx.k, idx.nBands, idx.rowsPerBand)),
+        "liveFor bands must equal a banding of the surviving corpus")
+      // physical rows still present until compaction; dir routing is OFF
+      // forever (a deleted index never again equals a fresh derivation)
+      assert(rows(ShingleIndex.table(spark)) == full)
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .forall(!_.contains(ShingleIndex.tableName)),
+        "dir routing served an index with deletions")
+
+      // route-after-delete ≡ rebuild-from-surviving-corpus (the oracle
+      // face's contract, pinned here against the derivation)
+      val viaDeleted = Dedup.containmentPairs(
+          ShingleIndex.postings(spark), 4, 5, minShingles = 10)
+        .orderBy(col("id_a"), col("id_b")).collect()
+      val viaRebuild = Dedup.containmentPairs(
+          Dedup.hashedShingles(surviving, "doc_id", "text", 3)
+            .withColumnRenamed("sh", "shingle"), 4, 5, minShingles = 10)
+        .orderBy(col("id_a"), col("id_b")).collect()
+      assert(viaDeleted.sameElements(viaRebuild),
+        "routed dedup over a deleted-from index diverged from a rebuild")
+
+      // replay: the published token directory is the commit point
+      assert(!ShingleIndex.delete(spark, dead, token = Some("d1")))
+      assert(rows(ShingleIndex.postings(spark)) == survivingSh)
+      assert(ShingleIndex.pendingTombstoneBatches(spark) == Seq("d1"))
+
+      // compact applies the delete PHYSICALLY: raw table shrinks, bands
+      // shrink, the tombstone batch is swept, journal fields survive
+      ShingleIndex.compact(spark)
+      assert(rows(ShingleIndex.table(spark)) == survivingSh,
+        "compaction did not purge tombstoned postings")
+      assert(bandRows(spark.table(ShingleIndex.bandsTableName)) ==
+        survivingBands, "compaction did not purge tombstoned bands")
+      assert(ShingleIndex.pendingTombstoneBatches(spark).isEmpty,
+        "applied tombstone batch not swept")
+      val m = ShingleIndex.readMarker(spark).get
+      assert(m.contains(""""deletes":1""") &&
+        m.contains(""""last_delete":"d1""""), s"delete journal lost: $m")
+      assert(rows(ShingleIndex.postings(spark)) == survivingSh)
+
+      // a redelivery AFTER the sweep re-journals but cannot change content
+      // (the rows are gone; the anti-join of absent ids is a no-op)
+      ShingleIndex.delete(spark, dead, token = Some("d1"))
+      assert(rows(ShingleIndex.postings(spark)) == survivingSh)
+      ShingleIndex.compact(spark)
+
+      // kill window: death between the marker bump and the tombstone
+      // publish — conservative on both sides (freshness refused, no
+      // deletion served), and the redelivered batch completes it
+      val m2 = ShingleIndex.readMarker(spark).get
+      ShingleIndex.beginDelete(spark, m2, "d2")
+      assert(ShingleIndex.pendingTombstones(spark).isEmpty,
+        "unpublished tombstones must not be visible")
+      assert(rows(ShingleIndex.postings(spark)) == survivingSh,
+        "a half-committed delete served a deletion")
+      assert(ShingleIndex.delete(spark, dead.limit(1), token = Some("d2")))
+      assert(ShingleIndex.pendingTombstoneBatches(spark) == Seq("d2"))
+
+      // maybeCompact's tombstone axis: enough pending batches trigger it
+      (3 to 9).foreach(i => ShingleIndex.delete(
+        spark, dead.limit(1), token = Some(s"d$i")))
+      assert(ShingleIndex.pendingTombstoneBatches(spark).size == 8)
+      assert(ShingleIndex.maybeCompact(spark, factor = 4),
+        "pending tombstone batches over the factor must trigger compaction")
+      assert(ShingleIndex.pendingTombstoneBatches(spark).isEmpty)
+
+      // a rewrite (re-registration) wipes the journal with the old identity
+      ShingleIndex.delete(spark, dead.limit(1), token = Some("d99"))
+      assert(ShingleIndex.register(spark, sf, buckets = 2) > 0.0)
+      assert(ShingleIndex.pendingTombstoneBatches(spark).isEmpty,
+        "rewrite must wipe tombstones of the replaced identity")
+      assert(ShingleIndex.shinglesFor(spark, sf).inputFiles
+        .exists(_.contains(ShingleIndex.tableName)),
+        "a rewritten index is fresh again and must serve dir queries")
     } finally wipe()
   }
 

@@ -314,6 +314,99 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("retraction: tombstoned docs stop screening near-dups, crash windows stay safe, compaction purges both stores") {
+    import spark.implicits._
+    import graft.ext.{CorpusCompact, ShingleIndex}
+
+    def wipeIndex(): Unit = {
+      for (t <- Seq(ShingleIndex.tableName, ShingleIndex.bandsTableName)) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          t).toString)
+      }
+      graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        ShingleIndex.tombstonesDirName).toString)
+    }
+    def frame(docs: Seq[(Long, String)]) = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def corpusIds(dir: String): List[Long] =
+      CorpusCompact.read(spark, dir).select("doc_id").as[Long]
+        .collect().sorted.toList
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words about spark shuffles and joins here"
+    val root = java.nio.file.Files.createTempDirectory("graft-retract")
+    val dir = root.resolve("corpus").toString
+    wipeIndex()
+    try {
+      ShingleIndex.registerDocs(spark, dir,
+        Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
+        buckets = 4, withBands = true)
+      val step = DocsStream.ingestStep(dir, 0.6)
+      step(frame(Seq(1L -> base, 2L -> other)), 0L)
+      // a near-dup of doc 1 is screened out while doc 1 is live
+      step(frame(Seq(3L -> (base + " extra"))), 1L)
+      assert(corpusIds(dir) == List(1L, 2L), "near-dup screen not active")
+
+      // RETRACT doc 1: the corpus row and its index postings tombstone
+      // together; a later near-dup of the retracted text must now be
+      // ACCEPTED (nothing live left to screen against)
+      val r1 = DocsStream.retract(spark, dir,
+        Seq(1L).toDF("doc_id"), "r1")
+      assert(r1 == (true, true), s"retract did not apply on both stores: $r1")
+      assert(corpusIds(dir) == List(2L), "corpus read served a retracted doc")
+      step(frame(Seq(4L -> (base + " extra"))), 2L)
+      assert(corpusIds(dir) == List(2L, 4L),
+        "a retracted doc still screened an incoming near-dup")
+
+      // replay: redelivered retraction is a no-op end to end
+      assert(DocsStream.retract(spark, dir, Seq(1L).toDF("doc_id"), "r1") ==
+        (false, false))
+      assert(corpusIds(dir) == List(2L, 4L))
+
+      // CRASH WINDOW: corpus tombstoned, index delete lost — the phantom
+      // postings of doc 2 must not reject an incoming near-dup (the
+      // corpus-id guard reads the tombstone-aware corpus), and the
+      // redelivered retraction completes the index side
+      CorpusCompact.tombstone(spark, dir, Seq(2L).toDF("doc_id"),
+        token = Some("r2"))
+      step(frame(Seq(5L -> (other + " also"))), 3L)
+      assert(corpusIds(dir) == List(4L, 5L),
+        "phantom index postings of a retracted doc rejected a near-dup")
+      val r2 = DocsStream.retract(spark, dir, Seq(2L).toDF("doc_id"), "r2")
+      assert(r2 == (false, true),
+        s"redelivery must complete only the lost index side: $r2")
+
+      // compaction purges both stores physically and sweeps the journals
+      assert(CorpusCompact.pendingTombstoneBatches(dir).nonEmpty)
+      CorpusCompact.compact(spark, dir)
+      val raw = spark.read.parquet(dir).select("doc_id").as[Long]
+        .collect().sorted.toList
+      assert(raw == List(4L, 5L), s"corpus compaction left retracted rows: $raw")
+      assert(CorpusCompact.pendingTombstoneBatches(dir).isEmpty)
+      ShingleIndex.compact(spark)
+      assert(ShingleIndex.pendingTombstoneBatches(spark).isEmpty)
+      val livePostingIds = ShingleIndex.table(spark).select("doc_id")
+        .as[Long].collect().toSet
+      assert(livePostingIds == Set(4L, 5L),
+        s"index compaction left retracted postings: $livePostingIds")
+      // the maintained pair stays consistent: index ≡ corpus re-derivation
+      val fromCorpus = graft.ext.Dedup.hashedShingles(
+        spark.read.parquet(dir), "doc_id", "text", 3)
+      assert(ShingleIndex.table(spark).select(col("doc_id"), col("shingle"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        fromCorpus.select(col("doc_id"), col("sh")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet,
+        "post-compaction index diverged from the corpus it tracks")
+    } finally {
+      wipeIndex()
+      graft.perf.Measure.deleteRecursively(root.toString)
+    }
+  }
+
   test("route per-source cap clips overflow to the reject sink, losing nothing") {
     import org.apache.spark.sql.expressions.Window
     val accept = java.nio.file.Files.createTempDirectory("graft-cap-acc").toString
