@@ -977,6 +977,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.perf.Measure.deleteRecursively(dir)
   }
 
+  test("per-partition compaction: leaf swaps are crash-safe, tombstones purge across leaves, files stay bounded") {
+    import spark.implicits._
+    import graft.ext.CorpusCompact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part-compact").toString
+    def append(n: Int, off: Long): Unit =
+      (0 until n).map { i =>
+        val id = off + i
+        (id, s"document $id body with words", id % 3)
+      }.toDF("doc_id", "text", "part")
+        .repartition(1)
+        .write.mode("append").partitionBy("part").parquet(dir)
+    def ids(df: org.apache.spark.sql.DataFrame): List[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toList
+    try {
+      (0 until 4).foreach(b => append(9, b * 100L))
+      val before = ids(spark.read.parquet(dir))
+      val leaves = CorpusCompact.leafDirs(dir)
+      assert(leaves.size == 3, s"expected 3 leaves, got $leaves")
+      assert(leaves.forall(CorpusCompact.fileCount(_) >= 4),
+        "each batch should add a file per leaf")
+
+      // the flat protocol refuses the layout and names the per-leaf path
+      intercept[IllegalArgumentException] { CorpusCompact.compact(spark, dir) }
+
+      // kill window A: a killed leaf STAGING write (hidden junk) — rows
+      // untouched, next pass sweeps it
+      val leaf0staging = java.nio.file.Paths.get(leaves.head, ".compact-tmp")
+      java.nio.file.Files.createDirectories(leaf0staging)
+      java.nio.file.Files.writeString(
+        leaf0staging.resolve("part-junk.parquet"), "killed staging garbage")
+
+      // kill window B: a leaf killed MID-SWAP — staged set complete, marker
+      // written, visible files deleted, nothing moved; the partitioned
+      // resume completes exactly that leaf
+      val leaf1 = leaves(1)
+      val stage1 = java.nio.file.Paths.get(leaf1, ".compact-tmp")
+      spark.read.parquet(leaf1).coalesce(1).write.mode("overwrite")
+        .parquet(stage1.toString)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(leaf1, "_graft_corpus_swap"), "testtok")
+      Option(new java.io.File(leaf1).listFiles()).get
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.delete(f.toPath))
+      assert(CorpusCompact.resumeIfNeededPartitioned(dir) == 1,
+        "exactly the killed leaf must resume")
+      assert(ids(spark.read.parquet(dir)) == before,
+        "leaf resume lost or duplicated rows")
+
+      // full pass: every leaf lands at the per-partition target, rows exact
+      assert(CorpusCompact.compactPartitioned(spark, dir) == 3)
+      assert(ids(spark.read.parquet(dir)) == before)
+      assert(CorpusCompact.leafDirs(dir)
+        .forall(CorpusCompact.fileCount(_) == 1),
+        "leaves must compact to one file each")
+
+      // tombstones journal at the ROOT, subtract from every leaf's rewrite,
+      // and sweep only when all leaves applied them
+      val dead = before.filter(_ % 2 == 0)
+      CorpusCompact.tombstone(spark, dir, dead.toDF("doc_id"),
+        token = Some("p1"))
+      val surviving = before.filterNot(_ % 2 == 0)
+      assert(ids(CorpusCompact.read(spark, dir)) == surviving,
+        "tombstone-aware read served retracted rows")
+      // fragment ONE leaf; the selective trigger compacts only it (pending
+      // tombstones ride along for that leaf) and must NOT sweep the journal
+      append(3, 1000L) // ids 1000..1002 land one per leaf
+      val grown = ids(CorpusCompact.read(spark, dir))
+      assert(CorpusCompact.maybeCompactPartitioned(spark, dir,
+        factor = 1, targetFilesPerPartition = 1) == 3)
+      assert(CorpusCompact.pendingTombstoneBatches(dir).nonEmpty,
+        "a selective pass must not sweep the root journal")
+      assert(ids(CorpusCompact.read(spark, dir)) == grown)
+      // the full pass purges the raw files across all leaves and sweeps
+      CorpusCompact.compactPartitioned(spark, dir)
+      assert(CorpusCompact.pendingTombstoneBatches(dir).isEmpty,
+        "full pass must sweep the applied journal")
+      assert(ids(spark.read.parquet(dir)) == grown,
+        "physical purge diverged from the tombstone-aware view")
+      assert(grown.intersect(dead).isEmpty)
+    } finally graft.perf.Measure.deleteRecursively(dir)
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
