@@ -49,8 +49,13 @@ object CorpusCompact {
   private def tombRoot(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, ".tombstones")
 
-  private def tombDir(dir: String, tok: String): java.nio.file.Path =
+  private[graft] def tombDir(dir: String, tok: String): java.nio.file.Path =
     tombRoot(dir).resolve(s"tok=$tok")
+
+  /** Visible part-file names — the staging tripwire's comparison unit
+    * (shared with [[CorpusStore]]'s snapshot compaction). */
+  private[graft] def fileNames(dir: String): Set[String] =
+    visibleParquet(dir).map(_.getName).toSet
 
   private def visibleParquet(dir: String): Seq[java.io.File] =
     Option(new java.io.File(dir).listFiles())

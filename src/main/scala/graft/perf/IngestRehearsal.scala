@@ -50,8 +50,15 @@ object IngestRehearsal {
     import graft.ext.{CorpusCompact, ShingleIndex}
     import spark.implicits._
 
+    // SPARK_GRAFT_INGEST_STORE=snap runs the identical soak on a
+    // snapshot-mode corpus (round-14 task 3) — the A/B pins the
+    // reader-consistency mechanism's overhead next to the flat numbers
+    val storeMode = sys.env.getOrElse("SPARK_GRAFT_INGEST_STORE", "flat")
+    require(Set("flat", "snap").contains(storeMode),
+      s"SPARK_GRAFT_INGEST_STORE must be flat|snap, got $storeMode")
     val corpus = java.nio.file.Files
       .createTempDirectory("graft-ingest-soak").toString
+    if (storeMode == "snap") graft.ext.CorpusStore.init(corpus)
     for (t <- Seq(ShingleIndex.tableName, ShingleIndex.bandsTableName)) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       Measure.deleteRecursively(java.nio.file.Paths.get(
@@ -74,11 +81,11 @@ object IngestRehearsal {
 
     val window = math.max(3, nBatches / 10)
     val (pf, bf) = ShingleIndex.fileCounts(spark)
-    val cf = CorpusCompact.fileCount(corpus)
+    val cf = CorpusCompact.fileCount(graft.ext.CorpusStore.resolve(corpus))
     def f2(v: Double) =
       BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"metric":"ingest_soak","sf":"$sfDir","batches":$nBatches,""" +
-      s""""maintenance":$maint,"factor":$factor,""" +
+      s""""maintenance":$maint,"factor":$factor,"store":"$storeMode",""" +
       s""""first_batches_sec":${f2(median(batchSec.take(window)))},""" +
       s""""last_batches_sec":${f2(median(batchSec.takeRight(window)))},""" +
       s""""total_sec":${f2(batchSec.sum)},""" +

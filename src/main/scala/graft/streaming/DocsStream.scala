@@ -202,15 +202,19 @@ object DocsStream {
       autoCompactFactor: Option[Int] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    // a corpus compaction killed mid-swap must be resumed BEFORE anything
-    // lists or reads the corpus (one Files.exists when healthy)
-    graft.ext.CorpusCompact.resumeIfNeeded(corpusPath)
+    // mode-dispatched healing BEFORE anything lists or reads the corpus:
+    // a flat corpus resumes an interrupted swap, a snapshot corpus sweeps
+    // migration residue (one Files.exists / listing when healthy)
+    graft.ext.CorpusStore.heal(corpusPath)
     val live = graft.ext.ShingleIndex.liveFor(spark, corpusPath)
     val inBatch = graft.ext.Dedup.exact(enrich(batch), Seq("content_hash"), "doc_id")
     // a previous empty append leaves a directory with no part files, which
     // spark.read.parquet cannot infer a schema from — require actual data
-    // files, not just the directory (Hadoop FS listing at scale)
-    val corpusFiles = Option(new java.io.File(corpusPath).listFiles())
+    // files, not just the directory (Hadoop FS listing at scale). The
+    // DATA dir is the resolved one: the current snapshot generation in
+    // snapshot mode, the root itself in flat mode.
+    val dataDir = graft.ext.CorpusStore.resolve(corpusPath)
+    val corpusFiles = Option(new java.io.File(dataDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
     val hasCorpus = corpusFiles.exists(_.getName.endsWith(".parquet"))
     val (survivors, cleanup) =
@@ -221,7 +225,7 @@ object DocsStream {
         // the corpus-id phantom guard below inherits the same view, so an
         // index whose delete crashed mid-retraction (postings still live)
         // cannot resurrect the doc as a candidate
-        val corpus = graft.ext.CorpusCompact.read(spark, corpusPath)
+        val corpus = graft.ext.CorpusStore.read(spark, corpusPath)
         val afterExact =
           graft.ext.Dedup.incrementalExact(inBatch, corpus, Seq("content_hash"))
         val (pairs, release) = live match {
@@ -246,15 +250,16 @@ object DocsStream {
       live.foreach { _ =>
         graft.ext.ShingleIndex.append(spark, s, token = Some(s"ingest-$batchId"))
       }
-      s.write.mode("append").parquet(corpusPath)
+      s.write.mode("append").parquet(dataDir)
       // maintenance AFTER the batch commits: fragmentation-triggered
       // compaction keeps BOTH stores' file counts bounded across a
       // sustained ingest — the stored index (poison-marker protocol) and
-      // the corpus parquet dir itself (resumable-swap protocol; the
-      // corpus is data, so its compaction heals forward, never poisons)
+      // the corpus store itself (resumable swap in flat mode; pointer-
+      // flipped snapshot generations in snapshot mode, where a concurrent
+      // external reader mid-compaction keeps an intact generation)
       for (f <- autoCompactFactor) {
         if (live.isDefined) graft.ext.ShingleIndex.maybeCompact(spark, f)
-        graft.ext.CorpusCompact.maybeCompact(spark, corpusPath, f)
+        graft.ext.CorpusStore.maybeCompact(spark, corpusPath, f)
       }
     } finally { s.unpersist(); cleanup() }
   }
@@ -278,7 +283,7 @@ object DocsStream {
     * applied this token (replay). */
   def retract(spark: SparkSession, corpusPath: String, docIds: DataFrame,
       token: String): (Boolean, Boolean) = {
-    graft.ext.CorpusCompact.resumeIfNeeded(corpusPath)
+    graft.ext.CorpusStore.heal(corpusPath)
     val corpusApplied = graft.ext.CorpusCompact.tombstone(
       spark, corpusPath, docIds, token = Some(token))
     // the index side applies only when a stored index tracks THIS corpus —

@@ -1060,6 +1060,117 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.perf.Measure.deleteRecursively(dir)
   }
 
+  test("snapshot corpus: a reader pinned mid-compaction sees the old or new multiset, never a mix") {
+    import spark.implicits._
+    import graft.ext.{CorpusCompact, CorpusStore}
+    def frame(docs: Seq[(Long, String)]) = docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def ids(df: org.apache.spark.sql.DataFrame): List[Long] =
+      df.select("doc_id").as[Long].collect().sorted.toList
+    val root = java.nio.file.Files.createTempDirectory("graft-snapstore")
+    val dir = root.resolve("corpus").toString
+    try {
+      CorpusStore.init(dir)
+      assert(CorpusStore.isSnapshotMode(dir))
+      val step = DocsStream.ingestStep(dir, 0.6)
+      step(frame(Seq(
+        1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2L -> "completely different words about spark shuffles and joins here")), 0L)
+      step(frame(Seq(
+        3L -> "novel third document mentioning bucketed layouts and broadcast joins")), 1L)
+      assert(ids(CorpusStore.read(spark, dir)) == List(1L, 2L, 3L))
+      // appends land INSIDE the current generation; the root stays clean
+      // for legacy flat readers (dot-dirs and _files are invisible)
+      assert(CorpusCompact.fileCount(dir) == 0)
+      assert(CorpusCompact.fileCount(CorpusStore.resolve(dir)) >= 2)
+
+      // pin a reader to the pre-compaction generation: BOTH an already-
+      // built lazy plan and the raw resolved path — the flat protocol's
+      // swap window deleted exactly these files out from under a reader
+      val oldPath = CorpusStore.resolve(dir)
+      val pinnedPlan = spark.read.parquet(oldPath)
+      val oldRows = ids(pinnedPlan)
+
+      // retract doc 2, then compact: the NEW generation is the purged
+      // corpus, the OLD generation survives as the grace copy
+      CorpusCompact.tombstone(spark, dir, Seq(2L).toDF("doc_id"),
+        token = Some("s1"))
+      CorpusStore.compactSnapshot(spark, dir, targetFiles = 1)
+      assert(CorpusStore.resolve(dir) != oldPath, "pointer did not flip")
+      assert(ids(pinnedPlan) == oldRows,
+        "a reader pinned mid-compaction lost rows — the old generation " +
+          "must survive the swap intact")
+      assert(ids(spark.read.parquet(oldPath)) == oldRows,
+        "grace generation changed content")
+      assert(ids(spark.read.parquet(CorpusStore.resolve(dir))) == List(1L, 3L),
+        "new generation must be the physically purged corpus")
+      assert(CorpusCompact.pendingTombstoneBatches(dir).isEmpty,
+        "applied journal not swept")
+      assert(CorpusCompact.fileCount(CorpusStore.resolve(dir)) == 1)
+
+      // torn/unflipped generations above the pointer are unreachable and
+      // swept by the next compact; the GC drops generations older than
+      // the grace copy
+      val torn = java.nio.file.Paths.get(dir, ".snap-000099")
+      java.nio.file.Files.createDirectories(torn)
+      java.nio.file.Files.writeString(torn.resolve("part-torn.parquet"),
+        "killed staging write")
+      val resolveBefore = CorpusStore.resolve(dir)
+      assert(CorpusStore.resolve(dir) == resolveBefore,
+        "a torn generation must never be resolvable")
+      step(frame(Seq(4L -> "fourth subject on parquet row groups and encodings today")), 2L)
+      CorpusStore.compactSnapshot(spark, dir, targetFiles = 1)
+      assert(!java.nio.file.Files.exists(torn),
+        "compaction must sweep unreachable generations")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(oldPath)),
+        "generations older than the grace copy must be GC'd")
+      assert(ids(CorpusStore.read(spark, dir)) == List(1L, 3L, 4L))
+
+      // self-sizing maintenance dispatches to the snapshot protocol: the
+      // ingest keeps its own generation's file count bounded
+      (3 to 8).foreach(i => step(frame(Seq(
+        (100L + i) -> s"unique filler document number $i with fresh vocabulary token$i")), i.toLong))
+      val auto = root.resolve("auto").toString
+      CorpusStore.init(auto)
+      // factor 1 → compact when the generation exceeds shufflePartitions
+      // files; the bound is trigger threshold + one more batch
+      val target = spark.sessionState.conf.numShufflePartitions
+      val autoStep = DocsStream.ingestStep(auto, 0.6, Some(1))
+      val nAuto = 2 * target + 4
+      (0 until nAuto).foreach(i => autoStep(frame(Seq(
+        (200L + i) -> s"auto corpus document $i carrying its own words token$i")), i.toLong))
+      assert(CorpusCompact.fileCount(CorpusStore.resolve(auto)) <= target + 1,
+        "snapshot-mode auto-maintenance did not bound the file count")
+      assert(CorpusStore.resolve(auto).split("/.snap-").last.toLong > 1L,
+        "auto-maintenance never flipped a generation")
+      assert(ids(CorpusStore.read(spark, auto)) ==
+        (200L until (200L + nAuto)).toList)
+
+      // migration: a flat corpus adopts snapshot mode with rows intact,
+      // and heal() sweeps post-flip residue
+      val flat = root.resolve("flat").toString
+      val flatStep = DocsStream.ingestStep(flat, 0.6)
+      flatStep(frame(Seq(301L -> "flat corpus first document with plain words",
+        302L -> "flat corpus second document about entirely other matters")), 0L)
+      val flatRows = ids(spark.read.parquet(flat))
+      CorpusStore.migrate(spark, flat)
+      assert(CorpusStore.isSnapshotMode(flat))
+      assert(ids(CorpusStore.read(spark, flat)) == flatRows)
+      assert(CorpusCompact.fileCount(flat) == 0,
+        "superseded root files must be swept after migration")
+      // post-flip kill residue: a stray root file is swept by heal()
+      val resolved = CorpusStore.resolve(flat)
+      val part = Option(new java.io.File(resolved).listFiles()).get
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(flat, "residue.parquet"))
+      CorpusStore.heal(flat)
+      assert(CorpusCompact.fileCount(flat) == 0, "heal left migration residue")
+      assert(ids(CorpusStore.read(spark, flat)) == flatRows)
+    } finally graft.perf.Measure.deleteRecursively(root.toString)
+  }
+
   test("streaming scd2 closed versions equal the batch history exactly") {
     import spark.implicits._
     val stream = EventsStream.read(spark, eventsDir)
