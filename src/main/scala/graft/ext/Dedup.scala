@@ -148,6 +148,45 @@ object Dedup {
           col("n_grams").cast("double"), 6).as("dup_frac"))
   }
 
+  /** Document-frequency annotation (`__df` per row) with an optional STOP
+    * set routed around the wide join — the round-14 boilerplate-pruning
+    * kernel, and a pure PLAN transform: output rows and values are
+    * BIT-IDENTICAL with or without `stop` (pinned in ExtensionsSpec), only
+    * the physical shape changes.
+    *
+    * Why: the prefix operators annotate every posting with its shingle's
+    * corpus df via `sh ⋈ (group-by-shingle count)`. On the stored bucketed
+    * index that join is bucket-local — but a df-SATURATED shingle
+    * (boilerplate: headers, license blurbs, template spam) puts its entire
+    * posting list in ONE bucket/join task, the unsplittable hot key the
+    * write-time skew guard measurably could not spread (raising buckets
+    * only moves bystanders — BASELINE.md round-13 sf10b). With `stop`
+    * (the saturated shingles, a bounded set by construction: at df ≥
+    * frac·n at most 1/frac distinct shingles qualify per doc slot), hot
+    * rows take a BROADCAST join instead: the shuffled/bucket-local join
+    * sees only rare keys, and the hot posting mass never co-locates.
+    *
+    * Exactness argument: the split computes the same `__df` for every row
+    * (rare dfs from the rare-only aggregate — stop rows can't change
+    * another shingle's count; hot dfs from the hot-only aggregate, ≤|stop|
+    * groups, map-side combined to nothing) and the union feeds the SAME
+    * downstream window/filters, so every position and bound is unchanged.
+    * No threshold reasoning is involved — `stop` may be ANY shingle set. */
+  private[graft] def withDf(sh: DataFrame,
+      stop: Option[DataFrame]): DataFrame = {
+    val dfreq = (s: DataFrame) =>
+      s.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    stop match {
+      case None => sh.join(dfreq(sh), "shingle")
+      case Some(st) =>
+        val keys = broadcast(st.select(col("shingle")))
+        val rare = sh.join(keys, Seq("shingle"), "left_anti")
+        val hot = sh.join(keys, Seq("shingle"), "left_semi")
+        rare.join(dfreq(rare), "shingle")
+          .unionByName(hot.join(broadcast(dfreq(hot)), "shingle"))
+    }
+  }
+
   /** All-pairs n-gram Jaccard similarity ≥ threshold via a shingle
     * self-join. Exact but quadratic in co-occurring docs — a SAMPLE-SCALE
     * VERIFIER, not a production operator: the sf1 rehearsal measured the
@@ -219,15 +258,15 @@ object Dedup {
     * candidates. Exposed for scale diagnostics: Σ_shingle C(postings, 2) is
     * the raw self-join match volume the candidate stage pays BEFORE
     * dedup/size filters. */
-  def prefixPostings(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def prefixPostings(sh: DataFrame, tNum: Int, tDen: Int,
+      stop: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     // per-doc shingles ordered rarest-first; keep only the prefix
     // (n − ⌈τn⌉ + 1, plus ⌈ε·n⌉ slack for the rounded-threshold epsilon;
     // ε = 5e-7 → slack = ceil(n / 2e6))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
-    sh.join(dfreq, "shingle")
+    withDf(sh, stop)
       .withColumn("__pos", row_number().over(w))
       .join(counts, "doc_id")
       .filter(col("__pos") <=
@@ -240,8 +279,9 @@ object Dedup {
     * rehearsals can measure candidate volume (the prefix join's cost
     * driver) separately from verification: unordered (id_a, id_b) pairs
     * sharing ≥1 prefix shingle and passing the size filter. */
-  def prefixCandidates(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
-    val prefix = prefixPostings(sh, tNum, tDen)
+  def prefixCandidates(sh: DataFrame, tNum: Int, tDen: Int,
+      stop: Option[DataFrame] = None): DataFrame = {
+    val prefix = prefixPostings(sh, tNum, tDen, stop)
     prefix.select(col("doc_id").as("id_a"), col("shingle"),
         col("n_sh").as("na"), col("__pos").as("pa"))
       .join(prefix.select(col("doc_id").as("id_b"), col("shingle"),
@@ -273,9 +313,10 @@ object Dedup {
       .distinct()
   }
 
-  def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int,
+      stop: Option[DataFrame] = None): DataFrame = {
     val threshold = tNum.toDouble / tDen
-    val cand = prefixCandidates(sh, tNum, tDen)
+    val cand = prefixCandidates(sh, tNum, tDen, stop)
     // exact verification on candidates only, against COMPACT per-doc
     // shingle arrays: two id-keyed joins of |cand| rows each, then an
     // in-row array_intersect — shuffle volume ∝ candidates + corpus.
@@ -312,18 +353,17 @@ object Dedup {
     * on candidates. `minShingles` drops docs too small for containment to
     * be meaningful. */
   def containmentPairs(sh: DataFrame, cNum: Int, cDen: Int,
-      minShingles: Long = 10): DataFrame = {
+      minShingles: Long = 10, stop: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val threshold = cNum.toDouble / cDen
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("shingle"))
     // global (df, shingle)-ordered positions for EVERY doc — the contained
     // side filters them to its prefix; the container side carries them into
     // the join so the positional bound below can prune candidate rows
     // (round-9: this was the weakest routed slope at sf10 — the container
     // side joined bare, so every hot-shingle posting became a candidate)
-    val posAll = sh.join(dfreq, "shingle")
+    val posAll = withDf(sh, stop)
       .withColumn("__pos", row_number().over(w))
       .join(counts, "doc_id")
     val prefixA = posAll
@@ -398,7 +438,8 @@ object Dedup {
     * candidate-pruning only (pinned vs the unfiltered cross join in
     * ExtensionsSpec). */
   def decontaminate(trainSh: DataFrame, evalSh: DataFrame, cNum: Int,
-      cDen: Int, minShingles: Long = 10): DataFrame = {
+      cDen: Int, minShingles: Long = 10,
+      stop: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val threshold = cNum.toDouble / cDen
     val tagged = trainSh.select(col("doc_id"), col("shingle"),
@@ -407,10 +448,9 @@ object Dedup {
         lit(true).as("__eval")))
     val counts = tagged.groupBy("doc_id", "__eval")
       .agg(count(lit(1)).as("n_sh"))
-    val dfreq = tagged.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col("doc_id"), col("__eval"))
       .orderBy(col("__df"), col("shingle"))
-    val posAll = tagged.join(dfreq, "shingle")
+    val posAll = withDf(tagged, stop)
       .withColumn("__pos", row_number().over(w))
       .join(counts, Seq("doc_id", "__eval"))
     // prefix on the EVAL side only: its (n − ⌈c·n⌉ + 1) rarest shingles
@@ -711,8 +751,18 @@ object Dedup {
       idx: ShingleIndex.LiveIndex, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): (DataFrame, () => Unit) = {
     val shD = hashedShingles(delta, idCol, textCol, n).cache()
+    // a pruned index bands over postings-minus-stop; the delta must band
+    // over the SAME basis or its signatures live in a different space
+    // than the stored ones (verification below still reads FULL postings
+    // and full delta shingles — pruning never touches the exact-Jaccard
+    // kernel, only which pairs become candidates)
+    val bandBasisD = idx.stop.fold(
+      shD.withColumnRenamed("sh", "shingle"))(st =>
+      shD.withColumnRenamed("sh", "shingle")
+        .join(broadcast(st.select(col("shingle"))), Seq("shingle"), "left_anti")
+        .select(col("doc_id"), col("shingle")))
     val bandedD = ShingleIndex.bandsOf(
-      shD.withColumnRenamed("sh", "shingle"), idx.k, idx.nBands, idx.rowsPerBand)
+      bandBasisD, idx.k, idx.nBands, idx.rowsPerBand)
     val cands0 = broadcast(bandedD
       .select(col("band"), col("bucket"), col("doc_id").as("delta_id")))
       .join(idx.bands

@@ -82,10 +82,21 @@ object ShingleIndex {
     * one `tok=<token>` subdirectory per committed [[delete]] batch. */
   val tombstonesDirName: String = tableName + "_tombs"
 
+  /** Warehouse-sibling parquet holding the df-SATURATED (boilerplate)
+    * shingles `(shingle, df)` when the index was registered with
+    * `pruneDfFrac > 0` — bounded by construction (at df ≥ frac·nDocs, at
+    * most n̄/frac distinct shingles can qualify), so reads broadcast it. */
+  val stopDirName: String = "adv_doc_stopshingles"
+
   /** A live (appendable) index attachment: the postings and band relations
-    * plus the banding geometry they were built with. */
+    * plus the banding geometry they were built with. `stop` carries the
+    * stored boilerplate-shingle set when the index prunes its BAND basis
+    * (round 14): consumers must band their delta with the same basis
+    * ([[graft.ext.Dedup.incrementalMinhashPairsIndexed]] does) or stored
+    * and delta bands stop describing the same signature space. */
   final case class LiveIndex(postings: DataFrame, bands: DataFrame,
-      k: Int, nBands: Int, rowsPerBand: Int)
+      k: Int, nBands: Int, rowsPerBand: Int,
+      stop: Option[DataFrame] = None)
 
   private def warehousePath(spark: SparkSession, table: String): java.nio.file.Path =
     java.nio.file.Paths.get(
@@ -122,6 +133,10 @@ object ShingleIndex {
 
   private def intField(m: String, field: String): Option[Int] =
     s""""$field":(\\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
+
+  private def doubleField(m: String, field: String): Option[Double] =
+    s""""$field":([0-9.eE+-]+)""".r.findFirstMatchIn(m)
+      .map(_.group(1).toDouble)
 
   /** The bucket count the files were actually WRITTEN with — the write-time
     * skew guard may have raised it past the requested count (marker
@@ -174,9 +189,10 @@ object ShingleIndex {
     * reattach). Bucket-count or shingle-width changes — and a poisoned
     * marker from an interrupted append — force a rewrite. */
   def register(spark: SparkSession, dir: String, buckets: Int = 64,
-      n: Int = 3, withBands: Boolean = false, guard: Boolean = true): Double =
+      n: Int = 3, withBands: Boolean = false, guard: Boolean = true,
+      pruneDfFrac: Double = 0.0): Double =
     registerDocs(spark, dir, derive(spark, dir, n), buckets, n, withBands,
-      guard = guard)
+      guard = guard, pruneDfFrac = pruneDfFrac)
 
   /** Register the index for an arbitrary document frame under an arbitrary
     * identity `tag` (the streaming ingest registers its live corpus path
@@ -186,8 +202,13 @@ object ShingleIndex {
   def registerDocs(spark: SparkSession, tag: String, shingles: => DataFrame,
       buckets: Int = 64, n: Int = 3, withBands: Boolean = false,
       k: Int = 64, nBands: Int = 16, rowsPerBand: Int = 4,
-      guard: Boolean = true): Double =
+      guard: Boolean = true, pruneDfFrac: Double = 0.0): Double =
     synchronized {
+      // the stop set serves two consumers: the pruned BAND basis (with
+      // bands) and the exact df-split of the prefix operators
+      // (Dedup.withDf — works bandless), so pruning is legal either way
+      require(pruneDfFrac >= 0.0 && pruneDfFrac < 1.0,
+        s"pruneDfFrac must be in [0, 1), got $pruneDfFrac")
       val loc = warehousePath(spark, tableName)
       val base = markerBase(tag, n, buckets)
       // reattach accepts ANY append count (the files + DDL are identical);
@@ -200,7 +221,11 @@ object ShingleIndex {
       // with ",", so this is exact on all three identity fields)
       val markerOk = m.exists { mm =>
         mm.startsWith(base + ",") && !isPoisoned(mm) &&
-          (!withBands || sigSpec(mm).contains((k, nBands, rowsPerBand)))
+          (!withBands || sigSpec(mm).contains((k, nBands, rowsPerBand))) &&
+          // the prune spec is identity too: bands built over a different
+          // basis are a different artifact
+          (if (pruneDfFrac == 0.0) !mm.contains(""""prune_df_frac":""")
+           else mm.contains(s""""prune_df_frac":$pruneDfFrac,"""))
       }
       if (markerOk && spark.catalog.tableExists(tableName) &&
           (!withBands || spark.catalog.tableExists(bandsTableName))) {
@@ -218,8 +243,10 @@ object ShingleIndex {
         graft.perf.Measure.deleteRecursively(
           warehousePath(spark, bandsTableName).toString)
         // a rewrite derives the fresh truth from the source corpus — any
-        // pending tombstones described the OLD index identity
+        // pending tombstones and stop set described the OLD index identity
         graft.perf.Measure.deleteRecursively(tombRoot(spark).toString)
+        graft.perf.Measure.deleteRecursively(
+          warehousePath(spark, stopDirName).toString)
         val t0 = System.nanoTime()
         val sh = shingles
         // write-time hot-bucket guard (round-13 judge task 4, the
@@ -243,17 +270,52 @@ object ShingleIndex {
             report.effectiveBuckets,
             "dedup candidate axis: df aggregate + df join + postings join"),
           tableName, Some(loc.toString))
+        // boilerplate pruning of the BAND basis (round-14 judge task 5):
+        // a df-saturated shingle lands nearly every document in the same
+        // band buckets, so on template-spam corpora the per-batch screen's
+        // candidate set degrades toward delta × corpus — pairs that can
+        // never pass the threshold at verification (their similarity IS
+        // the boilerplate). Postings stay COMPLETE — verification and df
+        // truth are never pruned — only the signature basis drops the
+        // saturated set, which is computed here from the just-written
+        // postings and FROZEN until the next compact (the ANN
+        // frozen-centroid contract). Recall trade, documented: a pair
+        // whose similarity rests on saturated shingles alone can lose its
+        // band collisions — on a corpus where those shingles saturate,
+        // that pair is the template spam the screen exists to ignore.
+        val stopCount = if (pruneDfFrac > 0.0) {
+          val posted = spark.table(tableName)
+          val nDocs = posted.select("doc_id").distinct().count()
+          val bound = math.max(2L, math.ceil(pruneDfFrac * nDocs).toLong)
+          posted.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= bound)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(warehousePath(spark, stopDirName).toString)
+          Some(spark.read.parquet(
+            warehousePath(spark, stopDirName).toString).count())
+        } else None
         if (withBands) {
-          // band derivation reads the just-written postings, not the
-          // incoming frame — one corpus pass, and bands provably derive
-          // from exactly the stored rows
-          bandsOf(spark.table(tableName), k, nBands, rowsPerBand)
+          // band derivation reads the just-written postings (minus the
+          // just-written stop set when pruning — the marker doesn't exist
+          // yet, so the basis is assembled locally), not the incoming
+          // frame — one corpus pass, and bands provably derive from
+          // exactly the stored rows
+          val basis = stopCount.fold(spark.table(tableName))(_ =>
+            spark.table(tableName).join(
+              broadcast(spark.read.parquet(
+                warehousePath(spark, stopDirName).toString)
+                .select(col("shingle"))),
+              Seq("shingle"), "left_anti")
+              .select(col("doc_id"), col("shingle")))
+          bandsOf(basis, k, nBands, rowsPerBand)
             .write.mode("overwrite").format("parquet")
             .option("path", warehousePath(spark, bandsTableName).toString)
             .saveAsTable(bandsTableName)
         }
         val sec = (System.nanoTime() - t0) / 1e9
         val sig = if (withBands) s""","sig":"$k/$nBands/$rowsPerBand"""" else ""
+        val prune = stopCount.fold("")(c =>
+          s""","prune_df_frac":$pruneDfFrac,"stop_count":$c""")
         // skew telemetry rides in the marker (the registerAdvised field
         // names), so reattach never re-scans and an operator can read the
         // hot-bucket diagnosis off the stored index
@@ -262,10 +324,31 @@ object ShingleIndex {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP)}""" +
           s""","hot_ratio":${BigDecimal(report.hotRatio)
             .setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
-        writeMarker(spark, base + sig + skew + ",\"appends\":0}")
+        writeMarker(spark, base + sig + prune + skew + ",\"appends\":0}")
         sec
       }
     }
+
+  /** The stored boilerplate-shingle set `(shingle, df)` when the current
+    * index identity prunes its band basis; None otherwise. */
+  def stopSet(spark: SparkSession): Option[DataFrame] =
+    // no poison gate: the artifact is identity-scoped (wiped on rewrite)
+    // and phase 2 of an append must band its delta over it while the
+    // marker carries the in-flight token
+    readMarker(spark)
+      .filter(_.contains(""""prune_df_frac":"""))
+      .filter(_ => java.nio.file.Files.exists(
+        warehousePath(spark, stopDirName)))
+      .map(_ => spark.read.parquet(
+        warehousePath(spark, stopDirName).toString))
+
+  /** The relation [[bandsOf]] is derived from: the stored postings, minus
+    * the stop set when this index prunes its band basis. */
+  private def bandBasis(spark: SparkSession): DataFrame =
+    stopSet(spark).fold(table(spark))(st =>
+      table(spark).join(broadcast(st.select(col("shingle"))),
+        Seq("shingle"), "left_anti")
+        .select(col("doc_id"), col("shingle")))
 
   /** The stored relation (register first). */
   def table(spark: SparkSession): DataFrame = spark.table(tableName)
@@ -331,7 +414,15 @@ object ShingleIndex {
       .select(col("doc_id"), col("shingle"))
     sh.write.mode("append").insertInto(tableName)
     sigSpec(m).foreach { case (k, nBands, rowsPerBand) =>
-      bandsOf(sh, k, nBands, rowsPerBand)
+      // a pruned index bands its deltas over the same FROZEN stop set the
+      // stored bands were built with — mixed bases would make stored and
+      // delta signatures incomparable (saturation is re-assessed at
+      // compact time, like every frozen trained artifact)
+      val basis = stopSet(spark).fold(sh)(st =>
+        sh.join(broadcast(st.select(col("shingle"))),
+          Seq("shingle"), "left_anti")
+          .select(col("doc_id"), col("shingle")))
+      bandsOf(basis, k, nBands, rowsPerBand)
         .write.mode("append").insertInto(bandsTableName)
     }
   }
@@ -514,17 +605,17 @@ object ShingleIndex {
     // (the staged artifacts are built from the tombstone-subtracted
     // relations) and swept after the swap — the purge contract
     val applied = pendingTombstoneBatches(spark)
-    val (tmpPost, tmpBands) = prepareCompact(spark, m)
+    val (tmpPost, tmpBands, tmpStop, stopCount) = prepareCompact(spark, m)
     val sec = (System.nanoTime() - t0) / 1e9
     val tok = java.util.UUID.randomUUID().toString
     beginSwap(spark, m, tok)
-    swapCompacted(spark, m, tmpPost, tmpBands)
+    swapCompacted(spark, m, tmpPost, tmpBands, tmpStop)
     // sweep inside the poisoned window: a kill here leaves a poisoned
     // marker (heals by re-registration, which wipes tombstones too), so a
     // tombstone batch can never be swept while its rows still exist
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       tombDir(spark, t).toString))
-    finalizeCompact(spark, m)
+    finalizeCompact(spark, m, stopCount)
     sec
   }
 
@@ -532,7 +623,8 @@ object ShingleIndex {
     * the compacted artifacts in sibling `_ctmp` directories. The live index
     * is untouched and fully routable throughout — a kill in here is free. */
   private[graft] def prepareCompact(spark: SparkSession, m: String)
-      : (java.nio.file.Path, Option[java.nio.file.Path]) = {
+      : (java.nio.file.Path, Option[java.nio.file.Path],
+         Option[java.nio.file.Path], Option[Long]) = {
     val buckets = effBuckets(m) // the count the files were written with
     if (!spark.catalog.tableExists(tableName)) attachPostingsDdl(spark, buckets)
     val hasBands = sigSpec(m).isDefined
@@ -561,17 +653,48 @@ object ShingleIndex {
       .format("parquet").option("path", tmpPost.toString)
       .saveAsTable(tmpName)
     spark.sql(s"DROP TABLE $tmpName") // external table: files stay in _ctmp
+    // pruned index: RE-FREEZE the saturation set from the compacted
+    // postings (document frequencies have drifted with every append and
+    // delete since registration — the frozen-artifact refresh point), and
+    // re-derive the bands over the new basis so stored bands ≡
+    // bandsOf(postings minus stop) stays invariant across the compaction
+    val pruneFrac = doubleField(m, "prune_df_frac")
+    val (tmpStop, stopCount) = pruneFrac.fold(
+      (Option.empty[java.nio.file.Path], Option.empty[Long])) { frac =>
+      val p = warehousePath(spark, stopDirName + "_ctmp")
+      graft.perf.Measure.deleteRecursively(p.toString)
+      val posted = spark.read.parquet(tmpPost.toString)
+      val nDocs = posted.select("doc_id").distinct().count()
+      val bound = math.max(2L, math.ceil(frac * nDocs).toLong)
+      posted.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= bound)
+        .coalesce(1).write.mode("overwrite").parquet(p.toString)
+      (Some(p), Some(spark.read.parquet(p.toString).count()))
+    }
     val tmpBands = if (hasBands) {
       val p = warehousePath(spark, bandsTableName + "_ctmp")
       graft.perf.Measure.deleteRecursively(p.toString)
-      // bands are ~nBands rows/doc vs ~n̄ shingles/doc for the postings —
-      // coalesce (narrow, no shuffle) to a fraction of the bucket count
-      minusTombstones(spark, spark.table(bandsTableName))
-        .coalesce(math.max(1, buckets / 8))
-        .write.mode("overwrite").parquet(p.toString)
+      tmpStop match {
+        case Some(stopTmp) =>
+          val (k, nBands, rowsPerBand) = sigSpec(m).get
+          val basis = spark.read.parquet(tmpPost.toString)
+            .join(broadcast(spark.read.parquet(stopTmp.toString)
+              .select(col("shingle"))), Seq("shingle"), "left_anti")
+            .select(col("doc_id"), col("shingle"))
+          bandsOf(basis, k, nBands, rowsPerBand)
+            .coalesce(math.max(1, buckets / 8))
+            .write.mode("overwrite").parquet(p.toString)
+        case None =>
+          // bands are ~nBands rows/doc vs ~n̄ shingles/doc for the
+          // postings — coalesce (narrow, no shuffle) to a fraction of the
+          // bucket count
+          minusTombstones(spark, spark.table(bandsTableName))
+            .coalesce(math.max(1, buckets / 8))
+            .write.mode("overwrite").parquet(p.toString)
+      }
       Some(p)
     } else None
-    (tmpPost, tmpBands)
+    (tmpPost, tmpBands, tmpStop, stopCount)
   }
 
   /** Swap phase 1 of [[compact]]: poison the marker with the in-flight
@@ -588,7 +711,8 @@ object ShingleIndex {
     * register rewrites). */
   private[graft] def swapCompacted(spark: SparkSession, m: String,
       tmpPost: java.nio.file.Path,
-      tmpBands: Option[java.nio.file.Path]): Unit = {
+      tmpBands: Option[java.nio.file.Path],
+      tmpStop: Option[java.nio.file.Path] = None): Unit = {
     val buckets = effBuckets(m)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     graft.perf.Measure.deleteRecursively(warehousePath(spark, tableName).toString)
@@ -601,6 +725,12 @@ object ShingleIndex {
       java.nio.file.Files.move(p, warehousePath(spark, bandsTableName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    tmpStop.foreach { p =>
+      graft.perf.Measure.deleteRecursively(
+        warehousePath(spark, stopDirName).toString)
+      java.nio.file.Files.move(p, warehousePath(spark, stopDirName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     attachPostingsDdl(spark, buckets)
     if (sigSpec(m).isDefined) attachBandsDdl(spark)
   }
@@ -609,13 +739,18 @@ object ShingleIndex {
     * (identity fields, append counter, `last_append` — replay idempotence
     * survives compaction) with a bumped `compactions` counter, ending the
     * poisoned window. */
-  private[graft] def finalizeCompact(spark: SparkSession, m: String): Unit = {
+  private[graft] def finalizeCompact(spark: SparkSession, m: String,
+      stopCount: Option[Long] = None): Unit = {
     val bumped = intField(m, "compactions") match {
       case Some(c) =>
         m.replaceAll(""""compactions":\d+""", s""""compactions":${c + 1}""")
       case None => m.stripSuffix("}") + ""","compactions":1}"""
     }
-    writeMarker(spark, bumped)
+    // a pruned index re-froze its saturation set from the compacted
+    // postings — record the refreshed size
+    val patched = stopCount.fold(bumped)(c =>
+      bumped.replaceAll(""""stop_count":\d+""", s""""stop_count":$c"""))
+    writeMarker(spark, patched)
   }
 
   /** Self-sizing compaction trigger for sustained ingest (the streaming
@@ -703,7 +838,7 @@ object ShingleIndex {
           // (postings) the moment its delete commits, not at compact time
           LiveIndex(minusTombstones(spark, spark.table(tableName)),
             minusTombstones(spark, spark.table(bandsTableName)),
-            k, nBands, rowsPerBand)
+            k, nBands, rowsPerBand, stopSet(spark))
         }
       }
     }

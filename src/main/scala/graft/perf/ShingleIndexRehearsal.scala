@@ -52,6 +52,11 @@ object ShingleIndexRehearsal {
     graft.Tables.register(spark, sfDir)
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_MODE", "all")
+    // SPARK_GRAFT_SHINGLE_PRUNE=<frac> (round-14 task 5): register with a
+    // boilerplate df bound — bands build over postings-minus-stop (the
+    // screen's candidate axis) and the prefix ops take the stop set as the
+    // exact broadcast df-split. 0 = off (the control binding).
+    val pruneFrac = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_PRUNE", "0").toDouble
     require(Set("all", "stored", "derived", "compact").contains(mode),
       s"SPARK_GRAFT_SHINGLE_MODE must be all|stored|derived|compact, got $mode")
 
@@ -70,7 +75,8 @@ object ShingleIndexRehearsal {
           t).toString)
       }
       val writeSec = ShingleIndex.registerDocs(spark, sfDir,
-        ShingleIndex.derive(spark, sfDir), buckets, withBands = true)
+        ShingleIndex.derive(spark, sfDir), buckets, withBands = true,
+        pruneDfFrac = pruneFrac)
       val docs = spark.table("documents")
       val nAppends = sys.env.getOrElse("SPARK_GRAFT_APPENDS", "20").toInt
       val appendSec = (0 until nAppends).map { i =>
@@ -110,6 +116,7 @@ object ShingleIndexRehearsal {
         BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       println(s"""{"metric":"shingle_index_compact","sf":"$sfDir",""" +
         s""""buckets":$buckets,"runs":$runs,"appends":$nAppends,""" +
+        s""""prune":$pruneFrac,""" +
         s""""write_sec":${f1(writeSec)},"append_total_sec":${f1(appendSec)},""" +
         s""""files_before":{"postings":$pfB,"bands":$bfB},""" +
         s""""files_after":{"postings":$pfA,"bands":$bfA},""" +
@@ -135,7 +142,8 @@ object ShingleIndexRehearsal {
     val (writeSec, reattach) =
       if (mode == "derived") (0.0, 0.0)
       else if (mode == "stored") {
-        (ShingleIndex.register(spark, sfDir, buckets, guard = guardOn), 0.0)
+        (ShingleIndex.register(spark, sfDir, buckets, guard = guardOn,
+          pruneDfFrac = pruneFrac), 0.0)
       } else {
         spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
         Measure.deleteRecursively(java.nio.file.Paths.get(
@@ -146,24 +154,31 @@ object ShingleIndexRehearsal {
         (w, time { ShingleIndex.register(spark, sfDir, buckets) })
       }
 
-    def ops(sh: => DataFrame): Seq[(String, () => DataFrame)] = Seq(
-      ("containment", () => Dedup.containmentPairs(sh, 4, 5, minShingles = 10)),
-      ("setsim_prefix", () => Dedup.jaccardPairsPrefix(sh, 4, 5)),
+    // stored binding with pruning: the prefix ops take the stored stop
+    // set as the exact df-split (bit-identical output, hot keys broadcast)
+    def stopFor(stored: Boolean): Option[DataFrame] =
+      if (stored && pruneFrac > 0) ShingleIndex.stopSet(spark) else None
+    def ops(sh: => DataFrame, stored: Boolean): Seq[(String, () => DataFrame)] = Seq(
+      ("containment", () => Dedup.containmentPairs(sh, 4, 5,
+        minShingles = 10, stop = stopFor(stored))),
+      ("setsim_prefix", () => Dedup.jaccardPairsPrefix(sh, 4, 5,
+        stop = stopFor(stored))),
       ("decontaminate", () => Dedup.decontaminate(
         sh.filter(pmod(col("doc_id"), lit(7)) =!= 0),
-        sh.filter(pmod(col("doc_id"), lit(7)) === 0), 4, 5, minShingles = 10)))
+        sh.filter(pmod(col("doc_id"), lit(7)) === 0), 4, 5,
+        minShingles = 10, stop = stopFor(stored))))
 
-    def measure(sh: => DataFrame): Seq[(String, Double)] =
-      ops(sh).map { case (name, q) =>
+    def measure(sh: => DataFrame, stored: Boolean): Seq[(String, Double)] =
+      ops(sh, stored).map { case (name, q) =>
         sink(q()) // warm
         name -> median((1 to runs).map(_ => time(sink(q()))))
       }
     // stored first (shinglesFor routes onto the registered index), then
     // the derived control (explicit derivation, same session)
     val storedT = if (mode != "derived")
-      measure(ShingleIndex.shinglesFor(spark, sfDir)) else Nil
+      measure(ShingleIndex.shinglesFor(spark, sfDir), stored = true) else Nil
     val derivedT = if (mode != "stored")
-      measure(ShingleIndex.derive(spark, sfDir)) else Nil
+      measure(ShingleIndex.derive(spark, sfDir), stored = false) else Nil
 
     if (mode != "all") {
       def obj0(kvs: Seq[(String, Double)]): String =
@@ -182,7 +197,8 @@ object ShingleIndexRehearsal {
             .map(x => s""""$f":${x.group(1)}""")).mkString(",")
       }.filter(_.nonEmpty).fold("")("," + _)
       println(s"""{"metric":"shingle_index_$mode","sf":"$sfDir",""" +
-        s""""buckets":$buckets,"runs":$runs,"guard":$guardOn$skew,""" +
+        s""""buckets":$buckets,"runs":$runs,"guard":$guardOn,""" +
+        s""""prune":$pruneFrac$skew,""" +
         s""""stored_sec":${obj0(storedT)},"derived_sec":${obj0(derivedT)}}""")
       spark.stop()
       return

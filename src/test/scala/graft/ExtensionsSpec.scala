@@ -923,6 +923,55 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(prefixHashed == naive, "hashed-shingle prefix join diverged")
   }
 
+  test("stop-set df split is a pure plan transform: every prefix operator bit-identical with any stop set") {
+    // round-14 task 5 exactness proof: routing df-saturated shingles
+    // around the shuffled df join (broadcast split) may change the PLAN
+    // only — rows, positions, candidates, and scores must be identical for
+    // ANY stop set, including adversarial ones whose shingles sit inside
+    // doc prefixes (docs made ENTIRELY of boilerplate)
+    def collectSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // template-spam corpus + pure-boilerplate docs (prefixes reach into
+    // the hot set) + normal docs
+    val boiler = "terms and conditions apply all rights reserved contact us for details"
+    val spam = (1 to 120).map { i =>
+      if (i % 10 == 0) (i.toLong, (0 until 25).map(w => s"d${i}w$w").mkString(" "))
+      else if (i % 10 == 1) (i.toLong, boiler) // PURE boilerplate
+      else (i.toLong, s"$boiler item$i ref${i % 7}")
+    }.toDF("doc_id", "text")
+    val sh = Dedup.hashedShingles(spam, "doc_id", "text", 3)
+      .withColumnRenamed("sh", "shingle").cache()
+    try {
+      // the saturated set (df >= 50% of docs) and an ARBITRARY set (top-2
+      // by df plus two rare ones) — exactness must not depend on the
+      // bound's semantics
+      val saturated = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 60)
+      assert(saturated.count() > 0, "spam corpus must saturate shingles")
+      val arbitrary = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle")).limit(2)
+        .unionByName(sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").asc, col("shingle")).limit(2))
+      for (stop <- Seq(saturated, arbitrary)) {
+        assert(collectSet(Dedup.containmentPairs(sh, 4, 5, minShingles = 5,
+            stop = Some(stop))) ==
+          collectSet(Dedup.containmentPairs(sh, 4, 5, minShingles = 5)),
+          "containmentPairs diverged under the df split")
+        assert(collectSet(Dedup.jaccardPairsPrefix(sh, 4, 5,
+            stop = Some(stop))) ==
+          collectSet(Dedup.jaccardPairsPrefix(sh, 4, 5)),
+          "jaccardPairsPrefix diverged under the df split")
+        val evalSh = sh.filter(col("doc_id") % 10 === 2)
+        val trainSh = sh.filter(col("doc_id") % 10 =!= 2)
+        assert(collectSet(Dedup.decontaminate(trainSh, evalSh, 4, 5,
+            minShingles = 5, stop = Some(stop))) ==
+          collectSet(Dedup.decontaminate(trainSh, evalSh, 4, 5,
+            minShingles = 5)),
+          "decontaminate diverged under the df split")
+      }
+    } finally { sh.unpersist(); () }
+  }
+
   test("symspell delete-neighborhood join finds every levenshtein<=2 pair") {
     val terms = docs
       .select(explode(split(lower(col("text")), " ")).as("term"))

@@ -398,6 +398,109 @@ class ShingleIndexSpec extends AnyFunSuite {
     } finally wipe()
   }
 
+  test("boilerplate pruning: bands drop saturated shingles, screen candidates shrink, accept pairs unchanged, compact re-freezes") {
+    import spark.implicits._
+    wipe()
+    graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      ShingleIndex.stopDirName).toString)
+    try {
+      def bandRows(df: DataFrame): Set[(Int, Int, Long)] =
+        df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      // template spam: boilerplate shingles saturate; each doc carries a
+      // unique tail so true near-dup similarity lives in rare shingles
+      val boiler = "terms and conditions apply all rights reserved contact us for details"
+      val docs = (1 to 200).map { i =>
+        if (i % 20 == 0) (i.toLong, (0 until 30).map(w => s"d${i}w$w").mkString(" "))
+        else (i.toLong, s"$boiler item$i alpha$i beta$i gamma$i delta$i")
+      }.toDF("doc_id", "text")
+      val sh = Dedup.hashedShingles(docs, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+
+      ShingleIndex.registerDocs(spark, "prune-tag", sh, buckets = 8,
+        withBands = true, pruneDfFrac = 0.5)
+      val m = ShingleIndex.readMarker(spark).get
+      assert(m.contains(""""prune_df_frac":0.5""") &&
+        m.contains(""""stop_count":"""), s"prune journal missing: $m")
+      val idx = ShingleIndex.liveFor(spark, "prune-tag").get
+      assert(idx.stop.isDefined, "liveFor must expose the stop set")
+      val stopKeys = idx.stop.get.select("shingle").as[Long].collect().toSet
+      assert(stopKeys.nonEmpty, "spam corpus must produce a stop set")
+      // postings stay COMPLETE (verification truth is never pruned)
+      assert(rows(ShingleIndex.table(spark)) == rows(sh))
+      // bands ≡ banding of postings-minus-stop
+      def prunedBasis(s: DataFrame) = s.filter(!col("shingle").isin(
+        stopKeys.toSeq: _*))
+      assert(bandRows(idx.bands) == bandRows(ShingleIndex.bandsOf(
+        prunedBasis(sh), idx.k, idx.nBands, idx.rowsPerBand)),
+        "stored bands must derive from the pruned basis")
+
+      // the SCREEN: candidates shrink (spam docs no longer collide on
+      // boilerplate bands), accepted near-dup PAIRS unchanged — the true
+      // near-dup (shares a tail) is found, the fresh spam doc (boiler +
+      // new tail, J < threshold vs everything) matches nothing, in BOTH
+      // the pruned-indexed screen and the derived unpruned screen
+      // near-dup of doc 7 sharing ALL its rare shingles plus one extra
+      // (J_rare = 5/6 → band-collision probability ≈ 1 − 3·10⁻⁵; a
+      // looser tail drew a deterministic 0/16-band miss — minhash is
+      // probabilistic per pair even when exact in expectation)
+      val batch = Seq(
+        (9001L, s"$boiler item7 alpha7 beta7 gamma7 delta7 extra9001"),
+        (9002L, s"$boiler item9002 alpha9002 beta9002 gamma9002 delta9002"))
+        .toDF("doc_id", "text")
+      val (prunedPairs, rel1) = Dedup.incrementalMinhashPairsIndexed(
+        batch, docs.select("doc_id"), idx, "doc_id", "text", 0.6)
+      val got = prunedPairs.select("delta_id", "corpus_id")
+        .as[(Long, Long)].collect().toSet
+      rel1()
+      val (derivedPairs, rel2) = Dedup.incrementalMinhashPairsManaged(
+        batch, docs, "doc_id", "text", 0.6)
+      val want = derivedPairs.select("delta_id", "corpus_id")
+        .as[(Long, Long)].collect().toSet
+      rel2()
+      assert(want.contains((9001L, 7L)), s"planted near-dup missing: $want")
+      assert(got == want,
+        s"pruned screen pairs $got != derived $want — similarity here " +
+          "lives in rare shingles, so pruning must not change the answer")
+
+      // append: the delta bands over the FROZEN stop set — invariant holds
+      val d = Seq((501L, s"$boiler item501 alpha501 beta501 gamma501 delta501"))
+        .toDF("doc_id", "text")
+      assert(ShingleIndex.append(spark, d, token = Some("p1")))
+      val shD = Dedup.hashedShingles(d, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle")
+      val idx2 = ShingleIndex.liveFor(spark, "prune-tag").get
+      assert(bandRows(idx2.bands) == bandRows(ShingleIndex.bandsOf(
+        prunedBasis(sh.unionByName(shD)), idx.k, idx.nBands, idx.rowsPerBand)),
+        "append must band its delta over the frozen stop set")
+
+      // compact: re-freezes saturation from the compacted postings and
+      // re-derives bands — invariant holds with the NEW stop set
+      ShingleIndex.compact(spark)
+      val m2 = ShingleIndex.readMarker(spark).get
+      assert(m2.contains(""""prune_df_frac":0.5"""), "prune spec lost")
+      val idx3 = ShingleIndex.liveFor(spark, "prune-tag").get
+      val stopKeys3 = idx3.stop.get.select("shingle").as[Long].collect().toSet
+      val allSh = sh.unionByName(shD)
+      assert(bandRows(idx3.bands) == bandRows(ShingleIndex.bandsOf(
+        allSh.filter(!col("shingle").isin(stopKeys3.toSeq: _*)),
+        idx.k, idx.nBands, idx.rowsPerBand)),
+        "compaction must re-derive bands over the re-frozen stop set")
+      assert(rows(ShingleIndex.table(spark)) == rows(allSh))
+
+      // identity: a prune-spec change forces a rewrite, never a reattach
+      assert(ShingleIndex.registerDocs(spark, "prune-tag", sh, buckets = 8,
+        withBands = true, pruneDfFrac = 0.5) == 0.0, "same spec must reattach")
+      assert(ShingleIndex.registerDocs(spark, "prune-tag", sh, buckets = 8,
+        withBands = true) > 0.0, "dropping the prune spec must rewrite")
+    } finally {
+      wipe()
+      graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        ShingleIndex.stopDirName).toString)
+    }
+  }
+
   test("compaction: row-identical, marker survives, file count bounded, kill windows refuse") {
     wipe()
     try {
@@ -465,9 +568,9 @@ class ShingleIndexSpec extends AnyFunSuite {
       // — the marker vanished with the old dir; nothing serves, register
       // heals by rewrite
       val mC = ShingleIndex.readMarker(spark).get
-      val (tp, tb) = ShingleIndex.prepareCompact(spark, mC)
+      val (tp, tb, ts, _) = ShingleIndex.prepareCompact(spark, mC)
       ShingleIndex.beginSwap(spark, mC, "kill-swap-2")
-      ShingleIndex.swapCompacted(spark, mC, tp, tb)
+      ShingleIndex.swapCompacted(spark, mC, tp, tb, ts)
       assert(ShingleIndex.readMarker(spark).isEmpty,
         "the old marker must disappear with the old postings dir")
       assert(ShingleIndex.liveFor(spark, sf).isEmpty)
