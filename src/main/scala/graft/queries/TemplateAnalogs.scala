@@ -670,5 +670,102 @@ object TemplateAnalogs {
               ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END), 0)
             AS DOUBLE)
         FROM lineitem WHERE l_returnflag = 'R'
-        ORDER BY pipeline_stage""")))
+        ORDER BY pipeline_stage""")),
+
+    // ── FBL3N: the GL LINE-ITEM DISPLAY shape (SapTemplates tcode_fbl3n,
+    //    sap_semantic_model.json:7576-7583 — the account-axis detail
+    //    listing none of the other analogs exercises): items joined to
+    //    their header, a SIGNED amount CASE (the SHKZG axis), an
+    //    open/cleared STATUS CASE derived per line, a header-attribute
+    //    filter, and the display's multi-key (account, doc, line) order.
+    //    Scale shape: one item↔header equi join (header side prunable by
+    //    the filter before the join), no aggregation — the listing is the
+    //    operator; the sort is the display contract ─────────────────────────
+    Q(
+      "q_tmpl_fbl3n_line_items",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("account"),
+            col("o_orderkey").as("doc"),
+            col("l_linenumber").cast("long").as("line"),
+            col("o_orderdate").as("doc_date"),
+            signedAmount(col("l_returnflag"),
+              money(col("l_extendedprice")), "R")
+              .cast("double").as("signed_amount"),
+            when(col("l_linestatus") === "O", lit("Open"))
+              .otherwise(lit("Cleared")).as("item_status"))
+          .orderBy(col("account"), col("doc"), col("line"))
+      },
+      Some("""SELECT l_suppkey AS account, o_orderkey AS doc,
+          CAST(l_linenumber AS BIGINT) AS line, o_orderdate AS doc_date,
+          CAST(CASE WHEN l_returnflag = 'R'
+              THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+              ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END
+            AS DOUBLE) AS signed_amount,
+          CASE WHEN l_linestatus = 'O' THEN 'Open' ELSE 'Cleared' END
+            AS item_status
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        ORDER BY account, doc, line""")),
+
+    // ── R2R month-end close status (SapTemplates
+    //    value_chain_record_to_report_close_status,
+    //    sap_semantic_model.json:7843-7856): UNION ALL of per-component
+    //    close indicators, each COUNT(DISTINCT doc) + MAX(date) over ONE
+    //    period — the one template whose period axis is DERIVED from the
+    //    date with format tokens (strftime in the reference; the middle
+    //    branch keeps the reference's SUBSTR-on-date-string month
+    //    extraction verbatim, the format-token map's hardest case) plus an
+    //    unreconciled-open-items branch. Scale shape: three independent
+    //    scans, each one partial-agg'd COUNT DISTINCT — no joins, the
+    //    period filters prune at the scan ───────────────────────────────────
+    Q(
+      "q_tmpl_r2r_close_status",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val gl = o.filter(year(col("o_orderdate")) === 1995 &&
+            month(col("o_orderdate")) === 3)
+          .agg(countDistinct(col("o_orderkey")).as("n"),
+            max(col("o_orderdate")).as("latest_date"))
+          .select(lit("1 Orders posted").as("close_component"),
+            col("n"), col("latest_date"))
+        val co = l.filter(year(col("l_shipdate")) === 1995 &&
+            substring(col("l_shipdate").cast("string"), 6, 2) === "03")
+          .agg(countDistinct(col("l_orderkey")).as("n"),
+            max(col("l_shipdate")).as("latest_date"))
+          .select(lit("2 Lines shipped").as("close_component"),
+            col("n"), col("latest_date"))
+        // the reference's third branch is open items in the period
+        // (BSID ... AUGDT IS NULL) — the open-marker analog is linestatus
+        val recon = l.filter(year(col("l_shipdate")) === 1995 &&
+            col("l_linestatus") === "O")
+          .agg(countDistinct(col("l_orderkey")).as("n"),
+            max(col("l_shipdate")).as("latest_date"))
+          .select(lit("3 Open receivables").as("close_component"),
+            col("n"), col("latest_date"))
+        gl.unionByName(co).unionByName(recon)
+          .orderBy(col("close_component"))
+      },
+      Some("""SELECT '1 Orders posted' AS close_component,
+          COUNT(DISTINCT o_orderkey) AS n, MAX(o_orderdate) AS latest_date
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+          AND EXTRACT(MONTH FROM o_orderdate) = 3
+        UNION ALL
+        SELECT '2 Lines shipped',
+          COUNT(DISTINCT l_orderkey), MAX(l_shipdate)
+        FROM lineitem
+        WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+          AND SUBSTR(CAST(l_shipdate AS VARCHAR), 6, 2) = '03'
+        UNION ALL
+        SELECT '3 Open receivables',
+          COUNT(DISTINCT l_orderkey), MAX(l_shipdate)
+        FROM lineitem
+        WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+          AND l_linestatus = 'O'
+        ORDER BY close_component""")))
 }
