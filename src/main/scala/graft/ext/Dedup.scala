@@ -746,7 +746,17 @@ object Dedup {
     *
     * Row-identical to the derived path when index ≡ corpus (same banding
     * expression — [[ShingleIndex.bandsOf]] — same verification kernel;
-    * pinned by StreamingSpec). */
+    * pinned by StreamingSpec).
+    *
+    * Candidate-set contract (round 14, measured): the broadcast phantom
+    * guard assumes candidates are DELTA-bounded — true whenever band
+    * collisions mean similarity. On a band-saturating corpus (template
+    * spam: docs sharing most shingles sit below the threshold but collide
+    * in ~all bands) the candidate set degrades toward delta × corpus and
+    * the screen FAILS LOUDLY at the broadcast (sf10b: >1 GiB of candidate
+    * pairs vs a driver cap). The production mitigation is registering the
+    * index with `pruneDfFrac` — the saturated shingles leave the band
+    * basis and the same batch screens in ~2 s (BASELINE.md round-14). */
   def incrementalMinhashPairsIndexed(delta: DataFrame, corpusIds: DataFrame,
       idx: ShingleIndex.LiveIndex, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): (DataFrame, () => Unit) = {
