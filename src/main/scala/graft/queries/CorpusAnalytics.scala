@@ -940,6 +940,63 @@ object CorpusAnalytics {
         SELECT source, n_docs, chars, 'applied' AS phase FROM agg
         ORDER BY phase, source""")),
 
+    // ── boilerplate-pruned index screen (round-14 judge task 5): derive a
+    //    template-spam corpus from the documents table (every doc prefixed
+    //    with one shared boilerplate sentence — its shingles saturate at
+    //    ~100% df), register the band-backed index WITH pruning, and pin
+    //    (a) the stop set is non-empty, (b) the postings stay COMPLETE
+    //    (count ≡ DuckDB's shingle count over the spam corpus — pruning
+    //    never touches verification truth), and (c) the pruned indexed
+    //    screen finds exactly the planted high-J near-dup and nothing
+    //    else. Deterministic: hashes are fixed, and the plant shares ALL
+    //    of its original's rare shingles (J_rare high enough that band
+    //    collision is certain for these specific values — validated once,
+    //    stable forever). buckets=4 keeps a distinct identity from the
+    //    compact(8)/delete(16) faces, so any face order forces its own
+    //    rewrite ─────────────────────────────────────────────────────────
+    Q(
+      "q_index_prune_screen",
+      (s, dir) => {
+        val boiler = "standard legal disclaimer applies to all documents in this collection"
+        val spam = t(s, dir, "documents")
+          .select(col("doc_id"), concat(lit(boiler + " "), col("text")).as("text"))
+        val sh = graft.ext.Dedup
+          .hashedShingles(spam, "doc_id", "text", 3)
+          .withColumnRenamed("sh", "shingle")
+        graft.ext.ShingleIndex.registerDocs(s, dir + "#pruned", sh,
+          buckets = 4, withBands = true, pruneDfFrac = 0.5)
+        val idx = graft.ext.ShingleIndex.liveFor(s, dir + "#pruned").get
+        val stopCount = idx.stop.map(_.count()).getOrElse(0L)
+        val postingRows = graft.ext.ShingleIndex.table(s).count()
+        // the batch: one exact-tail near-dup of doc 0 (one token appended
+        // at the END, so every rare shingle of doc 0 survives) and one
+        // fresh doc that shares only boilerplate with the corpus
+        val base = spam.filter(col("doc_id") === 0L).head().getString(1)
+        import s.implicits._
+        val batch = Seq(
+          (900001L, base + " addendum"),
+          (900002L, boiler + " entirely fresh content nothing shared here at all today"))
+          .toDF("doc_id", "text")
+        val (pairs, release) = graft.ext.Dedup.incrementalMinhashPairsIndexed(
+          batch, spam.select("doc_id"), idx, "doc_id", "text", 0.8)
+        val hits = pairs.select(col("delta_id"), col("corpus_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        release()
+        Seq((stopCount > 0, postingRows, hits == Set((900001L, 0L))))
+          .toDF("stop_nonempty", "posting_rows", "screen_exact")
+      },
+      Some("""WITH spam AS (SELECT doc_id,
+            'standard legal disclaimer applies to all documents in this collection '
+              || text AS text FROM documents),
+          toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM spam WHERE len(string_split(lower(text), ' ')) >= 3),
+          sh AS (SELECT DISTINCT doc_id,
+              UNNEST(list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+            FROM toks)
+          SELECT TRUE AS stop_nonempty, COUNT(*) AS posting_rows,
+            TRUE AS screen_exact FROM sh""")),
+
     // ── near-dup provenance matrix: exact Jaccard pairs joined back to the
     //    source dimension — which source pairs generate the duplication
     //    (cross-source dup means scraper overlap; within-source means
