@@ -141,6 +141,11 @@ object AnnIndex {
     // (if any) and pending tombstones no longer describe anything real
     java.nio.file.Files.deleteIfExists(sentinelPath(dir))
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
+    // fit journal baseline: ivf is the self-contained family (raw vectors
+    // in hand), so the build can journal its own fit profile — appends
+    // then measure drift against this row
+    resetFitJournal(cents.sparkSession, driftPath(dir), "build",
+      indexed.count(), fitProfile(indexed, cents))
   }
 
   /** (centroids, indexed) of a stored IVF index. The hive partition column
@@ -221,6 +226,7 @@ object AnnIndex {
     vectors.write.mode("overwrite").parquet(s"$dir/vectors.parquet")
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
+    graft.perf.Measure.deleteRecursively(driftPath(dir)) // stale telemetry
   }
 
   def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -281,6 +287,7 @@ object AnnIndex {
     codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
+    graft.perf.Measure.deleteRecursively(driftPath(dir)) // stale telemetry
   }
 
   def readPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -332,6 +339,9 @@ object AnnIndex {
       .parquet(s"$dir/codes.parquet")
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
+    // stale telemetry cleared; no build baseline — the write path holds
+    // codes, not raw vectors. driftStats bootstraps from the first append.
+    graft.perf.Measure.deleteRecursively(driftPath(dir))
   }
 
   def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -371,6 +381,9 @@ object AnnIndex {
       .join(cells, Seq("vec_id"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/codes.parquet")
+    // journal AFTER the data lands: a crash between costs a telemetry row,
+    // never a fit entry for codes that don't exist
+    recordFit(spark, dir, delta)
   }
 
   /** Incremental LSH maintenance — same O(|delta|) frozen-artifact contract
@@ -406,6 +419,8 @@ object AnnIndex {
     Similarity.ivfAssign(delta, cents)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
+    // journal AFTER the data lands (see appendIvfPq)
+    recordFit(spark, dir, delta)
   }
 
   // ── deletion / retraction (round-14 judge task 1) ──────────────────────
@@ -598,15 +613,16 @@ object AnnIndex {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Swap phase 2 of [[compact]]: exchange each live artifact dir for its
-    * compacted temp. A kill between the delete and the move leaves a
-    * missing artifact — unreadable, but the sentinel already refuses every
-    * entry point before the parquet reader could trip on it. */
+  /** Swap phase 2 of [[compact]] (and [[retrain]], via `suffix`): exchange
+    * each live artifact dir for its staged temp. A kill between the delete
+    * and the move leaves a missing artifact — unreadable, but the sentinel
+    * already refuses every entry point before the parquet reader could trip
+    * on it. */
   private[graft] def swapCompactedArtifacts(dir: String,
-      artifacts: Seq[String]): Unit =
+      artifacts: Seq[String], suffix: String = ".compact"): Unit =
     artifacts.foreach { a =>
       graft.perf.Measure.deleteRecursively(s"$dir/$a")
-      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/$a.compact"),
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/$a$suffix"),
         java.nio.file.Paths.get(s"$dir/$a"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
@@ -641,5 +657,292 @@ object AnnIndex {
     val primary = fragmentingArtifacts(kind).head
     val count = graft.perf.Measure.parquetFileCount(s"$dir/$primary")
     if (count > factor * baseline) { compact(spark, dir); true } else false
+  }
+
+  // ── trained-artifact drift + retrain (round 14: the wall after deletion) ─
+  //
+  // Appends encode with FROZEN centroids/codebooks forever (the appendIvfPq
+  // contract above). When the data distribution moves — a new language in
+  // the corpus, a new embedding domain, simple topic drift — the frozen
+  // geometry stops fitting: drifted vectors crowd into the few cells nearest
+  // their unmodeled mode (probe cost for drifted queries degrades toward
+  // |drifted mass|) and quantization error grows (recall decays). Compaction
+  // cannot help — it rewrites files, not geometry. The mechanism here makes
+  // the decay OBSERVABLE (a fit journal every append feeds) and the repair
+  // CRASH-SAFE (retrain rides the compact swap protocol): the FAISS
+  // operational practice — monitor imbalance/quantization error, retrain
+  // when it drifts — expressed lake-native.
+
+  private def driftPath(dir: String): String = s"$dir/drift.parquet"
+
+  /** Deterministic ≤`cap` MEASUREMENT sample: the cap vectors with the
+    * LARGEST xxhash64(vec_id) — the opposite end of the hash order from
+    * [[Similarity.trainingSample]], so once the corpus outgrows the
+    * training cap the fit baseline is measured on held-out vectors, not on
+    * the rows the centroids memorized (train-self fit runs ~1.2× optimistic
+    * on this corpus — a bias that would read as drift on the first
+    * in-distribution append). Below 2×cap the two samples overlap — the
+    * residual bias is why the trigger carries the concentration axis,
+    * which is bias-free. */
+  private def measureSample(vectors: DataFrame, cap: Int): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).desc, col("vec_id").desc).limit(cap)
+
+  /** Fit profile of raw vectors against trained IVF centroids, over a
+    * deterministic ≤`cap` [[measureSample]]:
+    *
+    *   - mean misfit: avg (1 − max cosine to any centroid) — 0 when every
+    *     vector sits on a centroid; grows when appends fit the trained
+    *     geometry worse than the build did (the DIFFUSE drift axis).
+    *   - top-cell share: the largest fraction of the sample assigned to one
+    *     cell — a tight novel mode (new domain/language/model) lands almost
+    *     entirely in the single nearest cell, so this approaches 1 while
+    *     mean misfit barely moves (the CONCENTRATED drift axis; the
+    *     trained cells spread the build distribution by construction, so
+    *     high concentration = mass the training never saw). This is the
+    *     lake-native reading of the FAISS imbalance-factor practice.
+    *
+    * Bounded cost by construction (sample × broadcast centroids, one
+    * narrow pass); decimal-summed mean so the number is
+    * partitioning-independent. Zero-norm/empty vectors score sim 0
+    * (misfit 1, lowest cell). */
+  def fitProfile(vectors: DataFrame, cents: DataFrame,
+      cap: Int = 4096): (Double, Double) = {
+    val sample = measureSample(vectors, cap)
+    val c = cents.select(col("cell").as("__cell"),
+      expr("transform(centroid, x -> cast(x as double))").as("__c"))
+    val sim = coalesce(nanvl(try_divide(
+      Similarity.dot(col("embedding"), col("__c")),
+      Similarity.l2norm(col("embedding")) * Similarity.l2norm(col("__c"))),
+      lit(0.0)), lit(0.0))
+    // argmax via max(struct): ties keep the LOWEST cell (-cell maximal),
+    // the ivfAssign tie rule
+    val best = sample.join(broadcast(c))
+      .select(col("vec_id"),
+        struct(sim.as("s"), negate(col("__cell")).as("nc")).as("__sc"))
+      .groupBy("vec_id").agg(max(col("__sc")).as("__best"))
+      .select((lit(1.0) - col("__best.s")).as("__misfit"),
+        (-col("__best.nc")).as("__cell"))
+    val r = best.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__misfit")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).as("__m"))
+      .agg(sum(col("__n")).as("n"), max(col("__n")).as("mx"),
+        (sum(col("__m")).cast("double")).as("m")).head()
+    if (r.isNullAt(0) || r.getLong(0) == 0L) (0.0, 0.0)
+    else (r.getDouble(2) / r.getLong(0),
+      r.getLong(1).toDouble / r.getLong(0))
+  }
+
+  private def fitRow(spark: SparkSession, phase: String, n: Long,
+      err: Double, topShare: Double): DataFrame = {
+    import spark.implicits._
+    Seq((phase, n, err, topShare, System.currentTimeMillis()))
+      .toDF("phase", "n", "err", "top_share", "ts")
+  }
+
+  /** (Re)start the fit journal at a staged or live path: exactly one
+    * baseline row. The journal invariant every reader relies on — ONE
+    * baseline (`build` or `retrain`) plus the `append` rows since — holds
+    * because build/retrain always reset through here. */
+  private def resetFitJournal(spark: SparkSession, path: String,
+      phase: String, n: Long, profile: (Double, Double)): Unit =
+    fitRow(spark, phase, n, profile._1, profile._2).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Journal the fit profile of a raw-vector batch against the stored
+    * centroids — called automatically by [[appendIvf]]/[[appendIvfPq]]
+    * (they hold the raw delta; stored codes are not invertible), and
+    * available to callers for an explicit probe. For an `ivfpq` index built
+    * before any append, the FIRST journaled append doubles as the baseline
+    * ([[driftStats]]'s bootstrap rule), so builders need no raw-corpus
+    * hook. */
+  def recordFit(spark: SparkSession, dir: String, vectors: DataFrame,
+      phase: String = "append"): Unit = {
+    val kind = readParams(spark, dir)._1
+    require(kind == "ivf" || kind == "ivfpq",
+      s"recordFit on a '$kind' index — fit is centroid-based (ivf/ivfpq); " +
+        "lsh geometry is data-independent and pq has no coarse quantizer")
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val n = vectors.count()
+    val (err, topShare) = fitProfile(vectors, cents)
+    fitRow(spark, phase, n, err, topShare).coalesce(1)
+      .write.mode("append").parquet(driftPath(dir))
+  }
+
+  /** Drift telemetry distilled from the fit journal.
+    *
+    * @param baselineErr  mean misfit at the last (re)train
+    * @param appendErr    n-weighted mean misfit of the appends since
+    * @param appendVecs   vectors those appends contributed
+    * @param ratio        appendErr / baselineErr — the diffuse-drift axis
+    * @param topShare     n-weighted mean top-cell share of those appends —
+    *                     the concentrated-drift axis (→1 when batches land
+    *                     in one cell)
+    */
+  final case class DriftStats(baselineErr: Double, baselinePhase: String,
+      appendErr: Double, appendVecs: Long, ratio: Double, topShare: Double)
+
+  /** Distill the fit journal: None when no appends have landed since the
+    * baseline (nothing to compare). An `ivfpq` journal with no build/retrain
+    * row bootstraps — its EARLIEST append is the baseline (the first
+    * post-build batch is presumed in-distribution; builders hold no raw
+    * corpus at write time to journal a true build row). */
+  def driftStats(spark: SparkSession, dir: String): Option[DriftStats] = {
+    refuseTorn(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(driftPath(dir))))
+      return None
+    val rows = spark.read.parquet(driftPath(dir))
+      .select("phase", "n", "err", "top_share", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+      .sortBy(r => (r._5, r._1))
+    val (baseline, appends) = rows.find(_._1 != "append") match {
+      case Some(b) => (Some(b), rows.filter(_._1 == "append"))
+      case None => // bootstrap: earliest append is the baseline
+        val sorted = rows.filter(_._1 == "append")
+        (sorted.headOption, sorted.drop(1))
+    }
+    for (b <- baseline if appends.nonEmpty) yield {
+      val nTot = appends.map(_._2).sum
+      def weighted(f: ((String, Long, Double, Double, Long)) => Double) =
+        if (nTot == 0L) 0.0 else appends.map(r => f(r) * r._2).sum / nTot
+      val err = weighted(_._3)
+      DriftStats(b._3, b._1, err, nTot,
+        if (b._3 > 1e-12) err / b._3 else if (err > 1e-12) Double.MaxValue
+        else 1.0,
+        weighted(_._4))
+    }
+  }
+
+  /** Per-cell occupancy telemetry of a cell-partitioned index (ivf/ivfpq):
+    * (cells seen, total rows, max cell rows, max/mean hot ratio). Drifted
+    * appends crowd into the few cells nearest the unmodeled mode, so a
+    * climbing hot ratio is the probe-cost face of drift (the fit journal is
+    * its recall face). One column-pruned aggregate over the partition
+    * column. */
+  def occupancy(spark: SparkSession, dir: String): (Long, Long, Long, Double) = {
+    val kind = readParams(spark, dir)._1
+    require(kind == "ivf" || kind == "ivfpq",
+      s"occupancy on a '$kind' index — no cell axis")
+    val artifact = if (kind == "ivf") "vectors.parquet" else "codes.parquet"
+    val r = spark.read.parquet(s"$dir/$artifact")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), sum(col("n")).as("total"),
+        max(col("n")).as("mx")).head()
+    val (cells, total, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    (cells, total, mx,
+      if (cells == 0L) 0.0 else mx.toDouble / (total.toDouble / cells))
+  }
+
+  /** Retrain a stored index's trained artifacts on the CURRENT data and
+    * re-encode everything — the explicit rebuild the append contract defers
+    * to, made crash-safe and tombstone-applying:
+    *
+    *   - `ivf` is self-contained (the store holds raw vectors): retrain
+    *     reads them back, re-trains centroids with the SAME deterministic
+    *     pipeline as a fresh build (hash-ordered sample + Lloyd passes), and
+    *     re-assigns — so a retrain is BIT-IDENTICAL to a one-shot build over
+    *     the surviving vectors (pinned by `q_ann_ivf_retrain`).
+    *   - `ivfpq` needs `corpus` (vec_id, embedding): codes are not
+    *     invertible; the raw vectors live in the lake's embeddings table.
+    *   - `lsh` refused (hyperplanes are data-independent — there is nothing
+    *     to retrain); `pq` refused (no coarse quantizer to measure drift
+    *     against — rebuild via writePq if its codebooks must move).
+    *
+    * Geometry (nCells, m, kCodes, dims) is PRESERVED from params — retrain
+    * moves the centroids, not the index shape. Pending tombstones are
+    * subtracted from the rebuild source and their journal swept inside the
+    * guarded swap (physical purge, same contract as [[compact]]). Crash
+    * contract = the compact protocol verbatim: the expensive rebuild stages
+    * into sibling `*.retrain` dirs while the live index serves; only the
+    * short swap is sentinel-poisoned; a kill inside it refuses loudly until
+    * a full rebuild heals. The fit journal is reset to one `retrain`
+    * baseline row measured against the NEW centroids. Returns seconds spent
+    * in the staged rebuild. */
+  def retrain(spark: SparkSession, dir: String,
+      corpus: Option[DataFrame] = None, refineIters: Int = 1,
+      maxTrain: Int = 4096): Double = synchronized {
+    val applied = pendingTombstoneBatches(dir)
+    val t0 = System.nanoTime()
+    val artifacts = prepareRetrainArtifacts(spark, dir, corpus,
+      refineIters, maxTrain)
+    val sec = (System.nanoTime() - t0) / 1e9
+    beginCompactSwap(dir)
+    swapCompactedArtifacts(dir, artifacts, suffix = ".retrain")
+    applied.foreach(t => graft.perf.Measure.deleteRecursively(
+      annTombDir(dir, t).toString))
+    finalizeCompactSwap(dir)
+    sec
+  }
+
+  /** Staging phase of [[retrain]], exposed for the kill-window spec: rebuild
+    * the trained artifacts into sibling `*.retrain` dirs. Live index
+    * untouched and fully searchable throughout — a kill here is free.
+    * Returns the artifact names the swap must exchange. */
+  private[graft] def prepareRetrainArtifacts(spark: SparkSession, dir: String,
+      corpus: Option[DataFrame], refineIters: Int,
+      maxTrain: Int): Seq[String] = {
+    val (kind, nCells, m, kCodes, dims) = readParams(spark, dir)
+    def staged(a: String): String = s"$dir/$a.retrain"
+    kind match {
+      case "ivf" =>
+        val src = minusTombs(spark, dir,
+          corpus.getOrElse(spark.read.parquet(s"$dir/vectors.parquet"))
+            .select(col("vec_id"), col("embedding")))
+        val (cents, indexed) = buildIvf(src, nCells = nCells,
+          refineIters = refineIters, maxTrain = maxTrain)
+        Seq("centroids.parquet", "vectors.parquet", "drift.parquet")
+          .foreach(a => graft.perf.Measure.deleteRecursively(staged(a)))
+        cents.write.mode("overwrite").parquet(staged("centroids.parquet"))
+        indexed.write.mode("overwrite").partitionBy("cell")
+          .parquet(staged("vectors.parquet"))
+        resetFitJournal(spark, staged("drift.parquet"), "retrain",
+          src.count(), fitProfile(src, cents))
+        Seq("centroids.parquet", "vectors.parquet", "drift.parquet")
+      case "ivfpq" =>
+        val raw = corpus.getOrElse(throw new IllegalArgumentException(
+          s"retrain of the ivfpq index at $dir needs the raw vectors " +
+            "(codes are not invertible) — pass corpus=(vec_id, embedding)"))
+        val src = minusTombs(spark, dir,
+          raw.select(col("vec_id"), col("embedding")))
+        val (cents, books, codes) = buildIvfPq(src, nCells = nCells, m = m,
+          kCodes = kCodes, dims = dims, refineIters = refineIters,
+          maxTrain = maxTrain)
+        val all = Seq("centroids.parquet", "codebooks.parquet",
+          "codes.parquet", "drift.parquet")
+        all.foreach(a => graft.perf.Measure.deleteRecursively(staged(a)))
+        cents.write.mode("overwrite").parquet(staged("centroids.parquet"))
+        books.write.mode("overwrite").parquet(staged("codebooks.parquet"))
+        codes.write.mode("overwrite").partitionBy("cell")
+          .parquet(staged("codes.parquet"))
+        resetFitJournal(spark, staged("drift.parquet"), "retrain",
+          src.count(), fitProfile(src, cents))
+        all
+      case other => throw new IllegalArgumentException(
+        s"retrain on a '$other' index at $dir — lsh geometry is " +
+          "data-independent (nothing to retrain); pq has no coarse " +
+          "quantizer (rebuild via writePq)")
+    }
+  }
+
+  /** Self-sizing retrain trigger (the [[maybeCompact]] of geometry): retrain
+    * iff the appends since the last baseline show drift on EITHER axis —
+    * diffuse (mean misfit > `errFactor` × the baseline’s) or concentrated
+    * (n-weighted top-cell share > `topShareLimit`: most of the appended
+    * mass landed in one cell — a tight mode the trained cells never
+    * spread). One bounded journal read per call; no appends since baseline
+    * → false. `corpus` is forwarded to [[retrain]] (required for ivfpq).
+    * Returns true iff a retrain ran. */
+  def maybeRetrain(spark: SparkSession, dir: String,
+      corpus: Option[DataFrame] = None, errFactor: Double = 1.5,
+      topShareLimit: Double = 0.5, refineIters: Int = 1,
+      maxTrain: Int = 4096): Boolean = synchronized {
+    driftStats(spark, dir) match {
+      case Some(d) if d.appendErr > errFactor * d.baselineErr + 1e-9 ||
+          d.topShare > topShareLimit =>
+        retrain(spark, dir, corpus, refineIters, maxTrain); true
+      case _ => false
+    }
   }
 }

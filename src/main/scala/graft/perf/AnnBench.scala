@@ -90,6 +90,64 @@ object AnnBench {
       return
     }
 
+    // SPARK_GRAFT_ANN_MODE=drift (round 14 — the trained-artifact wall):
+    // build IVFPQ on the corpus, append an equal mass of ANTIPODAL vectors
+    // (negated embeddings, fresh ids — a mode the frozen centroids and
+    // codebooks never saw), and measure what the frozen-artifact contract
+    // costs: recall@10 vs brute-force cosine over the union, split into
+    // in-distribution vs drifted queries, before and after an in-place
+    // retrain. Also reports the fit-journal ratio (the trigger axis), cell
+    // occupancy hot ratio, and retrain seconds. One JSON line, then exit.
+    if (sys.env.get("SPARK_GRAFT_ANN_MODE").contains("drift")) {
+      val dir = s"$root/ivfpq-drift"
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val drifted = e.select((col("vec_id") + maxId + 1L).as("vec_id"),
+        expr("transform(embedding, x -> cast(-x as float))").as("embedding"))
+      val union = e.select(col("vec_id"), col("embedding"))
+        .unionByName(drifted).cache()
+      sink(union)
+      val (c, b, codes) = AnnIndex.buildIvfPq(e, nCells = nCells,
+        kCodes = 64, refineIters = 2)
+      AnnIndex.writeIvfPq(dir, c, b, codes,
+        nCells = nCells, m = 8, kCodes = 64, dims = 64)
+      AnnIndex.appendIvfPq(spark, dir, drifted)
+      val fitRatio = AnnIndex.driftStats(spark, dir).map(_.ratio).getOrElse(0.0)
+      val qry = e.filter(col("vec_id") < 5)
+        .unionByName(drifted.filter(col("vec_id") < maxId + 6L)).cache()
+      sink(qry)
+      // brute-force ground truth over the union (the judge of both sides)
+      val exactDf = graft.ext.Similarity.cosineTopK(union, qry, 10)
+        .select(col("qid"), col("cid")).cache()
+      sink(exactDf)
+      def recallSplit(): (Double, Double) = {
+        val r = graft.ext.Similarity.recallAtK(
+          AnnIndex.searchIvfPq(spark, dir, qry, 10, nprobe = 4), exactDf)
+          .groupBy((col("qid") > maxId).as("is_drift"))
+          .agg(avg(col("recall_at_k")).as("r")).collect()
+          .map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+        (r.getOrElse(false, 0.0), r.getOrElse(true, 0.0))
+      }
+      val hotBefore = AnnIndex.occupancy(spark, dir)._4
+      val (frozenBase, frozenDrift) = recallSplit()
+      val retrainSec = time {
+        AnnIndex.retrain(spark, dir, corpus = Some(union), refineIters = 2) }
+      val hotAfter = AnnIndex.occupancy(spark, dir)._4
+      val (retrainedBase, retrainedDrift) = recallSplit()
+      def f3(v: Double) =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(s"""{"metric":"ann_drift","sf":"$sfDir","n_base":$nVecs,""" +
+        s""""n_cells":$nCells,"fit_ratio":${f3(fitRatio)},""" +
+        s""""occupancy_hot_before":${f3(hotBefore)},""" +
+        s""""occupancy_hot_after":${f3(hotAfter)},""" +
+        s""""recall_frozen_base":${f3(frozenBase)},""" +
+        s""""recall_frozen_drift":${f3(frozenDrift)},""" +
+        s""""recall_retrained_base":${f3(retrainedBase)},""" +
+        s""""recall_retrained_drift":${f3(retrainedDrift)},""" +
+        s""""retrain_sec":${f3(retrainSec)}}""")
+      spark.stop()
+      return
+    }
+
     // build once per kind (timed: train + encode + write)
     val buildT = Seq(
       "lsh" -> time {

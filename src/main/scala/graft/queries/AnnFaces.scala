@@ -366,5 +366,55 @@ object AnnFaces {
       },
       Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
           TRUE AS pending_identical, TRUE AS applied_identical,
-          TRUE AS purged""")))
+          TRUE AS purged""")),
+
+    // ── drift + retrain lifecycle (round 14): appends encode with FROZEN
+    //    trained artifacts, so a distribution shift degrades fit until an
+    //    explicit retrain — this face plants the shift (a TIGHT novel mode:
+    //    a constant offset dominating every dim, the embedding-space shape
+    //    of a new domain/model) and pins that (a) the fit journal OBSERVES
+    //    it (the appended mass concentrates into one trained cell — the
+    //    top-share axis; its mean misfit barely moves on this
+    //    weakly-clustered corpus, which is exactly why the trigger is
+    //    two-axis), (b) the self-sizing trigger fires on that evidence, and
+    //    (c) search after the in-place retrain is BIT-IDENTICAL to a
+    //    one-shot build over the union — retraining from the stored raw
+    //    vectors loses nothing vs rebuilding from scratch (training is
+    //    deterministic end-to-end: hash-ordered sampling, decimal-mean
+    //    Lloyd). `journal_reset` pins the post-retrain journal invariant:
+    //    one fresh baseline, no stale append rows (driftStats → None) ──────
+    Q(
+      "q_ann_ivf_retrain",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 3)
+        val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+        val union = base.unionByName(delta)
+        val q = union.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-ivf-retrain")
+        val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+          refineIters = 2)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        AnnIndex.appendIvf(s, idx, delta)
+        val drifted = AnnIndex.driftStats(s, idx)
+          .exists(d => d.appendErr > 1.5 * d.baselineErr || d.topShare > 0.5)
+        val retrained = AnnIndex.maybeRetrain(s, idx, refineIters = 2)
+        // ground truth: a one-shot build over the union, same geometry
+        val (c2, ix2) = AnnIndex.buildIvf(union, nCells = 16, refineIters = 2)
+        val cmp = compareTopK(
+          Similarity.ivfSearch(c2, ix2, q, 3, nprobe = 4),
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4), "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("search_identical"))
+          .withColumn("drift_observed", lit(drifted))
+          .withColumn("retrain_triggered", lit(retrained))
+          .withColumn("journal_reset",
+            lit(AnnIndex.driftStats(s, idx).isEmpty))
+        materializeAndClean(cmp, idx)
+      },
+      Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
+          TRUE AS search_identical, TRUE AS drift_observed,
+          TRUE AS retrain_triggered, TRUE AS journal_reset""")))
 }

@@ -272,4 +272,140 @@ class AnnIndexSpec extends AnyFunSuite {
       "maintained index diverged from a one-shot build")
     graft.perf.Measure.deleteRecursively(idx)
   }
+
+  test("drift: aligned appends never trigger, drifted do; retrain ≡ one-shot rebuild, applies tombstones, resets the journal") {
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) < 2)
+    val aligned = emb.filter(pmod(col("vec_id"), lit(4)) === 2)
+    // the planted drift: a TIGHT novel mode (constant offset dominates every
+    // dim — a new domain/model in embedding space). Its mean misfit barely
+    // moves on this weakly-clustered corpus; the top-cell-share axis is
+    // what must catch it (the whole point of the two-axis trigger)
+    val drifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+    val idx = tmp("graft-annspec-drift")
+    val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16, refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+    assert(AnnIndex.driftStats(spark, idx).isEmpty,
+      "no appends yet — nothing to compare")
+
+    AnnIndex.appendIvf(spark, idx, aligned)
+    val s1 = AnnIndex.driftStats(spark, idx).get
+    assert(s1.baselinePhase == "build" && s1.appendVecs == aligned.count())
+    assert(!AnnIndex.maybeRetrain(spark, idx, errFactor = 1.5),
+      s"in-distribution append must not trigger (ratio ${s1.ratio})")
+
+    AnnIndex.appendIvf(spark, idx, drifted)
+    val s2 = AnnIndex.driftStats(spark, idx).get
+    assert(s2.topShare > s1.topShare && s2.topShare > 0.5,
+      s"a tight novel mode must raise the concentration axis (got $s2)")
+
+    // a pending retraction rides the retrain: physically purged + swept
+    val dead = emb.filter(pmod(col("vec_id"), lit(8)) === 5).select("vec_id")
+    assert(AnnIndex.delete(spark, idx, dead, token = Some("d1")))
+
+    assert(AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      s"drifted appends must trigger a retrain (got $s2)")
+    assert(AnnIndex.driftStats(spark, idx).isEmpty,
+      "retrain must reset the journal to one fresh baseline")
+    assert(AnnIndex.pendingTombstoneBatches(idx).isEmpty,
+      "retrain must sweep the tombstone batches it applied")
+    val deadSet = dead.collect().map(_.getLong(0)).toSet
+    val remaining = spark.read.parquet(s"$idx/vectors.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(remaining.intersect(deadSet).isEmpty,
+      "retrain must purge retracted vectors physically")
+
+    // bit-identical to a one-shot build over the surviving union: training
+    // is deterministic end-to-end, so in-place retrain loses nothing
+    val union = base.unionByName(aligned).unionByName(drifted)
+      .join(dead, Seq("vec_id"), "left_anti")
+    val (c2, ix2) = AnnIndex.buildIvf(union, nCells = 16, refineIters = 1)
+    val mem = Similarity.ivfSearch(c2, ix2, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet
+    assert(AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet == mem,
+      "retrained index diverged from a one-shot build over the survivors")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
+
+  test("retrain kill windows, ivfpq corpus contract, and family refusals") {
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) < 3)
+    val drifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+    val union = base.unionByName(drifted)
+    val idx = tmp("graft-annspec-retrain-kill")
+    val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16, refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+    AnnIndex.appendIvf(spark, idx, drifted)
+    val liveBefore = AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet
+
+    // staging kill is FREE: artifacts staged, live index untouched
+    AnnIndex.prepareRetrainArtifacts(spark, idx, None, 1, 4096)
+    assert(AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet == liveBefore,
+      "staging a retrain must not perturb the live index")
+    // a retrain restarted over the stale staging sweeps and succeeds
+    AnnIndex.retrain(spark, idx, refineIters = 1)
+    val (c2, ix2) = AnnIndex.buildIvf(union, nCells = 16, refineIters = 1)
+    val mem = Similarity.ivfSearch(c2, ix2, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet
+    assert(AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet == mem)
+
+    // swap kill: the sentinel refuses every drift entry point too
+    AnnIndex.beginCompactSwap(idx)
+    intercept[IllegalStateException] {
+      AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = 4) }
+    intercept[IllegalStateException] { AnnIndex.retrain(spark, idx) }
+    intercept[IllegalStateException] { AnnIndex.driftStats(spark, idx) }
+    intercept[IllegalStateException] {
+      AnnIndex.maybeRetrain(spark, idx) }
+    // a full rebuild heals (write path clears the sentinel)
+    val (c3, ix3) = AnnIndex.buildIvf(union, nCells = 16, refineIters = 1)
+    AnnIndex.writeIvf(idx, c3, ix3, nCells = 16)
+    assert(AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet == mem)
+
+    // ivfpq: retrain NEEDS the raw corpus (codes are not invertible); the
+    // journal bootstraps its baseline from the first append
+    val idx2 = tmp("graft-annspec-retrain-pq")
+    val pqBase = emb.filter(pmod(col("vec_id"), lit(4)) < 2)
+    val pqAligned = emb.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val (pc, pb, pcodes) =
+      AnnIndex.buildIvfPq(pqBase, nCells = 16, kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx2, pc, pb, pcodes,
+      nCells = 16, m = 8, kCodes = 64, dims = 64)
+    assert(AnnIndex.driftStats(spark, idx2).isEmpty,
+      "ivfpq journal starts empty — no raw vectors at write time")
+    AnnIndex.appendIvfPq(spark, idx2, pqAligned)
+    assert(AnnIndex.driftStats(spark, idx2).isEmpty,
+      "a single append IS the bootstrap baseline — nothing to compare yet")
+    AnnIndex.appendIvfPq(spark, idx2, drifted)
+    val s = AnnIndex.driftStats(spark, idx2).get
+    assert(s.baselinePhase == "append" && s.topShare > 0.5,
+      s"bootstrap baseline + drifted append must show the shift (got $s)")
+    intercept[IllegalArgumentException] { AnnIndex.retrain(spark, idx2) }
+    val pqUnion = pqBase.unionByName(pqAligned).unionByName(drifted)
+    AnnIndex.retrain(spark, idx2, corpus = Some(pqUnion), refineIters = 1)
+    val (qc, qb, qcodes) = AnnIndex.buildIvfPq(pqUnion, nCells = 16,
+      kCodes = 64, refineIters = 1)
+    val memPq = Similarity.ivfpqSearch(qc, qb, qcodes, q10, 3, nprobe = 8,
+      m = 8, dims = 64).collect().map(_.toString).toSet
+    assert(AnnIndex.searchIvfPq(spark, idx2, q10, 3, nprobe = 8)
+      .collect().map(_.toString).toSet == memPq,
+      "ivfpq retrain diverged from a one-shot build over the same corpus")
+
+    // data-independent / quantizer-less families refuse loudly
+    val idx3 = tmp("graft-annspec-retrain-lsh")
+    val (lk, lv) = AnnIndex.buildLsh(base, planes = 5, tables = 4)
+    AnnIndex.writeLsh(idx3, lk, lv, planes = 5, dims = 64, tables = 4)
+    intercept[IllegalArgumentException] { AnnIndex.retrain(spark, idx3) }
+    intercept[IllegalArgumentException] {
+      AnnIndex.recordFit(spark, idx3, base) }
+
+    Seq(idx, idx2, idx3).foreach(graft.perf.Measure.deleteRecursively)
+  }
 }
