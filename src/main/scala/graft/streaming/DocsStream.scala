@@ -177,12 +177,14 @@ object DocsStream {
     * without-index accept sets are pinned by [[StreamingSpec]]. */
   def ingestNearDup(docs: DataFrame, corpusPath: String, checkpoint: String,
       threshold: Double = 0.8,
-      autoCompactFactor: Option[Int] = None)
+      autoCompactFactor: Option[Int] = None,
+      lease: Option[graft.ext.WriterLease.Lease] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(ingestStep(corpusPath, threshold, autoCompactFactor))
+      .foreachBatch(ingestStep(corpusPath, threshold, autoCompactFactor,
+        lease))
       .start()
 
   /** The per-batch body of [[ingestNearDup]], exposed so crash-replay
@@ -199,9 +201,15 @@ object DocsStream {
     * the same crash contract as the append), and a replayed batch may
     * re-trigger it harmlessly (compaction is content-preserving). */
   private[graft] def ingestStep(corpusPath: String, threshold: Double,
-      autoCompactFactor: Option[Int] = None)
+      autoCompactFactor: Option[Int] = None,
+      lease: Option[graft.ext.WriterLease.Lease] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
+    // writer fencing FIRST (round 14): when this ingest holds a lease, the
+    // batch-start renew is the heartbeat AND the fence — a writer that was
+    // frozen past its TTL while another took over aborts HERE, before it
+    // can heal, screen, or write anything over the new writer's stores
+    lease.foreach(l => graft.ext.WriterLease.renew(l))
     // mode-dispatched healing BEFORE anything lists or reads the corpus:
     // a flat corpus resumes an interrupted swap, a snapshot corpus sweeps
     // migration residue (one Files.exists / listing when healthy)
@@ -282,7 +290,9 @@ object DocsStream {
     * Returns (corpusApplied, indexApplied) — false = that side had already
     * applied this token (replay). */
   def retract(spark: SparkSession, corpusPath: String, docIds: DataFrame,
-      token: String): (Boolean, Boolean) = {
+      token: String,
+      lease: Option[graft.ext.WriterLease.Lease] = None): (Boolean, Boolean) = {
+    lease.foreach(l => graft.ext.WriterLease.renew(l))
     graft.ext.CorpusStore.heal(corpusPath)
     val corpusApplied = graft.ext.CorpusCompact.tombstone(
       spark, corpusPath, docIds, token = Some(token))

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.WriterLease
+import graft.streaming.DocsStream
+
+/** Cross-process single-writer lease (round 14): mutual exclusion while
+  * live, TTL steal of a dead holder, epoch fencing of zombies, and the
+  * ingest integration — a fenced batch aborts BEFORE touching any store. */
+class WriterLeaseSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("mutual exclusion while live; release frees; epochs are monotonic") {
+    val dir = tmp("graft-lease-mutex")
+    val a = WriterLease.acquire(dir, "ingest-a", ttlMs = 60000L)
+    val e = intercept[IllegalStateException] {
+      WriterLease.acquire(dir, "ingest-b") }
+    assert(e.getMessage.contains("ingest-a"),
+      "the refusal must name the live holder")
+    WriterLease.check(a)
+    WriterLease.renew(a)
+    assert(WriterLease.holder(dir).exists(h => h._1 == "ingest-a" && h._3))
+    WriterLease.release(a)
+    assert(WriterLease.holder(dir).exists(h => !h._3),
+      "release leaves a not-live tombstone that preserves the epoch")
+    intercept[IllegalStateException] { WriterLease.check(a) } // handle dead
+    val b = WriterLease.acquire(dir, "ingest-b")
+    assert(b.epoch > a.epoch, "epochs must grow across holds — fencing axis")
+    WriterLease.release(b)
+  }
+
+  test("TTL steal fences the frozen holder; same-owner restart fences the zombie") {
+    val dir = tmp("graft-lease-steal")
+    val a = WriterLease.acquire(dir, "ingest-a", ttlMs = 1L)
+    Thread.sleep(20)
+    // holder presumed dead after a full TTL without a renew — steal
+    val b = WriterLease.acquire(dir, "ingest-b", ttlMs = 60000L)
+    assert(b.epoch > a.epoch)
+    intercept[IllegalStateException] { WriterLease.check(a) }
+    intercept[IllegalStateException] { WriterLease.renew(a) }
+    WriterLease.release(a) // not ours anymore: must NOT free the thief's
+    assert(WriterLease.holder(dir).exists(_._1 == "ingest-b"))
+    // same-owner restart: epoch bumps, the OLD handle of the same owner is
+    // fenced exactly like a foreign thief's victim
+    val b2 = WriterLease.acquire(dir, "ingest-b")
+    assert(b2.epoch > b.epoch)
+    intercept[IllegalStateException] { WriterLease.check(b) }
+    WriterLease.release(b2)
+  }
+
+  test("corrupt lease refuses loudly; withLease releases on failure") {
+    val dir = tmp("graft-lease-corrupt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_lease"), "not a lease")
+    val e = intercept[IllegalStateException] {
+      WriterLease.acquire(dir, "ingest-a") }
+    assert(e.getMessage.contains("corrupt"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_graft_lease"))
+    intercept[RuntimeException] {
+      WriterLease.withLease(dir, "ingest-a") { _ =>
+        throw new RuntimeException("boom") }
+    }
+    assert(WriterLease.holder(dir).exists(h => !h._3),
+      "withLease must release on an exceptional exit")
+  }
+
+  test("a fenced ingest batch aborts before touching any store; the new holder proceeds") {
+    import spark.implicits._
+    val corpus = tmp("graft-lease-ingest")
+    val batch = Seq((1L, "some words about spark joins and shuffles today"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val a = WriterLease.acquire(corpus, "ingest-a", ttlMs = 1L)
+    Thread.sleep(20)
+    val b = WriterLease.acquire(corpus, "ingest-b", ttlMs = 60000L)
+    // the frozen writer's batch-start renew aborts it — corpus untouched
+    intercept[IllegalStateException] {
+      DocsStream.ingestStep(corpus, 0.8, None, Some(a))(batch, 0L) }
+    assert(!Option(new java.io.File(corpus).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(_.getName.endsWith(".parquet")),
+      "a fenced batch must write nothing")
+    // the live holder's identical batch lands
+    DocsStream.ingestStep(corpus, 0.8, None, Some(b))(batch, 0L)
+    assert(spark.read.parquet(corpus).count() == 1L)
+    // retract honors the same fence
+    intercept[IllegalStateException] {
+      DocsStream.retract(spark, corpus, Seq(1L).toDF("doc_id"), "r1", Some(a)) }
+    WriterLease.release(b)
+  }
+}
