@@ -767,5 +767,81 @@ object TemplateAnalogs {
         FROM lineitem
         WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
           AND l_linestatus = 'O'
-        ORDER BY close_component""")))
+        ORDER BY close_component""")),
+
+    // ── GR/IR match (SapTemplates gr_ir_match, sap_semantic_model's
+    //    EKPO⟕EKBE clearing report): expected-vs-received matching where the
+    //    history side is constrained by CONSTANT FILTERS ON THE OUTER JOIN'S
+    //    ON CLAUSE (BEWTP='E', BWART IN movement types — here linestatus +
+    //    returnflag), so an item with NO qualifying receipts survives with
+    //    IFNULL(SUM)=0 and its full value open — the idiom a WHERE would
+    //    silently break (it would drop exactly the never-received items the
+    //    report exists to surface; ~26% of orders here). open = key-column
+    //    arithmetic against the aggregate. Scale: the history side is
+    //    pre-aggregated per key BEFORE the left join (duplication-immune, no
+    //    row explosion), the oracle keeps the reference's group-after-join
+    //    form — same multiset by construction ──────────────────────────────
+    Q(
+      "q_tmpl_gr_ir_match",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val recv = l
+          .filter(col("l_linestatus") === "F" &&
+            col("l_returnflag").isin("N", "R"))
+          .groupBy(col("l_orderkey"))
+          .agg(sum(money(col("l_extendedprice"))).as("recv_dec"))
+        o.join(recv, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            money(col("o_totalprice")).cast("double").as("ordered_value"),
+            coalesce(col("recv_dec"), lit(0)).cast("double")
+              .as("received_value"),
+            (money(col("o_totalprice")) - coalesce(col("recv_dec"), lit(0)))
+              .cast("double").as("open_value"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o.o_orderkey,
+          CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS ordered_value,
+          CAST(IFNULL(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+            AS received_value,
+          CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+            - IFNULL(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+            AS open_value
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          AND l.l_linestatus = 'F' AND l.l_returnflag IN ('N', 'R')
+        GROUP BY o.o_orderkey, o.o_totalprice
+        ORDER BY o.o_orderkey""")),
+
+    // ── delivery status (SapTemplates delivery_status, LIKP⟕LIPS): per
+    //    header a goods-issue status CASE plus COUNT(item column) over a
+    //    FILTERED left join — COUNT of a nullable column skips the
+    //    unmatched-header null row, so headers with no qualifying items
+    //    report 0 (COUNT(*) would report 1 — the classic left-join-count
+    //    trap this template's shape dodges). Same pre-aggregated Spark plan
+    //    / faithful group-after-join oracle split as gr_ir_match ────────────
+    Q(
+      "q_tmpl_delivery_status",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val items = l.filter(col("l_returnflag") === "R")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        o.join(items, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            when(col("o_orderstatus") === "O", "Pending goods issue")
+              .otherwise("Goods issued").as("status"),
+            coalesce(col("cnt"), lit(0L)).as("n_items"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+          CASE WHEN o.o_orderstatus = 'O' THEN 'Pending goods issue'
+               ELSE 'Goods issued' END AS status,
+          COUNT(l.l_linenumber) AS n_items
+        FROM orders o
+        LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+        ORDER BY o.o_orderkey""")))
 }
