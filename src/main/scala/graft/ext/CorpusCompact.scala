@@ -218,7 +218,7 @@ object CorpusCompact {
     // exactly the set it applied
     val applied = pendingTombstoneBatches(dir)
     compactOneDir(spark, dir, targetFiles,
-      pendingTombstones(spark, dir), applied)
+      pendingTombstones(spark, dir), applied, CorpusStore.declaredSchema(dir))
   }
 
   /** The single-directory compaction kernel shared by the flat [[compact]]
@@ -230,7 +230,8 @@ object CorpusCompact {
     * root and is swept only after every leaf has applied it). */
   private def compactOneDir(spark: SparkSession, dir: String,
       targetFiles: Int, minus: Option[org.apache.spark.sql.DataFrame],
-      appliedTokens: Seq[String]): Unit = {
+      appliedTokens: Seq[String],
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (visibleParquet(dir).isEmpty) return
     val target = math.max(1,
@@ -243,7 +244,11 @@ object CorpusCompact {
     // its rows DELETED by the swap with no trace. Aborting here is free
     // (no marker yet → the corpus is untouched; staging is swept).
     val snapshot = visibleParquet(dir).map(_.getName).toSet
-    val raw = spark.read.parquet(dir)
+    // a declared union schema reads every file by name with absent columns
+    // null-filled — the rewrite then HEALS a schema-mixed dir to
+    // homogeneity at the declared schema (one-footer reads would silently
+    // drop whichever columns the picked file lacks)
+    val raw = readSchema.fold(spark.read)(spark.read.schema).parquet(dir)
     val src = minus.fold(raw)(t =>
       raw.join(broadcast(t), Seq("doc_id"), "left_anti")
         .select(raw.columns.toIndexedSeq.map(col): _*))
@@ -332,8 +337,9 @@ object CorpusCompact {
     val applied = pendingTombstoneBatches(dir)
     val tombs = pendingTombstones(spark, dir)
     val leaves = leafDirs(dir).filter(visibleParquet(_).nonEmpty)
+    val schema = CorpusStore.declaredSchema(dir) // root marker, every leaf
     leaves.foreach(l =>
-      compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil))
+      compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil, schema))
     applied.foreach(t =>
       graft.perf.Measure.deleteRecursively(tombDir(dir, t).toString))
     leaves.size
@@ -356,8 +362,9 @@ object CorpusCompact {
       // fragmented leaves still subtract pending tombstones (free rows to
       // drop while rewriting anyway), but never sweep the root journal —
       // unpurged leaves still need it
+      val schema = CorpusStore.declaredSchema(dir)
       frag.foreach(l =>
-        compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil))
+        compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil, schema))
       frag.size
     }
   }

@@ -136,11 +136,109 @@ object CorpusStore {
     if (isSnapshotMode(dir)) sweepSupersededRootFiles(dir)
     else { CorpusCompact.resumeIfNeeded(dir); () }
 
+  // ── schema evolution (round 14: the silent-column-loss class) ──────────
+  //
+  // A training-data corpus's enrichment set EVOLVES (a new quality score, a
+  // new language field) — and `spark.read.parquet` over a dir whose files
+  // carry different schemas resolves the schema from ONE footer, silently
+  // dropping whichever columns that file lacks (`mergeSchema` exists but
+  // costs a footer scan per read and nobody remembers to pass it). The
+  // mechanism: a root-level `_graft_schema` marker (DDL text, temp +
+  // ATOMIC_MOVE) records the UNION of every schema ever appended; reads
+  // pass it explicitly (parquet matches columns by name and null-fills
+  // absentees — no footer scan, no surprises), appends widen it FIRST
+  // (marker-before-data: a crash between leaves a declared column no file
+  // carries — reads null-fill it, harmless; the reverse order would leave
+  // data columns the reader silently drops), and compactions rewrite
+  // through the declared schema, healing mixed footers to homogeneity.
+  // Type CONFLICTS refuse loudly — no silent cast decides which writer was
+  // right. Corpora without the marker read exactly as before.
+
+  private def schemaPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_graft_schema")
+
+  /** The declared (union) schema of the corpus, if it has adopted schema
+    * tracking. Corrupt markers refuse loudly. */
+  def declaredSchema(dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(dir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val ddl = java.nio.file.Files.readString(p).trim
+      try Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"corrupt corpus schema marker at $p: '$ddl' — inspect and " +
+            s"repair by hand (${e.getMessage})")
+      }
+    }
+  }
+
+  // private[graft]: the kill-window spec widens the marker directly to
+  // simulate a crash between the marker write and the data write
+  private[graft] def writeSchemaMarker(dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = schemaPath(dir)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(tmp, schema.toDDL)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Union of `cur` and `next` in first-seen column order, every field
+    * nullable (null-fill requires it). Same-name different-type refuses
+    * loudly — no silent cast decides which writer was right. */
+  private[graft] def unify(cur: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val curByName = cur.fields.map(f => f.name -> f).toMap
+    next.fields.foreach(f => curByName.get(f.name).foreach(c =>
+      if (c.dataType != f.dataType) throw new IllegalStateException(
+        s"corpus schema conflict on column '${f.name}': declared " +
+          s"${c.dataType.simpleString}, appended ${f.dataType.simpleString}" +
+          " — refusing the append (evolution adds columns, it never " +
+          "silently re-types them)")))
+    org.apache.spark.sql.types.StructType(
+      (cur.fields ++ next.fields.filterNot(f => curByName.contains(f.name)))
+        .map(_.copy(nullable = true)))
+  }
+
+  /** Schema-aware corpus append: widen the declared schema with any NEW
+    * columns of `df` (marker FIRST — see the crash argument above), align
+    * the batch to the full declared schema (absent columns null-filled, so
+    * every new file is schema-homogeneous), and append to the resolved
+    * data dir. A marker-less corpus ADOPTS on first append: the baseline
+    * is the one-time mergeSchema union of the existing files (correct even
+    * if the legacy corpus is already mixed), or the batch's own schema on
+    * an empty corpus. */
+  def append(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dataDir = resolve(dir)
+    val cur = declaredSchema(dir).orElse {
+      if (CorpusCompact.fileCount(dataDir) == 0) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(dataDir).schema)
+    }
+    val unified = cur.fold(org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))))(unify(_, df.schema))
+    if (!declaredSchema(dir).contains(unified))
+      writeSchemaMarker(dir, unified)
+    val have = df.columns.toSet
+    df.select(unified.fields.toIndexedSeq.map(f =>
+        if (have.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      .write.mode("append").parquet(dataDir)
+  }
+
   /** Tombstone-aware corpus read in either mode: current generation (or
-    * flat root) MINUS the root journal's pending batches. */
+    * flat root) MINUS the root journal's pending batches. Declared-schema
+    * corpora read with the EXPLICIT union schema — files missing a later
+    * column null-fill it by name, no mergeSchema footer scan. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val raw = spark.read.parquet(resolve(dir))
+    val reader = declaredSchema(dir).fold(spark.read)(spark.read.schema)
+    val raw = reader.parquet(resolve(dir))
     CorpusCompact.pendingTombstones(spark, dir).fold(raw)(t =>
       raw.join(broadcast(t), Seq("doc_id"), "left_anti")
         .select(raw.columns.toIndexedSeq.map(col): _*))

@@ -901,6 +901,51 @@ object CorpusAnalytics {
         SELECT doc_id, n_sh, 'applied' AS phase FROM agg
         ORDER BY phase, doc_id""")),
 
+    // ── corpus schema EVOLUTION (round 14): append two batches whose
+    //    schemas differ (the second carries a `lang` enrichment the first
+    //    lacks — the routine life of a training-data corpus), pin the
+    //    union-schema read ('evolved': old rows null-fill the new column —
+    //    a plain one-footer read would silently drop it), compact, and pin
+    //    a NAIVE schema-less read of the compacted dir ('healed': identical
+    //    aggregate — proof the rewrite made every file schema-homogeneous).
+    //    Fresh temp dir per run, cleaned after ─────────────────────────────
+    Q(
+      "q_corpus_schema_evolve",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val corpus = java.nio.file.Files
+          .createTempDirectory("graft-corpus-evolve").toString
+        graft.ext.CorpusStore.append(s, corpus,
+          d.filter(pmod(col("doc_id"), lit(2)) === 0)
+            .select("doc_id", "text", "n_chars"))
+        graft.ext.CorpusStore.append(s, corpus,
+          d.filter(pmod(col("doc_id"), lit(2)) === 1)
+            .select("doc_id", "text", "n_chars", "lang"))
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) = df
+          .groupBy(coalesce(col("lang"), lit("none")).as("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .withColumn("phase", lit(phase))
+        val evolvedDf = agg(graft.ext.CorpusStore.read(s, corpus), "evolved")
+        val evolved = s.createDataFrame(
+          java.util.Arrays.asList(evolvedDf.collect(): _*), evolvedDf.schema)
+        graft.ext.CorpusCompact.compact(s, corpus)
+        val healedDf = agg(s.read.parquet(corpus), "healed")
+        val healed = s.createDataFrame(
+          java.util.Arrays.asList(healedDf.collect(): _*), healedDf.schema)
+        graft.perf.Measure.deleteRecursively(corpus)
+        evolved.unionByName(healed).orderBy(col("phase"), col("lang"))
+      },
+      Some("""WITH evolved AS (SELECT doc_id,
+            CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'none' END AS lang,
+            n_chars FROM documents),
+        agg AS (SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM evolved GROUP BY lang)
+        SELECT lang, n_docs, chars, 'evolved' AS phase FROM agg
+        UNION ALL
+        SELECT lang, n_docs, chars, 'healed' AS phase FROM agg
+        ORDER BY phase, lang""")),
+
     // ── corpus-store retraction (round-14 judge task 1, the store under
     //    the index): tombstone a doc subset in an append-mode corpus dir,
     //    pin the tombstone-aware read ('pending') AND the physically purged

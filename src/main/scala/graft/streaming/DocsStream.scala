@@ -258,7 +258,11 @@ object DocsStream {
       live.foreach { _ =>
         graft.ext.ShingleIndex.append(spark, s, token = Some(s"ingest-$batchId"))
       }
-      s.write.mode("append").parquet(dataDir)
+      // schema-aware append (round 14): the enrichment set EVOLVES across a
+      // corpus's life — the store's union-schema marker widens FIRST and
+      // every batch lands schema-homogeneous, so a reader never silently
+      // drops a column an older footer lacks
+      graft.ext.CorpusStore.append(spark, corpusPath, s.toDF())
       // maintenance AFTER the batch commits: fragmentation-triggered
       // compaction keeps BOTH stores' file counts bounded across a
       // sustained ingest — the stored index (poison-marker protocol) and
