@@ -69,15 +69,22 @@ object IngestRehearsal {
       Seq.empty[(Long, Long)].toDF("doc_id", "shingle"),
       buckets = 64, withBands = true)
 
+    // SPARK_GRAFT_INGEST_LEASE=on brackets the soak in a writer lease and
+    // renews it at every batch start (round 14) — the A/B prices the
+    // fencing heartbeat (one marker read + atomic rewrite per batch)
+    val lease = if (sys.env.get("SPARK_GRAFT_INGEST_LEASE").contains("on"))
+      Some(graft.ext.WriterLease.acquire(corpus, "ingest-soak")) else None
+
     val docs = spark.table("documents").select("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("soak"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val step = graft.streaming.DocsStream.ingestStep(corpus, 0.8,
-      if (maint) Some(factor) else None)
+      if (maint) Some(factor) else None, lease)
     val batchSec = (0 until nBatches).map { i =>
       val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
       time { step(b, i.toLong) }
     }
+    lease.foreach(graft.ext.WriterLease.release)
 
     val window = math.max(3, nBatches / 10)
     val (pf, bf) = ShingleIndex.fileCounts(spark)
@@ -86,6 +93,7 @@ object IngestRehearsal {
       BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     println(s"""{"metric":"ingest_soak","sf":"$sfDir","batches":$nBatches,""" +
       s""""maintenance":$maint,"factor":$factor,"store":"$storeMode",""" +
+      s""""lease":${lease.isDefined},""" +
       s""""first_batches_sec":${f2(median(batchSec.take(window)))},""" +
       s""""last_batches_sec":${f2(median(batchSec.takeRight(window)))},""" +
       s""""total_sec":${f2(batchSec.sum)},""" +

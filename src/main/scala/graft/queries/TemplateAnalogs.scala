@@ -843,5 +843,45 @@ object TemplateAnalogs {
         LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
           AND l.l_returnflag = 'R'
         GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
-        ORDER BY o.o_orderkey""")))
+        ORDER BY o.o_orderkey""")),
+
+    // ── sales-order backlog (SapTemplates sales_order_backlog, VBAK⋈VBAP
+    //    with NOT EXISTS on the VBFA doc flow): the three-filter backlog
+    //    composition — header gate (not soft-deleted), item gate (not
+    //    rejected), and a CORRELATED NOT EXISTS against the successor
+    //    document flow (no delivery yet). The oracle keeps the correlated
+    //    form verbatim; the Spark plan expresses it as a left_anti against
+    //    the distinct successor keys BEFORE the item join fans out — the
+    //    anti-join runs on the small header side, never on header×items ───
+    Q(
+      "q_tmpl_so_backlog",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val shipped = l.filter(col("l_linestatus") === "F")
+          .select(col("l_orderkey").as("__sk")).distinct()
+        o.filter(col("o_orderstatus") =!= "F")
+          .join(shipped, col("o_orderkey") === col("__sk"), "left_anti")
+          .join(l.filter(col("l_returnflag") =!= "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("l_linenumber"),
+            col("l_partkey"),
+            money(col("l_quantity")).cast("double").as("qty"),
+            money(col("l_extendedprice")).cast("double").as("line_value"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+          l.l_linenumber, l.l_partkey,
+          CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+          CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS line_value
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag <> 'R'
+        WHERE o.o_orderstatus <> 'F'
+          AND NOT EXISTS (SELECT 1 FROM lineitem f
+                          WHERE f.l_orderkey = o.o_orderkey
+                            AND f.l_linestatus = 'F')
+        ORDER BY o.o_orderkey, l.l_linenumber""")))
 }

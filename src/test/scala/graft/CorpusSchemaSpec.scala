@@ -121,6 +121,27 @@ class CorpusSchemaSpec extends AnyFunSuite {
       == before)
   }
 
+  test("partitioned compaction heals every leaf at the root-declared schema") {
+    val dir = tmp("graft-schema-part")
+    // two date leaves, each schema-mixed; marker at the LAYOUT ROOT
+    for (leaf <- Seq("dt=2024-01-01", "dt=2024-01-02")) {
+      df2(Seq((1L, "a"))).write.mode("append").parquet(s"$dir/$leaf")
+      df3(Seq((2L, "b", "en"))).write.mode("append").parquet(s"$dir/$leaf")
+    }
+    CorpusStore.writeSchemaMarker(dir, StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType))))
+    CorpusCompact.compactPartitioned(spark, dir, targetFilesPerPartition = 1)
+    for (leaf <- Seq("dt=2024-01-01", "dt=2024-01-02")) {
+      assert(spark.read.parquet(s"$dir/$leaf").columns.toSet ==
+        Set("doc_id", "text", "lang"),
+        s"$leaf must be homogeneous at the root schema after the pass")
+      val langs = spark.read.parquet(s"$dir/$leaf").select("doc_id", "lang")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(langs == Map(1L -> None, 2L -> Some("en")))
+    }
+  }
+
   test("ingest integration: the streaming corpus is schema-tracked from its first batch") {
     import spark.implicits._
     val corpus = tmp("graft-schema-ingest")
