@@ -883,5 +883,80 @@ object TemplateAnalogs {
           AND NOT EXISTS (SELECT 1 FROM lineitem f
                           WHERE f.l_orderkey = o.o_orderkey
                             AND f.l_linestatus = 'F')
-        ORDER BY o.o_orderkey, l.l_linenumber""")))
+        ORDER BY o.o_orderkey, l.l_linenumber""")),
+
+    // ── inventory on hand (SapTemplates inventory_on_hand, the
+    //    MARD⋈MARC⋈MARA⟕MAKT master chain): a big stock fact joined up a
+    //    master-data chain with (a) a master-record soft-delete gate
+    //    (LVORM='') and (b) a LANGUAGE-FILTERED left text join (MAKT with
+    //    SPRAS='E' in the ON clause — a WHERE would drop untranslated
+    //    materials; here some suppliers have no region-2 text row and must
+    //    survive with a NULL text GROUP), aggregated over mixed fact/master
+    //    keys including the nullable text column. Dims broadcast; one
+    //    shuffle on the group keys ────────────────────────────────────────
+    Q(
+      "q_tmpl_inventory_on_hand",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val text = n.filter(col("n_regionkey") === 2)
+          .select(col("n_nationkey").as("__tk"), col("n_name").as("text"))
+        l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(p.filter(col("p_size") < 48)),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(text), col("s_nationkey") === col("__tk"), "left")
+          .groupBy(col("l_partkey"), col("p_type"), col("text"),
+            col("s_nationkey"))
+          .agg(sum(money(col("l_quantity"))).cast("double")
+            .as("unrestricted_stock"))
+          .orderBy(col("l_partkey"), col("s_nationkey"))
+      },
+      Some("""SELECT d.l_partkey, a.p_type, t.n_name AS text, c.s_nationkey,
+          CAST(SUM(CAST(d.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            AS unrestricted_stock
+        FROM lineitem d
+        JOIN supplier c ON c.s_suppkey = d.l_suppkey
+        JOIN part a ON a.p_partkey = d.l_partkey
+        LEFT JOIN nation t ON t.n_nationkey = c.s_nationkey
+          AND t.n_regionkey = 2
+        WHERE a.p_size < 48
+        GROUP BY d.l_partkey, a.p_type, t.n_name, c.s_nationkey
+        ORDER BY d.l_partkey, c.s_nationkey""")),
+
+    // ── equipment maintenance history (SapTemplates
+    //    equipment_maintenance_history, AUFK⋈AFIH⟕AFRU): the PM LISTING
+    //    variant of the ON-side-filtered left join — order header ⋈ its
+    //    1:1 header extension, LEFT JOIN confirmations with the
+    //    cancellation flag in the ON clause (STOKZ='' ≈ returnflag<>'A'),
+    //    so an order with ONLY cancelled confirmations still lists with
+    //    NULL confirmation columns instead of vanishing; three-level
+    //    display ordering across both sides of the outer join ─────────────
+    Q(
+      "q_tmpl_equipment_history",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val l = t(s, dir, "lineitem")
+        val conf = l.filter(col("l_returnflag") =!= "A")
+          .select(col("l_orderkey").as("__ck"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("confirm_date"),
+            money(col("l_quantity")).cast("double").as("actual_qty"))
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(conf, col("o_orderkey") === col("__ck"), "left")
+          .select(col("c_custkey").as("equipment"), col("o_orderkey"),
+            col("o_orderpriority"), col("l_linenumber"),
+            col("confirm_date"), col("actual_qty"))
+          .orderBy(col("equipment"), col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT c.c_custkey AS equipment, a.o_orderkey,
+          a.o_orderpriority, r.l_linenumber,
+          CAST(r.l_shipdate AS DATE) AS confirm_date,
+          CAST(CAST(r.l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS actual_qty
+        FROM orders a
+        JOIN customer c ON c.c_custkey = a.o_custkey
+        LEFT JOIN lineitem r ON r.l_orderkey = a.o_orderkey
+          AND r.l_returnflag <> 'A'
+        ORDER BY equipment, a.o_orderkey, r.l_linenumber""")))
 }
