@@ -126,11 +126,15 @@ object WriterLease {
   }
 
   /** Refresh the TTL clock — [[check]] + a timestamp rewrite, the
-    * batch-start heartbeat. Epoch is PRESERVED (same continuous hold). */
-  def renew(lease: Lease, ttlMs: Long = 60000L): Lease = synchronized {
+    * batch-start heartbeat. Epoch is PRESERVED (same continuous hold), and
+    * so is the TTL unless `ttlMs` overrides it explicitly — a default that
+    * silently shrank a long-TTL lease at every heartbeat would change the
+    * holder's stealability out from under it. */
+  def renew(lease: Lease, ttlMs: Long = 0L): Lease = synchronized {
     check(lease)
-    writeState(lease.dir,
-      State(lease.owner, lease.epoch, System.currentTimeMillis(), ttlMs))
+    val cur = readState(lease.dir).get // check() proved it exists + matches
+    writeState(lease.dir, State(lease.owner, lease.epoch,
+      System.currentTimeMillis(), if (ttlMs > 0) ttlMs else cur.ttlMs))
     lease
   }
 

@@ -25,6 +25,13 @@ class WriterLeaseSpec extends AnyFunSuite {
     WriterLease.check(a)
     WriterLease.renew(a)
     assert(WriterLease.holder(dir).exists(h => h._1 == "ingest-a" && h._3))
+    // a default renew must PRESERVE the acquired TTL, not shrink it: a
+    // 1 ms lease renewed bare stays 1 ms — stealable after expiry
+    val short = WriterLease.acquire(tmp("graft-lease-ttl"), "a", ttlMs = 1L)
+    WriterLease.renew(short)
+    Thread.sleep(20)
+    assert(WriterLease.holder(short.dir).exists(h => !h._3),
+      "bare renew must keep the 1 ms TTL (not reset it to a default)")
     WriterLease.release(a)
     assert(WriterLease.holder(dir).exists(h => !h._3),
       "release leaves a not-live tombstone that preserves the epoch")
