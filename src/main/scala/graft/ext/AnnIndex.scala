@@ -142,10 +142,14 @@ object AnnIndex {
     java.nio.file.Files.deleteIfExists(sentinelPath(dir))
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
     // fit journal baseline: ivf is the self-contained family (raw vectors
-    // in hand), so the build can journal its own fit profile — appends
-    // then measure drift against this row
+    // in hand), so the build can journal its own fit profile — measured on
+    // the files just WRITTEN, not on the unmaterialized assignment plan
+    // (count comes from parquet footers; the profile sample scans the
+    // written data once — re-evaluating `indexed` here would re-run the
+    // whole per-vector argmax twice more)
+    val written = cents.sparkSession.read.parquet(s"$dir/vectors.parquet")
     resetFitJournal(cents.sparkSession, driftPath(dir), "build",
-      indexed.count(), fitProfile(indexed, cents))
+      written.count(), fitProfile(written, cents))
   }
 
   /** (centroids, indexed) of a stored IVF index. The hive partition column
@@ -371,19 +375,24 @@ object AnnIndex {
     * vector genuinely outranks an old neighbor (pinned in AnnIndexSpec).
     * Quantization error on the delta drifts only as far as the data does;
     * an explicit rebuild refreshes the codebooks. */
-  def appendIvfPq(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+  def appendIvfPq(spark: SparkSession, dir: String, delta0: DataFrame): Unit = {
     val (kind, _, m, _, dims) = readParams(spark, dir)
     require(kind == "ivfpq", s"appendIvfPq on a '$kind' index")
     val (cents, books, _) = readIvfPq(spark, dir)
-    val cells = Similarity.ivfAssign(delta, cents)
-      .select(col("vec_id"), col("cell"))
-    Similarity.pqEncode(delta, books, m, dims)
-      .join(cells, Seq("vec_id"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/codes.parquet")
-    // journal AFTER the data lands: a crash between costs a telemetry row,
-    // never a fit entry for codes that don't exist
-    recordFit(spark, dir, delta)
+    // cached: the delta feeds the encode+assign write AND the fit journal
+    // (count + profile) — three actions over one upstream computation
+    val delta = delta0.cache()
+    try {
+      val cells = Similarity.ivfAssign(delta, cents)
+        .select(col("vec_id"), col("cell"))
+      Similarity.pqEncode(delta, books, m, dims)
+        .join(cells, Seq("vec_id"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/codes.parquet")
+      // journal AFTER the data lands: a crash between costs a telemetry
+      // row, never a fit entry for codes that don't exist
+      recordFit(spark, dir, delta)
+    } finally { delta.unpersist(); () }
   }
 
   /** Incremental LSH maintenance — same O(|delta|) frozen-artifact contract
@@ -412,15 +421,18 @@ object AnnIndex {
     * frozen-centroid assignment of the union (pinned by
     * `q_ann_ivf_append`). Cell boundaries drift only as far as the data
     * does; an explicit rebuild refreshes the centroids. */
-  def appendIvf(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+  def appendIvf(spark: SparkSession, dir: String, delta0: DataFrame): Unit = {
     val (kind, _, _, _, _) = readParams(spark, dir)
     require(kind == "ivf", s"appendIvf on a '$kind' index at $dir")
     val (cents, _) = readIvf(spark, dir)
-    Similarity.ivfAssign(delta, cents)
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/vectors.parquet")
-    // journal AFTER the data lands (see appendIvfPq)
-    recordFit(spark, dir, delta)
+    val delta = delta0.cache() // one upstream computation, three actions
+    try {
+      Similarity.ivfAssign(delta, cents)
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/vectors.parquet")
+      // journal AFTER the data lands (see appendIvfPq)
+      recordFit(spark, dir, delta)
+    } finally { delta.unpersist(); () }
   }
 
   // ── deletion / retraction (round-14 judge task 1) ──────────────────────
@@ -541,10 +553,10 @@ object AnnIndex {
     // sentinel window — a kill mid-sweep refuses until a rebuild heals, so
     // a batch is never swept while its rows still exist
     val applied = pendingTombstoneBatches(dir)
-    prepareCompactArtifacts(spark, dir, params)
+    val artifacts = prepareCompactArtifacts(spark, dir, params)
     val sec = (System.nanoTime() - t0) / 1e9
     beginCompactSwap(dir)
-    swapCompactedArtifacts(dir, fragmentingArtifacts(params._1))
+    swapCompactedArtifacts(dir, artifacts)
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       annTombDir(dir, t).toString))
     finalizeCompactSwap(dir)
@@ -555,7 +567,7 @@ object AnnIndex {
     * compacted copies of the fragmenting artifacts in sibling `*.compact`
     * dirs. Live index untouched and searchable throughout. */
   private[graft] def prepareCompactArtifacts(spark: SparkSession, dir: String,
-      params: (String, Int, Int, Int, Int)): Unit = {
+      params: (String, Int, Int, Int, Int)): Seq[String] = {
     val (kind, nCellsOrTables, _, _, _) = params
     val plainFiles = spark.sessionState.conf.numShufflePartitions
     def tmp(a: String): String = s"$dir/$a.compact"
@@ -594,6 +606,18 @@ object AnnIndex {
           .coalesce(math.max(1, plainFiles))
           .write.mode("overwrite").parquet(tmp("codes.parquet"))
     }
+    // the fit journal fragments too — one coalesce(1) file per append —
+    // and nothing else rewrites it on a never-drifting workload, so the
+    // compaction consolidates it alongside the data artifacts (rows kept:
+    // the baseline and the appends since are still the drift evidence)
+    val hasDrift = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(driftPath(dir)))
+    if (hasDrift) {
+      graft.perf.Measure.deleteRecursively(tmp("drift.parquet"))
+      spark.read.parquet(driftPath(dir)).coalesce(1)
+        .write.mode("overwrite").parquet(tmp("drift.parquet"))
+    }
+    fragmentingArtifacts(kind) ++ (if (hasDrift) Seq("drift.parquet") else Nil)
   }
 
   /** Swap phase 1 of [[compact]]: drop the sentinel — from here until
@@ -737,8 +761,12 @@ object AnnIndex {
   private def fitRow(spark: SparkSession, phase: String, n: Long,
       err: Double, topShare: Double): DataFrame = {
     import spark.implicits._
-    Seq((phase, n, err, topShare, System.currentTimeMillis()))
-      .toDF("phase", "n", "err", "top_share", "ts")
+    // tok tie-breaks equal-millisecond rows: driftStats' ordering (and so
+    // the ivfpq bootstrap-baseline pick) is then a pure function of the
+    // journal CONTENT, not of parquet collect order
+    Seq((phase, n, err, topShare, System.currentTimeMillis(),
+        java.util.UUID.randomUUID().toString))
+      .toDF("phase", "n", "err", "top_share", "ts", "tok")
   }
 
   /** (Re)start the fit journal at a staged or live path: exactly one
@@ -793,10 +821,10 @@ object AnnIndex {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(driftPath(dir))))
       return None
     val rows = spark.read.parquet(driftPath(dir))
-      .select("phase", "n", "err", "top_share", "ts").collect()
+      .select("phase", "n", "err", "top_share", "ts", "tok").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getLong(4)))
-      .sortBy(r => (r._5, r._1))
+        r.getDouble(3), r.getLong(4), r.getString(5)))
+      .sortBy(r => (r._5, r._6))
     val (baseline, appends) = rows.find(_._1 != "append") match {
       case Some(b) => (Some(b), rows.filter(_._1 == "append"))
       case None => // bootstrap: earliest append is the baseline
@@ -805,7 +833,7 @@ object AnnIndex {
     }
     for (b <- baseline if appends.nonEmpty) yield {
       val nTot = appends.map(_._2).sum
-      def weighted(f: ((String, Long, Double, Double, Long)) => Double) =
+      def weighted(f: ((String, Long, Double, Double, Long, String)) => Double) =
         if (nTot == 0L) 0.0 else appends.map(r => f(r) * r._2).sum / nTot
       val err = weighted(_._3)
       DriftStats(b._3, b._1, err, nTot,
@@ -830,9 +858,13 @@ object AnnIndex {
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("cells"), sum(col("n")).as("total"),
         max(col("n")).as("mx")).head()
-    val (cells, total, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    (cells, total, mx,
-      if (cells == 0L) 0.0 else mx.toDouble / (total.toDouble / cells))
+    // an index whose rows were all purged is VALID (0-row parquet): the
+    // count is 0 and sum/max are NULL — guard before the primitive gets
+    if (r.getLong(0) == 0L) (0L, 0L, 0L, 0.0)
+    else {
+      val (cells, total, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      (cells, total, mx, mx.toDouble / (total.toDouble / cells))
+    }
   }
 
   /** Retrain a stored index's trained artifacts on the CURRENT data and

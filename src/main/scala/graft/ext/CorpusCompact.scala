@@ -118,7 +118,11 @@ object CorpusCompact {
     * caller contract as any corpus read: [[resumeIfNeeded]] first. */
   def read(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val raw = spark.read.parquet(dir)
+    // declared-schema-aware (round 14): a mixed-schema evolved corpus must
+    // not lose columns to a one-footer schema pick on THIS public read
+    // path any more than on CorpusStore.read
+    val raw = CorpusStore.declaredSchema(dir)
+      .fold(spark.read)(spark.read.schema).parquet(dir)
     pendingTombstones(spark, dir).fold(raw)(t =>
       // re-select: the USING-join moves doc_id first; keep the on-disk
       // column order so compaction rewrites are schema-stable

@@ -108,7 +108,13 @@ object CorpusStore {
       graft.perf.Measure.deleteRecursively(snap1)
       if (CorpusCompact.fileCount(dir) == 0) init(dir)
       else {
-        spark.read.parquet(dir).write.mode("overwrite").parquet(snap1)
+        // the migration copy must see EVERY column: declared union schema
+        // when present, one-time mergeSchema otherwise — a one-footer read
+        // here would silently drop evolved columns and then DELETE the
+        // originals (permanent loss, the class this store closes)
+        declaredSchema(dir)
+          .fold(spark.read.option("mergeSchema", "true"))(spark.read.schema)
+          .parquet(dir).write.mode("overwrite").parquet(snap1)
         writePointer(dir, 1L)
         sweepSupersededRootFiles(dir)
       }

@@ -123,6 +123,16 @@ object WriterLease {
     if (st.ttlMs == 0L)
       throw new IllegalStateException(
         s"writer lease on ${lease.dir} was released — this handle is dead")
+    // LIVENESS is part of the contract, not a courtesy: a holder frozen
+    // past its TTL must re-acquire (epoch bump), never quietly resurrect —
+    // a late renew that succeeded would race a concurrent stealer's
+    // acquire and leave TWO writers each believing they hold the lease
+    // for a full batch. Size the TTL above the worst batch time.
+    if (!live(st, System.currentTimeMillis()))
+      throw new IllegalStateException(
+        s"writer lease on ${lease.dir} EXPIRED ${-(st.ttlMs -
+          (System.currentTimeMillis() - st.ts))} ms ago — '${lease.owner}' " +
+          "was frozen past its TTL and must re-acquire, not publish")
   }
 
   /** Refresh the TTL clock — [[check]] + a timestamp rewrite, the

@@ -80,11 +80,12 @@ object IngestRehearsal {
       .withColumn("n_chars", length(col("text")).cast("long"))
     val step = graft.streaming.DocsStream.ingestStep(corpus, 0.8,
       if (maint) Some(factor) else None, lease)
-    val batchSec = (0 until nBatches).map { i =>
-      val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
-      time { step(b, i.toLong) }
-    }
-    lease.foreach(graft.ext.WriterLease.release)
+    val batchSec = try {
+      (0 until nBatches).map { i =>
+        val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === i)
+        time { step(b, i.toLong) }
+      }
+    } finally lease.foreach(graft.ext.WriterLease.release)
 
     val window = math.max(3, nBatches / 10)
     val (pf, bf) = ShingleIndex.fileCounts(spark)

@@ -121,6 +121,28 @@ class CorpusSchemaSpec extends AnyFunSuite {
       == before)
   }
 
+  test("snapshot migration of a mixed-schema corpus loses no column") {
+    // the migration copies then DELETES the originals — a one-footer read
+    // there would make evolved-column loss PERMANENT
+    val dir = tmp("graft-schema-migrate")
+    CorpusStore.append(spark, dir, df2(Seq((1L, "a"))))
+    CorpusStore.append(spark, dir, df3(Seq((2L, "b", "es"))))
+    CorpusStore.migrate(spark, dir)
+    assert(CorpusStore.isSnapshotMode(dir))
+    val langs = CorpusStore.read(spark, dir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(langs == Map(1L -> None, 2L -> Some("es")),
+      "migration must carry every declared column into generation 1")
+    // a mixed MARKER-LESS legacy corpus migrates through mergeSchema
+    val dir2 = tmp("graft-schema-migrate-legacy")
+    df2(Seq((1L, "a"))).write.mode("append").parquet(dir2)
+    df3(Seq((2L, "b", "pt"))).write.mode("append").parquet(dir2)
+    CorpusStore.migrate(spark, dir2)
+    assert(spark.read.parquet(CorpusStore.resolve(dir2)).columns.toSet ==
+      Set("doc_id", "text", "lang"),
+      "marker-less migration must union footers, not pick one")
+  }
+
   test("partitioned compaction heals every leaf at the root-declared schema") {
     val dir = tmp("graft-schema-part")
     // two date leaves, each schema-mixed; marker at the LAYOUT ROOT

@@ -26,12 +26,18 @@ class WriterLeaseSpec extends AnyFunSuite {
     WriterLease.renew(a)
     assert(WriterLease.holder(dir).exists(h => h._1 == "ingest-a" && h._3))
     // a default renew must PRESERVE the acquired TTL, not shrink it: a
-    // 1 ms lease renewed bare stays 1 ms — stealable after expiry
-    val short = WriterLease.acquire(tmp("graft-lease-ttl"), "a", ttlMs = 1L)
+    // 200 ms lease renewed bare stays 200 ms — expired (and its handle
+    // dead: liveness is part of the check contract) shortly after
+    val short = WriterLease.acquire(tmp("graft-lease-ttl"), "a", ttlMs = 200L)
     WriterLease.renew(short)
-    Thread.sleep(20)
+    Thread.sleep(250)
     assert(WriterLease.holder(short.dir).exists(h => !h._3),
-      "bare renew must keep the 1 ms TTL (not reset it to a default)")
+      "bare renew must keep the 200 ms TTL (not reset it to a default)")
+    // an expired-but-unstolen lease may NOT quietly resurrect via renew —
+    // a late renew racing a concurrent stealer's acquire would leave two
+    // writers; the frozen holder must re-acquire (epoch bump)
+    val e2 = intercept[IllegalStateException] { WriterLease.renew(short) }
+    assert(e2.getMessage.contains("EXPIRED"))
     WriterLease.release(a)
     assert(WriterLease.holder(dir).exists(h => !h._3),
       "release leaves a not-live tombstone that preserves the epoch")
