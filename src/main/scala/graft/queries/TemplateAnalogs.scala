@@ -958,5 +958,90 @@ object TemplateAnalogs {
         JOIN customer c ON c.c_custkey = a.o_custkey
         LEFT JOIN lineitem r ON r.l_orderkey = a.o_orderkey
           AND r.l_returnflag <> 'A'
-        ORDER BY equipment, a.o_orderkey, r.l_linenumber""")))
+        ORDER BY equipment, a.o_orderkey, r.l_linenumber""")),
+
+    // ── billing summary (SapTemplates billing_summary, VBRK⟕VBRP): the
+    //    period-filtered invoice listing carrying the HEADER value next to
+    //    SUM(item value) + COUNT(items) from the left-joined lines —
+    //    header-vs-lines on the same row (the reconciliation family's
+    //    DISPLAY shape, date-gated). Item side pre-aggregated; the oracle
+    //    keeps the reference's group-after-join form ────────────────────────
+    Q(
+      "q_tmpl_billing_summary",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val items = l.groupBy(col("l_orderkey"))
+          .agg(sum(money(col("l_extendedprice"))).as("item_dec"),
+            count(lit(1)).as("cnt"))
+        o.filter(col("o_orderdate") >= lit("1997-01-01"))
+          .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("billing_date"),
+            money(col("o_totalprice")).cast("double").as("header_value"),
+            coalesce(col("item_dec"), lit(0)).cast("double").as("item_value"),
+            coalesce(col("cnt"), lit(0L)).as("n_items"))
+          .orderBy(col("billing_date"), col("o_orderkey"))
+      },
+      Some("""SELECT b.o_orderkey, b.o_custkey,
+          CAST(b.o_orderdate AS DATE) AS billing_date,
+          CAST(CAST(b.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS header_value,
+          CAST(IFNULL(SUM(CAST(i.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+            AS item_value,
+          COUNT(i.l_linenumber) AS n_items
+        FROM orders b
+        LEFT JOIN lineitem i ON i.l_orderkey = b.o_orderkey
+        WHERE b.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY b.o_orderkey, b.o_custkey, b.o_orderdate, b.o_totalprice
+        ORDER BY billing_date, b.o_orderkey""")),
+
+    // ── wage-type catalog (SapTemplates wage_type_catalog, T511⟕T512T):
+    //    the protected-table AGGREGATE-ONLY dictionary rollup — a left join
+    //    on a COMPOSITE key with a language filter in the ON clause,
+    //    COUNT(*) vs COUNT(text column) on one row exposing translation
+    //    coverage (the count-skips-null idiom as a COVERAGE measure).
+    //    Mapped: supplier per nation ⟕ region-gated nation text ────────────
+    Q(
+      "q_tmpl_wage_type_catalog",
+      (s, dir) => {
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val text = n.filter(col("n_regionkey") === 2)
+          .select(col("n_nationkey").as("__tk"), col("n_name").as("__txt"))
+        su.join(broadcast(text), col("s_nationkey") === col("__tk"), "left")
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_entries"),
+            count(col("__txt")).as("n_with_text"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT w.s_nationkey, COUNT(*) AS n_entries,
+          COUNT(t.n_name) AS n_with_text
+        FROM supplier w
+        LEFT JOIN nation t ON t.n_nationkey = w.s_nationkey
+          AND t.n_regionkey = 2
+        GROUP BY w.s_nationkey
+        ORDER BY w.s_nationkey""")),
+
+    // ── document audit by user (SapTemplates doc_audit_by_user, BKPF):
+    //    the audit-trail rollup — postings per (user, transaction) with
+    //    first/last posting dates; grouped MIN/MAX dates are the audit
+    //    window. Mapped: orders per (clerk-ish custkey bucket, priority) ───
+    Q(
+      "q_tmpl_doc_audit",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.groupBy(pmod(col("o_custkey"), lit(100)).as("user_bucket"),
+            col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(to_date(col("o_orderdate"))).as("first_posting"),
+            max(to_date(col("o_orderdate"))).as("last_posting"))
+          .orderBy(col("user_bucket"), col("o_orderpriority"))
+      },
+      Some("""SELECT o_custkey % 100 AS user_bucket, o_orderpriority,
+          COUNT(*) AS n_docs,
+          MIN(CAST(o_orderdate AS DATE)) AS first_posting,
+          MAX(CAST(o_orderdate AS DATE)) AS last_posting
+        FROM orders
+        GROUP BY o_custkey % 100, o_orderpriority
+        ORDER BY user_bucket, o_orderpriority""")))
 }
