@@ -72,6 +72,10 @@ object CorpusStore {
     name.stripPrefix(".snap-").toLong
   }
 
+  /** Generation ids currently on disk, oldest first — the time-travel
+    * surface ([[readAt]]) and the retention telemetry. */
+  def generations(dir: String): Seq[Long] = snapIds(dir)
+
   private def snapIds(dir: String): Seq[Long] =
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -258,8 +262,12 @@ object CorpusStore {
     * concurrent append into the current generation between the staging
     * read and the flip aborts the compaction with the corpus untouched. */
   def compactSnapshot(spark: SparkSession, dir: String,
-      targetFiles: Int = 0): Unit = {
+      targetFiles: Int = 0, graceGenerations: Int = 1): Unit = {
     require(isSnapshotMode(dir), s"$dir is not in snapshot mode")
+    require(graceGenerations >= 1,
+      "graceGenerations must be >= 1 — generation n is the reader-" +
+        "consistency GRACE copy; retention below that reopens the torn-" +
+        "read window snapshot mode exists to close")
     val cur = currentId(dir)
     val curDir = s"$dir/${snapName(cur)}"
     if (CorpusCompact.fileCount(curDir) == 0) return
@@ -284,16 +292,44 @@ object CorpusStore {
     writePointer(dir, cur + 1)
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       CorpusCompact.tombDir(dir, t).toString))
-    // GRACE: keep generation `cur` for readers mid-scan; drop older ones
-    snapIds(dir).filter(_ < cur).foreach(id =>
+    // GRACE + retention: keep the newest `graceGenerations` generations
+    // below the new current — generation `cur` always survives one cycle
+    // for readers mid-scan; a larger retention keeps a short time-travel
+    // window ([[readAt]]) at the cost of that many extra corpus copies
+    snapIds(dir).filter(_ <= cur - graceGenerations).foreach(id =>
       graft.perf.Measure.deleteRecursively(s"$dir/${snapName(id)}"))
+  }
+
+  /** Pinned read of one RETAINED generation — the time-travel surface for
+    * reproducing an earlier training run's corpus view. Semantics: appends
+    * land IN the current generation, so a generation FREEZES when the next
+    * compaction supersedes it — readAt(g) is the corpus as of the
+    * compaction that superseded g (the live generation is simply the
+    * current corpus). Pending retractions still apply: a takedown/PII
+    * purge must not resurface through a historical read, so what this pins
+    * is that frozen row set minus everything since retracted — the
+    * reproducible-and-compliant view, not a byte-for-byte past. A GC'd or
+    * unknown generation refuses loudly (retention is `compactSnapshot`'s
+    * graceGenerations knob). */
+  def readAt(spark: SparkSession, dir: String, generation: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(isSnapshotMode(dir), s"$dir is not in snapshot mode")
+    require(snapIds(dir).contains(generation),
+      s"generation $generation of $dir is unknown or already GC'd — " +
+        s"retained: ${snapIds(dir).mkString(", ")} (raise graceGenerations " +
+        "to keep a longer time-travel window)")
+    val reader = declaredSchema(dir).fold(spark.read)(spark.read.schema)
+    val raw = reader.parquet(s"$dir/${snapName(generation)}")
+    CorpusCompact.pendingTombstones(spark, dir).fold(raw)(t =>
+      raw.join(broadcast(t), Seq("doc_id"), "left_anti")
+        .select(raw.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Self-sizing trigger, mode-dispatched ([[CorpusCompact.maybeCompact]]'s
     * contract): file count of the CURRENT generation or pending journal
     * batches past the factor. Returns true iff a compaction ran. */
   def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8,
-      targetFiles: Int = 0): Boolean =
+      targetFiles: Int = 0, graceGenerations: Int = 1): Boolean =
     if (!isSnapshotMode(dir))
       CorpusCompact.maybeCompact(spark, dir, factor, targetFiles)
     else {
@@ -302,7 +338,7 @@ object CorpusStore {
         else spark.sessionState.conf.numShufflePartitions)
       if (CorpusCompact.fileCount(resolve(dir)) > factor * target ||
           CorpusCompact.pendingTombstoneBatches(dir).size > factor) {
-        compactSnapshot(spark, dir, target); true
+        compactSnapshot(spark, dir, target, graceGenerations); true
       } else false
     }
 }
