@@ -553,14 +553,37 @@ object AnnIndex {
     // sentinel window — a kill mid-sweep refuses until a rebuild heals, so
     // a batch is never swept while its rows still exist
     val applied = pendingTombstoneBatches(dir)
+    // drift-journal tripwire (the corpus staging pattern): the journal is
+    // the one artifact a contract-violating concurrent appender could grow
+    // between the staging read and the swap — the data artifacts are
+    // guarded by the sentinel refusal, but a swapped-in stale journal copy
+    // would silently DROP the racing append's fit row. Snapshot the
+    // listing here; if it moved, skip the journal consolidation this cycle
+    // (rows beat file-count hygiene — the journal re-coalesces next time).
+    val driftBefore = driftFileNames(dir)
     val artifacts = prepareCompactArtifacts(spark, dir, params)
     val sec = (System.nanoTime() - t0) / 1e9
+    val toSwap =
+      if (artifacts.contains("drift.parquet") &&
+          driftFileNames(dir) != driftBefore) {
+        graft.perf.Measure.deleteRecursively(s"$dir/drift.parquet.compact")
+        artifacts.filterNot(_ == "drift.parquet")
+      } else artifacts
     beginCompactSwap(dir)
-    swapCompactedArtifacts(dir, artifacts)
+    swapCompactedArtifacts(dir, toSwap)
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       annTombDir(dir, t).toString))
     finalizeCompactSwap(dir)
     sec
+  }
+
+  /** Sorted file listing of the fit journal — the compaction tripwire's
+    * change detector (names + sizes; an append adds files). */
+  private def driftFileNames(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(driftPath(dir))
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else Option(p.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).map(f => s"${f.getName}:${f.length}").toSeq.sorted
   }
 
   /** Rewrite phase of [[compact]], exposed for the kill-window spec: build

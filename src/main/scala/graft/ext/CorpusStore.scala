@@ -198,19 +198,28 @@ object CorpusStore {
 
   /** Union of `cur` and `next` in first-seen column order, every field
     * nullable (null-fill requires it). Same-name different-type refuses
-    * loudly — no silent cast decides which writer was right. */
+    * loudly — no silent cast decides which writer was right. Name matching
+    * follows Spark's resolution (`spark.sql.caseSensitive`, default
+    * insensitive): under insensitive resolution a batch carrying `Lang`
+    * against a declared `lang` is the SAME column (declared spelling
+    * kept) — adding both to the marker would make every later
+    * explicit-schema read fail on ambiguous columns. */
   private[graft] def unify(cur: org.apache.spark.sql.types.StructType,
-      next: org.apache.spark.sql.types.StructType)
+      next: org.apache.spark.sql.types.StructType,
+      caseSensitive: Boolean = false)
       : org.apache.spark.sql.types.StructType = {
-    val curByName = cur.fields.map(f => f.name -> f).toMap
-    next.fields.foreach(f => curByName.get(f.name).foreach(c =>
+    def key(name: String): String =
+      if (caseSensitive) name else name.toLowerCase(java.util.Locale.ROOT)
+    val curByName = cur.fields.map(f => key(f.name) -> f).toMap
+    next.fields.foreach(f => curByName.get(key(f.name)).foreach(c =>
       if (c.dataType != f.dataType) throw new IllegalStateException(
         s"corpus schema conflict on column '${f.name}': declared " +
           s"${c.dataType.simpleString}, appended ${f.dataType.simpleString}" +
           " — refusing the append (evolution adds columns, it never " +
           "silently re-types them)")))
     org.apache.spark.sql.types.StructType(
-      (cur.fields ++ next.fields.filterNot(f => curByName.contains(f.name)))
+      (cur.fields ++
+        next.fields.filterNot(f => curByName.contains(key(f.name))))
         .map(_.copy(nullable = true)))
   }
 
@@ -224,6 +233,11 @@ object CorpusStore {
     * an empty corpus. */
   def append(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
+    // heal FIRST, like every other entry point: appending into a flat
+    // corpus with a pending swap marker would land a part file the resume
+    // then deletes as non-compacted residue (one Files.exists when healthy)
+    heal(dir)
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
     val dataDir = resolve(dir)
     val cur = declaredSchema(dir).orElse {
       if (CorpusCompact.fileCount(dataDir) == 0) None
@@ -231,12 +245,18 @@ object CorpusStore {
         .parquet(dataDir).schema)
     }
     val unified = cur.fold(org.apache.spark.sql.types.StructType(
-      df.schema.fields.map(_.copy(nullable = true))))(unify(_, df.schema))
+      df.schema.fields.map(_.copy(nullable = true))))(
+      unify(_, df.schema, caseSensitive))
     if (!declaredSchema(dir).contains(unified))
       writeSchemaMarker(dir, unified)
-    val have = df.columns.toSet
+    // align by the declared spelling; col() resolves case-insensitively
+    // when the session does, so a `Lang` batch fills the declared `lang`
+    val have = df.columns.map(c =>
+      if (caseSensitive) c else c.toLowerCase(java.util.Locale.ROOT)).toSet
     df.select(unified.fields.toIndexedSeq.map(f =>
-        if (have.contains(f.name)) col(f.name)
+        if (have.contains(if (caseSensitive) f.name
+            else f.name.toLowerCase(java.util.Locale.ROOT)))
+          col(f.name).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)): _*)
       .write.mode("append").parquet(dataDir)
   }

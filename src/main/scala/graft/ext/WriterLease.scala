@@ -23,7 +23,13 @@ package graft.ext
   * process is fenced by the same rule.
   *
   * Honest limits, stated rather than papered over: a filesystem directory
-  * cannot validate epochs server-side, so between a successful [[check]]
+  * cannot validate epochs server-side, so [[acquire]]'s read-check-write
+  * is atomic only within one JVM — two PROCESSES racing acquire can both
+  * write. The per-acquire nonce (round 15) makes the file the arbiter:
+  * exactly one acquire's nonce survives, the loser fails its read-back (or
+  * at latest its first [[check]]), so a doomed handle can never publish a
+  * full session — at most it acts inside one check-to-publish interval.
+  * That interval is the irreducible residue: between a successful [[check]]
   * and the write it guards there remains one unguarded publish window —
   * the classic lease residue every ZooKeeper/Chubby-style client has
   * without storage-side fencing tokens. The TTL contract is what makes it
@@ -37,28 +43,34 @@ package graft.ext
   * corrupt lease file refuses loudly — never treated as free. */
 object WriterLease {
 
-  /** A held lease: the fencing identity [[check]]/[[renew]] verify. */
-  final case class Lease(dir: String, owner: String, epoch: Long)
+  /** A held lease: the fencing identity [[check]]/[[renew]] verify. The
+    * `nonce` is minted per-acquire, so two acquires that raced to the same
+    * (owner, epoch) — same job name retried by two schedulers — are still
+    * distinguishable: exactly one nonce survives on disk, and the loser's
+    * first check/renew fails. */
+  final case class Lease(dir: String, owner: String, epoch: Long,
+      nonce: String)
 
   private final case class State(owner: String, epoch: Long, ts: Long,
-      ttlMs: Long)
+      ttlMs: Long, nonce: String)
 
   private def leasePath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_graft_lease")
 
   private def render(st: State): String =
     s"""{"owner":"${st.owner}","epoch":${st.epoch},""" +
-      s""""ts":${st.ts},"ttl_ms":${st.ttlMs}}"""
+      s""""ts":${st.ts},"ttl_ms":${st.ttlMs},"nonce":"${st.nonce}"}"""
 
   private val StatePattern =
     ("""\{"owner":"([A-Za-z0-9._-]+)","epoch":(\d+),""" +
-      """"ts":(\d+),"ttl_ms":(\d+)\}""").r
+      """"ts":(\d+),"ttl_ms":(\d+),"nonce":"([A-Za-z0-9-]+)"\}""").r
 
   private def readState(dir: String): Option[State] = {
     val p = leasePath(dir)
     if (!java.nio.file.Files.exists(p)) None
     else java.nio.file.Files.readString(p).trim match {
-      case StatePattern(o, e, t, l) => Some(State(o, e.toLong, t.toLong, l.toLong))
+      case StatePattern(o, e, t, l, x) =>
+        Some(State(o, e.toLong, t.toLong, l.toLong, x))
       case other => throw new IllegalStateException(
         s"corrupt writer lease at $p: '$other' — inspect and remove by hand")
     }
@@ -89,7 +101,18 @@ object WriterLease {
   /** Acquire the write lease on `dir`. Succeeds when the lease is absent,
     * expired (a TTL past its holder's last renew — the holder is presumed
     * dead), or held by THIS owner (a restart; the old handle is fenced by
-    * the epoch bump). Refuses loudly while another owner is live. */
+    * the epoch bump). Refuses loudly while another owner is live.
+    *
+    * The read-check-write here is atomic only within this JVM
+    * (`synchronized`); across PROCESSES two racing acquires can both pass
+    * the liveness check and write. The per-acquire nonce closes that
+    * acquire/acquire window: after publishing, the winner is whoever's
+    * nonce the file holds — the read-back below fails the loser
+    * IMMEDIATELY (and even a loser that slipped past the read-back — wrote
+    * after the winner's verification — dies at its first [[check]]/
+    * [[renew]], which every write path runs before publishing). The
+    * remaining residue is the one unguarded check-to-publish window the
+    * object doc already names. */
   def acquire(dir: String, owner: String, ttlMs: Long = 60000L): Lease =
     synchronized {
       require(owner.matches("[A-Za-z0-9._-]+"),
@@ -103,8 +126,11 @@ object WriterLease {
             s"${st.epoch}, ${st.ttlMs - (now - st.ts)} ms to expiry) — " +
             "refuse to double-write; wait for expiry or its release"))
       val epoch = cur.map(_.epoch).getOrElse(0L) + 1L
-      writeState(dir, State(owner, epoch, now, ttlMs))
-      Lease(dir, owner, epoch)
+      val nonce = java.util.UUID.randomUUID().toString
+      writeState(dir, State(owner, epoch, now, ttlMs, nonce))
+      val lease = Lease(dir, owner, epoch, nonce)
+      check(lease) // read-back: a racing acquire that overwrote us wins; WE fail
+      lease
     }
 
   /** Verify the lease file still names this holder — the fencing check a
@@ -115,10 +141,14 @@ object WriterLease {
     val st = readState(lease.dir).getOrElse(throw new IllegalStateException(
       s"writer lease on ${lease.dir} is gone — '${lease.owner}' must abort " +
         "(removed by hand?)"))
-    if (st.owner != lease.owner || st.epoch != lease.epoch)
+    // nonce inequality with matching (owner, epoch) = a concurrent acquire
+    // under the same name raced this one and overwrote it — same verdict
+    // as any other takeover: this handle must abort
+    if (st.owner != lease.owner || st.epoch != lease.epoch ||
+        st.nonce != lease.nonce)
       throw new IllegalStateException(
         s"writer lease on ${lease.dir} was taken over by '${st.owner}' " +
-          s"(epoch ${st.epoch} > held ${lease.epoch}) — '${lease.owner}' " +
+          s"(epoch ${st.epoch}, held ${lease.epoch}) — '${lease.owner}' " +
           "must abort, not publish")
     if (st.ttlMs == 0L)
       throw new IllegalStateException(
@@ -144,7 +174,8 @@ object WriterLease {
     check(lease)
     val cur = readState(lease.dir).get // check() proved it exists + matches
     writeState(lease.dir, State(lease.owner, lease.epoch,
-      System.currentTimeMillis(), if (ttlMs > 0) ttlMs else cur.ttlMs))
+      System.currentTimeMillis(), if (ttlMs > 0) ttlMs else cur.ttlMs,
+      lease.nonce))
     lease
   }
 
@@ -154,9 +185,11 @@ object WriterLease {
     * counter survives the release. */
   def release(lease: Lease): Unit = synchronized {
     readState(lease.dir) match {
-      case Some(st) if st.owner == lease.owner && st.epoch == lease.epoch =>
+      case Some(st) if st.owner == lease.owner && st.epoch == lease.epoch &&
+          st.nonce == lease.nonce =>
         writeState(lease.dir,
-          State(lease.owner, lease.epoch, System.currentTimeMillis(), 0L))
+          State(lease.owner, lease.epoch, System.currentTimeMillis(), 0L,
+            lease.nonce))
       case _ => ()
     }
   }

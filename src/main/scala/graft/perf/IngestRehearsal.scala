@@ -72,8 +72,15 @@ object IngestRehearsal {
     // SPARK_GRAFT_INGEST_LEASE=on brackets the soak in a writer lease and
     // renews it at every batch start (round 14) — the A/B prices the
     // fencing heartbeat (one marker read + atomic rewrite per batch)
+    // TTL sized per WriterLease's own guidance — above the worst batch
+    // time, since the soak renews only at batch start: a batch outrunning
+    // the TTL would make the next renew throw EXPIRED with no concurrent
+    // writer present. 10 min default clears every observed sf10 batch.
+    val leaseTtlMs = sys.env.getOrElse(
+      "SPARK_GRAFT_INGEST_LEASE_TTL_MS", "600000").toLong
     val lease = if (sys.env.get("SPARK_GRAFT_INGEST_LEASE").contains("on"))
-      Some(graft.ext.WriterLease.acquire(corpus, "ingest-soak")) else None
+      Some(graft.ext.WriterLease.acquire(corpus, "ingest-soak", leaseTtlMs))
+    else None
 
     val docs = spark.table("documents").select("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("soak"))

@@ -177,4 +177,52 @@ class CorpusSchemaSpec extends AnyFunSuite {
     assert(declared.get.fieldNames.contains("content_hash"))
     assert(CorpusStore.read(spark, corpus).count() == 1L)
   }
+
+  test("case-variant column names resolve as ONE column under default resolution") {
+    import spark.implicits._
+    // Spark resolves names case-insensitively by default, so a batch
+    // carrying `Lang` against a declared `lang` is the same column — the
+    // marker must NOT grow a duplicate field (which would make every later
+    // explicit-schema read fail on ambiguity). Declared spelling wins.
+    val dir = tmp("graft-schema-case")
+    CorpusStore.append(spark, dir, df3(Seq((1L, "a", "en"))))
+    val variant = Seq((2L, "b", "de")).toDF("doc_id", "text", "Lang")
+    CorpusStore.append(spark, dir, variant)
+    assert(CorpusStore.declaredSchema(dir).get.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang"),
+      "a case-variant of a declared column must not duplicate the field")
+    val langs = CorpusStore.read(spark, dir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs == Map(1L -> "en", 2L -> "de"),
+      "the variant batch's values must land in the declared column")
+    // a case-variant carrying a DIFFERENT type is still a loud conflict
+    val conflict = Seq((3L, "c", 7L)).toDF("doc_id", "text", "LANG")
+    intercept[IllegalStateException] {
+      CorpusStore.append(spark, dir, conflict) }
+  }
+
+  test("append heals a pending flat swap before writing (its file survives the resume)") {
+    val dir = tmp("graft-schema-appendheal")
+    CorpusStore.append(spark, dir, df2(Seq((1L, "a"), (2L, "b"))))
+    // craft kill-window B of the flat swap: staged copy complete, marker
+    // written, visible files deleted, nothing moved — the state where an
+    // unhealed append's part file would be deleted by the next resume
+    // (it lacks the compacted-token prefix)
+    val staging = java.nio.file.Paths.get(dir, ".compact-tmp")
+    spark.read.parquet(dir).coalesce(1).write.mode("overwrite")
+      .parquet(staging.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_corpus_swap"), "healtok")
+    Option(new java.io.File(dir).listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    CorpusStore.append(spark, dir, df2(Seq((3L, "c"))))
+    // the append healed first, so a later resume has nothing to do and
+    // the appended row is permanent
+    assert(!CorpusCompact.resumeIfNeeded(dir),
+      "append must have completed the pending swap itself")
+    assert(CorpusStore.read(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "the appended row must survive — it landed after the heal")
+  }
 }

@@ -66,6 +66,30 @@ class WriterLeaseSpec extends AnyFunSuite {
     WriterLease.release(b2)
   }
 
+  test("same-(owner,epoch) acquire race: the nonce fences the loser") {
+    // two PROCESSES racing acquire can both pass the liveness check and
+    // write the same (owner, epoch) — JVM synchronized doesn't reach across
+    // them. Simulate the winner's overwrite landing after ours: same owner,
+    // same epoch, different nonce. Epoch fencing alone is blind to this
+    // (epochs match); the per-acquire nonce is what fails our handle.
+    val dir = tmp("graft-lease-nonce")
+    val a = WriterLease.acquire(dir, "retry-job", ttlMs = 60000L)
+    val winner = java.util.UUID.randomUUID().toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_lease"),
+      s"""{"owner":"retry-job","epoch":${a.epoch},""" +
+        s""""ts":${System.currentTimeMillis()},"ttl_ms":60000,""" +
+        s""""nonce":"$winner"}""")
+    val e = intercept[IllegalStateException] { WriterLease.check(a) }
+    assert(e.getMessage.contains("taken over"),
+      "a same-epoch overwrite must fence the loser via the nonce")
+    intercept[IllegalStateException] { WriterLease.renew(a) }
+    // release of the fenced handle must NOT free the winner's lease
+    WriterLease.release(a)
+    assert(WriterLease.holder(dir).exists(_._3),
+      "the winner's lease survives the loser's release attempt")
+  }
+
   test("corrupt lease refuses loudly; withLease releases on failure") {
     val dir = tmp("graft-lease-corrupt")
     java.nio.file.Files.writeString(
