@@ -383,6 +383,15 @@ object AnnIndex {
     // (count + profile) — three actions over one upstream computation
     val delta = delta0.cache()
     try {
+      // MEASURE BEFORE WRITING (round 15): a delta whose plan reads this
+      // index's own artifacts — the ingest's replay screen does — would
+      // re-evaluate to EMPTY after the append (the write refreshes the
+      // path's file index and the anti-join then removes every row), so a
+      // post-write count/profile silently journals n=0 and the drift
+      // trigger goes blind. count() here also pins the cache, so the
+      // write below consumes the same materialized rows it measured.
+      val n = delta.count()
+      val profile = fitProfile(delta, cents)
       val cells = Similarity.ivfAssign(delta, cents)
         .select(col("vec_id"), col("cell"))
       Similarity.pqEncode(delta, books, m, dims)
@@ -391,7 +400,7 @@ object AnnIndex {
         .parquet(s"$dir/codes.parquet")
       // journal AFTER the data lands: a crash between costs a telemetry
       // row, never a fit entry for codes that don't exist
-      recordFit(spark, dir, delta)
+      journalFit(spark, dir, n, profile)
     } finally { delta.unpersist(); () }
   }
 
@@ -427,12 +436,43 @@ object AnnIndex {
     val (cents, _) = readIvf(spark, dir)
     val delta = delta0.cache() // one upstream computation, three actions
     try {
+      // measure before writing, journal after (see appendIvfPq)
+      val n = delta.count()
+      val profile = fitProfile(delta, cents)
       Similarity.ivfAssign(delta, cents)
         .write.mode("append").partitionBy("cell")
         .parquet(s"$dir/vectors.parquet")
-      // journal AFTER the data lands (see appendIvfPq)
-      recordFit(spark, dir, delta)
+      journalFit(spark, dir, n, profile)
     } finally { delta.unpersist(); () }
+  }
+
+  /** Replay/duplicate screen for a vector ingest (round 15 — the
+    * [[graft.streaming.DocsStream]] self-screening contract on the vector
+    * axis): the delta MINUS the vec_ids the index already holds. The
+    * existing-id read is restricted to the delta's ASSIGNED cell
+    * partitions — a bounded `cell IN (...)` literal over the
+    * hive-partitioned artifact, so the screen scans O(delta's cells ×
+    * √n-sized cells), never the whole index. A replayed batch (writes
+    * landed, checkpoint commit didn't) re-screens to empty, so the vector
+    * ingest needs no batch-id bookkeeping — the same argument as the
+    * corpus ingest's content-hash anti-join. A tombstoned-but-unpurged
+    * vec_id still counts as existing (ids are never reused after deletion
+    * — the tombstone contract). */
+  def screenExisting(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame = {
+    val (kind, _, _, _, _) = readParams(spark, dir)
+    require(kind == "ivf" || kind == "ivfpq",
+      s"screenExisting on a '$kind' index — the cell-pruned id scan needs " +
+        "a cell-partitioned artifact (lsh/pq appends screen on their own axis)")
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val cells = Similarity.ivfAssign(delta, cents)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val artifact = if (kind == "ivf") "vectors.parquet" else "codes.parquet"
+    val existing = spark.read.parquet(s"$dir/$artifact")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(cells: _*)).select(col("vec_id"))
+    delta.join(existing, Seq("vec_id"), "left_anti")
+      .select(delta.columns.toIndexedSeq.map(col): _*)
   }
 
   // ── deletion / retraction (round-14 judge task 1) ──────────────────────
@@ -542,11 +582,16 @@ object AnnIndex {
     * silently incomplete candidate set.
     *
     * Returns seconds spent in the rewrite phase. */
-  def compact(spark: SparkSession, dir: String): Double = synchronized {
+  def compact(spark: SparkSession, dir: String,
+      lease: Option[WriterLease.Lease] = None): Double = synchronized {
     // synchronized like the ShingleIndex counterpart: two same-JVM threads
     // compacting one dir would interleave swap phases (the second
     // ATOMIC_MOVE throws) and strand the sentinel despite intact data
     val params = readParams(spark, dir) // sentinel-checked: refuses torn state
+    // writer-lease gate BEFORE staging (round 15): a leased caller renews
+    // (stolen handle aborts, index untouched); an unleased manual run
+    // refuses while a live lease covers the index dir
+    WriterLease.gate(dir, lease, "compact of ANN index")
     val t0 = System.nanoTime()
     // tombstone batches visible NOW are physically applied by the rewrite
     // (every staged artifact is tombstone-subtracted) and swept inside the
@@ -569,6 +614,9 @@ object AnnIndex {
         graft.perf.Measure.deleteRecursively(s"$dir/drift.parquet.compact")
         artifacts.filterNot(_ == "drift.parquet")
       } else artifacts
+    // re-check at the swap boundary: a lease stolen during the staging
+    // must abort before the sentinel/exchange
+    lease.foreach(WriterLease.check)
     beginCompactSwap(dir)
     swapCompactedArtifacts(dir, toSwap)
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
@@ -695,7 +743,8 @@ object AnnIndex {
     * pq codes. One directory listing per call (the very cost compaction
     * bounds); a torn index refuses via [[readParams]] like every other
     * entry point. Returns true iff a compaction ran. */
-  def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8): Boolean = synchronized {
+  def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8,
+      lease: Option[WriterLease.Lease] = None): Boolean = synchronized {
     val (kind, nCellsOrTables, _, _, _) = readParams(spark, dir)
     val baseline = kind match {
       case "pq" => math.max(1, spark.sessionState.conf.numShufflePartitions)
@@ -703,7 +752,8 @@ object AnnIndex {
     }
     val primary = fragmentingArtifacts(kind).head
     val count = graft.perf.Measure.parquetFileCount(s"$dir/$primary")
-    if (count > factor * baseline) { compact(spark, dir); true } else false
+    if (count > factor * baseline) { compact(spark, dir, lease); true }
+    else false
   }
 
   // ── trained-artifact drift + retrain (round 14: the wall after deletion) ─
@@ -816,10 +866,15 @@ object AnnIndex {
         "lsh geometry is data-independent and pq has no coarse quantizer")
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
     val n = vectors.count()
-    val (err, topShare) = fitProfile(vectors, cents)
-    fitRow(spark, phase, n, err, topShare).coalesce(1)
-      .write.mode("append").parquet(driftPath(dir))
+    journalFit(spark, dir, n, fitProfile(vectors, cents), phase)
   }
+
+  /** Append one precomputed fit row — the measure-before-write half of the
+    * append protocol (see [[appendIvfPq]]). */
+  private def journalFit(spark: SparkSession, dir: String, n: Long,
+      profile: (Double, Double), phase: String = "append"): Unit =
+    fitRow(spark, phase, n, profile._1, profile._2).coalesce(1)
+      .write.mode("append").parquet(driftPath(dir))
 
   /** Drift telemetry distilled from the fit journal.
     *
@@ -917,12 +972,17 @@ object AnnIndex {
     * in the staged rebuild. */
   def retrain(spark: SparkSession, dir: String,
       corpus: Option[DataFrame] = None, refineIters: Int = 1,
-      maxTrain: Int = 4096): Double = synchronized {
+      maxTrain: Int = 4096,
+      lease: Option[WriterLease.Lease] = None): Double = synchronized {
+    // gate before staging, re-check before the swap — the heaviest writer
+    // here gets the same fencing as compact
+    WriterLease.gate(dir, lease, "retrain of ANN index")
     val applied = pendingTombstoneBatches(dir)
     val t0 = System.nanoTime()
     val artifacts = prepareRetrainArtifacts(spark, dir, corpus,
       refineIters, maxTrain)
     val sec = (System.nanoTime() - t0) / 1e9
+    lease.foreach(WriterLease.check)
     beginCompactSwap(dir)
     swapCompactedArtifacts(dir, artifacts, suffix = ".retrain")
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
@@ -990,13 +1050,14 @@ object AnnIndex {
     * → false. `corpus` is forwarded to [[retrain]] (required for ivfpq).
     * Returns true iff a retrain ran. */
   def maybeRetrain(spark: SparkSession, dir: String,
-      corpus: Option[DataFrame] = None, errFactor: Double = 1.5,
+      corpus: => Option[DataFrame] = None, errFactor: Double = 1.5,
       topShareLimit: Double = 0.5, refineIters: Int = 1,
-      maxTrain: Int = 4096): Boolean = synchronized {
+      maxTrain: Int = 4096,
+      lease: Option[WriterLease.Lease] = None): Boolean = synchronized {
     driftStats(spark, dir) match {
       case Some(d) if d.appendErr > errFactor * d.baselineErr + 1e-9 ||
           d.topShare > topShareLimit =>
-        retrain(spark, dir, corpus, refineIters, maxTrain); true
+        retrain(spark, dir, corpus, refineIters, maxTrain, lease); true
       case _ => false
     }
   }

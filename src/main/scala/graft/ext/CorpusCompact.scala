@@ -201,7 +201,12 @@ object CorpusCompact {
     * expensive phase (one corpus read + write) runs into the hidden
     * staging dir with the live corpus untouched; only the short swap is
     * marker-guarded and resumable. No-op on an empty/absent corpus. */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int = 0): Unit = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 0,
+      lease: Option[WriterLease.Lease] = None): Unit = {
+    // writer-lease gate BEFORE the heal/staging (round 15): a leased
+    // caller renews (a stolen handle aborts with the corpus untouched); an
+    // unleased manual run refuses while an ingest holds a live lease
+    WriterLease.gate(dir, lease, "compact of corpus")
     resumeIfNeeded(dir)
     // flat append-mode dirs ONLY: on a hive-partitioned dir the staging
     // read would absorb every nested row while the swap deletes only
@@ -222,7 +227,8 @@ object CorpusCompact {
     // exactly the set it applied
     val applied = pendingTombstoneBatches(dir)
     compactOneDir(spark, dir, targetFiles,
-      pendingTombstones(spark, dir), applied, CorpusStore.declaredSchema(dir))
+      pendingTombstones(spark, dir), applied, CorpusStore.declaredSchema(dir),
+      lease)
   }
 
   /** The single-directory compaction kernel shared by the flat [[compact]]
@@ -235,7 +241,8 @@ object CorpusCompact {
   private def compactOneDir(spark: SparkSession, dir: String,
       targetFiles: Int, minus: Option[org.apache.spark.sql.DataFrame],
       appliedTokens: Seq[String],
-      readSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      lease: Option[WriterLease.Lease] = None): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (visibleParquet(dir).isEmpty) return
     val target = math.max(1,
@@ -267,6 +274,10 @@ object CorpusCompact {
           "removed files) — a concurrent writer violated the single-writer " +
           "contract; swap aborted, corpus untouched")
     }
+    // re-check at the swap boundary: the staging can run for minutes, and
+    // a lease stolen inside it must abort before the marker commits the
+    // swap (staging is swept by the next resume-free compact)
+    lease.foreach(WriterLease.check)
     val tok = java.util.UUID.randomUUID().toString.take(8)
     writeMarkerAtomic(dir,
       if (appliedTokens.isEmpty) tok
@@ -278,7 +289,8 @@ object CorpusCompact {
     * corpus store): compact iff the visible file count exceeds `factor` ×
     * the consolidation target. Returns true iff a compaction ran. */
   def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8,
-      targetFiles: Int = 0): Boolean = {
+      targetFiles: Int = 0,
+      lease: Option[WriterLease.Lease] = None): Boolean = {
     resumeIfNeeded(dir)
     val target = math.max(1,
       if (targetFiles > 0) targetFiles
@@ -288,7 +300,7 @@ object CorpusCompact {
     // tombstone-aware read pays an anti-join input for
     if (fileCount(dir) > factor * target ||
         pendingTombstoneBatches(dir).size > factor) {
-      compact(spark, dir, target); true
+      compact(spark, dir, target, lease); true
     } else false
   }
 
@@ -336,14 +348,19 @@ object CorpusCompact {
     * and the next pass converges and sweeps. Returns the number of leaves
     * compacted. */
   def compactPartitioned(spark: SparkSession, dir: String,
-      targetFilesPerPartition: Int = 1): Int = {
+      targetFilesPerPartition: Int = 1,
+      lease: Option[WriterLease.Lease] = None): Int = {
+    // one gate for the whole pass (the lease covers the layout ROOT), and
+    // the per-leaf kernel re-checks before each leaf's marker commit
+    WriterLease.gate(dir, lease, "partitioned compact of corpus")
     resumeIfNeededPartitioned(dir)
     val applied = pendingTombstoneBatches(dir)
     val tombs = pendingTombstones(spark, dir)
     val leaves = leafDirs(dir).filter(visibleParquet(_).nonEmpty)
     val schema = CorpusStore.declaredSchema(dir) // root marker, every leaf
     leaves.foreach(l =>
-      compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil, schema))
+      compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil, schema,
+        lease))
     applied.foreach(t =>
       graft.perf.Measure.deleteRecursively(tombDir(dir, t).toString))
     leaves.size
@@ -355,20 +372,24 @@ object CorpusCompact {
     * is past the factor — then a full pass runs so the journal can be
     * swept. Returns the number of leaves compacted. */
   def maybeCompactPartitioned(spark: SparkSession, dir: String,
-      factor: Int = 8, targetFilesPerPartition: Int = 1): Int = {
+      factor: Int = 8, targetFilesPerPartition: Int = 1,
+      lease: Option[WriterLease.Lease] = None): Int = {
     resumeIfNeededPartitioned(dir)
     if (pendingTombstoneBatches(dir).size > factor)
-      compactPartitioned(spark, dir, targetFilesPerPartition)
+      compactPartitioned(spark, dir, targetFilesPerPartition, lease)
     else {
       val tombs = pendingTombstones(spark, dir)
       val frag = leafDirs(dir)
         .filter(fileCount(_) > factor * targetFilesPerPartition)
+      if (frag.nonEmpty)
+        WriterLease.gate(dir, lease, "partitioned compact of corpus")
       // fragmented leaves still subtract pending tombstones (free rows to
       // drop while rewriting anyway), but never sweep the root journal —
       // unpurged leaves still need it
       val schema = CorpusStore.declaredSchema(dir)
       frag.foreach(l =>
-        compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil, schema))
+        compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil, schema,
+          lease))
       frag.size
     }
   }

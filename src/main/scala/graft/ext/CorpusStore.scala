@@ -282,8 +282,11 @@ object CorpusStore {
     * concurrent append into the current generation between the staging
     * read and the flip aborts the compaction with the corpus untouched. */
   def compactSnapshot(spark: SparkSession, dir: String,
-      targetFiles: Int = 0, graceGenerations: Int = 1): Unit = {
+      targetFiles: Int = 0, graceGenerations: Int = 1,
+      lease: Option[WriterLease.Lease] = None): Unit = {
     require(isSnapshotMode(dir), s"$dir is not in snapshot mode")
+    // writer-lease gate BEFORE staging (round 15), re-checked at the flip
+    WriterLease.gate(dir, lease, "snapshot compact of corpus")
     require(graceGenerations >= 1,
       "graceGenerations must be >= 1 — generation n is the reader-" +
         "consistency GRACE copy; retention below that reopens the torn-" +
@@ -309,6 +312,10 @@ object CorpusStore {
           "a concurrent writer raced the swap; compaction aborted, corpus " +
           "untouched (re-run after the writer quiesces)")
     }
+    // a lease stolen during the staging write must abort before the flip
+    // (the staged generation above the pointer is unreachable garbage,
+    // swept by the next compaction's torn-generation sweep)
+    lease.foreach(WriterLease.check)
     writePointer(dir, cur + 1)
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       CorpusCompact.tombDir(dir, t).toString))
@@ -349,16 +356,17 @@ object CorpusStore {
     * contract): file count of the CURRENT generation or pending journal
     * batches past the factor. Returns true iff a compaction ran. */
   def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8,
-      targetFiles: Int = 0, graceGenerations: Int = 1): Boolean =
+      targetFiles: Int = 0, graceGenerations: Int = 1,
+      lease: Option[WriterLease.Lease] = None): Boolean =
     if (!isSnapshotMode(dir))
-      CorpusCompact.maybeCompact(spark, dir, factor, targetFiles)
+      CorpusCompact.maybeCompact(spark, dir, factor, targetFiles, lease)
     else {
       val target = math.max(1,
         if (targetFiles > 0) targetFiles
         else spark.sessionState.conf.numShufflePartitions)
       if (CorpusCompact.fileCount(resolve(dir)) > factor * target ||
           CorpusCompact.pendingTombstoneBatches(dir).size > factor) {
-        compactSnapshot(spark, dir, target, graceGenerations); true
+        compactSnapshot(spark, dir, target, graceGenerations, lease); true
       } else false
     }
 }

@@ -88,6 +88,32 @@ object ShingleIndex {
     * most n̄/frac distinct shingles can qualify), so reads broadcast it. */
   val stopDirName: String = "adv_doc_stopshingles"
 
+  /** Band-saturation auto-guard thresholds (round 15 — the one way the
+    * default ingest path died on realistic data). A corpus where most
+    * documents share a large boilerplate block puts them in the SAME band
+    * buckets (their minhash minima are the boilerplate's), so the per-batch
+    * screen's candidate set degrades toward delta × corpus and the
+    * phantom-guard broadcast aborts the driver (>1 GiB at sf10b, measured
+    * round 14). Saturation is detectable at WRITE time for free — the top
+    * (band, bucket) occupancy of the just-written band relation — so the
+    * register and the compaction measure it and auto-apply the boilerplate
+    * pruning ([[register]]'s `pruneDfFrac`, exactness already spec-proven
+    * for any stop set) instead of letting a zero-knob ingest discover the
+    * wall mid-stream.
+    *
+    * A bucket is saturating when it holds BOTH more than
+    * [[SaturationShare]] of the corpus (candidate sets then degrade toward
+    * that share × corpus per delta doc) and at least [[SaturationMinDocs]]
+    * documents — the absolute floor keeps small corpora (where a
+    * legitimate near-dup cluster can be a quarter of a 100-doc corpus, and
+    * the candidate sets are trivially small) from tripping the guard. */
+  val SaturationShare = 0.25
+  val SaturationMinDocs = 1000L
+
+  /** The df bound the auto-guard prunes at: shingles in ≥ half the corpus
+    * are boilerplate by any reading. Explicit `pruneDfFrac` overrides. */
+  val AutoPruneFrac = 0.5
+
   /** A live (appendable) index attachment: the postings and band relations
     * plus the banding geometry they were built with. `stop` carries the
     * stored boilerplate-shingle set when the index prunes its BAND basis
@@ -133,6 +159,14 @@ object ShingleIndex {
 
   private def intField(m: String, field: String): Option[Int] =
     s""""$field":(\\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
+
+  /** The corpus tag the index tracks — the [[WriterLease]] guard axis: a
+    * streaming ingest leases its corpus PATH, and that path is exactly
+    * this marker field, so maintenance on the index serving that corpus
+    * gates on the same lease the ingest holds. */
+  private def dirField(m: String): String =
+    """"dir":"([^"]*)"""".r.findFirstMatchIn(m).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(s"marker lacks dir: $m"))
 
   private def doubleField(m: String, field: String): Option[Double] =
     s""""$field":([0-9.eE+-]+)""".r.findFirstMatchIn(m)
@@ -190,9 +224,9 @@ object ShingleIndex {
     * marker from an interrupted append — force a rewrite. */
   def register(spark: SparkSession, dir: String, buckets: Int = 64,
       n: Int = 3, withBands: Boolean = false, guard: Boolean = true,
-      pruneDfFrac: Double = 0.0): Double =
+      pruneDfFrac: Double = 0.0, autoPrune: Boolean = true): Double =
     registerDocs(spark, dir, derive(spark, dir, n), buckets, n, withBands,
-      guard = guard, pruneDfFrac = pruneDfFrac)
+      guard = guard, pruneDfFrac = pruneDfFrac, autoPrune = autoPrune)
 
   /** Register the index for an arbitrary document frame under an arbitrary
     * identity `tag` (the streaming ingest registers its live corpus path
@@ -202,7 +236,8 @@ object ShingleIndex {
   def registerDocs(spark: SparkSession, tag: String, shingles: => DataFrame,
       buckets: Int = 64, n: Int = 3, withBands: Boolean = false,
       k: Int = 64, nBands: Int = 16, rowsPerBand: Int = 4,
-      guard: Boolean = true, pruneDfFrac: Double = 0.0): Double =
+      guard: Boolean = true, pruneDfFrac: Double = 0.0,
+      autoPrune: Boolean = true): Double =
     synchronized {
       // the stop set serves two consumers: the pruned BAND basis (with
       // bands) and the exact df-split of the prefix operators
@@ -223,8 +258,13 @@ object ShingleIndex {
         mm.startsWith(base + ",") && !isPoisoned(mm) &&
           (!withBands || sigSpec(mm).contains((k, nBands, rowsPerBand))) &&
           // the prune spec is identity too: bands built over a different
-          // basis are a different artifact
-          (if (pruneDfFrac == 0.0) !mm.contains(""""prune_df_frac":""")
+          // basis are a different artifact. A default-knob probe ACCEPTS a
+          // marker the auto-guard pruned (that is the same zero-knob path
+          // that wrote it); an explicit autoPrune=false probe — the A/B
+          // control binding — does not, and rewrites unpruned.
+          (if (pruneDfFrac == 0.0)
+            !mm.contains(""""prune_df_frac":""") ||
+              (autoPrune && mm.contains(""""auto_prune":true"""))
            else mm.contains(s""""prune_df_frac":$pruneDfFrac,"""))
       }
       if (markerOk && spark.catalog.tableExists(tableName) &&
@@ -283,17 +323,10 @@ object ShingleIndex {
         // whose similarity rests on saturated shingles alone can lose its
         // band collisions — on a corpus where those shingles saturate,
         // that pair is the template spam the screen exists to ignore.
-        val stopCount = if (pruneDfFrac > 0.0) {
-          val posted = spark.table(tableName)
-          val nDocs = posted.select("doc_id").distinct().count()
-          val bound = math.max(2L, math.ceil(pruneDfFrac * nDocs).toLong)
-          posted.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .filter(col("df") >= bound)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(warehousePath(spark, stopDirName).toString)
-          Some(spark.read.parquet(
-            warehousePath(spark, stopDirName).toString).count())
-        } else None
+        val stopCount =
+          if (pruneDfFrac > 0.0)
+            Some(writeStopSet(spark, spark.table(tableName), pruneDfFrac))
+          else None
         if (withBands) {
           // band derivation reads the just-written postings (minus the
           // just-written stop set when pruning — the marker doesn't exist
@@ -312,9 +345,56 @@ object ShingleIndex {
             .option("path", warehousePath(spark, bandsTableName).toString)
             .saveAsTable(bandsTableName)
         }
+        // band-saturation auto-guard (round 15): measure the top
+        // (band, bucket) occupancy of the just-written bands — one
+        // aggregate over a ~nBands-rows-per-doc relation, noise next to
+        // the write itself. A saturated basis means the per-batch ingest
+        // screen would degrade toward delta × corpus candidates (the
+        // measured sf10b driver abort), so the guard auto-applies the
+        // boilerplate pruning at [[AutoPruneFrac]] and rebuilds the bands
+        // over the pruned basis — the exact artifact an explicit
+        // pruneDfFrac register would have produced. If pruning doesn't
+        // desaturate (the hot mass is near-identical documents, not
+        // df-boilerplate — no stop set can split them), the register
+        // REFUSES here, at write time, naming the knobs: never a
+        // mid-stream driver abort.
+        val autoStop: Option[Long] =
+          if (withBands && pruneDfFrac == 0.0 && autoPrune) {
+            val top = topBandBucket(spark.table(bandsTableName))
+            lazy val nDocs =
+              spark.table(tableName).select("doc_id").distinct().count()
+            if (top < SaturationMinDocs ||
+                top.toDouble / nDocs <= SaturationShare) None
+            else {
+              val sc = writeStopSet(spark, spark.table(tableName),
+                AutoPruneFrac)
+              rewriteBandsOverStop(spark, k, nBands, rowsPerBand)
+              val topAfter = topBandBucket(spark.table(bandsTableName))
+              if (topAfter >= SaturationMinDocs &&
+                  topAfter.toDouble / nDocs > SaturationShare) {
+                // no marker was written yet — drop the half-built
+                // artifacts so nothing is reattachable, then refuse
+                spark.sql(s"DROP TABLE IF EXISTS $tableName")
+                spark.sql(s"DROP TABLE IF EXISTS $bandsTableName")
+                throw new IllegalStateException(
+                  s"band basis for '$tag' stays saturated after " +
+                    s"df-pruning at $AutoPruneFrac (top bucket " +
+                    s"$topAfter/$nDocs docs > $SaturationShare): the hot " +
+                    "mass is near-identical documents, not shared " +
+                    "boilerplate — a banded screen over this corpus " +
+                    "degrades toward delta x corpus candidates. Dedup the " +
+                    "corpus first, or register with an explicit " +
+                    "pruneDfFrac / autoPrune=false if the candidate " +
+                    "volume is intended.")
+              }
+              Some(sc)
+            }
+          } else None
         val sec = (System.nanoTime() - t0) / 1e9
         val sig = if (withBands) s""","sig":"$k/$nBands/$rowsPerBand"""" else ""
-        val prune = stopCount.fold("")(c =>
+        val prune = stopCount.fold(autoStop.fold("")(c =>
+          s""","prune_df_frac":$AutoPruneFrac,"auto_prune":true,""" +
+            s""""stop_count":$c"""))(c =>
           s""","prune_df_frac":$pruneDfFrac,"stop_count":$c""")
         // skew telemetry rides in the marker (the registerAdvised field
         // names), so reattach never re-scans and an operator can read the
@@ -328,6 +408,48 @@ object ShingleIndex {
         sec
       }
     }
+
+  /** Write the df-saturated stop set `(shingle, df)` at `frac`: shingles
+    * in ≥ frac × (distinct docs) of the postings. Bounded by construction
+    * (≤ n̄/frac distinct shingles can qualify), hence the coalesce(1).
+    * Returns the stop-set size. */
+  private def writeStopSet(spark: SparkSession, postings: DataFrame,
+      frac: Double): Long = {
+    val nDocs = postings.select("doc_id").distinct().count()
+    val bound = math.max(2L, math.ceil(frac * nDocs).toLong)
+    postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= bound)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(warehousePath(spark, stopDirName).toString)
+    spark.read.parquet(warehousePath(spark, stopDirName).toString).count()
+  }
+
+  /** Rebuild the band relation over postings-minus-stop (the auto-guard's
+    * repair step — the marker doesn't exist yet, so the basis is assembled
+    * locally like the explicit-prune register path). */
+  private def rewriteBandsOverStop(spark: SparkSession, k: Int, nBands: Int,
+      rowsPerBand: Int): Unit = {
+    val basis = spark.table(tableName).join(
+      broadcast(spark.read.parquet(
+        warehousePath(spark, stopDirName).toString).select(col("shingle"))),
+      Seq("shingle"), "left_anti")
+      .select(col("doc_id"), col("shingle"))
+    spark.sql(s"DROP TABLE IF EXISTS $bandsTableName")
+    graft.perf.Measure.deleteRecursively(
+      warehousePath(spark, bandsTableName).toString)
+    bandsOf(basis, k, nBands, rowsPerBand)
+      .write.mode("overwrite").format("parquet")
+      .option("path", warehousePath(spark, bandsTableName).toString)
+      .saveAsTable(bandsTableName)
+  }
+
+  /** Occupancy of the hottest (band, bucket) — the saturation signal (a
+    * document appears at most once per band, so this counts documents). */
+  private def topBandBucket(bands: DataFrame): Long = {
+    val r = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n")).as("mx")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** The stored boilerplate-shingle set `(shingle, df)` when the current
     * index identity prunes its band basis; None otherwise. */
@@ -592,7 +714,9 @@ object ShingleIndex {
     *
     * Returns seconds spent in the rewrite phase. Throws on an unregistered
     * or poisoned index. */
-  def compact(spark: SparkSession): Double = synchronized {
+  def compact(spark: SparkSession, autoPrune: Boolean = true,
+      lease: Option[WriterLease.Lease] = None): Double =
+    synchronized {
     val m = readMarker(spark).getOrElse(
       throw new IllegalStateException(
         s"$tableName is not registered — nothing to compact"))
@@ -600,14 +724,22 @@ object ShingleIndex {
       throw new IllegalStateException(
         s"$tableName marker carries an in-flight token — re-register to " +
           "heal before compacting")
+    // writer-lease gate BEFORE staging (round 15): a leased caller renews
+    // (a stolen handle aborts here, index untouched); an unleased manual
+    // run refuses while the tracked corpus's ingest holds a live lease
+    WriterLease.gate(dirField(m), lease, s"compact of $tableName")
     val t0 = System.nanoTime()
     // tombstone batches visible NOW are physically applied by the rewrite
     // (the staged artifacts are built from the tombstone-subtracted
     // relations) and swept after the swap — the purge contract
     val applied = pendingTombstoneBatches(spark)
-    val (tmpPost, tmpBands, tmpStop, stopCount) = prepareCompact(spark, m)
+    val (tmpPost, tmpBands, tmpStop, stopCount, adopted) =
+      prepareCompact(spark, m, autoPrune)
     val sec = (System.nanoTime() - t0) / 1e9
     val tok = java.util.UUID.randomUUID().toString
+    // re-check at the swap boundary: the staging can run for minutes, and
+    // a lease stolen inside it must abort before the poison/exchange
+    lease.foreach(WriterLease.check)
     beginSwap(spark, m, tok)
     swapCompacted(spark, m, tmpPost, tmpBands, tmpStop)
     // sweep inside the poisoned window: a kill here leaves a poisoned
@@ -615,16 +747,20 @@ object ShingleIndex {
     // tombstone batch can never be swept while its rows still exist
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       tombDir(spark, t).toString))
-    finalizeCompact(spark, m, stopCount)
+    finalizeCompact(spark, m, stopCount, adopted)
     sec
   }
 
   /** Rewrite phase of [[compact]], exposed for the kill-window spec: build
     * the compacted artifacts in sibling `_ctmp` directories. The live index
-    * is untouched and fully routable throughout — a kill in here is free. */
-  private[graft] def prepareCompact(spark: SparkSession, m: String)
+    * is untouched and fully routable throughout — a kill in here is free.
+    * The fifth element reports a band-saturation ADOPTION: the staged
+    * bands were rebuilt over a freshly staged stop set and the marker must
+    * record the pruning at finalize. */
+  private[graft] def prepareCompact(spark: SparkSession, m: String,
+      autoPrune: Boolean = true)
       : (java.nio.file.Path, Option[java.nio.file.Path],
-         Option[java.nio.file.Path], Option[Long]) = {
+         Option[java.nio.file.Path], Option[Long], Boolean) = {
     val buckets = effBuckets(m) // the count the files were written with
     if (!spark.catalog.tableExists(tableName)) attachPostingsDdl(spark, buckets)
     val hasBands = sigSpec(m).isDefined
@@ -671,19 +807,24 @@ object ShingleIndex {
         .coalesce(1).write.mode("overwrite").parquet(p.toString)
       (Some(p), Some(spark.read.parquet(p.toString).count()))
     }
-    val tmpBands = if (hasBands) {
+    def stageBandsOverStop(p: java.nio.file.Path,
+        stopTmp: java.nio.file.Path): Unit = {
+      val (k, nBands, rowsPerBand) = sigSpec(m).get
+      val basis = spark.read.parquet(tmpPost.toString)
+        .join(broadcast(spark.read.parquet(stopTmp.toString)
+          .select(col("shingle"))), Seq("shingle"), "left_anti")
+        .select(col("doc_id"), col("shingle"))
+      bandsOf(basis, k, nBands, rowsPerBand)
+        .coalesce(math.max(1, buckets / 8))
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val (tmpBands, tmpStopFinal, stopCountFinal, adopted) = if (hasBands) {
       val p = warehousePath(spark, bandsTableName + "_ctmp")
       graft.perf.Measure.deleteRecursively(p.toString)
       tmpStop match {
         case Some(stopTmp) =>
-          val (k, nBands, rowsPerBand) = sigSpec(m).get
-          val basis = spark.read.parquet(tmpPost.toString)
-            .join(broadcast(spark.read.parquet(stopTmp.toString)
-              .select(col("shingle"))), Seq("shingle"), "left_anti")
-            .select(col("doc_id"), col("shingle"))
-          bandsOf(basis, k, nBands, rowsPerBand)
-            .coalesce(math.max(1, buckets / 8))
-            .write.mode("overwrite").parquet(p.toString)
+          stageBandsOverStop(p, stopTmp)
+          (Some(p), tmpStop, stopCount, false)
         case None =>
           // bands are ~nBands rows/doc vs ~n̄ shingles/doc for the
           // postings — coalesce (narrow, no shuffle) to a fraction of the
@@ -691,10 +832,39 @@ object ShingleIndex {
           minusTombstones(spark, spark.table(bandsTableName))
             .coalesce(math.max(1, buckets / 8))
             .write.mode("overwrite").parquet(p.toString)
+          // band-saturation auto-guard at the frozen-artifact refresh
+          // point (round 15 — the STREAMING case of the register-time
+          // guard): an index registered over an empty corpus cannot be
+          // saturated at register time, but a boilerplate-spam ingest
+          // saturates it batch by batch, and compaction is where frozen
+          // band artifacts are re-assessed. When the staged bands show a
+          // saturating bucket, ADOPT the pruning here: stage the stop set
+          // from the compacted postings and restage the bands over the
+          // pruned basis; [[finalizeCompact]] records the adoption in the
+          // marker, so every later delta bands over the same stop set. A
+          // best-effort repair, never an abort — an ingest's maintenance
+          // must not kill the stream mid-batch.
+          val top = if (autoPrune) topBandBucket(spark.read.parquet(p.toString))
+            else 0L
+          lazy val nDocs = spark.read.parquet(tmpPost.toString)
+            .select("doc_id").distinct().count()
+          if (top >= SaturationMinDocs &&
+              top.toDouble / nDocs > SaturationShare) {
+            val stopP = warehousePath(spark, stopDirName + "_ctmp")
+            graft.perf.Measure.deleteRecursively(stopP.toString)
+            val posted = spark.read.parquet(tmpPost.toString)
+            val bound = math.max(2L, math.ceil(AutoPruneFrac * nDocs).toLong)
+            posted.groupBy("shingle").agg(count(lit(1)).as("df"))
+              .filter(col("df") >= bound)
+              .coalesce(1).write.mode("overwrite").parquet(stopP.toString)
+            val sc = spark.read.parquet(stopP.toString).count()
+            graft.perf.Measure.deleteRecursively(p.toString)
+            stageBandsOverStop(p, stopP)
+            (Some(p), Some(stopP), Some(sc), true)
+          } else (Some(p), None, None, false)
       }
-      Some(p)
-    } else None
-    (tmpPost, tmpBands, tmpStop, stopCount)
+    } else (None, tmpStop, stopCount, false)
+    (tmpPost, tmpBands, tmpStopFinal, stopCountFinal, adopted)
   }
 
   /** Swap phase 1 of [[compact]]: poison the marker with the in-flight
@@ -740,16 +910,24 @@ object ShingleIndex {
     * survives compaction) with a bumped `compactions` counter, ending the
     * poisoned window. */
   private[graft] def finalizeCompact(spark: SparkSession, m: String,
-      stopCount: Option[Long] = None): Unit = {
+      stopCount: Option[Long] = None, adopted: Boolean = false): Unit = {
     val bumped = intField(m, "compactions") match {
       case Some(c) =>
         m.replaceAll(""""compactions":\d+""", s""""compactions":${c + 1}""")
       case None => m.stripSuffix("}") + ""","compactions":1}"""
     }
     // a pruned index re-froze its saturation set from the compacted
-    // postings — record the refreshed size
-    val patched = stopCount.fold(bumped)(c =>
-      bumped.replaceAll(""""stop_count":\d+""", s""""stop_count":$c"""))
+    // postings — record the refreshed size; a compaction that ADOPTED
+    // pruning (band saturation detected on a previously unpruned index)
+    // records the full prune spec, so every later delta bands over the
+    // same frozen stop set the staged bands were rebuilt with
+    val patched =
+      if (adopted)
+        bumped.stripSuffix("}") +
+          s""","prune_df_frac":$AutoPruneFrac,"auto_prune":true,""" +
+          s""""stop_count":${stopCount.getOrElse(0L)}}"""
+      else stopCount.fold(bumped)(c =>
+        bumped.replaceAll(""""stop_count":\d+""", s""""stop_count":$c"""))
     writeMarker(spark, patched)
   }
 
@@ -767,7 +945,8 @@ object ShingleIndex {
     * sf10 numbers (ingest screen 1.5 → 7.0 s/batch over 20 appends,
     * compact 13.7 s) a factor of ~8-16 keeps the screen within ~2× of
     * fresh while amortizing the rewrite over that many batches. */
-  def maybeCompact(spark: SparkSession, factor: Int = 8): Boolean =
+  def maybeCompact(spark: SparkSession, factor: Int = 8,
+      lease: Option[WriterLease.Lease] = None): Boolean =
     synchronized {
       readMarker(spark).filter(!isPoisoned(_)).exists { m =>
         val (pf, _) = fileCounts(spark)
@@ -776,7 +955,7 @@ object ShingleIndex {
         // tombstone-aware read pays one anti-join input per batch)
         if (pf > factor * effBuckets(m) ||
             pendingTombstoneBatches(spark).size > factor) {
-          compact(spark); true
+          compact(spark, lease = lease); true
         } else false
       }
     }

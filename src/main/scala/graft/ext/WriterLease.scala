@@ -201,4 +201,35 @@ object WriterLease {
     val lease = acquire(dir, owner, ttlMs)
     try body(lease) finally release(lease)
   }
+
+  /** Maintenance-writer gate (round 15 — "a manual maintenance run racing
+    * a scheduled one", the race this class names as its target, refused
+    * rather than merely tripwired). Heavy maintenance entry points
+    * (compact / retrain / maybeCompact on every store) call this at phase
+    * boundaries:
+    *
+    *   - holding a lease: verify it still covers `dir` and RENEW — a
+    *     stolen or expired holder aborts here, before staging or swapping
+    *     anything over the new writer's work;
+    *   - holding none: refuse iff someone ELSE holds a live lease on the
+    *     store — an unleased manual run must not race a leased scheduled
+    *     one. An unleased store (no lease file, or released/expired) keeps
+    *     the old behavior: maintenance proceeds under the single-writer
+    *     convention, backstopped by the staging tripwires. */
+  def gate(dir: String, lease: Option[Lease], what: String): Unit =
+    lease match {
+      case Some(l) =>
+        require(l.dir == dir,
+          s"$what on $dir was passed a lease for ${l.dir} — a lease fences " +
+            "exactly the directory it was acquired on")
+        renew(l); ()
+      case None => holder(dir) match {
+        case Some((owner, epoch, true)) => throw new IllegalStateException(
+          s"$what on $dir refused: '$owner' (epoch $epoch) holds a live " +
+            "writer lease — pass that lease, or wait for release/expiry " +
+            "(an unleased maintenance run racing a leased writer is the " +
+            "double-write this lease exists to prevent)")
+        case _ => ()
+      }
+    }
 }

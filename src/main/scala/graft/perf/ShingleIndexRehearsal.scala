@@ -57,6 +57,12 @@ object ShingleIndexRehearsal {
     // screen's candidate axis) and the prefix ops take the stop set as the
     // exact broadcast df-split. 0 = off (the control binding).
     val pruneFrac = sys.env.getOrElse("SPARK_GRAFT_SHINGLE_PRUNE", "0").toDouble
+    // SPARK_GRAFT_SHINGLE_AUTOPRUNE=off disables the round-15 band-
+    // saturation auto-guard — the A/B control binding that reproduces the
+    // round-14 prune-off behavior (the measured sf10b driver abort). The
+    // DEFAULT binding now runs the guard: zero knobs must be green.
+    val autoPruneOn =
+      !sys.env.get("SPARK_GRAFT_SHINGLE_AUTOPRUNE").contains("off")
     require(Set("all", "stored", "derived", "compact").contains(mode),
       s"SPARK_GRAFT_SHINGLE_MODE must be all|stored|derived|compact, got $mode")
 
@@ -76,7 +82,7 @@ object ShingleIndexRehearsal {
       }
       val writeSec = ShingleIndex.registerDocs(spark, sfDir,
         ShingleIndex.derive(spark, sfDir), buckets, withBands = true,
-        pruneDfFrac = pruneFrac)
+        pruneDfFrac = pruneFrac, autoPrune = autoPruneOn)
       val docs = spark.table("documents")
       val nAppends = sys.env.getOrElse("SPARK_GRAFT_APPENDS", "20").toInt
       val appendSec = (0 until nAppends).map { i =>
@@ -114,9 +120,13 @@ object ShingleIndexRehearsal {
       batch.unpersist()
       def f1(v: Double) =
         BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      // surface whether the guard auto-pruned (marker field), so the A/B
+      // JSON lines carry the binding that actually ran
+      val autoPruned = ShingleIndex.readMarker(spark)
+        .exists(_.contains(""""auto_prune":true"""))
       println(s"""{"metric":"shingle_index_compact","sf":"$sfDir",""" +
         s""""buckets":$buckets,"runs":$runs,"appends":$nAppends,""" +
-        s""""prune":$pruneFrac,""" +
+        s""""prune":$pruneFrac,"auto_prune":$autoPruned,""" +
         s""""write_sec":${f1(writeSec)},"append_total_sec":${f1(appendSec)},""" +
         s""""files_before":{"postings":$pfB,"bands":$bfB},""" +
         s""""files_after":{"postings":$pfA,"bands":$bfA},""" +
@@ -143,7 +153,7 @@ object ShingleIndexRehearsal {
       if (mode == "derived") (0.0, 0.0)
       else if (mode == "stored") {
         (ShingleIndex.register(spark, sfDir, buckets, guard = guardOn,
-          pruneDfFrac = pruneFrac), 0.0)
+          pruneDfFrac = pruneFrac, autoPrune = autoPruneOn), 0.0)
       } else {
         spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
         Measure.deleteRecursively(java.nio.file.Paths.get(

@@ -1445,6 +1445,63 @@ object CorpusAnalytics {
         SELECT split, label, n,
           ROUND(CAST(n AS DOUBLE) / CAST(n_split AS DOUBLE), 6) AS share
         FROM bs JOIN st USING (split)
-        ORDER BY split, label"""))
+        ORDER BY split, label""")),
+
+    // ── snapshot time travel (round 15, verdict task 7): generations
+    //    freeze at the compaction that supersedes them, `readAt(g)` pins
+    //    that frozen row set, and RETRACTIONS PASS THROUGH — a takedown
+    //    never resurfaces via a historical read. Built live in a temp
+    //    snapshot corpus: gen 1 = even docs (frozen by compaction 1),
+    //    gen 2 = even ∪ odd (appends land in the current generation;
+    //    frozen by compaction 2), then a pending tombstone batch hits
+    //    BOTH parities. Pinned: readAt(1) ≡ even minus retracted,
+    //    readAt(2) ≡ all minus retracted ≡ the current read ──────────────
+    Q(
+      "q_corpus_readat",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        val corpus = java.nio.file.Files
+          .createTempDirectory("graft-corpus-readat").toString
+        graft.ext.CorpusStore.init(corpus)
+        graft.ext.CorpusStore.append(s, corpus,
+          d.filter(pmod(col("doc_id"), lit(2)) === 0))
+        graft.ext.CorpusStore.compactSnapshot(s, corpus, targetFiles = 2,
+          graceGenerations = 2) // gen 1 freezes (= even docs)
+        graft.ext.CorpusStore.append(s, corpus,
+          d.filter(pmod(col("doc_id"), lit(2)) === 1))
+        graft.ext.CorpusStore.compactSnapshot(s, corpus, targetFiles = 2,
+          graceGenerations = 2) // gen 2 freezes (= all docs)
+        val dead = d.filter(pmod(col("doc_id"), lit(10)) <= 1)
+          .select("doc_id") // both parities — every phase must lose rows
+        graft.ext.CorpusCompact.tombstone(s, corpus, dead,
+          token = Some("face-readat"))
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) = {
+          val aggDf = df.groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+            .withColumn("phase", lit(phase))
+          s.createDataFrame(
+            java.util.Arrays.asList(aggDf.collect(): _*), aggDf.schema)
+        }
+        val out = agg(graft.ext.CorpusStore.readAt(s, corpus, 1L), "gen1")
+          .unionByName(agg(graft.ext.CorpusStore.readAt(s, corpus, 2L), "gen2"))
+          .unionByName(agg(graft.ext.CorpusStore.read(s, corpus), "current"))
+          .orderBy(col("phase"), col("source"))
+        graft.perf.Measure.deleteRecursively(corpus)
+        out
+      },
+      Some("""WITH surv AS (SELECT * FROM documents WHERE doc_id % 10 > 1),
+          g1 AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM surv WHERE doc_id % 2 = 0 GROUP BY source),
+          full_ AS (SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM surv GROUP BY source)
+        SELECT source, n_docs, chars, 'gen1' AS phase FROM g1
+        UNION ALL
+        SELECT source, n_docs, chars, 'gen2' AS phase FROM full_
+        UNION ALL
+        SELECT source, n_docs, chars, 'current' AS phase FROM full_
+        ORDER BY phase, source"""))
   )
 }

@@ -138,5 +138,13 @@ object NlFaces {
     // items joined to LFA1 to filter by NAME1
     nlFace("vendor_by_name",
       "Show me all open vendor items (unpaid invoices) for vendor Acme Corp",
-      "Unpaid vendor invoices by vendor name", "q_tmpl_open_cleared_union"))
+      "Unpaid vendor invoices by vendor name", "q_tmpl_open_cleared_union"),
+    // ── round 15: the payroll report family (verdict task 5) — the PII
+    // aggregate axis DISTINCT from headcount: a salary SUM over the fanned
+    // payroll-results join, with both gate halves pinned (the aggregate
+    // routes and runs; the same session's naked person-level listing stays
+    // governance-blocked)
+    nlFace("payroll",
+      "Show me payroll by department",
+      "payroll_by_department", "q_tmpl_payroll_dept", piiAggOnly = true))
 }

@@ -1043,5 +1043,125 @@ object TemplateAnalogs {
           MAX(CAST(o_orderdate AS DATE)) AS last_posting
         FROM orders
         GROUP BY o_custkey % 100, o_orderpriority
-        ORDER BY user_bucket, o_orderpriority""")))
+        ORDER BY user_bucket, o_orderpriority""")),
+
+    // ── vendor_spend_by_quarter (SapTemplates, RBKP/RSEG/LFA1): invoice
+    //    receipts rolled to QUARTERS — the one date-bucketing axis (quarter
+    //    derivation from the header posting date into a 'YYYY-Qn' label) no
+    //    other analog exercises. Mapped: orders=invoice header (BUDAT →
+    //    o_orderdate, STBLG reversal screen → status filter), lineitem=
+    //    invoice items (DMBTR → l_extendedprice), supplier=LFA1. Plan: the
+    //    item side pre-aggregates per (order, supplier) BEFORE the header
+    //    join (shrinks the shuffle), quarters derive after the join, and
+    //    the bounded supplier dim broadcasts in last for the name ─────────
+    Q(
+      "q_tmpl_vendor_spend_quarter",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val items = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(money(col("l_extendedprice"))).as("amt_dec"))
+        items
+          .join(o.filter(col("o_orderstatus") =!= "P")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_suppkey"),
+            concat(year(col("o_orderdate")).cast("string"), lit("-Q"),
+              quarter(col("o_orderdate")).cast("string")).as("quarter"))
+          .agg(sum(col("amt_dec")).cast("double").as("spend"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("quarter"), col("spend"))
+          .orderBy(col("quarter"), col("spend").desc, col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name,
+          CONCAT(CAST(year(o_orderdate) AS VARCHAR), '-Q',
+                 CAST(quarter(o_orderdate) AS VARCHAR)) AS quarter,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE o_orderstatus <> 'P'
+        GROUP BY s_suppkey, s_name, year(o_orderdate), quarter(o_orderdate)
+        ORDER BY quarter, spend DESC, s_suppkey""")),
+
+    // ── single-document display (SapTemplates tcode_va03 / tcode_fb03 /
+    //    tcode_me23n): the highest-traffic interactive SAP shape — ONE
+    //    document by key, fanned across header + items + partner dim +
+    //    LEFT-joined text table, with the FB03 debit/credit CASE split on
+    //    the indicator. Mapped: orders=VBAK header, lineitem=VBAP items,
+    //    customer=KNA1, part=MAKT text (LEFT — a missing text must not drop
+    //    the item). 100 TB shape: the document key pushes into BOTH scans
+    //    (PushedFilters on o_orderkey and l_orderkey — a point lookup reads
+    //    row-group-pruned slivers, never the tables), dims broadcast ──────
+    Q(
+      "q_tmpl_doc_display",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") === 1)
+        val l = t(s, dir, "lineitem").filter(col("l_orderkey") === 1)
+        val c = t(s, dir, "customer")
+        val p = t(s, dir, "part")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left")
+          .select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("o_orderstatus"), col("c_name").as("customer_name"),
+            col("l_linenumber").cast("long").as("line_no"), col("l_partkey"),
+            col("p_name").as("material_text"),
+            qty(col("l_quantity")).cast("double").as("quantity"),
+            money(col("l_extendedprice")).cast("double").as("net_value"),
+            when(col("l_returnflag") =!= "R", money(col("l_extendedprice")))
+              .otherwise(lit(0)).cast("double").as("debit"),
+            when(col("l_returnflag") === "R", money(col("l_extendedprice")))
+              .otherwise(lit(0)).cast("double").as("credit"))
+          .orderBy(col("line_no"))
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+          o_orderstatus, c_name AS customer_name,
+          CAST(l_linenumber AS BIGINT) AS line_no, l_partkey,
+          p_name AS material_text,
+          CAST(CAST(l_quantity AS DECIMAL(18,3)) AS DOUBLE) AS quantity,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS net_value,
+          CAST(CASE WHEN l_returnflag <> 'R'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END AS DOUBLE) AS debit,
+          CAST(CASE WHEN l_returnflag = 'R'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END AS DOUBLE) AS credit
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN part ON l_partkey = p_partkey
+        WHERE o_orderkey = 1
+        ORDER BY line_no""")),
+
+    // ── payroll_by_department (SapTemplates, HRPY_RGDIR/PA0001/PA0008):
+    //    the PII aggregate axis DISTINCT from headcount — COUNT(DISTINCT
+    //    employee) against a fanned payroll-results join, plus the salary
+    //    SUM over the JOINED (multiplied) relation, exactly the template's
+    //    own semantics (PA0008 multiplies per RGDIR row — reproduced, not
+    //    'fixed'). Mapped: orders=RGDIR payroll results (several per
+    //    person), customer=PA0001/PA0008 (salary → c_acctbal), nation=org
+    //    unit. One shuffle (the custkey join); org dim broadcasts ─────────
+    Q(
+      "q_tmpl_payroll_dept",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("org_unit"))
+          .agg(countDistinct(col("o_custkey")).as("n_employees"),
+            sum(money(col("c_acctbal"))).cast("double")
+              .as("total_annual_salary"))
+          .orderBy(col("org_unit"))
+      },
+      Some("""SELECT n_name AS org_unit,
+          COUNT(DISTINCT o_custkey) AS n_employees,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_annual_salary
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY org_unit""")))
 }

@@ -269,9 +269,16 @@ object DocsStream {
       // the corpus store itself (resumable swap in flat mode; pointer-
       // flipped snapshot generations in snapshot mode, where a concurrent
       // external reader mid-compaction keeps an intact generation)
+      // the ingest's own lease rides into the maintenance (round 15): the
+      // lease-gated compactions renew at their phase boundaries, so a
+      // maintenance pass that outlives a steal aborts mid-flight instead
+      // of swapping over the new writer's store — and a MANUAL unleased
+      // compact racing this leased ingest is refused by the same gate
       for (f <- autoCompactFactor) {
-        if (live.isDefined) graft.ext.ShingleIndex.maybeCompact(spark, f)
-        graft.ext.CorpusStore.maybeCompact(spark, corpusPath, f)
+        if (live.isDefined)
+          graft.ext.ShingleIndex.maybeCompact(spark, f, lease = lease)
+        graft.ext.CorpusStore.maybeCompact(spark, corpusPath, f,
+          lease = lease)
       }
     } finally { s.unpersist(); cleanup() }
   }

@@ -568,7 +568,7 @@ class ShingleIndexSpec extends AnyFunSuite {
       // — the marker vanished with the old dir; nothing serves, register
       // heals by rewrite
       val mC = ShingleIndex.readMarker(spark).get
-      val (tp, tb, ts, _) = ShingleIndex.prepareCompact(spark, mC)
+      val (tp, tb, ts, _, _) = ShingleIndex.prepareCompact(spark, mC)
       ShingleIndex.beginSwap(spark, mC, "kill-swap-2")
       ShingleIndex.swapCompacted(spark, mC, tp, tb, ts)
       assert(ShingleIndex.readMarker(spark).isEmpty,

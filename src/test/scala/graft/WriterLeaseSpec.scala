@@ -106,6 +106,84 @@ class WriterLeaseSpec extends AnyFunSuite {
       "withLease must release on an exceptional exit")
   }
 
+  test("maintenance writers are lease-gated: a manual run racing a leased ingest is refused, a stale lease aborts before staging") {
+    import spark.implicits._
+    val corpus = tmp("graft-lease-maint")
+    val batch = (1 to 8).map(i =>
+      (i.toLong, s"document number $i with plenty of distinct words here"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val a = WriterLease.acquire(corpus, "ingest-a", ttlMs = 60000L)
+    DocsStream.ingestStep(corpus, 0.8, None, Some(a))(batch, 0L)
+    // the race WriterLease's own doc names: a MANUAL (unleased) compact
+    // while the scheduled ingest holds the lease — refused up front, with
+    // the corpus untouched
+    val filesBefore = graft.ext.CorpusCompact.fileCount(corpus)
+    val e = intercept[IllegalStateException] {
+      graft.ext.CorpusCompact.compact(spark, corpus) }
+    assert(e.getMessage.contains("ingest-a") &&
+      e.getMessage.contains("refused"), e.getMessage)
+    assert(graft.ext.CorpusCompact.fileCount(corpus) == filesBefore,
+      "a refused compact must leave the corpus untouched")
+    // the holder's OWN maintenance proceeds (and renews through the gate)
+    graft.ext.CorpusCompact.compact(spark, corpus, lease = Some(a))
+    assert(spark.read.parquet(corpus).count() == 8L)
+
+    // the shingle index SERVING this corpus gates on the same lease — its
+    // marker records the corpus tag, which is exactly the leased directory
+    import graft.ext.ShingleIndex
+    spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
+    graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      ShingleIndex.tableName).toString)
+    ShingleIndex.registerDocs(spark, corpus,
+      graft.ext.Dedup.hashedShingles(batch, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "shingle"), buckets = 4)
+    val e2 = intercept[IllegalStateException] {
+      ShingleIndex.compact(spark) }
+    assert(e2.getMessage.contains("ingest-a"), e2.getMessage)
+    ShingleIndex.compact(spark, lease = Some(a))
+    spark.sql(s"DROP TABLE IF EXISTS ${ShingleIndex.tableName}")
+    graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      ShingleIndex.tableName).toString)
+
+    // a STALE lease (holder frozen past TTL, another writer took over)
+    // aborts at the gate BEFORE staging — never swaps over the thief's work
+    WriterLease.release(a)
+    val frozen = WriterLease.acquire(corpus, "ingest-a", ttlMs = 1L)
+    Thread.sleep(20)
+    val thief = WriterLease.acquire(corpus, "ingest-b", ttlMs = 60000L)
+    intercept[IllegalStateException] {
+      graft.ext.CorpusCompact.compact(spark, corpus, lease = Some(frozen)) }
+    assert(spark.read.parquet(corpus).count() == 8L,
+      "a fenced compact must leave the corpus untouched")
+    WriterLease.release(thief)
+  }
+
+  test("ANN maintenance honors the lease on the index dir") {
+    import org.apache.spark.sql.functions.pmod
+    val emb = Tables(spark, sf, "embeddings")
+    val idx = tmp("graft-lease-ann")
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val (cents, indexed) = graft.ext.AnnIndex.buildIvf(base, nCells = 8)
+    graft.ext.AnnIndex.writeIvf(idx, cents, indexed, nCells = 8)
+    val holder = WriterLease.acquire(idx, "vec-ingest", ttlMs = 60000L)
+    val e = intercept[IllegalStateException] {
+      graft.ext.AnnIndex.compact(spark, idx) }
+    assert(e.getMessage.contains("vec-ingest"), e.getMessage)
+    intercept[IllegalStateException] {
+      graft.ext.AnnIndex.retrain(spark, idx) }
+    // the holder's own maintenance runs; search still answers afterwards
+    graft.ext.AnnIndex.compact(spark, idx, lease = Some(holder))
+    graft.ext.AnnIndex.retrain(spark, idx, lease = Some(holder))
+    assert(graft.ext.AnnIndex.searchIvf(spark, idx,
+      emb.filter(col("vec_id") < 5), 3).count() > 0)
+    WriterLease.release(holder)
+    graft.perf.Measure.deleteRecursively(idx)
+  }
+
   test("a fenced ingest batch aborts before touching any store; the new holder proceeds") {
     import spark.implicits._
     val corpus = tmp("graft-lease-ingest")
