@@ -138,9 +138,11 @@ object AnnIndex {
     indexed.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
     // a full rebuild replaces every artifact — a torn-compaction sentinel
-    // (if any) and pending tombstones no longer describe anything real
+    // (if any), pending tombstones, and the probe profile no longer
+    // describe anything real
     java.nio.file.Files.deleteIfExists(sentinelPath(dir))
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
+    graft.perf.Measure.deleteRecursively(probePath(dir))
     // fit journal baseline: ivf is the self-contained family (raw vectors
     // in hand), so the build can journal its own fit profile — measured on
     // the files just WRITTEN, not on the unmaterialized assignment plan
@@ -346,6 +348,7 @@ object AnnIndex {
     // stale telemetry cleared; no build baseline — the write path holds
     // codes, not raw vectors. driftStats bootstraps from the first append.
     graft.perf.Measure.deleteRecursively(driftPath(dir))
+    graft.perf.Measure.deleteRecursively(probePath(dir))
   }
 
   def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -987,6 +990,9 @@ object AnnIndex {
     swapCompactedArtifacts(dir, artifacts, suffix = ".retrain")
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       annTombDir(dir, t).toString))
+    // the probe profile describes the OLD geometry — wiped inside the
+    // sentinel window (next auto search re-profiles against the new cells)
+    graft.perf.Measure.deleteRecursively(probePath(dir))
     finalizeCompactSwap(dir)
     sec
   }
@@ -1039,6 +1045,150 @@ object AnnIndex {
           "data-independent (nothing to retrain); pq has no coarse " +
           "quantizer (rebuild via writePq)")
     }
+  }
+
+  // ── recall-aware probe sizing (round 15, verdict task 6) ───────────────
+  //
+  // Build-time geometry self-sizes (√n cells) but search-time `nprobe` was
+  // a CONSTANT — and a constant that yields recall 0.12 on one corpus may
+  // waste 10× candidates on another. The mechanism: one bounded profiling
+  // pass estimates, for every nprobe, (a) a recall proxy — the fraction of
+  // true top-k neighbors of a held-out stored-vector sample whose HOME
+  // cell sits within the query's first nprobe probed cells (ground truth
+  // from one brute-force pass of the sample over the stored corpus — the
+  // same cost class as a compaction, paid at the trained-artifact refresh
+  // cadence, never per query) — and (b) candidates/query — the mean
+  // cumulative occupancy of the first nprobe probed cells. The profile
+  // persists next to the index (`probe.parquet`, a trained artifact like
+  // the centroids: wiped by write*/retrain, drifting only as far as the
+  // appends since — the maintenance cadence bounds it), and
+  // [[autoNprobe]] picks the smallest nprobe meeting a stated recall
+  // target inside a stated candidate budget.
+
+  private def probePath(dir: String): String = s"$dir/probe.parquet"
+
+  /** One profiled operating point: probing the first `nprobe` cells yields
+    * an estimated `recallProxy` at `candidatesPerQuery` scored vectors. */
+  final case class ProbePoint(nprobe: Int, recallProxy: Double,
+      candidatesPerQuery: Double)
+
+  /** Profile recall-vs-candidates per nprobe and persist the table. One
+    * bounded pass: `sampleQ` held-out stored vectors as pseudo-queries,
+    * brute-force top-`k` over the stored corpus as ground truth, probe
+    * ranks from the SAME (sim desc, cell asc) order [[Similarity.ivfProbes]]
+    * uses — so "rank ≤ nprobe" is exactly "searchIvf at that nprobe scores
+    * this neighbor's cell". `ivf` is self-contained; `ivfpq` needs the raw
+    * `corpus` (codes are not invertible — the proxy is then measured on
+    * coarse-cell coverage, the recall ceiling the quantizer cannot exceed). */
+  def profileProbes(spark: SparkSession, dir: String, k: Int = 10,
+      sampleQ: Int = 256, corpus: Option[DataFrame] = None): Seq[ProbePoint] = {
+    val (kind, _, _, _, _) = readParams(spark, dir)
+    require(kind == "ivf" || (kind == "ivfpq" && corpus.isDefined),
+      s"profileProbes on a '$kind' index" + (if (kind == "ivfpq")
+        " needs corpus=(vec_id, embedding) — codes are not invertible"
+      else " — no coarse cells to probe"))
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val (vectors, cellOf) =
+      if (kind == "ivf") {
+        val v = minusTombs(spark, dir,
+          spark.read.parquet(s"$dir/vectors.parquet")
+            .withColumn("cell", col("cell").cast("long")))
+        (v.select(col("vec_id"), col("embedding")),
+          v.select(col("vec_id").as("cid"), col("cell").as("ncell")))
+      } else {
+        val codes = minusTombs(spark, dir,
+          spark.read.parquet(s"$dir/codes.parquet")
+            .withColumn("cell", col("cell").cast("long")))
+        (corpus.get.select(col("vec_id"), col("embedding")),
+          codes.select(col("vec_id").as("cid"), col("cell").as("ncell")))
+      }
+    val qs = measureSample(vectors, sampleQ).cache()
+    try {
+      // probe order of every cell per sample query — sampleQ × nCells
+      // rows, the bounded frame the whole profile derives from
+      val sim = coalesce(nanvl(try_divide(
+        Similarity.dot(col("embedding"), col("centroid")),
+        Similarity.l2norm(col("embedding")) *
+          Similarity.l2norm(col("centroid"))), lit(0.0)), lit(0.0))
+      val ranks = qs
+        .join(broadcast(cents.select(col("cell").as("ncell"), col("centroid"))))
+        .select(col("vec_id").as("qid"), col("ncell"), sim.as("sim"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("ncell").asc)))
+        .select(col("qid"), col("ncell"), col("rank")).cache()
+      // ground truth (one corpus pass), then each neighbor's probe rank
+      val truth = Similarity.cosineTopK(vectors, qs, k)
+        .select(col("qid"), col("cid"))
+        .join(cellOf, Seq("cid"))
+        .join(ranks, Seq("qid", "ncell"))
+      val hist = truth.groupBy(col("rank")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val occ = cellOf.groupBy(col("ncell")).agg(count(lit(1)).as("occ"))
+      val cand = ranks.join(occ, Seq("ncell"), "left")
+        .groupBy(col("rank"))
+        .agg(sum(coalesce(col("occ"), lit(0L))).as("osum"),
+          count(lit(1)).as("nq"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      ranks.unpersist()
+      val nCellsSeen = if (cand.isEmpty) 0 else cand.keys.max
+      val totalTruth = math.max(1L, hist.values.sum)
+      val nQueries = math.max(1L, cand.get(1).map(_._2).getOrElse(1L))
+      var cumHit = 0L
+      var cumOcc = 0.0
+      val profile = (1 to nCellsSeen).map { np =>
+        cumHit += hist.getOrElse(np, 0L)
+        cumOcc += cand.get(np).map(_._1).getOrElse(0L).toDouble / nQueries
+        ProbePoint(np, cumHit.toDouble / totalTruth, cumOcc)
+      }
+      import spark.implicits._
+      profile.map(p => (p.nprobe, p.recallProxy, p.candidatesPerQuery))
+        .toDF("nprobe", "recall_proxy", "candidates_per_query")
+        .coalesce(1).write.mode("overwrite").parquet(probePath(dir))
+      profile
+    } finally { qs.unpersist(); () }
+  }
+
+  /** The persisted probe profile, if one has been computed for the current
+    * trained geometry (rebuilds and retrains wipe it). */
+  def storedProbeProfile(spark: SparkSession, dir: String): Option[Seq[ProbePoint]] = {
+    refuseTorn(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir))))
+      None
+    else Some(spark.read.parquet(probePath(dir))
+      .select("nprobe", "recall_proxy", "candidates_per_query").collect()
+      .map(r => ProbePoint(r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_.nprobe).toSeq)
+  }
+
+  /** Recall-aware probe sizing: the smallest nprobe whose profiled recall
+    * proxy meets `targetRecall` while its candidates/query stay within
+    * `candidateBudgetFrac` of the full-probe mass (= the index size per
+    * query). When no point under budget meets the target, the HIGHEST
+    * recall under budget wins (recall is monotone in nprobe) — the budget
+    * is the hard constraint, the target the goal. Profiles on demand (one
+    * bounded pass, persisted) when none is stored. */
+  def autoNprobe(spark: SparkSession, dir: String, k: Int = 10,
+      targetRecall: Double = 0.8, candidateBudgetFrac: Double = 0.1,
+      sampleQ: Int = 256, corpus: Option[DataFrame] = None): Int = {
+    val profile = storedProbeProfile(spark, dir)
+      .getOrElse(profileProbes(spark, dir, k, sampleQ, corpus))
+    require(profile.nonEmpty, s"empty probe profile for $dir")
+    val budget = candidateBudgetFrac * profile.last.candidatesPerQuery
+    val eligible = profile.filter(_.candidatesPerQuery <= budget + 1e-9)
+    eligible.find(_.recallProxy >= targetRecall)
+      .orElse(eligible.lastOption)
+      .getOrElse(profile.head).nprobe
+  }
+
+  /** [[searchIvf]] with the nprobe picked by [[autoNprobe]] — returns the
+    * results plus the chosen nprobe (bit-identical to `searchIvf` at that
+    * value; AnnIndexSpec pins it). */
+  def searchIvfAuto(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, targetRecall: Double = 0.8,
+      candidateBudgetFrac: Double = 0.1): (DataFrame, Int) = {
+    val np = autoNprobe(spark, dir, k, targetRecall, candidateBudgetFrac)
+    (searchIvf(spark, dir, queries, k, nprobe = np), np)
   }
 
   /** Self-sizing retrain trigger (the [[maybeCompact]] of geometry): retrain

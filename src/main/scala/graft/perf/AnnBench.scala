@@ -172,6 +172,91 @@ object AnnBench {
       return
     }
 
+    // SPARK_GRAFT_ANN_MODE=autoprobe (round 15 — the search-time half of
+    // the √n geometry story): same corpus + drift plant as the drift mode,
+    // but the measured axis is PROBE SIZING. Fixed nprobe (default 4) vs
+    // the recall-aware auto pick, recall@10 against brute-force ground
+    // truth over the union, candidates/query from the stored occupancy —
+    // in-distribution and drifted query populations separated, frozen
+    // index and retrained index both measured (the auto pick re-profiles
+    // after the retrain: the profile is a trained artifact). One JSON
+    // line, then exit (fresh-JVM protocol).
+    if (sys.env.get("SPARK_GRAFT_ANN_MODE").contains("autoprobe")) {
+      val dir = s"$root/ivf-autoprobe"
+      val fixedNp = sys.env.getOrElse("SPARK_GRAFT_ANN_NPROBE", "4").toInt
+      val target = sys.env.getOrElse("SPARK_GRAFT_ANN_TARGET", "0.8").toDouble
+      val budgetFrac =
+        sys.env.getOrElse("SPARK_GRAFT_ANN_BUDGET", "0.1").toDouble
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val drifted = e.select((col("vec_id") + maxId + 1L).as("vec_id"),
+        expr("""transform(concat(slice(embedding, 17, 48),
+                 slice(embedding, 1, 16)),
+               x -> cast(0.7 * x + 0.7 as float))""").as("embedding"))
+      val union = e.select(col("vec_id"), col("embedding"))
+        .unionByName(drifted).cache()
+      sink(union)
+      val (c, indexed) = AnnIndex.buildIvf(e, nCells = nCells,
+        refineIters = 2)
+      AnnIndex.writeIvf(dir, c, indexed, nCells = nCells)
+      AnnIndex.appendIvf(spark, dir, drifted)
+      val qry = e.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 5)
+        .unionByName(drifted.filter(col("vec_id") < maxId + 6L)).cache()
+      sink(qry)
+      val exactDf = graft.ext.Similarity.cosineTopK(union, qry, 10)
+        .select(col("qid"), col("cid")).cache()
+      sink(exactDf)
+      def measure(np: Int): (Double, Double, Double, Double) = {
+        val r = graft.ext.Similarity.recallAtK(
+          AnnIndex.searchIvf(spark, dir, qry, 10, nprobe = np), exactDf)
+          .groupBy((col("qid") > maxId).as("is_drift"))
+          .agg(avg(col("recall_at_k")).as("r")).collect()
+          .map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+        val (cents, stored) = AnnIndex.readIvf(spark, dir)
+        val occ = stored.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+        val cand = graft.ext.Similarity.ivfProbes(cents, qry, np)
+          .join(occ, Seq("cell"))
+          .groupBy(col("qid")).agg(sum(col("occ")).as("cand"))
+          .groupBy((col("qid") > maxId).as("is_drift"))
+          .agg(avg(col("cand")).as("c")).collect()
+          .map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+        (r.getOrElse(false, 0.0), r.getOrElse(true, 0.0),
+          cand.getOrElse(false, 0.0), cand.getOrElse(true, 0.0))
+      }
+      def f3(v: Double) =
+        BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      def f0(v: Double) =
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      def cellJson(np: Int): String = {
+        val (rb, rd, cb, cd) = measure(np)
+        s"""{"nprobe":$np,"recall_base":${f3(rb)},""" +
+          s""""recall_drift":${f3(rd)},"cand_base":${f0(cb)},""" +
+          s""""cand_drift":${f0(cd)}}"""
+      }
+      val profileSec = time {
+        AnnIndex.profileProbes(spark, dir, k = 10, sampleQ = 256); () }
+      val autoNp = AnnIndex.autoNprobe(spark, dir, k = 10,
+        targetRecall = target, candidateBudgetFrac = budgetFrac)
+      val frozenFixed = cellJson(fixedNp)
+      val frozenAuto = cellJson(autoNp)
+      AnnIndex.retrain(spark, dir, refineIters = 2)
+      val profileSec2 = time {
+        AnnIndex.profileProbes(spark, dir, k = 10, sampleQ = 256); () }
+      val autoNp2 = AnnIndex.autoNprobe(spark, dir, k = 10,
+        targetRecall = target, candidateBudgetFrac = budgetFrac)
+      val retrFixed = cellJson(fixedNp)
+      val retrAuto = cellJson(autoNp2)
+      println(s"""{"metric":"ann_autoprobe","sf":"$sfDir","n_base":$nVecs,""" +
+        s""""n_cells":$nCells,"target_recall":$target,""" +
+        s""""budget_frac":$budgetFrac,""" +
+        s""""profile_sec":${f3(profileSec)},""" +
+        s""""profile_sec_retrained":${f3(profileSec2)},""" +
+        s""""frozen":{"fixed":$frozenFixed,"auto":$frozenAuto},""" +
+        s""""retrained":{"fixed":$retrFixed,"auto":$retrAuto}}""")
+      spark.stop()
+      return
+    }
+
     // build once per kind (timed: train + encode + write)
     val buildT = Seq(
       "lsh" -> time {

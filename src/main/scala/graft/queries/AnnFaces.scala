@@ -416,5 +416,49 @@ object AnnFaces {
       },
       Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
           TRUE AS search_identical, TRUE AS drift_observed,
-          TRUE AS retrain_triggered, TRUE AS journal_reset""")))
+          TRUE AS retrain_triggered, TRUE AS journal_reset""")),
+
+    // ── recall-aware probe sizing (round 15): the search-time half of the
+    //    √n geometry story — one bounded profiling pass (held-out sample ×
+    //    brute-force ground truth over the stored corpus) estimates
+    //    recall-vs-candidates per nprobe, and autoNprobe picks the
+    //    smallest point meeting the stated recall target inside the stated
+    //    candidate budget. Pinned: the profile is monotone on both axes,
+    //    probing EVERY cell covers every true neighbor (recall proxy
+    //    exactly 1 at full probe — the estimator's own sanity bound), the
+    //    chosen point respects the budget, and the auto search is
+    //    BIT-IDENTICAL to a fixed search at the chosen nprobe ────────────
+    Q(
+      "q_ann_auto_nprobe",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = tempIndexDir("graft-ann-autoprobe")
+        val (cents, indexed) = AnnIndex.buildIvf(e, nCells = 16,
+          refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        val profile = AnnIndex.profileProbes(s, idx, k = 10, sampleQ = 128)
+        val monotone = profile.sliding(2).forall(p => p.size < 2 ||
+          (p(0).recallProxy <= p(1).recallProxy + 1e-12 &&
+            p(0).candidatesPerQuery <= p(1).candidatesPerQuery + 1e-9))
+        val np = AnnIndex.autoNprobe(s, idx, k = 10, targetRecall = 0.8,
+          candidateBudgetFrac = 0.5)
+        val budgetOk = profile.find(_.nprobe == np).exists(
+          _.candidatesPerQuery <=
+            0.5 * profile.last.candidatesPerQuery + 1e-9)
+        val q = e.filter(col("vec_id") < 10)
+        val (auto, chosen) = AnnIndex.searchIvfAuto(s, idx, q, 3,
+          targetRecall = 0.8, candidateBudgetFrac = 0.5)
+        val cmp = compareTopK(
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = chosen), auto, "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("auto_equals_fixed"))
+          .withColumn("profile_monotone", lit(monotone))
+          .withColumn("full_probe_recall_one",
+            lit(profile.last.recallProxy == 1.0))
+          .withColumn("budget_respected", lit(budgetOk && chosen == np))
+        materializeAndClean(cmp, idx)
+      },
+      Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
+          TRUE AS auto_equals_fixed, TRUE AS profile_monotone,
+          TRUE AS full_probe_recall_one, TRUE AS budget_respected""")))
 }

@@ -408,4 +408,47 @@ class AnnIndexSpec extends AnyFunSuite {
 
     Seq(idx, idx2, idx3).foreach(graft.perf.Measure.deleteRecursively)
   }
+
+  test("probe profile: monotone axes, full-probe recall 1, auto-nprobe honors target and budget, retrain wipes it") {
+    val idx = tmp("graft-annspec-autoprobe")
+    val (cents, indexed) = AnnIndex.buildIvf(emb, nCells = 16, refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+    val profile = AnnIndex.profileProbes(spark, idx, k = 10, sampleQ = 128)
+    assert(profile.nonEmpty && profile.last.nprobe == profile.size,
+      "one point per probed cell, densely numbered")
+    assert(profile.last.recallProxy == 1.0,
+      "probing every cell must cover every true neighbor — the estimator's sanity bound")
+    assert(profile.sliding(2).forall(p => p.size < 2 ||
+      (p(0).recallProxy <= p(1).recallProxy + 1e-12 &&
+        p(0).candidatesPerQuery <= p(1).candidatesPerQuery + 1e-9)),
+      "recall and candidates must be monotone in nprobe")
+    // the persisted profile round-trips exactly
+    assert(AnnIndex.storedProbeProfile(spark, idx).contains(profile))
+    val np = AnnIndex.autoNprobe(spark, idx, k = 10, targetRecall = 0.8,
+      candidateBudgetFrac = 0.5)
+    val budget = 0.5 * profile.last.candidatesPerQuery
+    val point = profile.find(_.nprobe == np).get
+    assert(point.candidatesPerQuery <= budget + 1e-9,
+      "the budget is the hard constraint")
+    assert(point.recallProxy >= 0.8 ||
+      profile.filter(_.candidatesPerQuery <= budget + 1e-9).lastOption
+        .contains(point),
+      "either the target is met, or the pick is the best recall under budget")
+    // smallest-qualifying: every smaller point under budget misses the target
+    assert(profile.takeWhile(_.nprobe < np)
+      .filter(_.candidatesPerQuery <= budget + 1e-9)
+      .forall(_.recallProxy < 0.8 || point.recallProxy < 0.8))
+    // auto search ≡ fixed search at the chosen nprobe
+    val (auto, chosen) = AnnIndex.searchIvfAuto(spark, idx, q10, 3,
+      targetRecall = 0.8, candidateBudgetFrac = 0.5)
+    assert(chosen == np)
+    assert(auto.collect().map(_.toString).toSet ==
+      AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = np)
+        .collect().map(_.toString).toSet)
+    // a retrain moves the geometry — the stale profile must not survive it
+    AnnIndex.retrain(spark, idx, refineIters = 1)
+    assert(AnnIndex.storedProbeProfile(spark, idx).isEmpty,
+      "retrain must wipe the old geometry's probe profile")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
 }
