@@ -1163,5 +1163,109 @@ object TemplateAnalogs {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
-        ORDER BY org_unit""")))
+        ORDER BY org_unit""")),
+
+    // ── order_to_cash_trace (SapTemplates, VBAK/VBFA/BSID): the document-
+    //    flow TRACE — a CHAINED left-join walk where hop 2 joins on hop 1's
+    //    OUTPUT key (f2.VBELV = f1.VBELN), each hop type-gated on the ON
+    //    side, plus a sibling open-items left join off a root attribute,
+    //    all collapsed per root document with COUNT(DISTINCT). Mapped:
+    //    orders=VBAK root (soft-delete → status gate), hop 1 = lineitem
+    //    type 'N', hop 2 = lineitem type 'R' keyed by hop 1's partkey,
+    //    sibling = the customer's open orders. The ORACLE keeps the
+    //    template's multiplied-join form; the Spark plan computes each
+    //    COUNT(DISTINCT) independently and left-joins the three bounded
+    //    aggregates to the root — identical by the multiplication-immunity
+    //    of COUNT(DISTINCT), and the 100 TB shape: no 4-relation row
+    //    explosion, three shuffles each keyed and pre-collapsed ──────────
+    Q(
+      "q_tmpl_doc_trace",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val root = o.filter(col("o_orderstatus") =!= "P")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"))
+        val hop1 = l.filter(col("l_returnflag") === "N")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val d1 = hop1.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_partkey")).as("n_deliveries"))
+        val d2 = hop1.select(col("l_orderkey"), col("l_partkey")).distinct()
+          .join(l.filter(col("l_returnflag") === "R")
+            .select(col("l_partkey"), col("l_orderkey").as("bill_key")),
+            Seq("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("bill_key")).as("n_billings"))
+        val ar = o.filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_custkey"))
+          .agg(countDistinct(col("o_orderkey")).as("n_open_ar"))
+        root
+          .join(d1, col("o_orderkey") === d1("l_orderkey"), "left").drop("l_orderkey")
+          .join(d2, col("o_orderkey") === d2("l_orderkey"), "left").drop("l_orderkey")
+          .join(ar, Seq("o_custkey"), "left")
+          .select(col("o_orderkey").as("sales_order"),
+            to_date(col("o_orderdate")).as("order_date"),
+            coalesce(col("n_deliveries"), lit(0L)).as("n_deliveries"),
+            coalesce(col("n_billings"), lit(0L)).as("n_billings"),
+            coalesce(col("n_open_ar"), lit(0L)).as("n_open_ar"))
+          .orderBy(col("sales_order"))
+      },
+      Some("""SELECT v.o_orderkey AS sales_order,
+          CAST(v.o_orderdate AS DATE) AS order_date,
+          COUNT(DISTINCT f1.l_partkey) AS n_deliveries,
+          COUNT(DISTINCT f2.l_orderkey) AS n_billings,
+          COUNT(DISTINCT ar.o_orderkey) AS n_open_ar
+        FROM orders v
+        LEFT JOIN lineitem f1 ON f1.l_orderkey = v.o_orderkey
+          AND f1.l_returnflag = 'N'
+        LEFT JOIN lineitem f2 ON f2.l_partkey = f1.l_partkey
+          AND f2.l_returnflag = 'R'
+        LEFT JOIN orders ar ON ar.o_custkey = v.o_custkey
+          AND ar.o_orderstatus = 'O'
+        WHERE v.o_orderstatus <> 'P'
+        GROUP BY v.o_orderkey, v.o_orderdate
+        ORDER BY sales_order""")),
+
+    // ── journal_balance_check (SapTemplates, BSEG): the consistency audit
+    //    — per-document signed net (debits minus credits) with a balance
+    //    verdict. Exact decimal internally; net cast to double at the edge ─
+    Q(
+      "q_tmpl_balance_check",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val net = l.groupBy(col("l_orderkey"))
+          .agg(sum(signedAmount(col("l_returnflag"),
+            money(col("l_extendedprice")), "R")).as("net_dec"))
+        net.select(col("l_orderkey"),
+            col("net_dec").cast("double").as("net"),
+            when(col("net_dec") === 0, "Balanced").otherwise("Unbalanced")
+              .as("status"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, CAST(net_dec AS DOUBLE) AS net,
+          CASE WHEN net_dec = 0 THEN 'Balanced' ELSE 'Unbalanced' END AS status
+        FROM (SELECT l_orderkey,
+            SUM(CASE WHEN l_returnflag = 'R'
+              THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+              ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS net_dec
+          FROM lineitem GROUP BY l_orderkey)
+        ORDER BY l_orderkey""")),
+
+    // ── customer_master_search (SapTemplates, KNA1): case-insensitive
+    //    master-data name search — UPPER-LIKE on both sides plus the
+    //    soft-delete gate, the interactive lookup every master table
+    //    serves. The pattern pushes as a Contains filter into the scan ────
+    Q(
+      "q_tmpl_master_search",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        c.filter(upper(col("c_name")).like("%0000001%".toUpperCase) &&
+            col("c_mktsegment") =!= "MACHINERY")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE UPPER(c_name) LIKE UPPER('%0000001%')
+          AND c_mktsegment <> 'MACHINERY'
+        ORDER BY c_custkey""")))
 }
