@@ -625,6 +625,13 @@ object AnnIndex {
     applied.foreach(t => graft.perf.Measure.deleteRecursively(
       annTombDir(dir, t).toString))
     finalizeCompactSwap(dir)
+    // the swap replaced files BEHIND Spark's back (pure filesystem moves —
+    // no Spark write touched the live path, so nothing invalidated the
+    // session's cached file listings). Without this, the NEXT read of a
+    // swapped artifact in the same session can plan against the dead
+    // pre-swap files and die with FAILED_READ_FILE — the vector-ingest
+    // soak's second maintenance cycle found exactly that.
+    toSwap.foreach(a => spark.catalog.refreshByPath(s"$dir/$a"))
     sec
   }
 
@@ -888,9 +895,28 @@ object AnnIndex {
     * @param topShare     n-weighted mean top-cell share of those appends —
     *                     the concentrated-drift axis (→1 when batches land
     *                     in one cell)
+    * @param recentErr    the same err, over only the RECENT window — the
+    *                     newest appends holding up to [[RecentFrac]] of the
+    *                     appended mass (at least the newest row). A long
+    *                     in-distribution prefix dilutes the full-history
+    *                     means arbitrarily (7 aligned batches before the
+    *                     first drifted one hold its weighted top-share to
+    *                     ~0.2 — the sustained-ingest soak found this), so
+    *                     the trigger also watches the tail, where a
+    *                     distribution SHIFT — the thing drift is — lives
+    * @param recentShare  the recent-window top-cell share
+    * @param recentVecs   vectors inside the recent window
     */
   final case class DriftStats(baselineErr: Double, baselinePhase: String,
-      appendErr: Double, appendVecs: Long, ratio: Double, topShare: Double)
+      appendErr: Double, appendVecs: Long, ratio: Double, topShare: Double,
+      recentErr: Double, recentShare: Double, recentVecs: Long)
+
+  /** The recent-window width as a fraction of the appended mass since the
+    * baseline (the newest rows summing to ≤ this share, the newest row
+    * always included): wide enough that one noisy micro-batch cannot fire
+    * the trigger alone next to a normal batch, narrow enough that one
+    * drift-dominated batch among a handful of aligned ones still shows. */
+  val RecentFrac = 0.25
 
   /** Distill the fit journal: None when no appends have landed since the
     * baseline (nothing to compare). An `ivfpq` journal with no build/retrain
@@ -913,14 +939,28 @@ object AnnIndex {
         (sorted.headOption, sorted.drop(1))
     }
     for (b <- baseline if appends.nonEmpty) yield {
+      def meanOf(rows: Seq[(String, Long, Double, Double, Long, String)],
+          f: ((String, Long, Double, Double, Long, String)) => Double) = {
+        val n = rows.map(_._2).sum
+        if (n == 0L) 0.0 else rows.map(r => f(r) * r._2).sum / n
+      }
       val nTot = appends.map(_._2).sum
-      def weighted(f: ((String, Long, Double, Double, Long, String)) => Double) =
-        if (nTot == 0L) 0.0 else appends.map(r => f(r) * r._2).sum / nTot
-      val err = weighted(_._3)
+      // recent window: newest rows while cumulative mass stays within
+      // RecentFrac of the total (newest row always in)
+      val cap = math.max(appends.last._2, (RecentFrac * nTot).toLong)
+      val recent = {
+        var acc = 0L
+        appends.reverse.takeWhile { r =>
+          val keep = acc == 0L || acc + r._2 <= cap
+          acc += r._2; keep
+        }
+      }
+      val err = meanOf(appends.toIndexedSeq, _._3)
       DriftStats(b._3, b._1, err, nTot,
         if (b._3 > 1e-12) err / b._3 else if (err > 1e-12) Double.MaxValue
         else 1.0,
-        weighted(_._4))
+        meanOf(appends.toIndexedSeq, _._4),
+        meanOf(recent, _._3), meanOf(recent, _._4), recent.map(_._2).sum)
     }
   }
 
@@ -994,6 +1034,10 @@ object AnnIndex {
     // sentinel window (next auto search re-profiles against the new cells)
     graft.perf.Measure.deleteRecursively(probePath(dir))
     finalizeCompactSwap(dir)
+    // filesystem swap = no Spark-side invalidation (see compact) — refresh
+    // every exchanged artifact or the next same-session read can plan
+    // against the dead pre-swap files
+    artifacts.foreach(a => spark.catalog.refreshByPath(s"$dir/$a"))
     sec
   }
 
@@ -1196,7 +1240,10 @@ object AnnIndex {
     * diffuse (mean misfit > `errFactor` × the baseline’s) or concentrated
     * (n-weighted top-cell share > `topShareLimit`: most of the appended
     * mass landed in one cell — a tight mode the trained cells never
-    * spread). One bounded journal read per call; no appends since baseline
+    * spread) — measured over the FULL history since baseline AND over the
+    * recent window (round 15: the full-history mean dilutes late drift
+    * behind a long aligned prefix; a distribution SHIFT shows in the
+    * tail). One bounded journal read per call; no appends since baseline
     * → false. `corpus` is forwarded to [[retrain]] (required for ivfpq).
     * Returns true iff a retrain ran. */
   def maybeRetrain(spark: SparkSession, dir: String,
@@ -1206,7 +1253,9 @@ object AnnIndex {
       lease: Option[WriterLease.Lease] = None): Boolean = synchronized {
     driftStats(spark, dir) match {
       case Some(d) if d.appendErr > errFactor * d.baselineErr + 1e-9 ||
-          d.topShare > topShareLimit =>
+          d.topShare > topShareLimit ||
+          d.recentErr > errFactor * d.baselineErr + 1e-9 ||
+          d.recentShare > topShareLimit =>
         retrain(spark, dir, corpus, refineIters, maxTrain, lease); true
       case _ => false
     }

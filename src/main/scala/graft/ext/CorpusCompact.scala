@@ -283,6 +283,11 @@ object CorpusCompact {
       if (appliedTokens.isEmpty) tok
       else tok + "\n" + appliedTokens.mkString(","))
     finishSwap(dir, tok, appliedTokens)
+    // the swap deleted/renamed files behind Spark's back — invalidate the
+    // session's cached listings for this dir, or a later same-session read
+    // that was never preceded by a Spark write here can plan against the
+    // dead pre-swap files (the ANN soak measured exactly this class)
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Self-sizing trigger ([[ShingleIndex.maybeCompact]]'s contract on the

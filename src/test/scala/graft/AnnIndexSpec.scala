@@ -409,6 +409,33 @@ class AnnIndexSpec extends AnyFunSuite {
     Seq(idx, idx2, idx3).foreach(graft.perf.Measure.deleteRecursively)
   }
 
+  test("drift recency: a long aligned prefix cannot dilute late drift below the trigger") {
+    val idx = tmp("graft-annspec-recency")
+    val base = emb.filter(pmod(col("vec_id"), lit(8)) < 4)
+    val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16, refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+    // three in-distribution batches, THEN the drift arrives — the
+    // sustained-ingest shape where the full-history n-weighted mean sits
+    // below every threshold forever
+    for (i <- 4 to 6)
+      AnnIndex.appendIvf(spark, idx,
+        emb.filter(pmod(col("vec_id"), lit(8)) === i))
+    assert(!AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      "aligned prefix must not trigger")
+    AnnIndex.appendIvf(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(8)) === 7)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))")))
+    val d = AnnIndex.driftStats(spark, idx).get
+    assert(d.topShare <= 0.5,
+      s"precondition: the full-history mean IS diluted (got $d) — " +
+        "the recency axis is what must fire")
+    assert(d.recentShare > 0.5, s"the tail window must expose the shift: $d")
+    assert(AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      "late drift behind an aligned prefix must still trigger")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
+
   test("probe profile: monotone axes, full-probe recall 1, auto-nprobe honors target and budget, retrain wipes it") {
     val idx = tmp("graft-annspec-autoprobe")
     val (cents, indexed) = AnnIndex.buildIvf(emb, nCells = 16, refineIters = 1)
