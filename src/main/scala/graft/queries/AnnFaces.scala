@@ -460,5 +460,55 @@ object AnnFaces {
       },
       Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
           TRUE AS auto_equals_fixed, TRUE AS profile_monotone,
-          TRUE AS full_probe_recall_one, TRUE AS budget_respected""")))
+          TRUE AS full_probe_recall_one, TRUE AS budget_respected""")),
+
+    // ── self-maintaining vector ingest (round 15): the streaming step
+    //    under the oracle gate — replay batches self-screen to a no-op
+    //    (the cell-pruned id anti-join), the drift journal the appends
+    //    feed fires the retrain MID-STREAM with no operator in the loop,
+    //    and the final self-maintained index answers exactly like a
+    //    one-shot build over everything it ingested ───────────────────────
+    Q(
+      "q_vec_ingest_maintain",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val idx = tempIndexDir("graft-ann-vecingest")
+        val base = e.filter(pmod(col("vec_id"), lit(4)) < 2)
+          .select(col("vec_id"), col("embedding"))
+        val aligned = e.filter(pmod(col("vec_id"), lit(4)) === 2)
+          .select(col("vec_id"), col("embedding"))
+        val drifted = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+          .select(col("vec_id"), col("embedding"))
+        val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+          refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        val step = graft.streaming.VectorsStream.ingestStep(idx,
+          autoMaintainFactor = Some(1))
+        step(aligned, 0L)
+        val afterB1 = s.read.parquet(s"$idx/vectors.parquet").count()
+        step(aligned, 0L) // redelivered batch
+        val replayNoop =
+          s.read.parquet(s"$idx/vectors.parquet").count() == afterB1
+        step(drifted, 1L)
+        val retrained = s.read.parquet(s"$idx/drift.parquet")
+          .select("phase").collect().map(_.getString(0)).toSeq ==
+          Seq("retrain")
+        val union = base.unionByName(aligned).unionByName(drifted)
+        val q = union.filter(col("vec_id") < 10)
+        val (c2, ix2) = AnnIndex.buildIvf(union, nCells = 16,
+          refineIters = 1)
+        val cmp = compareTopK(
+          Similarity.ivfSearch(c2, ix2, q, 3, nprobe = 4),
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4), "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("search_identical"))
+          .withColumn("replay_noop", lit(replayNoop))
+          .withColumn("retrain_mid_stream", lit(retrained))
+        materializeAndClean(cmp, idx)
+      },
+      Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
+          TRUE AS search_identical, TRUE AS replay_noop,
+          TRUE AS retrain_mid_stream""")))
 }

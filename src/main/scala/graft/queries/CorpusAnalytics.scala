@@ -1502,6 +1502,60 @@ object CorpusAnalytics {
         SELECT source, n_docs, chars, 'gen2' AS phase FROM full_
         UNION ALL
         SELECT source, n_docs, chars, 'current' AS phase FROM full_
-        ORDER BY phase, source"""))
+        ORDER BY phase, source""")),
+
+    // ── band-saturation auto-guard (round 15): the ZERO-KNOB register over
+    //    a spam-saturated corpus under the oracle gate. Scale-independent
+    //    corpus: 300 real docs × 8 boilerplate variants (2,400 spam — above
+    //    the guard's 1,000-doc floor at every sf) plus the 300 originals.
+    //    Pinned: the guard auto-prunes (marker records it), the stop set is
+    //    non-empty, and the pruned screen still finds EXACTLY the planted
+    //    true near-dup (similarity on rare shingles) while the
+    //    boilerplate-only batch doc matches nothing — the screen the
+    //    round-14 default path could not run at all on this shape ─────────
+    Q(
+      "q_index_autoprune",
+      (s, dir) => {
+        import s.implicits._
+        val boiler = "standard legal disclaimer applies to all documents " +
+          "in this collection without any exception whatsoever"
+        val d = t(s, dir, "documents").orderBy("doc_id").limit(300)
+          .select(col("doc_id"), col("text"))
+        val spam = d
+          .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("v"))
+          .select((col("doc_id") * 8 + col("v")).as("sid"))
+          .select((col("sid") + 1000000L).as("doc_id"),
+            concat(lit(boiler + " t"), col("sid").cast("string")).as("text"))
+        val corpus = spam.unionByName(d)
+        val sh = graft.ext.Dedup
+          .hashedShingles(corpus, "doc_id", "text", 3)
+          .withColumnRenamed("sh", "shingle")
+        graft.ext.ShingleIndex.registerDocs(s, dir + "#autoprune", sh,
+          buckets = 4, withBands = true) // zero prune knobs — the point
+        val autoPruned = graft.ext.ShingleIndex.readMarker(s)
+          .exists(_.contains(""""auto_prune":true"""))
+        val idx = graft.ext.ShingleIndex.liveFor(s, dir + "#autoprune").get
+        val stopCount = idx.stop.map(_.count()).getOrElse(0L)
+        val baseRow = d.orderBy("doc_id").head()
+        val (baseId, baseText) = (baseRow.getLong(0), baseRow.getString(1))
+        val batch = Seq(
+          (9000001L, baseText + " addendum"),
+          (9000002L, boiler + " completely fresh unrelated tail content"))
+          .toDF("doc_id", "text")
+        val (pairs, release) = graft.ext.Dedup.incrementalMinhashPairsIndexed(
+          batch, corpus.select("doc_id"), idx, "doc_id", "text", 0.8)
+        val hits = pairs.select(col("delta_id"), col("corpus_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        release()
+        // the seed doc may have GENUINE near-dup siblings in the corpus
+        // (the testdata's dup groups vary per sf), so the pin is: the
+        // plant is found, and every hit is the plant's — the
+        // boilerplate-only batch doc matches nothing
+        Seq((autoPruned, stopCount > 0,
+          hits.contains((9000001L, baseId)) && hits.forall(_._1 == 9000001L)))
+          .toDF("auto_pruned", "stop_nonempty", "screen_exact")
+      },
+      Some("""SELECT TRUE AS auto_pruned, TRUE AS stop_nonempty,
+          TRUE AS screen_exact"""))
   )
 }
