@@ -1125,7 +1125,12 @@ object AnnIndex {
     * `corpus` (codes are not invertible — the proxy is then measured on
     * coarse-cell coverage, the recall ceiling the quantizer cannot exceed). */
   def profileProbes(spark: SparkSession, dir: String, k: Int = 10,
-      sampleQ: Int = 256, corpus: Option[DataFrame] = None): Seq[ProbePoint] = {
+      sampleQ: Int = 256,
+      corpus: Option[DataFrame] = None): Seq[ProbePoint] = synchronized {
+    // synchronized + staged swap below: this is reachable from the SEARCH
+    // path (searchIvfAuto profiles on demand), and an unsynchronized
+    // overwrite would delete probe.parquet under a concurrent reader of
+    // what the caller believes is a pure read API
     val (kind, _, _, _, _) = readParams(spark, dir)
     require(kind == "ivf" || (kind == "ivfpq" && corpus.isDefined),
       s"profileProbes on a '$kind' index" + (if (kind == "ivfpq")
@@ -1147,20 +1152,21 @@ object AnnIndex {
           codes.select(col("vec_id").as("cid"), col("cell").as("ncell")))
       }
     val qs = measureSample(vectors, sampleQ).cache()
-    try {
+    val ranks = {
       // probe order of every cell per sample query — sampleQ × nCells
       // rows, the bounded frame the whole profile derives from
       val sim = coalesce(nanvl(try_divide(
         Similarity.dot(col("embedding"), col("centroid")),
         Similarity.l2norm(col("embedding")) *
           Similarity.l2norm(col("centroid"))), lit(0.0)), lit(0.0))
-      val ranks = qs
-        .join(broadcast(cents.select(col("cell").as("ncell"), col("centroid"))))
+      qs.join(broadcast(cents.select(col("cell").as("ncell"), col("centroid"))))
         .select(col("vec_id").as("qid"), col("ncell"), sim.as("sim"))
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
             .orderBy(col("sim").desc, col("ncell").asc)))
         .select(col("qid"), col("ncell"), col("rank")).cache()
+    }
+    try {
       // ground truth (one corpus pass), then each neighbor's probe rank
       val truth = Similarity.cosineTopK(vectors, qs, k)
         .select(col("qid"), col("cid"))
@@ -1174,7 +1180,6 @@ object AnnIndex {
         .agg(sum(coalesce(col("occ"), lit(0L))).as("osum"),
           count(lit(1)).as("nq"))
         .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      ranks.unpersist()
       val nCellsSeen = if (cand.isEmpty) 0 else cand.keys.max
       val totalTruth = math.max(1L, hist.values.sum)
       val nQueries = math.max(1L, cand.get(1).map(_._2).getOrElse(1L))
@@ -1186,23 +1191,51 @@ object AnnIndex {
         ProbePoint(np, cumHit.toDouble / totalTruth, cumOcc)
       }
       import spark.implicits._
-      profile.map(p => (p.nprobe, p.recallProxy, p.candidatesPerQuery))
-        .toDF("nprobe", "recall_proxy", "candidates_per_query")
-        .coalesce(1).write.mode("overwrite").parquet(probePath(dir))
+      // the profile is k-SPECIFIC (recall@10 coverage ≠ recall@50
+      // coverage), so k rides in every row and readers match on it.
+      // Staged swap, not in-place overwrite: a concurrent reader of the
+      // old profile finishes on intact files or sees a brief absence
+      // (→ recompute), never a half-deleted directory
+      val staged = probePath(dir) + ".tmp"
+      graft.perf.Measure.deleteRecursively(staged)
+      val fresh = profile
+        .map(p => (k, p.nprobe, p.recallProxy, p.candidatesPerQuery))
+        .toDF("k", "nprobe", "recall_proxy", "candidates_per_query")
+      // profiles for OTHER k values stay valid (same geometry, different
+      // recall curve) — carry them through the swap instead of making two
+      // k callers re-profile each other's work away
+      val carried =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir))))
+          fresh.unionByName(spark.read.parquet(probePath(dir))
+            .filter(col("k") =!= k)
+            .select("k", "nprobe", "recall_proxy", "candidates_per_query"))
+        else fresh
+      carried.coalesce(1).write.mode("overwrite").parquet(staged)
+      graft.perf.Measure.deleteRecursively(probePath(dir))
+      java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+        java.nio.file.Paths.get(probePath(dir)),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       profile
-    } finally { qs.unpersist(); () }
+    } finally { qs.unpersist(); ranks.unpersist(); () }
   }
 
-  /** The persisted probe profile, if one has been computed for the current
-    * trained geometry (rebuilds and retrains wipe it). */
-  def storedProbeProfile(spark: SparkSession, dir: String): Option[Seq[ProbePoint]] = {
+  /** The persisted probe profile for THIS k, if one has been computed for
+    * the current trained geometry (rebuilds and retrains wipe it; a
+    * profile computed at a different k is not served — its recall curve
+    * answers a different question). */
+  def storedProbeProfile(spark: SparkSession, dir: String,
+      k: Int = 10): Option[Seq[ProbePoint]] = {
     refuseTorn(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir))))
       None
-    else Some(spark.read.parquet(probePath(dir))
-      .select("nprobe", "recall_proxy", "candidates_per_query").collect()
-      .map(r => ProbePoint(r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_.nprobe).toSeq)
+    else {
+      val rows = spark.read.parquet(probePath(dir))
+        .filter(col("k") === k)
+        .select("nprobe", "recall_proxy", "candidates_per_query").collect()
+        .map(r => ProbePoint(r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_.nprobe).toSeq
+      if (rows.isEmpty) None else Some(rows)
+    }
   }
 
   /** Recall-aware probe sizing: the smallest nprobe whose profiled recall
@@ -1215,7 +1248,7 @@ object AnnIndex {
   def autoNprobe(spark: SparkSession, dir: String, k: Int = 10,
       targetRecall: Double = 0.8, candidateBudgetFrac: Double = 0.1,
       sampleQ: Int = 256, corpus: Option[DataFrame] = None): Int = {
-    val profile = storedProbeProfile(spark, dir)
+    val profile = storedProbeProfile(spark, dir, k)
       .getOrElse(profileProbes(spark, dir, k, sampleQ, corpus))
     require(profile.nonEmpty, s"empty probe profile for $dir")
     val budget = candidateBudgetFrac * profile.last.candidatesPerQuery

@@ -368,6 +368,11 @@ object CorpusCompact {
         lease))
     applied.foreach(t =>
       graft.perf.Measure.deleteRecursively(tombDir(dir, t).toString))
+    // the per-leaf kernel refreshes each LEAF path, but a plan cached at
+    // the partitioned ROOT is keyed by the root path and Spark's refresh
+    // only matches entries under the refreshed prefix — refresh the root
+    // too, or a root-rooted reader re-plans against swapped-away files
+    spark.catalog.refreshByPath(dir)
     leaves.size
   }
 
@@ -395,6 +400,7 @@ object CorpusCompact {
       frag.foreach(l =>
         compactOneDir(spark, l, targetFilesPerPartition, tombs, Nil, schema,
           lease))
+      if (frag.nonEmpty) spark.catalog.refreshByPath(dir) // see compactPartitioned
       frag.size
     }
   }

@@ -372,10 +372,23 @@ object ShingleIndex {
               val topAfter = topBandBucket(spark.table(bandsTableName))
               if (topAfter >= SaturationMinDocs &&
                   topAfter.toDouble / nDocs > SaturationShare) {
-                // no marker was written yet — drop the half-built
-                // artifacts so nothing is reattachable, then refuse
+                // drop the half-built artifacts AND their directories so
+                // nothing is reattachable. The files matter as much as the
+                // catalog entries: THIS register's marker was never
+                // written, but a marker from a PREVIOUS identity may still
+                // sit at the marker path (the rewrite branch only
+                // overwrites it at the very end) — deleting the postings
+                // dir removes that marker with it, else a later probe
+                // under the OLD identity would happily reattach the NEW
+                // corpus's files under the old geometry
                 spark.sql(s"DROP TABLE IF EXISTS $tableName")
                 spark.sql(s"DROP TABLE IF EXISTS $bandsTableName")
+                graft.perf.Measure.deleteRecursively(
+                  warehousePath(spark, tableName).toString)
+                graft.perf.Measure.deleteRecursively(
+                  warehousePath(spark, bandsTableName).toString)
+                graft.perf.Measure.deleteRecursively(
+                  warehousePath(spark, stopDirName).toString)
                 throw new IllegalStateException(
                   s"band basis for '$tag' stays saturated after " +
                     s"df-pruning at $AutoPruneFrac (top bucket " +
@@ -409,19 +422,23 @@ object ShingleIndex {
       }
     }
 
-  /** Write the df-saturated stop set `(shingle, df)` at `frac`: shingles
-    * in ≥ frac × (distinct docs) of the postings. Bounded by construction
-    * (≤ n̄/frac distinct shingles can qualify), hence the coalesce(1).
-    * Returns the stop-set size. */
+  /** Write the df-saturated stop set `(shingle, df)` at `frac` to `path`
+    * (default: the live stop dir; compaction stages into `_ctmp`):
+    * shingles in ≥ frac × (distinct docs) of the postings. Bounded by
+    * construction (≤ n̄/frac distinct shingles can qualify), hence the
+    * coalesce(1). The ONE derivation all three prune paths share —
+    * explicit register, auto-guard register, compaction re-freeze/adopt —
+    * so the df bound can never silently diverge between them. Returns the
+    * stop-set size. */
   private def writeStopSet(spark: SparkSession, postings: DataFrame,
-      frac: Double): Long = {
+      frac: Double, path: Option[String] = None): Long = {
+    val out = path.getOrElse(warehousePath(spark, stopDirName).toString)
     val nDocs = postings.select("doc_id").distinct().count()
     val bound = math.max(2L, math.ceil(frac * nDocs).toLong)
     postings.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= bound)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(warehousePath(spark, stopDirName).toString)
-    spark.read.parquet(warehousePath(spark, stopDirName).toString).count()
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).count()
   }
 
   /** Rebuild the band relation over postings-minus-stop (the auto-guard's
@@ -799,13 +816,9 @@ object ShingleIndex {
       (Option.empty[java.nio.file.Path], Option.empty[Long])) { frac =>
       val p = warehousePath(spark, stopDirName + "_ctmp")
       graft.perf.Measure.deleteRecursively(p.toString)
-      val posted = spark.read.parquet(tmpPost.toString)
-      val nDocs = posted.select("doc_id").distinct().count()
-      val bound = math.max(2L, math.ceil(frac * nDocs).toLong)
-      posted.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= bound)
-        .coalesce(1).write.mode("overwrite").parquet(p.toString)
-      (Some(p), Some(spark.read.parquet(p.toString).count()))
+      val sc = writeStopSet(spark, spark.read.parquet(tmpPost.toString),
+        frac, Some(p.toString))
+      (Some(p), Some(sc))
     }
     def stageBandsOverStop(p: java.nio.file.Path,
         stopTmp: java.nio.file.Path): Unit = {
@@ -852,12 +865,9 @@ object ShingleIndex {
               top.toDouble / nDocs > SaturationShare) {
             val stopP = warehousePath(spark, stopDirName + "_ctmp")
             graft.perf.Measure.deleteRecursively(stopP.toString)
-            val posted = spark.read.parquet(tmpPost.toString)
-            val bound = math.max(2L, math.ceil(AutoPruneFrac * nDocs).toLong)
-            posted.groupBy("shingle").agg(count(lit(1)).as("df"))
-              .filter(col("df") >= bound)
-              .coalesce(1).write.mode("overwrite").parquet(stopP.toString)
-            val sc = spark.read.parquet(stopP.toString).count()
+            val sc = writeStopSet(spark,
+              spark.read.parquet(tmpPost.toString), AutoPruneFrac,
+              Some(stopP.toString))
             graft.perf.Measure.deleteRecursively(p.toString)
             stageBandsOverStop(p, stopP)
             (Some(p), Some(stopP), Some(sc), true)

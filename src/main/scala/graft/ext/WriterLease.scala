@@ -65,12 +65,24 @@ object WriterLease {
     ("""\{"owner":"([A-Za-z0-9._-]+)","epoch":(\d+),""" +
       """"ts":(\d+),"ttl_ms":(\d+),"nonce":"([A-Za-z0-9-]+)"\}""").r
 
+  // pre-nonce lease files (written before round 15) still parse — a store
+  // whose last writer released under the old format must not refuse every
+  // later acquire/gate as "corrupt". The synthetic "legacy" nonce can
+  // never equal a real handle's UUID, so nothing held under the old
+  // format can pass a new check() — exactly the fencing a format change
+  // should impose
+  private val LegacyStatePattern =
+    ("""\{"owner":"([A-Za-z0-9._-]+)","epoch":(\d+),""" +
+      """"ts":(\d+),"ttl_ms":(\d+)\}""").r
+
   private def readState(dir: String): Option[State] = {
     val p = leasePath(dir)
     if (!java.nio.file.Files.exists(p)) None
     else java.nio.file.Files.readString(p).trim match {
       case StatePattern(o, e, t, l, x) =>
         Some(State(o, e.toLong, t.toLong, l.toLong, x))
+      case LegacyStatePattern(o, e, t, l) =>
+        Some(State(o, e.toLong, t.toLong, l.toLong, "legacy"))
       case other => throw new IllegalStateException(
         s"corrupt writer lease at $p: '$other' — inspect and remove by hand")
     }

@@ -57,9 +57,14 @@ object VectorIngestRehearsal {
     val base = e.filter(pmod(col("vec_id"), lit(5)) < 2).cache()
     sink(base)
     val streamed = e.filter(pmod(col("vec_id"), lit(5)) >= 2)
+    // firstDrifted == nBatches (driftFrac 0) is the no-drift control
     val firstDrifted = math.max(1, (nBatches * (1.0 - driftFrac)).toInt)
+    // hash-sliced, NOT pmod(vec_id, nBatches): the base split is already
+    // a vec_id modulus, and a batch count sharing a factor with 5 would
+    // silently empty some slices (10 batches -> slices 0,1,5,6 empty)
     def batch(i: Int) = {
-      val slice = streamed.filter(pmod(col("vec_id"), lit(nBatches)) === i)
+      val slice = streamed.filter(
+        pmod(xxhash64(col("vec_id")), lit(nBatches)) === i)
       if (i >= firstDrifted) slice.withColumn("embedding",
         expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
       else slice
@@ -99,14 +104,18 @@ object VectorIngestRehearsal {
       .cache()
     sink(finalCorpus)
     val qBase = base.filter(col("vec_id") < 10)
+    // reduceOption: the driftFrac=0 control has no drifted batches, and
+    // the quality stage must not throw away a completed soak over it
     val qDrift = (firstDrifted until nBatches).map(batch)
-      .reduce(_ unionByName _).limit(10)
-    val qry = qBase.unionByName(qDrift).cache()
-    val driftIds = qDrift.select("vec_id").collect().map(_.getLong(0)).toSet
+      .reduceOption(_ unionByName _).map(_.limit(10))
+    val qry = qDrift.fold(qBase)(qBase.unionByName(_)).cache()
+    val driftIds = qDrift.fold(Set.empty[Long])(
+      _.select("vec_id").collect().map(_.getLong(0)).toSet)
     val exact = Similarity.cosineTopK(finalCorpus, qry, 10)
       .select(col("qid"), col("cid")).cache()
     sink(exact)
-    val isDrift = col("qid").isin(driftIds.toSeq: _*)
+    val isDrift = if (driftIds.isEmpty) lit(false)
+      else col("qid").isin(driftIds.toSeq: _*)
     val recall = Similarity.recallAtK(
       AnnIndex.searchIvf(spark, idx, qry, 10, nprobe = 4), exact)
       .groupBy(isDrift.as("d")).agg(avg(col("recall_at_k")).as("r"))

@@ -465,13 +465,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(profile.takeWhile(_.nprobe < np)
       .filter(_.candidatesPerQuery <= budget + 1e-9)
       .forall(_.recallProxy < 0.8 || point.recallProxy < 0.8))
-    // auto search ≡ fixed search at the chosen nprobe
+    // auto search ≡ fixed search at the chosen nprobe. The search k (3) is
+    // the profile k — a stored k=10 curve answers a different question, so
+    // the auto path re-profiles at k=3 (and the k=10 profile SURVIVES the
+    // write: per-k curves coexist)
     val (auto, chosen) = AnnIndex.searchIvfAuto(spark, idx, q10, 3,
       targetRecall = 0.8, candidateBudgetFrac = 0.5)
-    assert(chosen == np)
+    assert(chosen == AnnIndex.autoNprobe(spark, idx, k = 3,
+      targetRecall = 0.8, candidateBudgetFrac = 0.5))
     assert(auto.collect().map(_.toString).toSet ==
-      AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = np)
+      AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = chosen)
         .collect().map(_.toString).toSet)
+    assert(AnnIndex.storedProbeProfile(spark, idx, 10).contains(profile),
+      "a k=3 profiling must not destroy the k=10 curve")
+    assert(AnnIndex.storedProbeProfile(spark, idx, 3).isDefined)
     // a retrain moves the geometry — the stale profile must not survive it
     AnnIndex.retrain(spark, idx, refineIters = 1)
     assert(AnnIndex.storedProbeProfile(spark, idx).isEmpty,
