@@ -458,9 +458,18 @@ object AnnIndex {
     * √n-sized cells), never the whole index. A replayed batch (writes
     * landed, checkpoint commit didn't) re-screens to empty, so the vector
     * ingest needs no batch-id bookkeeping — the same argument as the
-    * corpus ingest's content-hash anti-join. A tombstoned-but-unpurged
-    * vec_id still counts as existing (ids are never reused after deletion
-    * — the tombstone contract). */
+    * corpus ingest's content-hash anti-join. A tombstoned vec_id also
+    * counts as existing — the screen anti-joins the PENDING tombstone
+    * batches alongside the stored ids (ids are never reused after deletion,
+    * so a replayed batch whose write predates a delete must not re-insert
+    * the retracted row), which keeps first delivery and replay of a batch
+    * symmetric across an intervening delete. The one window the never-
+    * reuse-ids contract still carries alone: a tombstone that was journaled
+    * AND physically purged by a compaction between the batch's write and
+    * its replay (possible — maintenance runs inside the ingest step before
+    * the checkpoint commit) leaves neither a stored id nor a pending batch
+    * to screen against, so a replay re-inserts exactly the rows a fresh
+    * never-reused-id ingest would be allowed to insert anyway. */
   def screenExisting(spark: SparkSession, dir: String,
       delta: DataFrame): DataFrame = {
     val (kind, _, _, _, _) = readParams(spark, dir)
@@ -471,9 +480,13 @@ object AnnIndex {
     val cells = Similarity.ivfAssign(delta, cents)
       .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq.sorted
     val artifact = if (kind == "ivf") "vectors.parquet" else "codes.parquet"
-    val existing = spark.read.parquet(s"$dir/$artifact")
+    val stored = spark.read.parquet(s"$dir/$artifact")
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(cells: _*)).select(col("vec_id"))
+    // pending tombstones are bounded by compaction cadence — one broadcast
+    // union alongside the cell-pruned stored-id scan
+    val existing = pendingTombstones(spark, dir)
+      .fold(stored)(t => stored.unionByName(t.select(col("vec_id"))))
     delta.join(existing, Seq("vec_id"), "left_anti")
       .select(delta.columns.toIndexedSeq.map(col): _*)
   }
@@ -818,10 +831,7 @@ object AnnIndex {
     val sample = measureSample(vectors, cap)
     val c = cents.select(col("cell").as("__cell"),
       expr("transform(centroid, x -> cast(x as double))").as("__c"))
-    val sim = coalesce(nanvl(try_divide(
-      Similarity.dot(col("embedding"), col("__c")),
-      Similarity.l2norm(col("embedding")) * Similarity.l2norm(col("__c"))),
-      lit(0.0)), lit(0.0))
+    val sim = Similarity.cosineSimOrZero(col("embedding"), col("__c"))
     // argmax via max(struct): ties keep the LOWEST cell (-cell maximal),
     // the ivfAssign tie rule
     val best = sample.join(broadcast(c))
@@ -1123,10 +1133,21 @@ object AnnIndex {
     * uses — so "rank ≤ nprobe" is exactly "searchIvf at that nprobe scores
     * this neighbor's cell". `ivf` is self-contained; `ivfpq` needs the raw
     * `corpus` (codes are not invertible — the proxy is then measured on
-    * coarse-cell coverage, the recall ceiling the quantizer cannot exceed). */
+    * coarse-cell coverage, the recall ceiling the quantizer cannot exceed).
+    *
+    * Writer fencing (round-16 advice): this is reachable from the READ path
+    * (searchIvfAuto profiles on demand), yet it WRITES probe.parquet into
+    * the index dir — an unleased reader session must not write into a store
+    * whose lease a concurrent ingest holds. A caller holding the store's
+    * lease passes it (gated + renewed before the swap, like every
+    * maintenance writer); an unleased call that finds a LIVE foreign lease
+    * SKIPS the persist and serves the in-memory profile — the curve is
+    * still correct for this session, and the leased writer's artifacts are
+    * never raced. With no live lease the single-writer convention applies
+    * as before. */
   def profileProbes(spark: SparkSession, dir: String, k: Int = 10,
-      sampleQ: Int = 256,
-      corpus: Option[DataFrame] = None): Seq[ProbePoint] = synchronized {
+      sampleQ: Int = 256, corpus: Option[DataFrame] = None,
+      lease: Option[WriterLease.Lease] = None): Seq[ProbePoint] = synchronized {
     // synchronized + staged swap below: this is reachable from the SEARCH
     // path (searchIvfAuto profiles on demand), and an unsynchronized
     // overwrite would delete probe.parquet under a concurrent reader of
@@ -1154,11 +1175,11 @@ object AnnIndex {
     val qs = measureSample(vectors, sampleQ).cache()
     val ranks = {
       // probe order of every cell per sample query — sampleQ × nCells
-      // rows, the bounded frame the whole profile derives from
-      val sim = coalesce(nanvl(try_divide(
-        Similarity.dot(col("embedding"), col("centroid")),
-        Similarity.l2norm(col("embedding")) *
-          Similarity.l2norm(col("centroid"))), lit(0.0)), lit(0.0))
+      // rows, the bounded frame the whole profile derives from. The sim is
+      // Similarity.cosineSimOrZero — the SAME expression ivfProbes orders
+      // by, so the profiled order is the probed order by construction,
+      // degenerate vectors included
+      val sim = Similarity.cosineSimOrZero(col("embedding"), col("centroid"))
       qs.join(broadcast(cents.select(col("cell").as("ncell"), col("centroid"))))
         .select(col("vec_id").as("qid"), col("ncell"), sim.as("sim"))
         .withColumn("rank", row_number().over(
@@ -1191,30 +1212,43 @@ object AnnIndex {
         ProbePoint(np, cumHit.toDouble / totalTruth, cumOcc)
       }
       import spark.implicits._
-      // the profile is k-SPECIFIC (recall@10 coverage ≠ recall@50
-      // coverage), so k rides in every row and readers match on it.
-      // Staged swap, not in-place overwrite: a concurrent reader of the
-      // old profile finishes on intact files or sees a brief absence
-      // (→ recompute), never a half-deleted directory
-      val staged = probePath(dir) + ".tmp"
-      graft.perf.Measure.deleteRecursively(staged)
-      val fresh = profile
-        .map(p => (k, p.nprobe, p.recallProxy, p.candidatesPerQuery))
-        .toDF("k", "nprobe", "recall_proxy", "candidates_per_query")
-      // profiles for OTHER k values stay valid (same geometry, different
-      // recall curve) — carry them through the swap instead of making two
-      // k callers re-profile each other's work away
-      val carried =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir))))
-          fresh.unionByName(spark.read.parquet(probePath(dir))
-            .filter(col("k") =!= k)
-            .select("k", "nprobe", "recall_proxy", "candidates_per_query"))
-        else fresh
-      carried.coalesce(1).write.mode("overwrite").parquet(staged)
-      graft.perf.Measure.deleteRecursively(probePath(dir))
-      java.nio.file.Files.move(java.nio.file.Paths.get(staged),
-        java.nio.file.Paths.get(probePath(dir)),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // persist gate (see the scaladoc): a held lease is verified + renewed
+      // here — a stolen handle aborts BEFORE the swap; an unleased call
+      // skips the persist entirely while a foreign lease is live
+      val persistOk = lease match {
+        case Some(_) =>
+          WriterLease.gate(dir, lease, "probe profiling of ANN index"); true
+        case None => WriterLease.holder(dir) match {
+          case Some((_, _, true)) => false
+          case _ => true
+        }
+      }
+      if (persistOk) {
+        // the profile is k-SPECIFIC (recall@10 coverage ≠ recall@50
+        // coverage), so k rides in every row and readers match on it.
+        // Staged swap, not in-place overwrite: a concurrent reader of the
+        // old profile finishes on intact files or sees a brief absence
+        // (→ recompute), never a half-deleted directory
+        val staged = probePath(dir) + ".tmp"
+        graft.perf.Measure.deleteRecursively(staged)
+        val fresh = profile
+          .map(p => (k, p.nprobe, p.recallProxy, p.candidatesPerQuery))
+          .toDF("k", "nprobe", "recall_proxy", "candidates_per_query")
+        // profiles for OTHER k values stay valid (same geometry, different
+        // recall curve) — carry them through the swap instead of making two
+        // k callers re-profile each other's work away
+        val carried =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir))))
+            fresh.unionByName(spark.read.parquet(probePath(dir))
+              .filter(col("k") =!= k)
+              .select("k", "nprobe", "recall_proxy", "candidates_per_query"))
+          else fresh
+        carried.coalesce(1).write.mode("overwrite").parquet(staged)
+        graft.perf.Measure.deleteRecursively(probePath(dir))
+        java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+          java.nio.file.Paths.get(probePath(dir)),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       profile
     } finally { qs.unpersist(); ranks.unpersist(); () }
   }
@@ -1247,9 +1281,10 @@ object AnnIndex {
     * bounded pass, persisted) when none is stored. */
   def autoNprobe(spark: SparkSession, dir: String, k: Int = 10,
       targetRecall: Double = 0.8, candidateBudgetFrac: Double = 0.1,
-      sampleQ: Int = 256, corpus: Option[DataFrame] = None): Int = {
+      sampleQ: Int = 256, corpus: Option[DataFrame] = None,
+      lease: Option[WriterLease.Lease] = None): Int = {
     val profile = storedProbeProfile(spark, dir, k)
-      .getOrElse(profileProbes(spark, dir, k, sampleQ, corpus))
+      .getOrElse(profileProbes(spark, dir, k, sampleQ, corpus, lease))
     require(profile.nonEmpty, s"empty probe profile for $dir")
     val budget = candidateBudgetFrac * profile.last.candidatesPerQuery
     val eligible = profile.filter(_.candidatesPerQuery <= budget + 1e-9)
@@ -1263,8 +1298,10 @@ object AnnIndex {
     * value; AnnIndexSpec pins it). */
   def searchIvfAuto(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, targetRecall: Double = 0.8,
-      candidateBudgetFrac: Double = 0.1): (DataFrame, Int) = {
-    val np = autoNprobe(spark, dir, k, targetRecall, candidateBudgetFrac)
+      candidateBudgetFrac: Double = 0.1,
+      lease: Option[WriterLease.Lease] = None): (DataFrame, Int) = {
+    val np = autoNprobe(spark, dir, k, targetRecall, candidateBudgetFrac,
+      lease = lease)
     (searchIvf(spark, dir, queries, k, nprobe = np), np)
   }
 
@@ -1283,14 +1320,27 @@ object AnnIndex {
       corpus: => Option[DataFrame] = None, errFactor: Double = 1.5,
       topShareLimit: Double = 0.5, refineIters: Int = 1,
       maxTrain: Int = 4096,
-      lease: Option[WriterLease.Lease] = None): Boolean = synchronized {
-    driftStats(spark, dir) match {
-      case Some(d) if d.appendErr > errFactor * d.baselineErr + 1e-9 ||
-          d.topShare > topShareLimit ||
-          d.recentErr > errFactor * d.baselineErr + 1e-9 ||
-          d.recentShare > topShareLimit =>
-        retrain(spark, dir, corpus, refineIters, maxTrain, lease); true
-      case _ => false
+      lease: Option[WriterLease.Lease] = None): Boolean = {
+    def triggered: Boolean = driftStats(spark, dir).exists(d =>
+      d.appendErr > errFactor * d.baselineErr + 1e-9 ||
+        d.topShare > topShareLimit ||
+        d.recentErr > errFactor * d.baselineErr + 1e-9 ||
+        d.recentShare > topShareLimit)
+    if (!triggered) false
+    else {
+      // force the caller's thunk OUTSIDE the monitor (round-16 advice): a
+      // corpus provider that itself touches a synchronized AnnIndex entry
+      // point — or blocks on any other lock — must never run while this
+      // object's lock is held, or the retrain path can deadlock
+      val c = corpus
+      synchronized {
+        // re-check under the lock: a concurrent maybeRetrain that won the
+        // race already retrained (journal reset → no drift evidence) — a
+        // second rebuild would be pure waste
+        if (triggered) {
+          retrain(spark, dir, c, refineIters, maxTrain, lease); true
+        } else false
+      }
     }
   }
 }

@@ -38,6 +38,21 @@ object Similarity {
   /** L2 norm via the native dot: sqrt(Σ xᵢ², same fold the HOF form used). */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity with every degenerate input mapped to 0.0: try_divide
+    * absorbs the zero-norm division (which plain `/` RAISES under ANSI —
+    * Spark 4's default), nanvl the NaN a 0/0 can yield, coalesce the null.
+    * The ONE expression every probe-ORDER consumer shares —
+    * [[ivfProbes]] (the order search actually probes) and
+    * [[AnnIndex.profileProbes]]/[[AnnIndex.fitProfile]] (the order the
+    * profiler ranks and the fit journal scores) — so "profiled rank ≤
+    * nprobe ≡ searchIvf probes that cell" holds for EVERY input by
+    * construction, not just for well-formed vectors (round-16 advice: the
+    * two paths previously used different degenerate-input forms, so
+    * zero-norm queries profiled one order and probed another). */
+  def cosineSimOrZero(a: Column, b: Column): Column =
+    coalesce(nanvl(try_divide(dot(a, b), l2norm(a) * l2norm(b)),
+      lit(0.0)), lit(0.0))
+
   /** Shared ranking tail for every KNN kernel: per-`qid` top-k by
     * (score DESC, `cid` ASC) — semantics of `row_number() OVER
     * (PARTITION BY qid ORDER BY score DESC, cid) <= k`, but computed with
@@ -493,10 +508,13 @@ object Similarity {
     * collects its distinct cells (bounded ≤ nCells) to prune stored-index
     * partitions with a literal filter. */
   def ivfProbes(cents: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+    // cosineSimOrZero, not plain division: a zero-norm/degenerate query
+    // raises under ANSI with `/`, and any divergence from the profiler's
+    // expression would break the "profiled order IS the probed order"
+    // invariant the probe profile rests on
     val qScored = queries.join(broadcast(cents))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"),
-        (dot(col("embedding"), col("centroid")) /
-          (l2norm(col("embedding")) * l2norm(col("centroid")))).as("sim"))
+        cosineSimOrZero(col("embedding"), col("centroid")).as("sim"))
     // bounded top-nprobe per query (candidates per query = nCells ≈ √n —
     // grows with the corpus, so the window form's per-query sort does too);
     // qe rides the order struct as a never-compared trailing field

@@ -485,4 +485,75 @@ class AnnIndexSpec extends AnyFunSuite {
       "retrain must wipe the old geometry's probe profile")
     graft.perf.Measure.deleteRecursively(idx)
   }
+
+  test("round-16 advice: tombstoned ids screen replays, foreign lease skips profile persist, thunk runs outside the lock, degenerate probes are deterministic") {
+    import spark.implicits._
+    val idx = tmp("graft-annspec-advice")
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) < 3)
+    val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16, refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+
+    // (a) screenExisting treats PENDING tombstones as existing: a tombstoned
+    // id — even one no stored row carries (the never-reuse-ids contract) —
+    // must screen out of a replayed batch; fresh ids pass
+    val ghostId = 9999999L // never stored
+    AnnIndex.delete(spark, idx, Seq(ghostId).toDF("vec_id"),
+      token = Some("t-ghost"))
+    val probeVec = emb.filter(col("vec_id") === 1).head()
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    val batch = Seq((ghostId, probeVec), (8888888L, probeVec))
+      .toDF("vec_id", "embedding")
+    val screened = AnnIndex.screenExisting(spark, idx, batch)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(screened == Set(8888888L),
+      s"tombstoned id must screen out, fresh id must pass — got $screened")
+
+    // (b) an unleased profileProbes under a live FOREIGN lease serves the
+    // in-memory profile but never writes into the leased store; the leased
+    // caller persists as usual
+    val lease = graft.ext.WriterLease.acquire(idx, "ingest-owner",
+      ttlMs = 120000)
+    val probeFile = java.nio.file.Paths.get(s"$idx/probe.parquet")
+    val unleased = AnnIndex.profileProbes(spark, idx, k = 5, sampleQ = 32)
+    assert(unleased.nonEmpty, "the in-memory profile is still served")
+    assert(!java.nio.file.Files.exists(probeFile),
+      "an unleased reader must not write probe.parquet under a foreign lease")
+    val leased = AnnIndex.profileProbes(spark, idx, k = 5, sampleQ = 32,
+      lease = Some(lease))
+    assert(leased == unleased, "the profile is lease-independent")
+    assert(java.nio.file.Files.exists(probeFile),
+      "the lease holder's profiling persists")
+    graft.ext.WriterLease.release(lease)
+
+    // (c) maybeRetrain forces the corpus thunk OUTSIDE the AnnIndex monitor
+    // (a provider that touches a synchronized entry point must not deadlock)
+    // and never forces it when the trigger is quiet
+    AnnIndex.appendIvf(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(4)) === 3).withColumn("embedding",
+        expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))")))
+    var lockHeldAtForce = true
+    assert(AnnIndex.maybeRetrain(spark, idx, {
+      lockHeldAtForce = Thread.holdsLock(AnnIndex)
+      None // ivf retrains from its own stored vectors
+    }, refineIters = 1))
+    assert(!lockHeldAtForce,
+      "the corpus thunk must never run under the AnnIndex lock")
+    assert(!AnnIndex.maybeRetrain(spark, idx,
+      { fail("quiet trigger must not force the corpus thunk"); None }),
+      "no drift evidence — no retrain")
+
+    // (d) a zero-norm query neither raises under ANSI nor diverges between
+    // the probe path and the profiler: both order by cosineSimOrZero, so
+    // all-ties resolve to the LOWEST cells deterministically
+    val zeroQ = Seq((0L, Array.fill(64)(0.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val storedCents = spark.read.parquet(s"$idx/centroids.parquet")
+    val lowCells = storedCents.select("cell").collect()
+      .map(_.getLong(0)).sorted.take(3).toSeq
+    val probed = Similarity.ivfProbes(storedCents, zeroQ, 3)
+      .select("cell").collect().map(_.getLong(0)).toSeq.sorted
+    assert(probed == lowCells,
+      s"zero-norm query must probe the lowest cells, got $probed")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
 }
