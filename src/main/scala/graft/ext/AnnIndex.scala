@@ -708,8 +708,54 @@ object AnnIndex {
       java.nio.file.Paths.get(driftPath(dir)))
     if (hasDrift) {
       graft.perf.Measure.deleteRecursively(tmp("drift.parquet"))
-      spark.read.parquet(driftPath(dir)).coalesce(1)
-        .write.mode("overwrite").parquet(tmp("drift.parquet"))
+      // deletion-driven drift (round 16): the fit journal is append-driven,
+      // so a mass tombstone purge — takedown of a whole source — shifted
+      // the stored distribution without ever firing a trigger: after this
+      // compact physically removes the rows, the trained geometry keeps
+      // modeling mass that no longer exists. The purge is where the
+      // evidence is free: the tombstoned rows still sit in the live
+      // artifact WITH their cell assignments, so one column-pruned
+      // aggregate measures how DEEPLY the disappearing mass empties the
+      // cells it leaves from. The skew signal is removal DEPTH — the
+      // purged-mass-weighted mean of each hit cell's removed fraction
+      // (Σ pn²/sn / Σ pn) — not a hottest-cell share: a gutted source
+      // reads ~its removed fraction (0.4 for a 40% takedown) no matter
+      // how many cells the source spans, while an aligned purge reads
+      // ~the overall purged fraction. The journal row: n = purged rows,
+      // err = purged fraction of the stored corpus, top_share = removal
+      // depth (field reused; phase 'purge' disambiguates). [[maybeRetrain]]
+      // fires on material + deep; cell-less families (lsh/pq) have no
+      // coarse geometry to mis-model — no row. The row rides the STAGED
+      // journal copy, so the racing-appender tripwire in [[compact]] can
+      // drop it with the consolidation (a telemetry row lost to a
+      // contract-violating racer, re-measured at the next purge).
+      val purgeRow =
+        if ((kind == "ivf" || kind == "ivfpq") &&
+            pendingTombstoneBatches(dir).nonEmpty) {
+          val artifact = if (kind == "ivf") "vectors.parquet" else "codes.parquet"
+          val stored = spark.read.parquet(s"$dir/$artifact")
+            .withColumn("cell", col("cell").cast("long"))
+          val occ = stored.groupBy(col("cell")).agg(count(lit(1)).as("sn"))
+          val r = stored
+            .join(broadcast(pendingTombstones(spark, dir).get),
+              Seq("vec_id"), "left_semi")
+            .groupBy(col("cell")).agg(count(lit(1)).as("pn"))
+            .join(occ, Seq("cell"))
+            .agg(sum(col("pn")).as("purged"),
+              // decimal-summed weighted depth: partitioning-independent,
+              // like every other journal mean
+              (sum(((col("pn") * col("pn"))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 10))
+                / col("sn"))) / sum(col("pn"))).cast("double").as("depth"))
+            .head()
+          val total = stored.count() // parquet-footer count, pre-purge
+          if (r.isNullAt(0) || r.getLong(0) == 0L || total == 0L) None
+          else Some(fitRow(spark, "purge", r.getLong(0),
+            r.getLong(0).toDouble / total, r.getDouble(1)))
+        } else None
+      purgeRow.fold(spark.read.parquet(driftPath(dir)))(
+        spark.read.parquet(driftPath(dir)).unionByName(_))
+        .coalesce(1).write.mode("overwrite").parquet(tmp("drift.parquet"))
     }
     fragmentingArtifacts(kind) ++ (if (hasDrift) Seq("drift.parquet") else Nil)
   }
@@ -916,10 +962,23 @@ object AnnIndex {
     *                     distribution SHIFT — the thing drift is — lives
     * @param recentShare  the recent-window top-cell share
     * @param recentVecs   vectors inside the recent window
+    * @param purgedVecs   rows physically purged by compactions since the
+    *                     baseline (the `purge` journal rows — round 16)
+    * @param purgedFrac   the LARGEST single purge's share of the stored
+    *                     corpus — how material the worst takedown was
+    *                     (max, not mean: one gutted source among many
+    *                     clean purges is still a gutted source)
+    * @param purgedDepth  the largest single purge's removal depth — the
+    *                     purged-mass-weighted mean fraction each hit cell
+    *                     lost (≈ the removed share of a gutted source, no
+    *                     matter how many cells the source spans; ≈ the
+    *                     overall purged fraction for an aligned shrink)
     */
   final case class DriftStats(baselineErr: Double, baselinePhase: String,
       appendErr: Double, appendVecs: Long, ratio: Double, topShare: Double,
-      recentErr: Double, recentShare: Double, recentVecs: Long)
+      recentErr: Double, recentShare: Double, recentVecs: Long,
+      purgedVecs: Long = 0L, purgedFrac: Double = 0.0,
+      purgedDepth: Double = 0.0)
 
   /** The recent-window width as a fraction of the appended mass since the
     * baseline (the newest rows summing to ≤ this share, the newest row
@@ -928,11 +987,14 @@ object AnnIndex {
     * drift-dominated batch among a handful of aligned ones still shows. */
   val RecentFrac = 0.25
 
-  /** Distill the fit journal: None when no appends have landed since the
-    * baseline (nothing to compare). An `ivfpq` journal with no build/retrain
-    * row bootstraps — its EARLIEST append is the baseline (the first
-    * post-build batch is presumed in-distribution; builders hold no raw
-    * corpus at write time to journal a true build row). */
+  /** Distill the fit journal: None when no appends AND no purges have
+    * landed since the baseline (nothing to compare). An `ivfpq` journal
+    * with no build/retrain row bootstraps — its EARLIEST append is the
+    * baseline (the first post-build batch is presumed in-distribution;
+    * builders hold no raw corpus at write time to journal a true build
+    * row). `purge` rows (journaled by [[compact]] over the rows it
+    * physically removes — round 16) feed the deletion-drift fields and
+    * never count as baseline or appended mass. */
   def driftStats(spark: SparkSession, dir: String): Option[DriftStats] = {
     refuseTorn(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(driftPath(dir))))
@@ -942,13 +1004,15 @@ object AnnIndex {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getLong(4), r.getString(5)))
       .sortBy(r => (r._5, r._6))
-    val (baseline, appends) = rows.find(_._1 != "append") match {
-      case Some(b) => (Some(b), rows.filter(_._1 == "append"))
-      case None => // bootstrap: earliest append is the baseline
-        val sorted = rows.filter(_._1 == "append")
-        (sorted.headOption, sorted.drop(1))
-    }
-    for (b <- baseline if appends.nonEmpty) yield {
+    val purges = rows.filter(_._1 == "purge")
+    val (baseline, appends) =
+      rows.find(r => r._1 == "build" || r._1 == "retrain") match {
+        case Some(b) => (Some(b), rows.filter(_._1 == "append"))
+        case None => // bootstrap: earliest append is the baseline
+          val sorted = rows.filter(_._1 == "append")
+          (sorted.headOption, sorted.drop(1))
+      }
+    for (b <- baseline if appends.nonEmpty || purges.nonEmpty) yield {
       def meanOf(rows: Seq[(String, Long, Double, Double, Long, String)],
           f: ((String, Long, Double, Double, Long, String)) => Double) = {
         val n = rows.map(_._2).sum
@@ -957,20 +1021,25 @@ object AnnIndex {
       val nTot = appends.map(_._2).sum
       // recent window: newest rows while cumulative mass stays within
       // RecentFrac of the total (newest row always in)
-      val cap = math.max(appends.last._2, (RecentFrac * nTot).toLong)
-      val recent = {
-        var acc = 0L
-        appends.reverse.takeWhile { r =>
-          val keep = acc == 0L || acc + r._2 <= cap
-          acc += r._2; keep
+      val recent =
+        if (appends.isEmpty) appends
+        else {
+          val cap = math.max(appends.last._2, (RecentFrac * nTot).toLong)
+          var acc = 0L
+          appends.reverse.takeWhile { r =>
+            val keep = acc == 0L || acc + r._2 <= cap
+            acc += r._2; keep
+          }
         }
-      }
       val err = meanOf(appends.toIndexedSeq, _._3)
       DriftStats(b._3, b._1, err, nTot,
         if (b._3 > 1e-12) err / b._3 else if (err > 1e-12) Double.MaxValue
         else 1.0,
         meanOf(appends.toIndexedSeq, _._4),
-        meanOf(recent, _._3), meanOf(recent, _._4), recent.map(_._2).sum)
+        meanOf(recent, _._3), meanOf(recent, _._4), recent.map(_._2).sum,
+        purges.map(_._2).sum,
+        purges.map(_._3).maxOption.getOrElse(0.0),
+        purges.map(_._4).maxOption.getOrElse(0.0))
     }
   }
 
@@ -1315,17 +1384,52 @@ object AnnIndex {
     * behind a long aligned prefix; a distribution SHIFT shows in the
     * tail). One bounded journal read per call; no appends since baseline
     * → false. `corpus` is forwarded to [[retrain]] (required for ivfpq).
-    * Returns true iff a retrain ran. */
+    * Returns true iff a retrain ran.
+    *
+    * Retrain hysteresis (round 16 — the sf1 soak double-fire): a tight
+    * mode keeps concentrating in ONE cell even after the retrain that
+    * modeled it (k-means gives a pointlike cloud one centroid no matter
+    * its mass), so the concentration axis alone re-fires on every later
+    * batch of that mode and each rebuild buys nothing. The discriminator
+    * is FIT: mass that concentrates in a cell it sits ON (misfit far
+    * below the baseline's own) is already as modeled as training can make
+    * it — that is a hot partition, not drift — while an UNMODELED mode
+    * concentrates with misfit at or above the in-distribution baseline.
+    * The concentration axes therefore fire only when the concentrated
+    * window's misfit exceeds `modeledFitFrac` × baseline misfit: the
+    * planted-mode soak retrains exactly once, and a SECOND distinct mode
+    * (whose arrivals do not sit on any trained centroid) still fires on
+    * its first batch — the property a time/mass cooldown could not give.
+    * The diffuse axis is untouched: elevated misfit is drift regardless
+    * of where it lands.
+    *
+    * Deletion drift (round 16, fourth axis): a compaction journals the
+    * removal profile of the rows it physically purges ([[driftStats]]'s
+    * `purged*` fields). A purge that is both MATERIAL (> `purgeFracFloor`
+    * of the stored corpus) and DEEP (removal depth > `purgeDepthLimit`:
+    * the cells it hit lost a large share of their mass — one mode/source
+    * gutted) means the trained geometry now models deleted mass; an
+    * aligned shrink removes a thin slice of every cell (depth ≈ overall
+    * purged fraction) and never fires. */
   def maybeRetrain(spark: SparkSession, dir: String,
       corpus: => Option[DataFrame] = None, errFactor: Double = 1.5,
       topShareLimit: Double = 0.5, refineIters: Int = 1,
       maxTrain: Int = 4096,
-      lease: Option[WriterLease.Lease] = None): Boolean = {
-    def triggered: Boolean = driftStats(spark, dir).exists(d =>
+      lease: Option[WriterLease.Lease] = None,
+      modeledFitFrac: Double = 0.5,
+      purgeFracFloor: Double = 0.1,
+      purgeDepthLimit: Double = 0.3): Boolean = {
+    def triggered: Boolean = driftStats(spark, dir).exists { d =>
+      // concentrated mass counts as drift only when it FITS like drift —
+      // see the hysteresis paragraph above
+      def unmodeledConcentration(share: Double, e: Double) =
+        share > topShareLimit && e > modeledFitFrac * d.baselineErr + 1e-9
       d.appendErr > errFactor * d.baselineErr + 1e-9 ||
-        d.topShare > topShareLimit ||
         d.recentErr > errFactor * d.baselineErr + 1e-9 ||
-        d.recentShare > topShareLimit)
+        unmodeledConcentration(d.topShare, d.appendErr) ||
+        unmodeledConcentration(d.recentShare, d.recentErr) ||
+        (d.purgedDepth > purgeDepthLimit && d.purgedFrac > purgeFracFloor)
+    }
     if (!triggered) false
     else {
       // force the caller's thunk OUTSIDE the monitor (round-16 advice): a

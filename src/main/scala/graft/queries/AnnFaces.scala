@@ -510,5 +510,95 @@ object AnnFaces {
       },
       Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
           TRUE AS search_identical, TRUE AS replay_noop,
-          TRUE AS retrain_mid_stream""")))
+          TRUE AS retrain_mid_stream""")),
+
+    // ── retrain hysteresis (round 16): the sf1 soak retrained on two
+    //    consecutive batches of ONE mode — correct but wasteful (a retrain
+    //    is hours at 100 TB). The damper: concentration only counts as
+    //    drift when the concentrated mass is UNMODELED (its misfit at or
+    //    above the baseline's order); mass sitting on its own trained
+    //    centroid is a hot partition, not drift. Pinned: the first batch
+    //    of a planted mode fires, a post-retrain batch of the SAME mode —
+    //    still fully concentrated — does not, and a SECOND distinct mode
+    //    fires on its first batch (the property a cooldown cannot give) ───
+    Q(
+      "q_ann_retrain_hysteresis",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val base = e.filter(pmod(col("vec_id"), lit(8)) < 4)
+          .select(col("vec_id"), col("embedding"))
+        def mode(sel: Int, b: Double) =
+          e.filter(pmod(col("vec_id"), lit(8)) === sel)
+            .withColumn("embedding",
+              expr(s"transform(embedding, x -> cast(0.2 * x + $b as float))"))
+            .select(col("vec_id"), col("embedding"))
+        val idx = tempIndexDir("graft-ann-hysteresis")
+        val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+          refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        AnnIndex.appendIvf(s, idx, mode(4, 3.0))
+        val firstFired = AnnIndex.maybeRetrain(s, idx, refineIters = 1)
+        AnnIndex.appendIvf(s, idx, mode(5, 3.0))
+        val stillConcentrated =
+          AnnIndex.driftStats(s, idx).exists(_.recentShare > 0.5)
+        val refire = AnnIndex.maybeRetrain(s, idx, refineIters = 1)
+        AnnIndex.appendIvf(s, idx, mode(6, -3.0))
+        val secondFired = AnnIndex.maybeRetrain(s, idx, refineIters = 1)
+        graft.perf.Measure.deleteRecursively(idx)
+        Seq((firstFired, stillConcentrated, !refire, secondFired))
+          .toDF("first_mode_fired", "modeled_mode_still_concentrated",
+            "refire_suppressed", "second_mode_fired")
+      },
+      Some("""SELECT TRUE AS first_mode_fired,
+          TRUE AS modeled_mode_still_concentrated,
+          TRUE AS refire_suppressed, TRUE AS second_mode_fired""")),
+
+    // ── deletion-driven drift (round 16): the fit journal is append-driven,
+    //    so a mass takedown (one source/mode gutted) used to shift the
+    //    stored distribution without firing anything — after compact purges
+    //    the bytes, the trained geometry models deleted mass. The compact
+    //    now journals the purged rows' cell distribution; maybeRetrain
+    //    fires when the departed mass was material AND skewed. Pinned: an
+    //    aligned purge journals but never fires; gutting 40% of a modeled
+    //    mode fires; the retrain resets the journal ────────────────────────
+    Q(
+      "q_ann_purge_drift",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val base = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id"), col("embedding"))
+        val tightMode = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+          .select(col("vec_id"), col("embedding"))
+        val idx = tempIndexDir("graft-ann-purgedrift")
+        val (cents, indexed) = AnnIndex.buildIvf(base.unionByName(tightMode),
+          nCells = 16, refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        AnnIndex.delete(s, idx,
+          e.filter(pmod(col("vec_id"), lit(20)) === 0).select("vec_id"),
+          token = Some("t-aligned"))
+        AnnIndex.compact(s, idx)
+        val alignedJournaled =
+          AnnIndex.driftStats(s, idx).exists(_.purgedVecs > 0L)
+        val alignedFired = AnnIndex.maybeRetrain(s, idx, refineIters = 1)
+        AnnIndex.delete(s, idx,
+          tightMode.filter(pmod(col("vec_id"), lit(5)) < 2).select("vec_id"),
+          token = Some("t-mode"))
+        AnnIndex.compact(s, idx)
+        val skewed = AnnIndex.driftStats(s, idx)
+          .exists(d => d.purgedDepth > 0.3 && d.purgedFrac > 0.1)
+        val skewedFired = AnnIndex.maybeRetrain(s, idx, refineIters = 1)
+        val journalReset = AnnIndex.driftStats(s, idx).isEmpty
+        graft.perf.Measure.deleteRecursively(idx)
+        Seq((alignedJournaled, !alignedFired, skewed, skewedFired,
+          journalReset))
+          .toDF("aligned_purge_journaled", "aligned_never_fires",
+            "skewed_purge_observed", "skewed_purge_fires", "journal_reset")
+      },
+      Some("""SELECT TRUE AS aligned_purge_journaled,
+          TRUE AS aligned_never_fires, TRUE AS skewed_purge_observed,
+          TRUE AS skewed_purge_fires, TRUE AS journal_reset""")))
 }

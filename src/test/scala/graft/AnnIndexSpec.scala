@@ -556,4 +556,89 @@ class AnnIndexSpec extends AnyFunSuite {
       s"zero-norm query must probe the lowest cells, got $probed")
     graft.perf.Measure.deleteRecursively(idx)
   }
+
+  test("retrain hysteresis: a modeled mode never re-fires the concentration axis; a second distinct mode fires on its first batch") {
+    val idx = tmp("graft-annspec-hysteresis")
+    val base = emb.filter(pmod(col("vec_id"), lit(8)) < 4)
+    // tight novel modes: a constant offset dominating every dim (the
+    // round-14 drift plant); ±offset are DISTINCT modes (near-antipodal)
+    def mode(sel: Int, b: Double) =
+      emb.filter(pmod(col("vec_id"), lit(8)) === sel)
+        .withColumn("embedding",
+          expr(s"transform(embedding, x -> cast(0.2 * x + $b as float))"))
+    val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16, refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+
+    AnnIndex.appendIvf(spark, idx, mode(4, 3.0))
+    assert(AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      "the first batch of an unmodeled mode must fire")
+
+    // the mode keeps arriving AFTER the retrain that modeled it — still
+    // fully concentrated (a pointlike cloud gets one centroid no matter
+    // its mass), but now sitting ON its centroid: a rebuild buys nothing,
+    // so the damped trigger must stay quiet (the sf1 soak double-fire)
+    AnnIndex.appendIvf(spark, idx, mode(5, 3.0))
+    val d = AnnIndex.driftStats(spark, idx).get
+    assert(d.recentShare > 0.5,
+      s"precondition: the modeled mode still concentrates ($d) — " +
+        "the damping, not a lucky spread, is what must hold the trigger")
+    assert(d.recentErr < 0.5 * d.baselineErr,
+      s"precondition: the modeled mode fits far below baseline ($d)")
+    assert(!AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      s"a modeled mode must not re-fire the concentration axis ($d)")
+
+    // a SECOND distinct mode — concentrated AND unmodeled — fires on its
+    // first batch: the property a time/mass cooldown could not give
+    AnnIndex.appendIvf(spark, idx, mode(6, -3.0))
+    assert(AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      "a second distinct mode must fire immediately, cooldown or not")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
+
+  test("deletion drift: a skewed purge fires the trigger at compact; an aligned purge never does") {
+    val idx = tmp("graft-annspec-purge-drift")
+    // corpus = weakly-clustered base (even ids) + a tight modeled mode
+    // (odd ids, constant offset), built TOGETHER — the geometry devotes
+    // cells to the mode, so gutting it leaves centroids modeling deleted
+    // mass. The fit journal is append-driven; without the compact-time
+    // purge row this shift would never fire anything.
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val tightMode = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+    val union = base.unionByName(tightMode)
+    val (cents, indexed) = AnnIndex.buildIvf(union, nCells = 16,
+      refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+
+    // ALIGNED purge: a thin distribution-preserving slice of the base —
+    // journaled, but neither material nor skewed; must never fire
+    AnnIndex.delete(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(20)) === 0).select("vec_id"),
+      token = Some("t-aligned"))
+    AnnIndex.compact(spark, idx)
+    val d1 = AnnIndex.driftStats(spark, idx).get
+    assert(d1.purgedVecs > 0L, "the purge must be journaled at compact")
+    assert(d1.purgedDepth <= 0.3,
+      s"precondition: the aligned purge is a thin slice of every cell ($d1)")
+    assert(!AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      s"an aligned purge must not fire ($d1)")
+
+    // SKEWED purge: 40% of the mode — material, and the mode's cells lose
+    // ~40% of their mass (removal depth ≈ the takedown's share of its
+    // source, however many cells the source spans); after the compact
+    // physically removes it, the trigger must fire
+    AnnIndex.delete(spark, idx,
+      tightMode.filter(pmod(col("vec_id"), lit(5)) < 2).select("vec_id"),
+      token = Some("t-mode"))
+    AnnIndex.compact(spark, idx)
+    val d2 = AnnIndex.driftStats(spark, idx).get
+    assert(d2.purgedDepth > 0.3 && d2.purgedFrac > 0.1,
+      s"the skewed purge must read as material + deep ($d2)")
+    assert(AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      s"a skewed material purge must fire the retrain ($d2)")
+    assert(AnnIndex.driftStats(spark, idx).isEmpty,
+      "the retrain resets the journal, purge rows included")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
 }
