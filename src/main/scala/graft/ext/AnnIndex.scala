@@ -821,8 +821,27 @@ object AnnIndex {
     }
     val primary = fragmentingArtifacts(kind).head
     val count = graft.perf.Measure.parquetFileCount(s"$dir/$primary")
-    if (count > factor * baseline) { compact(spark, dir, lease); true }
-    else false
+    if (count > factor * baseline) {
+      compact(spark, dir, lease)
+      // probe-profile freshness rides the maintenance cadence (round 16):
+      // the compaction just absorbed ~factor batches of appends (and any
+      // pending purges), exactly the occupancy movement that stales a
+      // stored curve — for the self-contained ivf family, re-measure every
+      // stored k whose anchor drifted, under the same lease. ivfpq cannot
+      // (codes are not invertible); its stale curve is simply not served
+      // and the next corpus-holding autoNprobe caller re-profiles.
+      if (kind == "ivf" &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir)))) {
+        val df = spark.read.parquet(probePath(dir))
+        val ks =
+          if (df.columns.contains("n_at_profile"))
+            df.select("k").distinct().collect().map(_.getInt(0)).toSeq.sorted
+          else Seq.empty // pre-anchor rows: unservable either way
+        ks.filter(storedProbeProfile(spark, dir, _).isEmpty)
+          .foreach(profileProbes(spark, dir, _, lease = lease))
+      }
+      true
+    } else false
   }
 
   // ── trained-artifact drift + retrain (round 14: the wall after deletion) ─
@@ -1295,49 +1314,89 @@ object AnnIndex {
       if (persistOk) {
         // the profile is k-SPECIFIC (recall@10 coverage ≠ recall@50
         // coverage), so k rides in every row and readers match on it.
+        // n_at_profile records the artifact's physical row count at
+        // measurement time — the staleness anchor [[storedProbeProfile]]
+        // compares against (round 16: a profile is only wiped by
+        // rebuild/retrain, so a corpus that doubled via frozen-geometry
+        // appends would otherwise serve a silently stale curve forever).
         // Staged swap, not in-place overwrite: a concurrent reader of the
         // old profile finishes on intact files or sees a brief absence
         // (→ recompute), never a half-deleted directory
+        val nNow = physicalCount(spark, dir, kind)
         val staged = probePath(dir) + ".tmp"
         graft.perf.Measure.deleteRecursively(staged)
         val fresh = profile
-          .map(p => (k, p.nprobe, p.recallProxy, p.candidatesPerQuery))
-          .toDF("k", "nprobe", "recall_proxy", "candidates_per_query")
+          .map(p => (k, p.nprobe, p.recallProxy, p.candidatesPerQuery, nNow))
+          .toDF("k", "nprobe", "recall_proxy", "candidates_per_query",
+            "n_at_profile")
         // profiles for OTHER k values stay valid (same geometry, different
         // recall curve) — carry them through the swap instead of making two
-        // k callers re-profile each other's work away
+        // k callers re-profile each other's work away. Pre-round-16 rows
+        // lack n_at_profile — they'd read as permanently stale anyway, so
+        // they are dropped rather than carried.
+        val old = java.nio.file.Paths.get(probePath(dir))
         val carried =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir))))
+          if (java.nio.file.Files.exists(old) &&
+              spark.read.parquet(probePath(dir)).columns
+                .contains("n_at_profile"))
             fresh.unionByName(spark.read.parquet(probePath(dir))
               .filter(col("k") =!= k)
-              .select("k", "nprobe", "recall_proxy", "candidates_per_query"))
+              .select("k", "nprobe", "recall_proxy", "candidates_per_query",
+                "n_at_profile"))
           else fresh
         carried.coalesce(1).write.mode("overwrite").parquet(staged)
         graft.perf.Measure.deleteRecursively(probePath(dir))
-        java.nio.file.Files.move(java.nio.file.Paths.get(staged),
-          java.nio.file.Paths.get(probePath(dir)),
+        java.nio.file.Files.move(java.nio.file.Paths.get(staged), old,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       profile
     } finally { qs.unpersist(); ranks.unpersist(); () }
   }
 
+  /** Physical row count of the primary fragmenting artifact — a parquet-
+    * footer metadata count, the cheap size anchor the profile-staleness
+    * check compares (tombstone-subtracted truth would cost a join per
+    * read; both sides of the comparison use the same physical measure, so
+    * the ratio is honest). */
+  private def physicalCount(spark: SparkSession, dir: String,
+      kind: String): Long =
+    spark.read.parquet(s"$dir/${fragmentingArtifacts(kind).head}").count()
+
   /** The persisted probe profile for THIS k, if one has been computed for
     * the current trained geometry (rebuilds and retrains wipe it; a
     * profile computed at a different k is not served — its recall curve
-    * answers a different question). */
+    * answers a different question) and is still FRESH: a profile is a
+    * trained artifact, but unlike the centroids it also encodes per-cell
+    * OCCUPANCY (candidates/query), which frozen-geometry appends and
+    * physical purges move without any rebuild. A profile whose
+    * measurement-time row count differs from the current artifact by more
+    * than `staleFactor` in either direction is not served — callers
+    * ([[autoNprobe]]) re-profile, and [[maybeCompact]] refreshes stale
+    * curves proactively at the maintenance cadence. */
   def storedProbeProfile(spark: SparkSession, dir: String,
-      k: Int = 10): Option[Seq[ProbePoint]] = {
-    refuseTorn(dir)
+      k: Int = 10, staleFactor: Double = 1.5): Option[Seq[ProbePoint]] = {
+    val (kind, _, _, _, _) = readParams(spark, dir) // refuses torn state
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir))))
       None
     else {
-      val rows = spark.read.parquet(probePath(dir))
-        .filter(col("k") === k)
-        .select("nprobe", "recall_proxy", "candidates_per_query").collect()
-        .map(r => ProbePoint(r.getInt(0), r.getDouble(1), r.getDouble(2)))
-        .sortBy(_.nprobe).toSeq
-      if (rows.isEmpty) None else Some(rows)
+      val df = spark.read.parquet(probePath(dir))
+      if (!df.columns.contains("n_at_profile")) None // pre-anchor rows: stale
+      else {
+        val rows = df.filter(col("k") === k)
+          .select("nprobe", "recall_proxy", "candidates_per_query",
+            "n_at_profile").collect()
+          .map(r => (ProbePoint(r.getInt(0), r.getDouble(1), r.getDouble(2)),
+            r.getLong(3)))
+          .sortBy(_._1.nprobe).toSeq
+        if (rows.isEmpty) None
+        else {
+          val nAt = math.max(1L, rows.head._2)
+          val nNow = math.max(1L, physicalCount(spark, dir, kind))
+          val drifted = math.max(nAt, nNow).toDouble /
+            math.min(nAt, nNow) > staleFactor
+          if (drifted) None else Some(rows.map(_._1))
+        }
+      }
     }
   }
 

@@ -600,5 +600,44 @@ object AnnFaces {
       },
       Some("""SELECT TRUE AS aligned_purge_journaled,
           TRUE AS aligned_never_fires, TRUE AS skewed_purge_observed,
-          TRUE AS skewed_purge_fires, TRUE AS journal_reset""")))
+          TRUE AS skewed_purge_fires, TRUE AS journal_reset""")),
+
+    // ── probe-profile staleness (round 16): the recall curve is a trained
+    //    artifact, but it also encodes per-cell OCCUPANCY, which frozen-
+    //    geometry appends move without any rebuild — a corpus that tripled
+    //    via appends must not be served last month's candidates/query.
+    //    Pinned: the fresh curve is served, growth past the stale factor
+    //    hides it, the maintenance path (maybeCompact) re-anchors it, and
+    //    the auto search stays bit-identical to a fixed search at its pick ─
+    Q(
+      "q_ann_probe_stale",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+        val delta = e.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+        val q = e.filter(col("vec_id") < 10)
+        val idx = tempIndexDir("graft-ann-probestale")
+        val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+          refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        val p0 = AnnIndex.profileProbes(s, idx, k = 3, sampleQ = 64)
+        val freshServed = AnnIndex.storedProbeProfile(s, idx, 3).contains(p0)
+        AnnIndex.appendIvf(s, idx, delta)
+        val staleHidden = AnnIndex.storedProbeProfile(s, idx, 3).isEmpty
+        val compacted = AnnIndex.maybeCompact(s, idx, factor = 1)
+        val reanchored = AnnIndex.storedProbeProfile(s, idx, 3).isDefined
+        val (auto, chosen) = AnnIndex.searchIvfAuto(s, idx, q, 3,
+          targetRecall = 0.8, candidateBudgetFrac = 0.5)
+        val cmp = compareTopK(
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = chosen), auto, "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("auto_equals_fixed"))
+          .withColumn("fresh_served", lit(freshServed))
+          .withColumn("stale_hidden", lit(staleHidden))
+          .withColumn("maintenance_reanchors", lit(compacted && reanchored))
+        materializeAndClean(cmp, idx)
+      },
+      Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
+          TRUE AS auto_equals_fixed, TRUE AS fresh_served,
+          TRUE AS stale_hidden, TRUE AS maintenance_reanchors""")))
 }

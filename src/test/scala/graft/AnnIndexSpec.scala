@@ -641,4 +641,37 @@ class AnnIndexSpec extends AnyFunSuite {
       "the retrain resets the journal, purge rows included")
     graft.perf.Measure.deleteRecursively(idx)
   }
+
+  test("probe staleness: growth hides the stored curve, maybeCompact re-profiles, the auto surface re-anchors on demand") {
+    val idx = tmp("graft-annspec-probestale")
+    val base = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+      refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+    val p0 = AnnIndex.profileProbes(spark, idx, k = 3, sampleQ = 64)
+    assert(AnnIndex.storedProbeProfile(spark, idx, 3).contains(p0),
+      "a fresh profile is served")
+    // frozen-geometry appends TRIPLE the corpus: same centroids, but the
+    // occupancy the curve's candidates/query encodes no longer exists —
+    // the stored curve must stop being served (profiles are only wiped by
+    // rebuild/retrain, which never ran)
+    AnnIndex.appendIvf(spark, idx, delta)
+    assert(AnnIndex.storedProbeProfile(spark, idx, 3).isEmpty,
+      "a tripled corpus must hide the stale curve")
+    // the maintenance path re-anchors it: the append fragmented past the
+    // factor, so maybeCompact compacts AND re-profiles every stored k
+    assert(AnnIndex.maybeCompact(spark, idx, factor = 1))
+    val refreshed = AnnIndex.storedProbeProfile(spark, idx, 3)
+    assert(refreshed.isDefined, "maybeCompact must refresh the stale curve")
+    assert(refreshed.get != p0,
+      "the refreshed curve is a new measurement, not the stale one re-served")
+    // the auto surface stays bit-identical to a fixed search at its pick
+    val (auto, chosen) = AnnIndex.searchIvfAuto(spark, idx, q10, 3,
+      targetRecall = 0.8, candidateBudgetFrac = 0.5)
+    assert(auto.collect().map(_.toString).toSet ==
+      AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = chosen)
+        .collect().map(_.toString).toSet)
+    graft.perf.Measure.deleteRecursively(idx)
+  }
 }
