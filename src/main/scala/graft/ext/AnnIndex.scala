@@ -71,6 +71,16 @@ object AnnIndex {
       .toDF("kind", "n_cells", "m", "k_codes", "dims")
   }
 
+  /** A rebuild starts a new index identity — the retained generation
+    * archive and its counter describe only the one that wrote them. */
+  private def wipeGenerations(dir: String): Unit = {
+    graft.perf.Measure.deleteRecursively(
+      java.nio.file.Paths.get(dir, "gens").toString)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_graft_gen"))
+    ()
+  }
+
   /** In-flight compaction sentinel ([[compact]]'s poison marker): present
     * only during the short artifact-swap window; a crash there leaves it
     * behind, and EVERY search/append entry point (they all resolve params
@@ -138,11 +148,12 @@ object AnnIndex {
     indexed.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
     // a full rebuild replaces every artifact — a torn-compaction sentinel
-    // (if any), pending tombstones, and the probe profile no longer
-    // describe anything real
+    // (if any), pending tombstones, the probe profile, and the retained
+    // generation archive no longer describe anything real
     java.nio.file.Files.deleteIfExists(sentinelPath(dir))
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
     graft.perf.Measure.deleteRecursively(probePath(dir))
+    wipeGenerations(dir)
     // fit journal baseline: ivf is the self-contained family (raw vectors
     // in hand), so the build can journal its own fit profile — measured on
     // the files just WRITTEN, not on the unmaterialized assignment plan
@@ -233,6 +244,7 @@ object AnnIndex {
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
     graft.perf.Measure.deleteRecursively(driftPath(dir)) // stale telemetry
+    wipeGenerations(dir)
   }
 
   def readLsh(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -294,6 +306,7 @@ object AnnIndex {
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)) // rebuild heals
     graft.perf.Measure.deleteRecursively(annTombRoot(dir).toString)
     graft.perf.Measure.deleteRecursively(driftPath(dir)) // stale telemetry
+    wipeGenerations(dir)
   }
 
   def readPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -349,6 +362,7 @@ object AnnIndex {
     // codes, not raw vectors. driftStats bootstraps from the first append.
     graft.perf.Measure.deleteRecursively(driftPath(dir))
     graft.perf.Measure.deleteRecursively(probePath(dir))
+    wipeGenerations(dir)
   }
 
   def readIvfPq(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
@@ -597,9 +611,20 @@ object AnnIndex {
     * full rebuild (`write*`) heals it — a crash costs a rebuild, never a
     * silently incomplete candidate set.
     *
-    * Returns seconds spent in the rewrite phase. */
+    * Returns seconds spent in the rewrite phase.
+    *
+    * Generation retention (round 16): with `retainGenerations > 0` the
+    * swap RETIRES the replaced artifact dirs — and the tombstone batches
+    * this compaction applied — into `gens/gen=<g>/` (copy-on-write
+    * pre-images, pure renames) and bumps the `_graft_gen` counter, so
+    * [[searchIvfAt]]/[[searchIvfPqAt]] can reproduce the search behavior
+    * of the superseded state; `0` restores delete-on-swap. Rebuilds
+    * (`write*`) wipe the archive — history is per index identity. */
   def compact(spark: SparkSession, dir: String,
-      lease: Option[WriterLease.Lease] = None): Double = synchronized {
+      lease: Option[WriterLease.Lease] = None,
+      retainGenerations: Int = 1): Double = synchronized {
+    require(retainGenerations >= 0,
+      s"retainGenerations must be >= 0, got $retainGenerations")
     // synchronized like the ShingleIndex counterpart: two same-JVM threads
     // compacting one dir would interleave swap phases (the second
     // ATOMIC_MOVE throws) and strand the sentinel despite intact data
@@ -633,10 +658,29 @@ object AnnIndex {
     // re-check at the swap boundary: a lease stolen during the staging
     // must abort before the sentinel/exchange
     lease.foreach(WriterLease.check)
+    val g = currentGeneration(dir)
+    val archive =
+      if (retainGenerations > 0) Some(genArchiveDir(dir, g)) else None
+    // a killed swap at this same generation may have left a torn archive
+    archive.foreach(p => graft.perf.Measure.deleteRecursively(p.toString))
     beginCompactSwap(dir)
-    swapCompactedArtifacts(dir, toSwap)
-    applied.foreach(t => graft.perf.Measure.deleteRecursively(
-      annTombDir(dir, t).toString))
+    swapCompactedArtifacts(dir, toSwap, archiveTo = archive)
+    // retained runs RETIRE the applied tombstone batches with the
+    // pre-images: a retraction applied here was journaled during state g
+    // and must keep passing through every pinned read at or below g
+    applied.foreach { t =>
+      archive match {
+        case Some(p) =>
+          val tombs = p.resolve("tombstones")
+          java.nio.file.Files.createDirectories(tombs)
+          java.nio.file.Files.move(annTombDir(dir, t),
+            tombs.resolve(s"tok=$t"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case None => graft.perf.Measure.deleteRecursively(
+          annTombDir(dir, t).toString)
+      }
+    }
+    writeGenMarker(dir, g + 1)
     finalizeCompactSwap(dir)
     // the swap replaced files BEHIND Spark's back (pure filesystem moves —
     // no Spark write touched the live path, so nothing invalidated the
@@ -645,6 +689,10 @@ object AnnIndex {
     // pre-swap files and die with FAILED_READ_FILE — the vector-ingest
     // soak's second maintenance cycle found exactly that.
     toSwap.foreach(a => spark.catalog.refreshByPath(s"$dir/$a"))
+    // GC outside the sentinel window: archives are never live state
+    retainedGenerations(dir).filter(_ <= g - retainGenerations)
+      .foreach(q => graft.perf.Measure.deleteRecursively(
+        genArchiveDir(dir, q).toString))
     sec
   }
 
@@ -778,14 +826,25 @@ object AnnIndex {
   }
 
   /** Swap phase 2 of [[compact]] (and [[retrain]], via `suffix`): exchange
-    * each live artifact dir for its staged temp. A kill between the delete
-    * and the move leaves a missing artifact — unreadable, but the sentinel
-    * already refuses every entry point before the parquet reader could trip
-    * on it. */
+    * each live artifact dir for its staged temp. With an archive target the
+    * replaced dirs are RETIRED into the generation archive (renames) — the
+    * copy-on-write pre-image [[searchIvfAt]]/[[searchIvfPqAt]] resolve
+    * against; without one they are deleted as before. A kill between the
+    * retire and the move leaves a missing artifact — unreadable, but the
+    * sentinel already refuses every entry point before the parquet reader
+    * could trip on it. */
   private[graft] def swapCompactedArtifacts(dir: String,
-      artifacts: Seq[String], suffix: String = ".compact"): Unit =
+      artifacts: Seq[String], suffix: String = ".compact",
+      archiveTo: Option[java.nio.file.Path] = None): Unit =
     artifacts.foreach { a =>
-      graft.perf.Measure.deleteRecursively(s"$dir/$a")
+      val live = java.nio.file.Paths.get(s"$dir/$a")
+      archiveTo match {
+        case Some(p) if java.nio.file.Files.exists(live) =>
+          java.nio.file.Files.createDirectories(p)
+          java.nio.file.Files.move(live, p.resolve(a),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case _ => graft.perf.Measure.deleteRecursively(s"$dir/$a")
+      }
       java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/$a$suffix"),
         java.nio.file.Paths.get(s"$dir/$a"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -795,6 +854,153 @@ object AnnIndex {
     * again. */
   private[graft] def finalizeCompactSwap(dir: String): Unit = {
     java.nio.file.Files.deleteIfExists(sentinelPath(dir)); ()
+  }
+
+  // ── generation-pinned search (round 16 — CorpusStore.readAt on the ANN
+  //    store) ────────────────────────────────────────────────────────────
+  //
+  // Compact and retrain used to destroy the prior artifact state
+  // irrecoverably, so a training run that pinned its corpus generation
+  // could not reproduce the ANN search that selected/deduped it. With
+  // retention on, each maintenance op retires the artifact dirs it
+  // REPLACES into `gens/gen=<g>/` (copy-on-write: an op archives only its
+  // own pre-images — a compact retires the fragmenting artifact, a retrain
+  // the whole trained set) and bumps a `_graft_gen` counter. Resolving
+  // artifact A at pinned generation p = the SMALLEST archived q >= p that
+  // holds A (the pre-image of the first op after p that replaced A), else
+  // the live copy (A never changed since p). That rule is sound only while
+  // retention is CONTIGUOUS down from the live state, so the pinnable
+  // window is [contiguous floor, current]; anything older refuses loudly.
+  // Retractions pass through (the readAt contract): a pinned read
+  // subtracts the pending tombstones plus every batch retired at
+  // generation >= p.
+
+  private def genMarkerPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_graft_gen")
+
+  private def gensRoot(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "gens")
+
+  private def genArchiveDir(dir: String, g: Int): java.nio.file.Path =
+    gensRoot(dir).resolve(f"gen=$g%06d")
+
+  /** Generation of the CURRENT index state — bumped by every compact and
+    * retrain; 0 for a fresh (or pre-round-16) index. */
+  def currentGeneration(dir: String): Int = {
+    val p = genMarkerPath(dir)
+    if (!java.nio.file.Files.exists(p)) 0
+    else {
+      val s = java.nio.file.Files.readString(p).trim
+      """\{"gen":(\d+)\}""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt generation marker at $p: '$s'"))
+    }
+  }
+
+  private def writeGenMarker(dir: String, g: Int): Unit = {
+    val p = genMarkerPath(dir)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, s"""{"gen":$g}""")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Archived (frozen) generations on disk, oldest first. */
+  def retainedGenerations(dir: String): Seq[Int] =
+    Option(gensRoot(dir).toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("""gen=\d+"""))
+      .map(_.getName.stripPrefix("gen=").toInt).toSeq.sorted
+
+  /** Oldest pinnable generation: archives must be contiguous down from the
+    * live state or the smallest-q resolution rule would silently serve a
+    * LATER state's pre-image for a GC'd one. */
+  private def pinnableFloor(dir: String): Int = {
+    val have = retainedGenerations(dir).toSet
+    var f = currentGeneration(dir)
+    while (have.contains(f - 1)) f -= 1
+    f
+  }
+
+  private def requirePinnable(dir: String, gen: Int): Unit = {
+    refuseTorn(dir)
+    val (cur, floor) = (currentGeneration(dir), pinnableFloor(dir))
+    require(gen >= floor && gen <= cur,
+      s"generation $gen of the ANN index at $dir is unknown or already " +
+        s"GC'd — pinnable window: [$floor, $cur] (raise compact/retrain's " +
+        "retainGenerations to keep a longer pinning window)")
+  }
+
+  /** Resolve one artifact's content AS OF `gen` (see the block comment). */
+  private def resolveArtifactAt(dir: String, artifact: String,
+      gen: Int): String =
+    retainedGenerations(dir)
+      .filter(q => q >= gen && java.nio.file.Files.exists(
+        genArchiveDir(dir, q).resolve(artifact)))
+      .headOption
+      .map(q => genArchiveDir(dir, q).resolve(artifact).toString)
+      .getOrElse(s"$dir/$artifact")
+
+  /** Every vec_id retracted at or after `gen`: pending batches plus those
+    * retired by ops at generation >= gen. None when nothing was retracted. */
+  private def tombstonesSince(spark: SparkSession, dir: String,
+      gen: Int): Option[DataFrame] = {
+    val archived = retainedGenerations(dir).filter(_ >= gen)
+      .map(q => genArchiveDir(dir, q).resolve("tombstones"))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => spark.read.parquet(p.toString).select(col("vec_id")))
+    val all = pendingTombstones(spark, dir)
+      .map(_.select(col("vec_id"))).toSeq ++ archived
+    all.reduceOption(_ unionByName _)
+  }
+
+  private def minusTombsSince(spark: SparkSession, dir: String, gen: Int,
+      df: DataFrame): DataFrame =
+    tombstonesSince(spark, dir, gen).fold(df)(t =>
+      df.join(broadcast(t.distinct()), Seq("vec_id"), "left_anti")
+        .select(df.columns.toIndexedSeq.map(col): _*))
+
+  /** [[searchIvf]] pinned at a retained generation: probes the centroids
+    * and scans the cell partitions exactly as that frozen state held them,
+    * minus everything retracted since (a takedown never resurfaces through
+    * a historical search). `gen = currentGeneration` is the live search. */
+  def searchIvfAt(spark: SparkSession, dir: String, gen: Int,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    requirePinnable(dir, gen)
+    requireKind(spark, dir, "ivf")
+    val cents = spark.read.parquet(
+      resolveArtifactAt(dir, "centroids.parquet", gen))
+    val indexed = spark.read.parquet(
+      resolveArtifactAt(dir, "vectors.parquet", gen))
+      .withColumn("cell", col("cell").cast("long"))
+    val cells = probedCells(cents, queries, nprobe)
+    Similarity.ivfSearch(cents,
+      minusTombsSince(spark, dir, gen,
+        indexed.filter(col("cell").isin(cells: _*))),
+      queries, k, nprobe)
+  }
+
+  /** [[searchIvfPq]] pinned at a retained generation — centroids,
+    * codebooks, and codes all resolve as of that state. */
+  def searchIvfPqAt(spark: SparkSession, dir: String, gen: Int,
+      queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    requirePinnable(dir, gen)
+    requireKind(spark, dir, "ivfpq")
+    val (_, _, m, _, dims) = readParams(spark, dir)
+    val cents = spark.read.parquet(
+      resolveArtifactAt(dir, "centroids.parquet", gen))
+    val books = spark.read.parquet(
+      resolveArtifactAt(dir, "codebooks.parquet", gen))
+    val codes = spark.read.parquet(
+      resolveArtifactAt(dir, "codes.parquet", gen))
+      .withColumn("cell", col("cell").cast("long"))
+    val cells = probedCells(cents, queries, nprobe)
+    Similarity.ivfpqSearch(cents, books,
+      minusTombsSince(spark, dir, gen,
+        codes.filter(col("cell").isin(cells: _*))),
+      queries, k, nprobe, m, dims)
   }
 
   /** Per-artifact parquet file counts of a stored index — the
@@ -813,7 +1019,8 @@ object AnnIndex {
     * bounds); a torn index refuses via [[readParams]] like every other
     * entry point. Returns true iff a compaction ran. */
   def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8,
-      lease: Option[WriterLease.Lease] = None): Boolean = synchronized {
+      lease: Option[WriterLease.Lease] = None,
+      retainGenerations: Int = 1): Boolean = synchronized {
     val (kind, nCellsOrTables, _, _, _) = readParams(spark, dir)
     val baseline = kind match {
       case "pq" => math.max(1, spark.sessionState.conf.numShufflePartitions)
@@ -822,7 +1029,7 @@ object AnnIndex {
     val primary = fragmentingArtifacts(kind).head
     val count = graft.perf.Measure.parquetFileCount(s"$dir/$primary")
     if (count > factor * baseline) {
-      compact(spark, dir, lease)
+      compact(spark, dir, lease, retainGenerations)
       // probe-profile freshness rides the maintenance cadence (round 16):
       // the compaction just absorbed ~factor batches of appends (and any
       // pending purges), exactly the occupancy movement that stales a
@@ -1055,7 +1262,8 @@ object AnnIndex {
         if (b._3 > 1e-12) err / b._3 else if (err > 1e-12) Double.MaxValue
         else 1.0,
         meanOf(appends.toIndexedSeq, _._4),
-        meanOf(recent, _._3), meanOf(recent, _._4), recent.map(_._2).sum,
+        meanOf(recent.toIndexedSeq, _._3), meanOf(recent.toIndexedSeq, _._4),
+        recent.map(_._2).sum,
         purges.map(_._2).sum,
         purges.map(_._3).maxOption.getOrElse(0.0),
         purges.map(_._4).maxOption.getOrElse(0.0))
@@ -1114,7 +1322,10 @@ object AnnIndex {
   def retrain(spark: SparkSession, dir: String,
       corpus: Option[DataFrame] = None, refineIters: Int = 1,
       maxTrain: Int = 4096,
-      lease: Option[WriterLease.Lease] = None): Double = synchronized {
+      lease: Option[WriterLease.Lease] = None,
+      retainGenerations: Int = 1): Double = synchronized {
+    require(retainGenerations >= 0,
+      s"retainGenerations must be >= 0, got $retainGenerations")
     // gate before staging, re-check before the swap — the heaviest writer
     // here gets the same fencing as compact
     WriterLease.gate(dir, lease, "retrain of ANN index")
@@ -1124,18 +1335,40 @@ object AnnIndex {
       refineIters, maxTrain)
     val sec = (System.nanoTime() - t0) / 1e9
     lease.foreach(WriterLease.check)
+    val g = currentGeneration(dir)
+    val archive =
+      if (retainGenerations > 0) Some(genArchiveDir(dir, g)) else None
+    archive.foreach(p => graft.perf.Measure.deleteRecursively(p.toString))
     beginCompactSwap(dir)
-    swapCompactedArtifacts(dir, artifacts, suffix = ".retrain")
-    applied.foreach(t => graft.perf.Measure.deleteRecursively(
-      annTombDir(dir, t).toString))
+    // a retrain retires the full trained pre-image (centroids/codebooks/
+    // codes or vectors) — the generation archive then reproduces the OLD
+    // geometry's search exactly, which a compact-only archive could not
+    swapCompactedArtifacts(dir, artifacts, suffix = ".retrain",
+      archiveTo = archive)
+    applied.foreach { t =>
+      archive match {
+        case Some(p) =>
+          val tombs = p.resolve("tombstones")
+          java.nio.file.Files.createDirectories(tombs)
+          java.nio.file.Files.move(annTombDir(dir, t),
+            tombs.resolve(s"tok=$t"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case None => graft.perf.Measure.deleteRecursively(
+          annTombDir(dir, t).toString)
+      }
+    }
     // the probe profile describes the OLD geometry — wiped inside the
     // sentinel window (next auto search re-profiles against the new cells)
     graft.perf.Measure.deleteRecursively(probePath(dir))
+    writeGenMarker(dir, g + 1)
     finalizeCompactSwap(dir)
     // filesystem swap = no Spark-side invalidation (see compact) — refresh
     // every exchanged artifact or the next same-session read can plan
     // against the dead pre-swap files
     artifacts.foreach(a => spark.catalog.refreshByPath(s"$dir/$a"))
+    retainedGenerations(dir).filter(_ <= g - retainGenerations)
+      .foreach(q => graft.perf.Measure.deleteRecursively(
+        genArchiveDir(dir, q).toString))
     sec
   }
 

@@ -88,6 +88,35 @@ object ShingleIndex {
     * most n̄/frac distinct shingles can qualify), so reads broadcast it. */
   val stopDirName: String = "adv_doc_stopshingles"
 
+  /** Warehouse-sibling root of the RETAINED index generations (round 16 —
+    * the [[CorpusStore.readAt]] reproducibility precedent on the index):
+    * each compaction RETIRES the replaced postings/bands/stop dirs (and
+    * the tombstone batches it applied) into `gen=<g>/` instead of deleting
+    * them, so a training run that pinned its corpus at a generation can
+    * also reproduce the exact SCREEN behavior of that run —
+    * [[postingsAt]]/[[liveAt]]. GC'd generations refuse loudly; retention
+    * is [[compact]]'s `retainGenerations` knob. */
+  val gensDirName: String = tableName + "_gens"
+
+  private def gensRoot(spark: SparkSession): java.nio.file.Path =
+    warehousePath(spark, gensDirName)
+
+  private def genDir(spark: SparkSession, g: Int): java.nio.file.Path =
+    gensRoot(spark).resolve(f"gen=$g%06d")
+
+  /** Generation of the CURRENT index state — bumped by every [[compact]]
+    * (appends land inside a generation; a generation freezes at the
+    * compaction that supersedes it — the corpus snapshot semantics). */
+  def currentGeneration(spark: SparkSession): Int =
+    readMarker(spark).flatMap(intField(_, "gen")).getOrElse(0)
+
+  /** Frozen generations still on disk, oldest first — the pinnable set. */
+  def retainedGenerations(spark: SparkSession): Seq[Int] =
+    Option(gensRoot(spark).toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("""gen=\d+"""))
+      .map(_.getName.stripPrefix("gen=").toInt).toSeq.sorted
+
   /** Band-saturation auto-guard thresholds (round 15 — the one way the
     * default ingest path died on realistic data). A corpus where most
     * documents share a large boilerplate block puts them in the SAME band
@@ -283,10 +312,12 @@ object ShingleIndex {
         graft.perf.Measure.deleteRecursively(
           warehousePath(spark, bandsTableName).toString)
         // a rewrite derives the fresh truth from the source corpus — any
-        // pending tombstones and stop set described the OLD index identity
+        // pending tombstones, stop set, AND retained generations described
+        // the OLD index identity (history is not part of a new identity)
         graft.perf.Measure.deleteRecursively(tombRoot(spark).toString)
         graft.perf.Measure.deleteRecursively(
           warehousePath(spark, stopDirName).toString)
+        graft.perf.Measure.deleteRecursively(gensRoot(spark).toString)
         val t0 = System.nanoTime()
         val sh = shingles
         // write-time hot-bucket guard (round-13 judge task 4, the
@@ -417,7 +448,8 @@ object ShingleIndex {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP)}""" +
           s""","hot_ratio":${BigDecimal(report.hotRatio)
             .setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
-        writeMarker(spark, base + sig + prune + skew + ",\"appends\":0}")
+        writeMarker(spark,
+          base + sig + prune + skew + ",\"gen\":0,\"appends\":0}")
         sec
       }
     }
@@ -730,10 +762,23 @@ object ShingleIndex {
     * routing path and heal by re-registration, never by serving torn data.
     *
     * Returns seconds spent in the rewrite phase. Throws on an unregistered
-    * or poisoned index. */
+    * or poisoned index.
+    *
+    * Generation retention (round 16): with `retainGenerations > 0` the
+    * swap RETIRES the replaced postings/bands/stop dirs — and the
+    * tombstone batches this compaction applied — into the generation
+    * archive instead of deleting them (pure renames, no copy), bumps the
+    * marker's `gen`, and GCs archives older than the retention window.
+    * [[postingsAt]]/[[liveAt]] pin those frozen states; `0` restores the
+    * delete-on-swap behavior. Healing a mid-swap kill by re-registration
+    * starts a NEW identity and wipes the archive with the rest of the old
+    * one — history is per-identity. */
   def compact(spark: SparkSession, autoPrune: Boolean = true,
-      lease: Option[WriterLease.Lease] = None): Double =
+      lease: Option[WriterLease.Lease] = None,
+      retainGenerations: Int = 1): Double =
     synchronized {
+    require(retainGenerations >= 0,
+      s"retainGenerations must be >= 0, got $retainGenerations")
     val m = readMarker(spark).getOrElse(
       throw new IllegalStateException(
         s"$tableName is not registered — nothing to compact"))
@@ -757,14 +802,32 @@ object ShingleIndex {
     // re-check at the swap boundary: the staging can run for minutes, and
     // a lease stolen inside it must abort before the poison/exchange
     lease.foreach(WriterLease.check)
+    val g = intField(m, "gen").getOrElse(0)
     beginSwap(spark, m, tok)
-    swapCompacted(spark, m, tmpPost, tmpBands, tmpStop)
+    swapCompacted(spark, m, tmpPost, tmpBands, tmpStop,
+      retain = retainGenerations)
     // sweep inside the poisoned window: a kill here leaves a poisoned
-    // marker (heals by re-registration, which wipes tombstones too), so a
-    // tombstone batch can never be swept while its rows still exist
-    applied.foreach(t => graft.perf.Measure.deleteRecursively(
-      tombDir(spark, t).toString))
+    // marker (heals by re-registration, which wipes tombstones AND the
+    // archive), so a tombstone batch can never be swept while its rows
+    // still exist. Retained runs RETIRE the applied batches instead —
+    // they are part of generation g's pinned truth (a retraction
+    // journaled during g must keep passing through every pinned read at
+    // or below g)
+    applied.foreach { t =>
+      if (retainGenerations > 0) {
+        val tombs = genDir(spark, g).resolve("tombs")
+        java.nio.file.Files.createDirectories(tombs)
+        java.nio.file.Files.move(tombDir(spark, t),
+          tombs.resolve(s"tok=$t"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else graft.perf.Measure.deleteRecursively(tombDir(spark, t).toString)
+    }
     finalizeCompact(spark, m, stopCount, adopted)
+    // GC outside the poisoned window: archives are never live state, so
+    // a kill mid-GC costs a stale archive dir (swept next cycle)
+    retainedGenerations(spark).filter(_ <= g - retainGenerations)
+      .foreach(q => graft.perf.Measure.deleteRecursively(
+        genDir(spark, q).toString))
     sec
   }
 
@@ -885,29 +948,46 @@ object ShingleIndex {
     writeMarker(spark, m.stripSuffix("}") + s""","compacting":"$tok"}""")
 
   /** Swap phase 2 of [[compact]]: exchange live directories for the
-    * compacted ones and re-attach the DDL. Deleting the old postings dir
-    * removes the poisoned marker with it — the marker-less window is as
+    * compacted ones and re-attach the DDL. With `retain > 0` the replaced
+    * dirs are RETIRED into the generation archive (renames — the poisoned
+    * marker rides along inside the retired postings dir, where it is
+    * harmless: archive readers consult only its identity fields); with
+    * `retain = 0` they are deleted as before. Either way the live marker
+    * disappears with the old postings dir — the marker-less window is as
     * safe as the poisoned one (no marker → every routing path falls back,
     * register rewrites). */
   private[graft] def swapCompacted(spark: SparkSession, m: String,
       tmpPost: java.nio.file.Path,
       tmpBands: Option[java.nio.file.Path],
-      tmpStop: Option[java.nio.file.Path] = None): Unit = {
+      tmpStop: Option[java.nio.file.Path] = None,
+      retain: Int = 1): Unit = {
     val buckets = effBuckets(m)
+    val archive: Option[java.nio.file.Path] =
+      if (retain > 0) Some(genDir(spark, intField(m, "gen").getOrElse(0)))
+      else None
+    archive.foreach { p =>
+      // a killed swap at this same generation may have left a torn archive
+      graft.perf.Measure.deleteRecursively(p.toString)
+      java.nio.file.Files.createDirectories(p)
+    }
+    def retire(live: java.nio.file.Path, name: String): Unit =
+      if (java.nio.file.Files.exists(live)) archive match {
+        case Some(p) => java.nio.file.Files.move(live, p.resolve(name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case None => graft.perf.Measure.deleteRecursively(live.toString)
+      }
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    graft.perf.Measure.deleteRecursively(warehousePath(spark, tableName).toString)
+    retire(warehousePath(spark, tableName), "postings")
     java.nio.file.Files.move(tmpPost, warehousePath(spark, tableName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     tmpBands.foreach { p =>
       spark.sql(s"DROP TABLE IF EXISTS $bandsTableName")
-      graft.perf.Measure.deleteRecursively(
-        warehousePath(spark, bandsTableName).toString)
+      retire(warehousePath(spark, bandsTableName), "bands")
       java.nio.file.Files.move(p, warehousePath(spark, bandsTableName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     tmpStop.foreach { p =>
-      graft.perf.Measure.deleteRecursively(
-        warehousePath(spark, stopDirName).toString)
+      retire(warehousePath(spark, stopDirName), "stop")
       java.nio.file.Files.move(p, warehousePath(spark, stopDirName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
@@ -921,10 +1001,17 @@ object ShingleIndex {
     * poisoned window. */
   private[graft] def finalizeCompact(spark: SparkSession, m: String,
       stopCount: Option[Long] = None, adopted: Boolean = false): Unit = {
-    val bumped = intField(m, "compactions") match {
+    val cBumped = intField(m, "compactions") match {
       case Some(c) =>
         m.replaceAll(""""compactions":\d+""", s""""compactions":${c + 1}""")
       case None => m.stripSuffix("}") + ""","compactions":1}"""
+    }
+    // the compaction froze generation g — the live state is now g+1 (the
+    // corpus snapshot semantics: appends land INSIDE a generation, a
+    // generation freezes at the compaction that supersedes it)
+    val bumped = intField(cBumped, "gen") match {
+      case Some(gv) => cBumped.replaceAll(""""gen":\d+""", s""""gen":${gv + 1}""")
+      case None => cBumped.stripSuffix("}") + ""","gen":1}"""
     }
     // a pruned index re-froze its saturation set from the compacted
     // postings — record the refreshed size; a compaction that ADOPTED
@@ -956,7 +1043,8 @@ object ShingleIndex {
     * compact 13.7 s) a factor of ~8-16 keeps the screen within ~2× of
     * fresh while amortizing the rewrite over that many batches. */
   def maybeCompact(spark: SparkSession, factor: Int = 8,
-      lease: Option[WriterLease.Lease] = None): Boolean =
+      lease: Option[WriterLease.Lease] = None,
+      retainGenerations: Int = 1): Boolean =
     synchronized {
       readMarker(spark).filter(!isPoisoned(_)).exists { m =>
         val (pf, _) = fileCounts(spark)
@@ -965,7 +1053,8 @@ object ShingleIndex {
         // tombstone-aware read pays one anti-join input per batch)
         if (pf > factor * effBuckets(m) ||
             pendingTombstoneBatches(spark).size > factor) {
-          compact(spark, lease = lease); true
+          compact(spark, lease = lease,
+            retainGenerations = retainGenerations); true
         } else false
       }
     }
@@ -1031,4 +1120,100 @@ object ShingleIndex {
         }
       }
     }
+
+  // ── generation-pinned reads (round 16 — the corpus readAt precedent) ────
+  //
+  // The corpus pins its row set per generation (CorpusStore.readAt), but a
+  // training run's REPRODUCIBILITY also needs the index that screened it:
+  // which pairs the near-dup screen emitted depends on the stored postings,
+  // bands, and frozen stop set — all of which compact used to destroy.
+  // With retention on, every compaction's pre-image is a frozen generation,
+  // and the two accessors below reconstruct the exact screen inputs of that
+  // state. Retractions PASS THROUGH (the readAt contract): a pinned read
+  // subtracts the live pending tombstones AND every batch applied at
+  // generation >= the pinned one — a takedown never resurfaces through a
+  // historical read, which is why retired batches are archived rather than
+  // swept.
+
+  /** Every doc_id retracted at or after generation `gen`: the pending
+    * journal plus the batches retired by the compactions that ended
+    * generations >= `gen` (a batch applied at the compaction ending g was
+    * journaled DURING g — pending in every state <= g, physically present
+    * in every archive <= g). None when nothing was ever retracted. */
+  private def tombstonesSince(spark: SparkSession, gen: Int): Option[DataFrame] = {
+    val archived = retainedGenerations(spark).filter(_ >= gen)
+      .map(q => genDir(spark, q).resolve("tombs"))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => spark.read.parquet(p.toString).select(col("doc_id")))
+    val all = pendingTombstones(spark).map(_.select(col("doc_id"))).toSeq ++
+      archived
+    all.reduceOption(_ unionByName _)
+  }
+
+  private def minusTombstonesSince(spark: SparkSession, gen: Int,
+      df: DataFrame): DataFrame =
+    tombstonesSince(spark, gen).fold(df)(t =>
+      df.join(broadcast(t.distinct()), Seq("doc_id"), "left_anti")
+        .select(df.columns.toIndexedSeq.map(col): _*))
+
+  private def requireRetained(spark: SparkSession, gen: Int): Unit = {
+    val retained = retainedGenerations(spark)
+    require(retained.contains(gen),
+      s"generation $gen of $tableName is unknown or already GC'd — " +
+        s"retained: ${retained.mkString(", ")}; current (live): " +
+        s"${currentGeneration(spark)} (raise compact's retainGenerations " +
+        "to keep a longer pinning window)")
+  }
+
+  /** Pinned postings of a FROZEN generation: the stored (doc_id, shingle)
+    * relation exactly as the compaction that ended `gen` found it, minus
+    * everything retracted since — the reproducible-and-compliant view.
+    * The CURRENT generation is simply [[postings]]; an unknown or GC'd
+    * generation refuses loudly. Pinned reads are plain parquet scans (no
+    * bucketed DDL attach): the surface is read-only reproducibility, not
+    * the co-located live serving path. */
+  def postingsAt(spark: SparkSession, gen: Int): DataFrame = synchronized {
+    val m = readMarker(spark).getOrElse(throw new IllegalStateException(
+      s"$tableName is not registered — nothing to pin"))
+    if (isPoisoned(m)) throw new IllegalStateException(
+      s"$tableName marker carries an in-flight token — heal before pinning")
+    if (gen == currentGeneration(spark)) postings(spark)
+    else {
+      requireRetained(spark, gen)
+      minusTombstonesSince(spark, gen,
+        spark.read.parquet(genDir(spark, gen).resolve("postings").toString)
+          .select(col("doc_id"), col("shingle")))
+    }
+  }
+
+  /** Pinned band-backed index of a FROZEN generation — the exact inputs of
+    * that state's incremental near-dup screen (postings, bands, frozen
+    * stop set), with retractions since passing through. Feed it to
+    * [[Dedup.incrementalMinhashPairsIndexed]] with the pinned corpus's ids
+    * to reproduce a past run's screen verdicts verbatim. Banding geometry
+    * and stop set come from the ARCHIVED marker (the identity that wrote
+    * those bands — the live identity may have re-frozen its stop set
+    * since). None when that generation carried no band store; the live
+    * generation is [[liveFor]]. */
+  def liveAt(spark: SparkSession, gen: Int): Option[LiveIndex] = synchronized {
+    requireRetained(spark, gen)
+    val d = genDir(spark, gen)
+    val am = java.nio.file.Files.readString(
+      d.resolve("postings").resolve("_graft_layout"))
+    sigSpec(am).map { case (k, nBands, rowsPerBand) =>
+      val stop =
+        if (doubleField(am, "prune_df_frac").isDefined &&
+            java.nio.file.Files.exists(d.resolve("stop")))
+          Some(spark.read.parquet(d.resolve("stop").toString))
+        else None
+      LiveIndex(
+        minusTombstonesSince(spark, gen,
+          spark.read.parquet(d.resolve("postings").toString)
+            .select(col("doc_id"), col("shingle"))),
+        minusTombstonesSince(spark, gen,
+          spark.read.parquet(d.resolve("bands").toString)
+            .select(col("band"), col("bucket"), col("doc_id"))),
+        k, nBands, rowsPerBand, stop)
+    }
+  }
 }

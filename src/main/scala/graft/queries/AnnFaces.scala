@@ -639,5 +639,71 @@ object AnnFaces {
       },
       Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
           TRUE AS auto_equals_fixed, TRUE AS fresh_served,
-          TRUE AS stale_hidden, TRUE AS maintenance_reanchors""")))
+          TRUE AS stale_hidden, TRUE AS maintenance_reanchors""")),
+
+    // ── generation-pinned search (round 16, verdict task 1 on the ANN
+    //    store): compact/retrain used to destroy the prior artifact state,
+    //    so a training run pinning its corpus generation could not
+    //    reproduce the ANN search that selected it. Maintenance ops now
+    //    retire their pre-images into a generation archive; searchIvfAt(g)
+    //    resolves each artifact as of that state (copy-on-write), pending
+    //    AND retired retractions pass through, and GC'd generations refuse
+    //    loudly. Pinned: the gen-0 search is bit-identical to the search
+    //    collected before the retrain replaced the geometry — while the
+    //    live search has moved — a takedown drops out of the pinned view,
+    //    and pinning past the retention window throws ───────────────────
+    Q(
+      "q_ann_search_at",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val base = e.filter(pmod(col("vec_id"), lit(4)) < 3)
+        val drifted = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+        val idx = tempIndexDir("graft-ann-searchat")
+        val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+          refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        AnnIndex.appendIvf(s, idx, drifted)
+        val endG0Df = AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4)
+        val endG0 = s.createDataFrame(
+          java.util.Arrays.asList(endG0Df.collect(): _*), endG0Df.schema)
+        AnnIndex.retrain(s, idx, refineIters = 1, retainGenerations = 2)
+        val moved = AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4)
+          .collect().map(_.toString).toSet !=
+          endG0.collect().map(_.toString).toSet
+        // materialize every pinned comparison BEFORE the final compact:
+        // its GC deletes the archived files these lazy plans read
+        def snap(df: org.apache.spark.sql.DataFrame) = s.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        val pinCmp = snap(compareTopK(endG0,
+          AnnIndex.searchIvfAt(s, idx, 0, q, 3, nprobe = 4), "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("pinned_identical")))
+        // a retraction journaled AFTER the freeze still passes through the
+        // pinned view: the takedown contract has no historical loophole
+        val dead = 4L
+        AnnIndex.delete(s, idx,
+          e.filter(col("vec_id") === dead).select("vec_id"),
+          token = Some("searchat-kill"))
+        val memSurv = Similarity.ivfSearch(cents,
+          Similarity.ivfAssign(base.unionByName(drifted)
+            .filter(col("vec_id") =!= dead), cents), q, 3, nprobe = 4)
+        val retractCmp = snap(compareTopK(memSurv,
+          AnnIndex.searchIvfAt(s, idx, 0, q, 3, nprobe = 4), "cos")
+          .agg(expr("bool_and(identical)").as("retraction_passes_through")))
+        // retention 1 on the next maintenance sweeps generation 0
+        AnnIndex.compact(s, idx, retainGenerations = 1)
+        val gcRefused =
+          try { AnnIndex.searchIvfAt(s, idx, 0, q, 3, nprobe = 4); false }
+          catch { case _: IllegalArgumentException => true }
+        val cmp = pinCmp.crossJoin(broadcast(retractCmp))
+          .withColumn("live_moved_on", lit(moved))
+          .withColumn("gc_refuses", lit(gcRefused))
+        materializeAndClean(cmp, idx)
+      },
+      Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
+          TRUE AS pinned_identical, TRUE AS retraction_passes_through,
+          TRUE AS live_moved_on, TRUE AS gc_refuses""")))
 }

@@ -1556,6 +1556,75 @@ object CorpusAnalytics {
           .toDF("auto_pruned", "stop_nonempty", "screen_exact")
       },
       Some("""SELECT TRUE AS auto_pruned, TRUE AS stop_nonempty,
-          TRUE AS screen_exact"""))
+          TRUE AS screen_exact""")),
+
+    // ── generation-pinned screen (round 16, verdict task 1): the corpus
+    //    pins its row set per generation (q_corpus_readat), but a training
+    //    run's reproducibility also needs the INDEX that screened it —
+    //    compact used to destroy the prior postings/bands/stop state
+    //    irrecoverably. Compactions now retire the replaced artifact set
+    //    into a generation archive; liveAt(g)/postingsAt(g) rebuild that
+    //    state's exact screen inputs, retractions since pass through (the
+    //    readAt contract), and GC'd generations refuse loudly. Pinned
+    //    here: the pinned screen re-emits the PRE-compaction screen's
+    //    verdicts verbatim minus the retracted corpus doc — while the
+    //    live index has moved on — and pinning a swept generation throws ──
+    Q(
+      "q_index_pinned_screen",
+      (s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").orderBy("doc_id").limit(300)
+          .select(col("doc_id"), col("text"))
+        val sh = graft.ext.Dedup.hashedShingles(d, "doc_id", "text", 3)
+          .withColumnRenamed("sh", "shingle")
+        graft.ext.ShingleIndex.registerDocs(s, dir + "#pinned", sh,
+          buckets = 4, withBands = true)
+        val seeds = d.orderBy("doc_id").limit(120).collect()
+        val (seedA, textA) = (seeds.head.getLong(0), seeds.head.getString(1))
+        val (seedB, textB) = (seeds.last.getLong(0), seeds.last.getString(1))
+        val batch = Seq((9100001L, textA + " addendum"),
+          (9100002L, textB + " addendum")).toDF("doc_id", "text")
+        def screen(idx: graft.ext.ShingleIndex.LiveIndex,
+            ids: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+          val (pairs, release) = graft.ext.Dedup
+            .incrementalMinhashPairsIndexed(batch, ids, idx,
+              "doc_id", "text", 0.8)
+          val out = pairs.select(col("delta_id"), col("corpus_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          release(); out
+        }
+        val p0 = screen(
+          graft.ext.ShingleIndex.liveFor(s, dir + "#pinned").get,
+          d.select("doc_id"))
+        // retraction during generation 0, then the freeze
+        graft.ext.ShingleIndex.delete(s,
+          Seq(seedA).toDF("doc_id"), token = Some("pinned-kill"))
+        graft.ext.ShingleIndex.compact(s)
+        // the live index moves on — the pinned state must not
+        graft.ext.ShingleIndex.append(s,
+          d.select((col("doc_id") + 9200000L).as("doc_id"),
+            concat(lit("moved-on variant "), col("text")).as("text")),
+          token = Some("pinned-g1"))
+        val pinnedIds = graft.ext.ShingleIndex.postingsAt(s, 0)
+          .select("doc_id").distinct()
+        val p1 = screen(graft.ext.ShingleIndex.liveAt(s, 0).get, pinnedIds)
+        val screenPinned = p1 == p0.filterNot(_._2 == seedA)
+        val retractionThrough =
+          p0.exists(_._2 == seedA) && !p1.exists(_._2 == seedA)
+        val bothSeedsHit =
+          p0.contains((9100001L, seedA)) && p0.contains((9100002L, seedB)) &&
+            p1.contains((9100002L, seedB))
+        // GC: the next freeze sweeps generation 0 under the default
+        // one-generation window; pinning it must refuse, not half-serve
+        graft.ext.ShingleIndex.compact(s)
+        val gcRefused =
+          try { graft.ext.ShingleIndex.postingsAt(s, 0); false }
+          catch { case _: IllegalArgumentException => true }
+        Seq((bothSeedsHit, screenPinned, retractionThrough, gcRefused))
+          .toDF("both_seeds_hit", "pinned_screen_identical",
+            "retraction_passes_through", "gc_refuses")
+      },
+      Some("""SELECT TRUE AS both_seeds_hit, TRUE AS pinned_screen_identical,
+          TRUE AS retraction_passes_through, TRUE AS gc_refuses"""))
   )
 }

@@ -674,4 +674,96 @@ class AnnIndexSpec extends AnyFunSuite {
         .collect().map(_.toString).toSet)
     graft.perf.Measure.deleteRecursively(idx)
   }
+
+  test("generation pinning: pinned searches reproduce superseded states, retractions pass through, GC refuses") {
+    val idx = tmp("graft-annspec-genpin")
+    def liveSearch() = AnnIndex.searchIvf(spark, idx, q10, 3, nprobe = 4)
+      .collect().map(_.toString).toSet
+    def pinned(g: Int) = AnnIndex.searchIvfAt(spark, idx, g, q10, 3,
+      nprobe = 4).collect().map(_.toString).toSet
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) < 2)
+    val aligned = emb.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val drifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+    val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+      refineIters = 1)
+    AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+    assert(AnnIndex.currentGeneration(idx) == 0)
+
+    // generation 0 accumulates an append, then freezes at the compact
+    AnnIndex.appendIvf(spark, idx, aligned)
+    val endG0 = liveSearch()
+    AnnIndex.compact(spark, idx, retainGenerations = 2)
+    assert(AnnIndex.currentGeneration(idx) == 1)
+    // generation 1 accumulates the drifted append, then a RETRAIN
+    // replaces the whole trained set
+    AnnIndex.appendIvf(spark, idx, drifted)
+    val endG1 = liveSearch()
+    AnnIndex.retrain(spark, idx, refineIters = 1, retainGenerations = 2)
+    assert(AnnIndex.currentGeneration(idx) == 2)
+    assert(liveSearch() != endG1,
+      "precondition: the retrain moved the geometry — the pin is real")
+
+    // pinned searches reproduce each superseded state exactly: gen 1 =
+    // old geometry + all rows (the retrain's pre-image), gen 0 = old
+    // geometry + pre-drift rows (copy-on-write: centroids resolve through
+    // the retrain archive, vectors through the compact archive)
+    assert(pinned(1) == endG1, "searchIvfAt(1) must be the pre-retrain search")
+    assert(pinned(0) == endG0, "searchIvfAt(0) must be the end-of-gen-0 search")
+    assert(pinned(2) == liveSearch(), "the current generation is the live search")
+
+    // a retraction journaled NOW passes through every pinned view — a
+    // takedown never resurfaces via a historical search
+    val dead = 4L
+    assert(AnnIndex.delete(spark, idx, emb.filter(col("vec_id") === dead)
+      .select("vec_id"), token = Some("gp-kill")))
+    val memG0 = Similarity.ivfSearch(cents,
+      Similarity.ivfAssign(
+        base.unionByName(aligned).filter(col("vec_id") =!= dead), cents),
+      q10, 3, nprobe = 4).collect().map(_.toString).toSet
+    assert(pinned(0) == memG0,
+      "a pending retraction must pass through the pinned search")
+
+    // the compact that applies the retraction RETIRES its batch into the
+    // archive: pinned reads at or below the applying generation keep
+    // subtracting it even after the journal is swept
+    AnnIndex.compact(spark, idx, retainGenerations = 1)
+    assert(AnnIndex.currentGeneration(idx) == 3)
+    assert(AnnIndex.pendingTombstoneBatches(idx).isEmpty)
+    assert(pinned(2) == liveSearch(),
+      "the retired tombstone must keep passing through the gen-2 pin")
+
+    // retention 1 swept generations 0 and 1 — pinning them refuses loudly
+    // with the window and the knob named
+    for (g <- Seq(0, 1)) {
+      val e = intercept[IllegalArgumentException] { pinned(g) }
+      assert(e.getMessage.contains("retainGenerations"), e.getMessage)
+    }
+    graft.perf.Measure.deleteRecursively(idx)
+  }
+
+  test("generation pinning (ivfpq): the retrained-over codes search is reproducible at its pre-image") {
+    val idx = tmp("graft-annspec-genpin-pq")
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) < 3)
+    val drifted = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+    val union = base.unionByName(drifted)
+    val (cents, books, codes) = AnnIndex.buildIvfPq(base, nCells = 16,
+      kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx, cents, books, codes, nCells = 16, m = 8,
+      kCodes = 64, dims = 64)
+    AnnIndex.appendIvfPq(spark, idx, drifted)
+    def search() = AnnIndex.searchIvfPq(spark, idx, q10, 3, nprobe = 8)
+      .collect().map(_.toString).toSet
+    val endG0 = search()
+    AnnIndex.retrain(spark, idx, corpus = Some(union), refineIters = 1,
+      retainGenerations = 1)
+    assert(search() != endG0, "precondition: the retrain moved the codes")
+    assert(AnnIndex.searchIvfPqAt(spark, idx, 0, q10, 3, nprobe = 8)
+      .collect().map(_.toString).toSet == endG0,
+      "searchIvfPqAt(0) must reproduce the pre-retrain search")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
 }

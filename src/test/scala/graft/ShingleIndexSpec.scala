@@ -36,9 +36,11 @@ class ShingleIndexSpec extends AnyFunSuite {
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
         t).toString)
     }
-    graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      ShingleIndex.tombstonesDirName).toString)
+    for (d <- Seq(ShingleIndex.tombstonesDirName, ShingleIndex.gensDirName,
+        ShingleIndex.stopDirName))
+      graft.perf.Measure.deleteRecursively(java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        d).toString)
   }
 
   private def delta(offset: Long): DataFrame =
@@ -578,6 +580,75 @@ class ShingleIndexSpec extends AnyFunSuite {
         .forall(!_.contains(ShingleIndex.tableName)))
       assert(ShingleIndex.register(spark, sf, buckets = 4, withBands = true) > 0.0)
       assert(rows(ShingleIndex.table(spark)) == derived)
+    } finally wipe()
+  }
+
+  test("generation pinning: postingsAt freezes the pre-compaction state, retractions pass through, GC refuses loudly") {
+    wipe()
+    try {
+      ShingleIndex.register(spark, sf, buckets = 4, withBands = true)
+      assert(ShingleIndex.currentGeneration(spark) == 0)
+      assert(ShingleIndex.retainedGenerations(spark).isEmpty)
+
+      // generation 0 accumulates an append and a retraction, then freezes
+      assert(ShingleIndex.append(spark, delta(600), token = Some("g0-a")))
+      val gen0Final = rows(ShingleIndex.table(spark))
+      val deadId = Tables(spark, sf, "documents")
+        .orderBy("doc_id").limit(1).head().getLong(0)
+      val deadDf = Tables(spark, sf, "documents")
+        .filter(col("doc_id") === deadId).select("doc_id")
+      assert(ShingleIndex.delete(spark, deadDf, token = Some("g0-kill")))
+      ShingleIndex.compact(spark) // freezes gen 0, retires the tombstone
+      assert(ShingleIndex.currentGeneration(spark) == 1)
+      assert(ShingleIndex.retainedGenerations(spark) == Seq(0))
+
+      // the live index moves on; the pinned state does not
+      assert(ShingleIndex.append(spark, delta(700), token = Some("g1-a")))
+      val pinned = rows(ShingleIndex.postingsAt(spark, 0))
+      assert(pinned == gen0Final.filterNot(_._1 == deadId),
+        "postingsAt(0) must be generation 0's final rows minus the retraction")
+      assert(pinned != rows(ShingleIndex.postings(spark)),
+        "the live index has diverged — the pin is real")
+
+      // a LATER retraction also passes through the historical read (a
+      // takedown must never resurface via a pinned view)
+      val dead2 = Tables(spark, sf, "documents")
+        .orderBy(col("doc_id").desc).limit(1).head().getLong(0)
+      assert(ShingleIndex.delete(spark,
+        Tables(spark, sf, "documents").filter(col("doc_id") === dead2)
+          .select("doc_id"), token = Some("g1-kill")))
+      assert(rows(ShingleIndex.postingsAt(spark, 0)) ==
+        gen0Final.filterNot(r => r._1 == deadId || r._1 == dead2),
+        "a pending retraction journaled after the freeze must pass through")
+
+      // the pinned band store reproduces the archived identity
+      val idx0 = ShingleIndex.liveAt(spark, 0)
+      assert(idx0.isDefined, "generation 0 carried bands")
+      assert(idx0.get.postings.select("doc_id", "shingle").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        rows(ShingleIndex.postingsAt(spark, 0)))
+
+      // pinned reads on the CURRENT generation are just the live truth
+      assert(rows(ShingleIndex.postingsAt(spark, 1)) ==
+        rows(ShingleIndex.postings(spark)))
+
+      // retention GC: the default window keeps ONE frozen generation —
+      // gen 0 is swept by the compaction that freezes gen 1, and pinning
+      // it refuses loudly instead of serving a half-gone state
+      ShingleIndex.compact(spark)
+      assert(ShingleIndex.currentGeneration(spark) == 2)
+      assert(ShingleIndex.retainedGenerations(spark) == Seq(1))
+      val e = intercept[IllegalArgumentException] {
+        ShingleIndex.postingsAt(spark, 0)
+      }
+      assert(e.getMessage.contains("retainGenerations"),
+        s"the refusal must name the retention knob: ${e.getMessage}")
+      assert(ShingleIndex.retainedGenerations(spark).nonEmpty)
+
+      // retainGenerations = 0 restores delete-on-swap (no archive growth)
+      ShingleIndex.compact(spark, retainGenerations = 0)
+      assert(ShingleIndex.retainedGenerations(spark).isEmpty,
+        "retention 0 must sweep the archive")
     } finally wipe()
   }
 }
