@@ -1267,5 +1267,120 @@ object TemplateAnalogs {
         FROM customer
         WHERE UPPER(c_name) LIKE UPPER('%0000001%')
           AND c_mktsegment <> 'MACHINERY'
-        ORDER BY c_custkey""")))
+        ORDER BY c_custkey""")),
+
+    // ── goods_receipt_history (SapTemplates, EKBE/EKPO/MARA/MAKT): the
+    //    movement-type-keyed HISTORY LISTING — event rows gated by movement
+    //    type AND a posting-date range, joined through the item to the
+    //    material master (soft-delete gate), with the text lookup as a
+    //    LEFT JOIN whose ON carries a literal language filter (SPRAS='E')
+    //    — key + literal in ON, which keeps non-English rows as NULL text
+    //    instead of dropping the history row. Mapped: lineitem=EKBE
+    //    (returnflag 'N' = BWART '101', shipdate = BUDAT), part=MARA
+    //    (p_size gate = LVORM=''), supplier=MAKT (s_nationkey=5 = SPRAS).
+    //    100 TB shape: movement + date filters push into the lineitem scan
+    //    (PushedFilters), the text dim broadcasts, output is a raw listing
+    //    — no aggregation to drift ─────────────────────────────────────────
+    Q(
+      "q_tmpl_goods_receipt",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        val su = t(s, dir, "supplier")
+        l.filter(col("l_returnflag") === "N" &&
+            to_date(col("l_shipdate"))
+              .between(lit("1996-01-01"), lit("1996-12-31")))
+          .join(p, col("p_partkey") === col("l_partkey"))
+          .filter(col("p_size") <= 40)
+          .join(broadcast(su),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === 5, "left")
+          .select(to_date(col("l_shipdate")).as("posting_date"),
+            col("l_orderkey").as("po_number"),
+            col("l_linenumber").cast("long").as("po_item"),
+            col("l_quantity").cast("double").as("quantity"),
+            money(col("l_extendedprice")).cast("double").as("amount"),
+            col("s_name").as("partner_text"))
+          .orderBy(col("posting_date"), col("po_number"), col("po_item"))
+      },
+      Some("""SELECT CAST(l_shipdate AS DATE) AS posting_date,
+          l_orderkey AS po_number, CAST(l_linenumber AS BIGINT) AS po_item,
+          CAST(l_quantity AS DOUBLE) AS quantity,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+          s_name AS partner_text
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        LEFT JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = 5
+        WHERE l_returnflag = 'N' AND p_size <= 40
+          AND CAST(l_shipdate AS DATE)
+            BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        ORDER BY posting_date, po_number, po_item""")),
+
+    // ── value_chain_o2c_cycle_time (SapTemplates, VBAK/VBFA/LIKP/VBRK):
+    //    the SALES-side stage-gap chain — a two-hop doc-flow walk (hop 2
+    //    joins on hop 1's OUTPUT key, each hop type-gated in ON), MIN/MAX
+    //    stage dates per root order, then a datediff chain between
+    //    consecutive stages plus the end-to-end total. The p2p analog
+    //    covers the one-relation conditional-stage shape; this one covers
+    //    the CHAINED-hop shape the reference walks on the sales side.
+    //    Mapped per q_tmpl_doc_trace: orders=VBAK root (status gate),
+    //    hop 1 = lineitem 'N' (delivery, shipdate=WADAT_IST), hop 2 =
+    //    lineitem 'R' keyed by hop 1's partkey (billing, its
+    //    shipdate=FKDAT). The ORACLE keeps the template's multiplied
+    //    two-hop join; the Spark plan pre-collapses each stage to one row
+    //    per order BEFORE the left joins — identical because MIN/MAX are
+    //    multiplication-immune, and the 100 TB shape: no two-hop row
+    //    explosion, every shuffle pre-aggregated on the root key ──────────
+    Q(
+      "q_tmpl_o2c_cycle_time",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val hop1 = l.filter(col("l_returnflag") === "N")
+          .select(col("l_orderkey"), col("l_partkey"),
+            to_date(col("l_shipdate")).as("gi_date"))
+        val d1 = hop1.groupBy(col("l_orderkey"))
+          .agg(min(col("gi_date")).as("goods_issue_date"))
+        val d2 = hop1.select(col("l_orderkey"), col("l_partkey")).distinct()
+          .join(l.filter(col("l_returnflag") === "R")
+            .select(col("l_partkey"),
+              to_date(col("l_shipdate")).as("bill_date")),
+            Seq("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("bill_date")).as("billing_date"))
+        o.filter(col("o_orderstatus") =!= "P")
+          .join(d1, col("o_orderkey") === d1("l_orderkey"), "left")
+          .drop("l_orderkey")
+          .join(d2, col("o_orderkey") === d2("l_orderkey"), "left")
+          .drop("l_orderkey")
+          .select(col("o_orderkey").as("sales_order"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("goods_issue_date"),
+            datediff(col("goods_issue_date"), to_date(col("o_orderdate")))
+              .cast("long").as("order_to_delivery_days"),
+            col("billing_date"),
+            datediff(col("billing_date"), col("goods_issue_date"))
+              .cast("long").as("delivery_to_billing_days"),
+            datediff(col("billing_date"), to_date(col("o_orderdate")))
+              .cast("long").as("total_o2c_days"))
+          .orderBy(col("sales_order"))
+      },
+      Some("""SELECT v.o_orderkey AS sales_order,
+          CAST(v.o_orderdate AS DATE) AS order_date,
+          MIN(CAST(f1.l_shipdate AS DATE)) AS goods_issue_date,
+          date_diff('day', CAST(v.o_orderdate AS DATE),
+            MIN(CAST(f1.l_shipdate AS DATE))) AS order_to_delivery_days,
+          MAX(CAST(f2.l_shipdate AS DATE)) AS billing_date,
+          date_diff('day', MIN(CAST(f1.l_shipdate AS DATE)),
+            MAX(CAST(f2.l_shipdate AS DATE))) AS delivery_to_billing_days,
+          date_diff('day', CAST(v.o_orderdate AS DATE),
+            MAX(CAST(f2.l_shipdate AS DATE))) AS total_o2c_days
+        FROM orders v
+        LEFT JOIN lineitem f1 ON f1.l_orderkey = v.o_orderkey
+          AND f1.l_returnflag = 'N'
+        LEFT JOIN lineitem f2 ON f2.l_partkey = f1.l_partkey
+          AND f2.l_returnflag = 'R'
+        WHERE v.o_orderstatus <> 'P'
+        GROUP BY v.o_orderkey, v.o_orderdate
+        ORDER BY sales_order""")))
 }
