@@ -72,12 +72,12 @@ object AnnIndex {
   }
 
   /** A rebuild starts a new index identity — the retained generation
-    * archive and its counter describe only the one that wrote them. */
+    * archive and its counter describe only the one that wrote them.
+    * (Forward references to the canonical path helpers, so the layout is
+    * spelled exactly once.) */
   private def wipeGenerations(dir: String): Unit = {
-    graft.perf.Measure.deleteRecursively(
-      java.nio.file.Paths.get(dir, "gens").toString)
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, "_graft_gen"))
+    graft.perf.Measure.deleteRecursively(gensRoot(dir).toString)
+    java.nio.file.Files.deleteIfExists(genMarkerPath(dir))
     ()
   }
 
@@ -613,18 +613,22 @@ object AnnIndex {
     *
     * Returns seconds spent in the rewrite phase.
     *
-    * Generation retention (round 16): with `retainGenerations > 0` the
-    * swap RETIRES the replaced artifact dirs — and the tombstone batches
-    * this compaction applied — into `gens/gen=<g>/` (copy-on-write
-    * pre-images, pure renames) and bumps the `_graft_gen` counter, so
+    * Generation retention (round 16): while the store's retention window
+    * (persisted in `_graft_gen`; default 1) is positive, the swap RETIRES
+    * the replaced artifact dirs — and the tombstone batches this
+    * compaction applied — into `gens/gen=<g>/` (copy-on-write pre-images,
+    * pure renames) and bumps the generation counter, so
     * [[searchIvfAt]]/[[searchIvfPqAt]] can reproduce the search behavior
-    * of the superseded state; `0` restores delete-on-swap. Rebuilds
-    * (`write*`) wipe the archive — history is per index identity. */
+    * of the superseded state. Passing `retainGenerations` UPDATES the
+    * persisted setting (0 = delete-on-swap); omitting it inherits, so a
+    * default-knob maintenance run can never GC a window an operator
+    * explicitly retained. Rebuilds (`write*`) wipe the archive — history
+    * is per index identity. */
   def compact(spark: SparkSession, dir: String,
       lease: Option[WriterLease.Lease] = None,
-      retainGenerations: Int = 1): Double = synchronized {
-    require(retainGenerations >= 0,
-      s"retainGenerations must be >= 0, got $retainGenerations")
+      retainGenerations: Option[Int] = None): Double = synchronized {
+    val retain = retainGenerations.getOrElse(retentionSetting(dir))
+    require(retain >= 0, s"retainGenerations must be >= 0, got $retain")
     // synchronized like the ShingleIndex counterpart: two same-JVM threads
     // compacting one dir would interleave swap phases (the second
     // ATOMIC_MOVE throws) and strand the sentinel despite intact data
@@ -659,28 +663,13 @@ object AnnIndex {
     // must abort before the sentinel/exchange
     lease.foreach(WriterLease.check)
     val g = currentGeneration(dir)
-    val archive =
-      if (retainGenerations > 0) Some(genArchiveDir(dir, g)) else None
+    val archive = if (retain > 0) Some(genArchiveDir(dir, g)) else None
     // a killed swap at this same generation may have left a torn archive
     archive.foreach(p => graft.perf.Measure.deleteRecursively(p.toString))
     beginCompactSwap(dir)
     swapCompactedArtifacts(dir, toSwap, archiveTo = archive)
-    // retained runs RETIRE the applied tombstone batches with the
-    // pre-images: a retraction applied here was journaled during state g
-    // and must keep passing through every pinned read at or below g
-    applied.foreach { t =>
-      archive match {
-        case Some(p) =>
-          val tombs = p.resolve("tombstones")
-          java.nio.file.Files.createDirectories(tombs)
-          java.nio.file.Files.move(annTombDir(dir, t),
-            tombs.resolve(s"tok=$t"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        case None => graft.perf.Measure.deleteRecursively(
-          annTombDir(dir, t).toString)
-      }
-    }
-    writeGenMarker(dir, g + 1)
+    retireTombstones(dir, applied, archive)
+    writeGenMarker(dir, g + 1, retain)
     finalizeCompactSwap(dir)
     // the swap replaced files BEHIND Spark's back (pure filesystem moves —
     // no Spark write touched the live path, so nothing invalidated the
@@ -689,10 +678,12 @@ object AnnIndex {
     // pre-swap files and die with FAILED_READ_FILE — the vector-ingest
     // soak's second maintenance cycle found exactly that.
     toSwap.foreach(a => spark.catalog.refreshByPath(s"$dir/$a"))
-    // GC outside the sentinel window: archives are never live state
-    retainedGenerations(dir).filter(_ <= g - retainGenerations)
-      .foreach(q => graft.perf.Measure.deleteRecursively(
-        genArchiveDir(dir, q).toString))
+    // the rewrite collapsed the file count back to build shape, masking
+    // the read path's cheap staleness anchor — row-check and drop stale
+    // probe curves here, at maintenance cost (see invalidateStaleProfiles)
+    if (params._1 == "ivf" || params._1 == "ivfpq")
+      invalidateStaleProfiles(spark, dir, params._1)
+    gcGenerations(dir, g, retain)
     sec
   }
 
@@ -791,10 +782,11 @@ object AnnIndex {
             .join(occ, Seq("cell"))
             .agg(sum(col("pn")).as("purged"),
               // decimal-summed weighted depth: partitioning-independent,
-              // like every other journal mean
-              (sum(((col("pn") * col("pn"))
-                .cast(org.apache.spark.sql.types.DecimalType(28, 10))
-                / col("sn"))) / sum(col("pn"))).cast("double").as("depth"))
+              // like every other journal mean. Cast BEFORE the square: a
+              // long pn*pn overflows (ANSI raises) past ~3e9 rows per cell
+              (sum((col("pn").cast(
+                org.apache.spark.sql.types.DecimalType(28, 10)) * col("pn"))
+                / col("sn")) / sum(col("pn"))).cast("double").as("depth"))
             .head()
           val total = stored.count() // parquet-footer count, pre-purge
           if (r.isNullAt(0) || r.getLong(0) == 0L || total == 0L) None
@@ -884,28 +876,68 @@ object AnnIndex {
   private def genArchiveDir(dir: String, g: Int): java.nio.file.Path =
     gensRoot(dir).resolve(f"gen=$g%06d")
 
-  /** Generation of the CURRENT index state — bumped by every compact and
-    * retrain; 0 for a fresh (or pre-round-16) index. */
-  def currentGeneration(dir: String): Int = {
+  /** (generation, retention) of the CURRENT index state. The RETENTION is
+    * a STORE-LEVEL setting, not a per-call argument: it persists in the
+    * marker so that a default-knob maintenance run (the streaming ingest's
+    * maybeCompact/maybeRetrain) can never GC the pinning window an
+    * operator explicitly paid to retain — an explicit `retainGenerations`
+    * on compact/retrain UPDATES the setting, absence inherits it. */
+  private def genState(dir: String): (Int, Int) = {
     val p = genMarkerPath(dir)
-    if (!java.nio.file.Files.exists(p)) 0
+    if (!java.nio.file.Files.exists(p)) (0, 1)
     else {
       val s = java.nio.file.Files.readString(p).trim
-      """\{"gen":(\d+)\}""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      """\{"gen":(\d+)(?:,"retain":(\d+))?\}""".r.findFirstMatchIn(s)
+        .map(m => (m.group(1).toInt,
+          Option(m.group(2)).map(_.toInt).getOrElse(1)))
         .getOrElse(throw new IllegalStateException(
           s"corrupt generation marker at $p: '$s'"))
     }
   }
 
-  private def writeGenMarker(dir: String, g: Int): Unit = {
+  /** Generation of the CURRENT index state — bumped by every compact and
+    * retrain; 0 for a fresh (or pre-round-16) index. */
+  def currentGeneration(dir: String): Int = genState(dir)._1
+
+  /** The store's persisted retention window (see [[genState]]). */
+  def retentionSetting(dir: String): Int = genState(dir)._2
+
+  private def writeGenMarker(dir: String, g: Int, retain: Int): Unit = {
     val p = genMarkerPath(dir)
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, s"""{"gen":$g}""")
+    java.nio.file.Files.writeString(tmp, s"""{"gen":$g,"retain":$retain}""")
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  /** Shared maintenance tail of [[compact]] and [[retrain]]: retire the
+    * applied tombstone batches into generation `g`'s archive (or delete
+    * them when retention is off — they are part of g's pinned truth, so a
+    * retraction applied here keeps passing through every pinned read at
+    * or below g). */
+  private def retireTombstones(dir: String, applied: Seq[String],
+      archive: Option[java.nio.file.Path]): Unit =
+    applied.foreach { t =>
+      archive match {
+        case Some(p) =>
+          val tombs = p.resolve("tombstones")
+          java.nio.file.Files.createDirectories(tombs)
+          java.nio.file.Files.move(annTombDir(dir, t),
+            tombs.resolve(s"tok=$t"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case None => graft.perf.Measure.deleteRecursively(
+          annTombDir(dir, t).toString)
+      }
+    }
+
+  /** Shared GC tail: sweep archives past the retention window (outside the
+    * sentinel — archives are never live state). */
+  private def gcGenerations(dir: String, g: Int, retain: Int): Unit =
+    retainedGenerations(dir).filter(_ <= g - retain)
+      .foreach(q => graft.perf.Measure.deleteRecursively(
+        genArchiveDir(dir, q).toString))
 
   /** Archived (frozen) generations on disk, oldest first. */
   def retainedGenerations(dir: String): Seq[Int] =
@@ -959,7 +991,12 @@ object AnnIndex {
   private def minusTombsSince(spark: SparkSession, dir: String, gen: Int,
       df: DataFrame): DataFrame =
     tombstonesSince(spark, dir, gen).fold(df)(t =>
-      df.join(broadcast(t.distinct()), Seq("vec_id"), "left_anti")
+      // NO broadcast hint, unlike the live path: pending batches are
+      // bounded by compaction cadence, but this union spans every batch
+      // retired across the whole retention window — large takedowns over a
+      // long window can exceed any broadcast budget, so the planner (AQE)
+      // picks broadcast vs shuffle from the actual size
+      df.join(t.distinct(), Seq("vec_id"), "left_anti")
         .select(df.columns.toIndexedSeq.map(col): _*))
 
   /** [[searchIvf]] pinned at a retained generation: probes the centroids
@@ -1020,7 +1057,7 @@ object AnnIndex {
     * entry point. Returns true iff a compaction ran. */
   def maybeCompact(spark: SparkSession, dir: String, factor: Int = 8,
       lease: Option[WriterLease.Lease] = None,
-      retainGenerations: Int = 1): Boolean = synchronized {
+      retainGenerations: Option[Int] = None): Boolean = synchronized {
     val (kind, nCellsOrTables, _, _, _) = readParams(spark, dir)
     val baseline = kind match {
       case "pq" => math.max(1, spark.sessionState.conf.numShufflePartitions)
@@ -1029,24 +1066,27 @@ object AnnIndex {
     val primary = fragmentingArtifacts(kind).head
     val count = graft.perf.Measure.parquetFileCount(s"$dir/$primary")
     if (count > factor * baseline) {
+      // snapshot the profiled ks BEFORE compacting: the compaction's
+      // row-anchor check may DELETE a stale probe.parquet, and those are
+      // exactly the curves to re-measure
+      val ks =
+        if (kind == "ivf" && java.nio.file.Files.exists(
+            java.nio.file.Paths.get(probePath(dir))))
+          spark.read.parquet(probePath(dir))
+            .select("k").distinct().collect().map(_.getInt(0)).toSeq.sorted
+        else Seq.empty
       compact(spark, dir, lease, retainGenerations)
       // probe-profile freshness rides the maintenance cadence (round 16):
       // the compaction just absorbed ~factor batches of appends (and any
       // pending purges), exactly the occupancy movement that stales a
       // stored curve — for the self-contained ivf family, re-measure every
-      // stored k whose anchor drifted, under the same lease. ivfpq cannot
-      // (codes are not invertible); its stale curve is simply not served
-      // and the next corpus-holding autoNprobe caller re-profiles.
-      if (kind == "ivf" &&
-          java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir)))) {
-        val df = spark.read.parquet(probePath(dir))
-        val ks =
-          if (df.columns.contains("n_at_profile"))
-            df.select("k").distinct().collect().map(_.getInt(0)).toSeq.sorted
-          else Seq.empty // pre-anchor rows: unservable either way
-        ks.filter(storedProbeProfile(spark, dir, _).isEmpty)
-          .foreach(profileProbes(spark, dir, _, lease = lease))
-      }
+      // previously-profiled k that is no longer served (file-anchor drift,
+      // or dropped by the compaction's row-anchor check), under the same
+      // lease. ivfpq cannot (codes are not invertible); its stale curve is
+      // simply not served and the next corpus-holding autoNprobe caller
+      // re-profiles.
+      ks.filter(storedProbeProfile(spark, dir, _).isEmpty)
+        .foreach(profileProbes(spark, dir, _, lease = lease))
       true
     } else false
   }
@@ -1199,12 +1239,21 @@ object AnnIndex {
     *                     lost (≈ the removed share of a gutted source, no
     *                     matter how many cells the source spans; ≈ the
     *                     overall purged fraction for an aligned shrink)
+    * @param purges       every purge row since the baseline — the trigger
+    *                     evaluates material AND deep PER ROW (the two
+    *                     field-level maxes above can come from DIFFERENT
+    *                     rows: a tiny-but-total takedown plus a big
+    *                     aligned shrink each pass one half, and joining
+    *                     the maxes would fire a spurious retrain no single
+    *                     purge justified)
     */
+  final case class PurgeRow(n: Long, frac: Double, depth: Double)
+
   final case class DriftStats(baselineErr: Double, baselinePhase: String,
       appendErr: Double, appendVecs: Long, ratio: Double, topShare: Double,
       recentErr: Double, recentShare: Double, recentVecs: Long,
       purgedVecs: Long = 0L, purgedFrac: Double = 0.0,
-      purgedDepth: Double = 0.0)
+      purgedDepth: Double = 0.0, purges: Seq[PurgeRow] = Nil)
 
   /** The recent-window width as a fraction of the appended mass since the
     * baseline (the newest rows summing to ≤ this share, the newest row
@@ -1266,7 +1315,8 @@ object AnnIndex {
         recent.map(_._2).sum,
         purges.map(_._2).sum,
         purges.map(_._3).maxOption.getOrElse(0.0),
-        purges.map(_._4).maxOption.getOrElse(0.0))
+        purges.map(_._4).maxOption.getOrElse(0.0),
+        purges.map(r => PurgeRow(r._2, r._3, r._4)).toIndexedSeq)
     }
   }
 
@@ -1323,9 +1373,9 @@ object AnnIndex {
       corpus: Option[DataFrame] = None, refineIters: Int = 1,
       maxTrain: Int = 4096,
       lease: Option[WriterLease.Lease] = None,
-      retainGenerations: Int = 1): Double = synchronized {
-    require(retainGenerations >= 0,
-      s"retainGenerations must be >= 0, got $retainGenerations")
+      retainGenerations: Option[Int] = None): Double = synchronized {
+    val retain = retainGenerations.getOrElse(retentionSetting(dir))
+    require(retain >= 0, s"retainGenerations must be >= 0, got $retain")
     // gate before staging, re-check before the swap — the heaviest writer
     // here gets the same fencing as compact
     WriterLease.gate(dir, lease, "retrain of ANN index")
@@ -1336,8 +1386,7 @@ object AnnIndex {
     val sec = (System.nanoTime() - t0) / 1e9
     lease.foreach(WriterLease.check)
     val g = currentGeneration(dir)
-    val archive =
-      if (retainGenerations > 0) Some(genArchiveDir(dir, g)) else None
+    val archive = if (retain > 0) Some(genArchiveDir(dir, g)) else None
     archive.foreach(p => graft.perf.Measure.deleteRecursively(p.toString))
     beginCompactSwap(dir)
     // a retrain retires the full trained pre-image (centroids/codebooks/
@@ -1345,30 +1394,17 @@ object AnnIndex {
     // geometry's search exactly, which a compact-only archive could not
     swapCompactedArtifacts(dir, artifacts, suffix = ".retrain",
       archiveTo = archive)
-    applied.foreach { t =>
-      archive match {
-        case Some(p) =>
-          val tombs = p.resolve("tombstones")
-          java.nio.file.Files.createDirectories(tombs)
-          java.nio.file.Files.move(annTombDir(dir, t),
-            tombs.resolve(s"tok=$t"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        case None => graft.perf.Measure.deleteRecursively(
-          annTombDir(dir, t).toString)
-      }
-    }
+    retireTombstones(dir, applied, archive)
     // the probe profile describes the OLD geometry — wiped inside the
     // sentinel window (next auto search re-profiles against the new cells)
     graft.perf.Measure.deleteRecursively(probePath(dir))
-    writeGenMarker(dir, g + 1)
+    writeGenMarker(dir, g + 1, retain)
     finalizeCompactSwap(dir)
     // filesystem swap = no Spark-side invalidation (see compact) — refresh
     // every exchanged artifact or the next same-session read can plan
     // against the dead pre-swap files
     artifacts.foreach(a => spark.catalog.refreshByPath(s"$dir/$a"))
-    retainedGenerations(dir).filter(_ <= g - retainGenerations)
-      .foreach(q => graft.perf.Measure.deleteRecursively(
-        genArchiveDir(dir, q).toString))
+    gcGenerations(dir, g, retain)
     sec
   }
 
@@ -1547,35 +1583,40 @@ object AnnIndex {
       if (persistOk) {
         // the profile is k-SPECIFIC (recall@10 coverage ≠ recall@50
         // coverage), so k rides in every row and readers match on it.
-        // n_at_profile records the artifact's physical row count at
+        // files_at_profile records the primary artifact's FILE COUNT at
         // measurement time — the staleness anchor [[storedProbeProfile]]
         // compares against (round 16: a profile is only wiped by
         // rebuild/retrain, so a corpus that doubled via frozen-geometry
         // appends would otherwise serve a silently stale curve forever).
+        // Files, not rows: the read-path check must be one directory
+        // listing, never a footer scan of the largest artifact per search.
         // Staged swap, not in-place overwrite: a concurrent reader of the
         // old profile finishes on intact files or sees a brief absence
         // (→ recompute), never a half-deleted directory
-        val nNow = physicalCount(spark, dir, kind)
+        val filesNow = graft.perf.Measure.parquetFileCount(
+          s"$dir/${fragmentingArtifacts(kind).head}").toLong
+        val rowsNow = physicalCount(spark, dir, kind)
         val staged = probePath(dir) + ".tmp"
         graft.perf.Measure.deleteRecursively(staged)
         val fresh = profile
-          .map(p => (k, p.nprobe, p.recallProxy, p.candidatesPerQuery, nNow))
+          .map(p => (k, p.nprobe, p.recallProxy, p.candidatesPerQuery,
+            filesNow, rowsNow))
           .toDF("k", "nprobe", "recall_proxy", "candidates_per_query",
-            "n_at_profile")
+            "files_at_profile", "n_at_profile")
         // profiles for OTHER k values stay valid (same geometry, different
         // recall curve) — carry them through the swap instead of making two
-        // k callers re-profile each other's work away. Pre-round-16 rows
-        // lack n_at_profile — they'd read as permanently stale anyway, so
-        // they are dropped rather than carried.
+        // k callers re-profile each other's work away. Pre-anchor rows
+        // would read as permanently stale anyway, so they are dropped
+        // rather than carried.
         val old = java.nio.file.Paths.get(probePath(dir))
         val carried =
           if (java.nio.file.Files.exists(old) &&
               spark.read.parquet(probePath(dir)).columns
-                .contains("n_at_profile"))
+                .contains("files_at_profile"))
             fresh.unionByName(spark.read.parquet(probePath(dir))
               .filter(col("k") =!= k)
               .select("k", "nprobe", "recall_proxy", "candidates_per_query",
-                "n_at_profile"))
+                "files_at_profile", "n_at_profile"))
           else fresh
         carried.coalesce(1).write.mode("overwrite").parquet(staged)
         graft.perf.Measure.deleteRecursively(probePath(dir))
@@ -1587,10 +1628,9 @@ object AnnIndex {
   }
 
   /** Physical row count of the primary fragmenting artifact — a parquet-
-    * footer metadata count, the cheap size anchor the profile-staleness
-    * check compares (tombstone-subtracted truth would cost a join per
-    * read; both sides of the comparison use the same physical measure, so
-    * the ratio is honest). */
+    * footer metadata count. MAINTENANCE-cadence cost (it reads every
+    * footer): paid at profile time and inside [[compact]]'s staleness
+    * invalidation, never on the search path. */
   private def physicalCount(spark: SparkSession, dir: String,
       kind: String): Long =
     spark.read.parquet(s"$dir/${fragmentingArtifacts(kind).head}").count()
@@ -1601,11 +1641,17 @@ object AnnIndex {
     * answers a different question) and is still FRESH: a profile is a
     * trained artifact, but unlike the centroids it also encodes per-cell
     * OCCUPANCY (candidates/query), which frozen-geometry appends and
-    * physical purges move without any rebuild. A profile whose
-    * measurement-time row count differs from the current artifact by more
-    * than `staleFactor` in either direction is not served — callers
+    * physical purges move without any rebuild. Staleness is a TWO-ANCHOR
+    * check, each at the cost its call path affords: the READ path (here)
+    * compares the artifact's FILE count — one directory listing, never a
+    * footer scan per search — which catches growth-by-append (every
+    * append adds files); the anchor a compaction could mask (files return
+    * to build shape while rows tripled) is caught by [[compact]] itself,
+    * which row-checks at maintenance cost and DELETES a stale profile so
+    * readers re-profile. A profile whose file anchor drifted past
+    * `staleFactor` in either direction is not served — callers
     * ([[autoNprobe]]) re-profile, and [[maybeCompact]] refreshes stale
-    * curves proactively at the maintenance cadence. */
+    * curves proactively for the self-contained ivf family. */
   def storedProbeProfile(spark: SparkSession, dir: String,
       k: Int = 10, staleFactor: Double = 1.5): Option[Seq[ProbePoint]] = {
     val (kind, _, _, _, _) = readParams(spark, dir) // refuses torn state
@@ -1613,25 +1659,48 @@ object AnnIndex {
       None
     else {
       val df = spark.read.parquet(probePath(dir))
-      if (!df.columns.contains("n_at_profile")) None // pre-anchor rows: stale
+      if (!df.columns.contains("files_at_profile")) None // pre-anchor: stale
       else {
         val rows = df.filter(col("k") === k)
           .select("nprobe", "recall_proxy", "candidates_per_query",
-            "n_at_profile").collect()
+            "files_at_profile").collect()
           .map(r => (ProbePoint(r.getInt(0), r.getDouble(1), r.getDouble(2)),
             r.getLong(3)))
           .sortBy(_._1.nprobe).toSeq
         if (rows.isEmpty) None
         else {
-          val nAt = math.max(1L, rows.head._2)
-          val nNow = math.max(1L, physicalCount(spark, dir, kind))
-          val drifted = math.max(nAt, nNow).toDouble /
-            math.min(nAt, nNow) > staleFactor
+          val atProfile = math.max(1L, rows.head._2)
+          val now = math.max(1L, graft.perf.Measure.parquetFileCount(
+            s"$dir/${fragmentingArtifacts(kind).head}").toLong)
+          val drifted = math.max(atProfile, now).toDouble /
+            math.min(atProfile, now) > staleFactor
           if (drifted) None else Some(rows.map(_._1))
         }
       }
     }
   }
+
+  /** [[compact]]'s half of the two-anchor staleness contract: after the
+    * rewrite collapsed the files back to build shape — which MASKS the
+    * read path's file anchor — row-check every stored curve and delete
+    * the profile if any drifted (conservative whole-file drop: per-k
+    * surgery is not worth the code; fresh ks re-profile in one bounded
+    * pass on next use, and [[maybeCompact]] does so eagerly for ivf). */
+  private def invalidateStaleProfiles(spark: SparkSession, dir: String,
+      kind: String, staleFactor: Double = 1.5): Unit =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(probePath(dir)))) {
+      val df = spark.read.parquet(probePath(dir))
+      val stale =
+        if (!df.columns.contains("n_at_profile")) true
+        else {
+          val anchors = df.select("n_at_profile").distinct().collect()
+            .map(r => math.max(1L, r.getLong(0)))
+          val now = math.max(1L, physicalCount(spark, dir, kind))
+          anchors.exists(nAt => math.max(nAt, now).toDouble /
+            math.min(nAt, now) > staleFactor)
+        }
+      if (stale) graft.perf.Measure.deleteRecursively(probePath(dir))
+    }
 
   /** Recall-aware probe sizing: the smallest nprobe whose profiled recall
     * proxy meets `targetRecall` while its candidates/query stay within
@@ -1697,12 +1766,15 @@ object AnnIndex {
     *
     * Deletion drift (round 16, fourth axis): a compaction journals the
     * removal profile of the rows it physically purges ([[driftStats]]'s
-    * `purged*` fields). A purge that is both MATERIAL (> `purgeFracFloor`
-    * of the stored corpus) and DEEP (removal depth > `purgeDepthLimit`:
-    * the cells it hit lost a large share of their mass — one mode/source
-    * gutted) means the trained geometry now models deleted mass; an
-    * aligned shrink removes a thin slice of every cell (depth ≈ overall
-    * purged fraction) and never fires. */
+    * `purges` rows). A SINGLE purge that is both MATERIAL
+    * (> `purgeFracFloor` of the stored corpus) and DEEP (removal depth >
+    * `purgeDepthLimit`: the cells it hit lost a large share of their mass
+    * — one mode/source gutted) means the trained geometry now models
+    * deleted mass; an aligned shrink removes a thin slice of every cell
+    * (depth ≈ overall purged fraction) and never fires. The conjunction
+    * is PER ROW: a tiny-but-total takedown (deep, immaterial) plus a big
+    * aligned shrink (material, shallow) each pass one half — joining
+    * their maxes would fire a retrain no single purge justified. */
   def maybeRetrain(spark: SparkSession, dir: String,
       corpus: => Option[DataFrame] = None, errFactor: Double = 1.5,
       topShareLimit: Double = 0.5, refineIters: Int = 1,
@@ -1720,7 +1792,8 @@ object AnnIndex {
         d.recentErr > errFactor * d.baselineErr + 1e-9 ||
         unmodeledConcentration(d.topShare, d.appendErr) ||
         unmodeledConcentration(d.recentShare, d.recentErr) ||
-        (d.purgedDepth > purgeDepthLimit && d.purgedFrac > purgeFracFloor)
+        d.purges.exists(p =>
+          p.depth > purgeDepthLimit && p.frac > purgeFracFloor)
     }
     if (!triggered) false
     else {

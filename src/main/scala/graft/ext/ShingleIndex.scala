@@ -764,24 +764,29 @@ object ShingleIndex {
     * Returns seconds spent in the rewrite phase. Throws on an unregistered
     * or poisoned index.
     *
-    * Generation retention (round 16): with `retainGenerations > 0` the
-    * swap RETIRES the replaced postings/bands/stop dirs — and the
-    * tombstone batches this compaction applied — into the generation
-    * archive instead of deleting them (pure renames, no copy), bumps the
-    * marker's `gen`, and GCs archives older than the retention window.
-    * [[postingsAt]]/[[liveAt]] pin those frozen states; `0` restores the
-    * delete-on-swap behavior. Healing a mid-swap kill by re-registration
+    * Generation retention (round 16): while the index's retention window
+    * (the marker's `retain` field, default 1) is positive, the swap
+    * RETIRES the replaced postings/bands/stop dirs — and the tombstone
+    * batches this compaction applied — into the generation archive
+    * instead of deleting them (pure renames, no copy), bumps the marker's
+    * `gen`, and GCs archives older than the window.
+    * [[postingsAt]]/[[liveAt]] pin those frozen states. Passing
+    * `retainGenerations` UPDATES the persisted setting (0 = delete-on-
+    * swap); omitting it inherits — so a default-knob maintenance run (the
+    * streaming ingest's maybeCompact) can never GC a window an operator
+    * explicitly retained. Healing a mid-swap kill by re-registration
     * starts a NEW identity and wipes the archive with the rest of the old
     * one — history is per-identity. */
   def compact(spark: SparkSession, autoPrune: Boolean = true,
       lease: Option[WriterLease.Lease] = None,
-      retainGenerations: Int = 1): Double =
+      retainGenerations: Option[Int] = None): Double =
     synchronized {
-    require(retainGenerations >= 0,
-      s"retainGenerations must be >= 0, got $retainGenerations")
     val m = readMarker(spark).getOrElse(
       throw new IllegalStateException(
         s"$tableName is not registered — nothing to compact"))
+    val retain =
+      retainGenerations.getOrElse(intField(m, "retain").getOrElse(1))
+    require(retain >= 0, s"retainGenerations must be >= 0, got $retain")
     if (isPoisoned(m))
       throw new IllegalStateException(
         s"$tableName marker carries an in-flight token — re-register to " +
@@ -804,8 +809,7 @@ object ShingleIndex {
     lease.foreach(WriterLease.check)
     val g = intField(m, "gen").getOrElse(0)
     beginSwap(spark, m, tok)
-    swapCompacted(spark, m, tmpPost, tmpBands, tmpStop,
-      retain = retainGenerations)
+    swapCompacted(spark, m, tmpPost, tmpBands, tmpStop, retain = retain)
     // sweep inside the poisoned window: a kill here leaves a poisoned
     // marker (heals by re-registration, which wipes tombstones AND the
     // archive), so a tombstone batch can never be swept while its rows
@@ -814,7 +818,7 @@ object ShingleIndex {
     // journaled during g must keep passing through every pinned read at
     // or below g)
     applied.foreach { t =>
-      if (retainGenerations > 0) {
+      if (retain > 0) {
         val tombs = genDir(spark, g).resolve("tombs")
         java.nio.file.Files.createDirectories(tombs)
         java.nio.file.Files.move(tombDir(spark, t),
@@ -822,10 +826,10 @@ object ShingleIndex {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } else graft.perf.Measure.deleteRecursively(tombDir(spark, t).toString)
     }
-    finalizeCompact(spark, m, stopCount, adopted)
+    finalizeCompact(spark, m, stopCount, adopted, retain)
     // GC outside the poisoned window: archives are never live state, so
     // a kill mid-GC costs a stale archive dir (swept next cycle)
-    retainedGenerations(spark).filter(_ <= g - retainGenerations)
+    retainedGenerations(spark).filter(_ <= g - retain)
       .foreach(q => graft.perf.Measure.deleteRecursively(
         genDir(spark, q).toString))
     sec
@@ -1000,7 +1004,8 @@ object ShingleIndex {
     * survives compaction) with a bumped `compactions` counter, ending the
     * poisoned window. */
   private[graft] def finalizeCompact(spark: SparkSession, m: String,
-      stopCount: Option[Long] = None, adopted: Boolean = false): Unit = {
+      stopCount: Option[Long] = None, adopted: Boolean = false,
+      retain: Int = 1): Unit = {
     val cBumped = intField(m, "compactions") match {
       case Some(c) =>
         m.replaceAll(""""compactions":\d+""", s""""compactions":${c + 1}""")
@@ -1009,9 +1014,16 @@ object ShingleIndex {
     // the compaction froze generation g — the live state is now g+1 (the
     // corpus snapshot semantics: appends land INSIDE a generation, a
     // generation freezes at the compaction that supersedes it)
-    val bumped = intField(cBumped, "gen") match {
+    val gBumped = intField(cBumped, "gen") match {
       case Some(gv) => cBumped.replaceAll(""""gen":\d+""", s""""gen":${gv + 1}""")
       case None => cBumped.stripSuffix("}") + ""","gen":1}"""
+    }
+    // the retention window is a persisted STORE setting — an explicit
+    // retainGenerations updated it, default calls carried it through
+    val bumped = intField(gBumped, "retain") match {
+      case Some(_) =>
+        gBumped.replaceAll(""""retain":\d+""", s""""retain":$retain""")
+      case None => gBumped.stripSuffix("}") + s""","retain":$retain}"""
     }
     // a pruned index re-froze its saturation set from the compacted
     // postings — record the refreshed size; a compaction that ADOPTED
@@ -1044,7 +1056,7 @@ object ShingleIndex {
     * fresh while amortizing the rewrite over that many batches. */
   def maybeCompact(spark: SparkSession, factor: Int = 8,
       lease: Option[WriterLease.Lease] = None,
-      retainGenerations: Int = 1): Boolean =
+      retainGenerations: Option[Int] = None): Boolean =
     synchronized {
       readMarker(spark).filter(!isPoisoned(_)).exists { m =>
         val (pf, _) = fileCounts(spark)
@@ -1153,7 +1165,10 @@ object ShingleIndex {
   private def minusTombstonesSince(spark: SparkSession, gen: Int,
       df: DataFrame): DataFrame =
     tombstonesSince(spark, gen).fold(df)(t =>
-      df.join(broadcast(t.distinct()), Seq("doc_id"), "left_anti")
+      // NO broadcast hint, unlike the live path: this union spans every
+      // batch retired across the retention window, which large takedowns
+      // can grow past any broadcast budget — AQE picks the join side
+      df.join(t.distinct(), Seq("doc_id"), "left_anti")
         .select(df.columns.toIndexedSeq.map(col): _*))
 
   private def requireRetained(spark: SparkSession, gen: Int): Unit = {
@@ -1196,15 +1211,35 @@ object ShingleIndex {
     * since). None when that generation carried no band store; the live
     * generation is [[liveFor]]. */
   def liveAt(spark: SparkSession, gen: Int): Option[LiveIndex] = synchronized {
+    // same registered/poison gate as postingsAt: a mid-swap kill leaves a
+    // poisoned or missing live marker AND possibly a half-retired archive
+    // at this generation — serving it could band deltas over the wrong
+    // basis, the silent-wrong-candidates class every other path refuses
+    val m = readMarker(spark).getOrElse(throw new IllegalStateException(
+      s"$tableName is not registered — nothing to pin"))
+    if (isPoisoned(m)) throw new IllegalStateException(
+      s"$tableName marker carries an in-flight token — heal before pinning")
     requireRetained(spark, gen)
     val d = genDir(spark, gen)
     val am = java.nio.file.Files.readString(
       d.resolve("postings").resolve("_graft_layout"))
     sigSpec(am).map { case (k, nBands, rowsPerBand) =>
+      // archive integrity: the retire moves postings, then bands, then
+      // stop — a kill between leaves a partial archive under a poisoned
+      // live marker (refused above), but belt-and-braces: a band-specced
+      // archive missing its bands or declared stop set is torn, and a
+      // pinned screen over it would be silently wrong
+      require(java.nio.file.Files.exists(d.resolve("bands")),
+        s"generation $gen archive of $tableName is torn (bands missing) — " +
+          "a retiring compaction was killed; this generation is not " +
+          "reproducible")
+      val pruned = doubleField(am, "prune_df_frac").isDefined
+      require(!pruned || java.nio.file.Files.exists(d.resolve("stop")),
+        s"generation $gen archive of $tableName is torn (declared stop " +
+          "set missing) — a retiring compaction was killed; this " +
+          "generation is not reproducible")
       val stop =
-        if (doubleField(am, "prune_df_frac").isDefined &&
-            java.nio.file.Files.exists(d.resolve("stop")))
-          Some(spark.read.parquet(d.resolve("stop").toString))
+        if (pruned) Some(spark.read.parquet(d.resolve("stop").toString))
         else None
       LiveIndex(
         minusTombstonesSince(spark, gen,

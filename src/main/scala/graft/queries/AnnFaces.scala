@@ -669,7 +669,7 @@ object AnnFaces {
         val endG0Df = AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4)
         val endG0 = s.createDataFrame(
           java.util.Arrays.asList(endG0Df.collect(): _*), endG0Df.schema)
-        AnnIndex.retrain(s, idx, refineIters = 1, retainGenerations = 2)
+        AnnIndex.retrain(s, idx, refineIters = 1, retainGenerations = Some(2))
         val moved = AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4)
           .collect().map(_.toString).toSet !=
           endG0.collect().map(_.toString).toSet
@@ -694,7 +694,7 @@ object AnnFaces {
           AnnIndex.searchIvfAt(s, idx, 0, q, 3, nprobe = 4), "cos")
           .agg(expr("bool_and(identical)").as("retraction_passes_through")))
         // retention 1 on the next maintenance sweeps generation 0
-        AnnIndex.compact(s, idx, retainGenerations = 1)
+        AnnIndex.compact(s, idx, retainGenerations = Some(1))
         val gcRefused =
           try { AnnIndex.searchIvfAt(s, idx, 0, q, 3, nprobe = 4); false }
           catch { case _: IllegalArgumentException => true }

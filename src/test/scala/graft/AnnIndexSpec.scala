@@ -611,32 +611,60 @@ class AnnIndexSpec extends AnyFunSuite {
       refineIters = 1)
     AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
 
-    // ALIGNED purge: a thin distribution-preserving slice of the base —
-    // journaled, but neither material nor skewed; must never fire
+    // DEEP-BUT-IMMATERIAL purge: take down ONE whole small cell (a tiny
+    // source, fully gutted — depth ≈ 1, fraction ≈ nothing); journaled,
+    // never fires
+    val cellCounts = spark.read.parquet(s"$idx/vectors.parquet")
+      .withColumn("cell", col("cell").cast("long"))
+      .groupBy("cell").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val smallCell = cellCounts.minBy(_._2)._1
+    assert(cellCounts.minBy(_._2)._2 < 0.05 * cellCounts.map(_._2).sum,
+      "precondition: the smallest cell is a tiny source")
     AnnIndex.delete(spark, idx,
-      emb.filter(pmod(col("vec_id"), lit(20)) === 0).select("vec_id"),
-      token = Some("t-aligned"))
+      spark.read.parquet(s"$idx/vectors.parquet")
+        .withColumn("cell", col("cell").cast("long"))
+        .filter(col("cell") === smallCell).select("vec_id"),
+      token = Some("t-cellkill"))
     AnnIndex.compact(spark, idx)
     val d1 = AnnIndex.driftStats(spark, idx).get
-    assert(d1.purgedVecs > 0L, "the purge must be journaled at compact")
-    assert(d1.purgedDepth <= 0.3,
-      s"precondition: the aligned purge is a thin slice of every cell ($d1)")
+    assert(d1.purges.nonEmpty && d1.purgedDepth > 0.8,
+      s"a full cell takedown must journal as DEEP ($d1)")
+    assert(d1.purgedFrac < 0.1,
+      s"precondition: it is immaterial ($d1)")
     assert(!AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
-      s"an aligned purge must not fire ($d1)")
+      s"a deep but immaterial purge must not fire ($d1)")
 
-    // SKEWED purge: 40% of the mode — material, and the mode's cells lose
-    // ~40% of their mass (removal depth ≈ the takedown's share of its
-    // source, however many cells the source spans); after the compact
-    // physically removes it, the trigger must fire
+    // MATERIAL-BUT-ALIGNED purge: a 20% distribution-preserving slice —
+    // the journal now holds one deep row and one material row, so the
+    // FIELD-LEVEL maxes satisfy both halves of the condition while no
+    // single purge does: the trigger must stay quiet (the conjunction is
+    // per row — the round-16 review regression)
+    AnnIndex.delete(spark, idx,
+      emb.filter(pmod(col("vec_id"), lit(5)) === 4).select("vec_id"),
+      token = Some("t-aligned"))
+    AnnIndex.compact(spark, idx)
+    val d2 = AnnIndex.driftStats(spark, idx).get
+    assert(d2.purgedDepth > 0.3 && d2.purgedFrac > 0.1,
+      s"precondition: the cross-row maxes DO satisfy the naive " +
+        s"conjunction — the per-row rule is what must hold ($d2)")
+    assert(!d2.purges.exists(p => p.depth > 0.3 && p.frac > 0.1),
+      s"precondition: no single purge is both material and deep ($d2)")
+    assert(!AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
+      s"two individually-benign purges must not jointly fire ($d2)")
+
+    // SKEWED purge: 40% of the mode — one purge that is BOTH material and
+    // deep (the mode's cells lose a large share of their mass); after the
+    // compact physically removes it, the trigger must fire
     AnnIndex.delete(spark, idx,
       tightMode.filter(pmod(col("vec_id"), lit(5)) < 2).select("vec_id"),
       token = Some("t-mode"))
     AnnIndex.compact(spark, idx)
-    val d2 = AnnIndex.driftStats(spark, idx).get
-    assert(d2.purgedDepth > 0.3 && d2.purgedFrac > 0.1,
-      s"the skewed purge must read as material + deep ($d2)")
+    val d3 = AnnIndex.driftStats(spark, idx).get
+    assert(d3.purges.exists(p => p.depth > 0.3 && p.frac > 0.1),
+      s"the skewed purge must read as material + deep in ONE row ($d3)")
     assert(AnnIndex.maybeRetrain(spark, idx, refineIters = 1),
-      s"a skewed material purge must fire the retrain ($d2)")
+      s"a skewed material purge must fire the retrain ($d3)")
     assert(AnnIndex.driftStats(spark, idx).isEmpty,
       "the retrain resets the journal, purge rows included")
     graft.perf.Measure.deleteRecursively(idx)
@@ -694,13 +722,13 @@ class AnnIndexSpec extends AnyFunSuite {
     // generation 0 accumulates an append, then freezes at the compact
     AnnIndex.appendIvf(spark, idx, aligned)
     val endG0 = liveSearch()
-    AnnIndex.compact(spark, idx, retainGenerations = 2)
+    AnnIndex.compact(spark, idx, retainGenerations = Some(2))
     assert(AnnIndex.currentGeneration(idx) == 1)
     // generation 1 accumulates the drifted append, then a RETRAIN
     // replaces the whole trained set
     AnnIndex.appendIvf(spark, idx, drifted)
     val endG1 = liveSearch()
-    AnnIndex.retrain(spark, idx, refineIters = 1, retainGenerations = 2)
+    AnnIndex.retrain(spark, idx, refineIters = 1, retainGenerations = Some(2))
     assert(AnnIndex.currentGeneration(idx) == 2)
     assert(liveSearch() != endG1,
       "precondition: the retrain moved the geometry — the pin is real")
@@ -728,7 +756,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // the compact that applies the retraction RETIRES its batch into the
     // archive: pinned reads at or below the applying generation keep
     // subtracting it even after the journal is swept
-    AnnIndex.compact(spark, idx, retainGenerations = 1)
+    AnnIndex.compact(spark, idx, retainGenerations = Some(1))
     assert(AnnIndex.currentGeneration(idx) == 3)
     assert(AnnIndex.pendingTombstoneBatches(idx).isEmpty)
     assert(pinned(2) == liveSearch(),
@@ -759,7 +787,7 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     val endG0 = search()
     AnnIndex.retrain(spark, idx, corpus = Some(union), refineIters = 1,
-      retainGenerations = 1)
+      retainGenerations = Some(1))
     assert(search() != endG0, "precondition: the retrain moved the codes")
     assert(AnnIndex.searchIvfPqAt(spark, idx, 0, q10, 3, nprobe = 8)
       .collect().map(_.toString).toSet == endG0,

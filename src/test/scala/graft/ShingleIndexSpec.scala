@@ -646,7 +646,7 @@ class ShingleIndexSpec extends AnyFunSuite {
       assert(ShingleIndex.retainedGenerations(spark).nonEmpty)
 
       // retainGenerations = 0 restores delete-on-swap (no archive growth)
-      ShingleIndex.compact(spark, retainGenerations = 0)
+      ShingleIndex.compact(spark, retainGenerations = Some(0))
       assert(ShingleIndex.retainedGenerations(spark).isEmpty,
         "retention 0 must sweep the archive")
     } finally wipe()

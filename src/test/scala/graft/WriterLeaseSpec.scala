@@ -114,7 +114,12 @@ class WriterLeaseSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    val a = WriterLease.acquire(corpus, "ingest-a", ttlMs = 60000L)
+    // generous TTL: this lease must stay LIVE across ~10 Spark jobs (two
+    // corpus compacts, an index register + two index compacts) — under a
+    // pressured shared-suite JVM a 60 s budget flaked once (the refusal
+    // assertions test GATING, not expiry; expiry has its own sub-test on
+    // a millisecond lease below)
+    val a = WriterLease.acquire(corpus, "ingest-a", ttlMs = 600000L)
     DocsStream.ingestStep(corpus, 0.8, None, Some(a))(batch, 0L)
     // the race WriterLease's own doc names: a MANUAL (unleased) compact
     // while the scheduled ingest holds the lease — refused up front, with
@@ -169,7 +174,9 @@ class WriterLeaseSpec extends AnyFunSuite {
     val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     val (cents, indexed) = graft.ext.AnnIndex.buildIvf(base, nCells = 8)
     graft.ext.AnnIndex.writeIvf(idx, cents, indexed, nCells = 8)
-    val holder = WriterLease.acquire(idx, "vec-ingest", ttlMs = 60000L)
+    // generous TTL for the same reason as the corpus gate test above: the
+    // leased retrain below is several Spark jobs on a shared-suite JVM
+    val holder = WriterLease.acquire(idx, "vec-ingest", ttlMs = 600000L)
     val e = intercept[IllegalStateException] {
       graft.ext.AnnIndex.compact(spark, idx) }
     assert(e.getMessage.contains("vec-ingest"), e.getMessage)
