@@ -768,6 +768,17 @@ class AnnIndexSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException] { pinned(g) }
       assert(e.getMessage.contains("retainGenerations"), e.getMessage)
     }
+
+    // retention is a PERSISTED store setting: an explicit window survives
+    // later default-knob maintenance (the review-pass footgun — a
+    // streaming ingest's maybeCompact/maybeRetrain must never GC a window
+    // the operator explicitly paid to retain)
+    assert(AnnIndex.retentionSetting(idx) == 1)
+    AnnIndex.compact(spark, idx, retainGenerations = Some(3)) // persists 3
+    AnnIndex.compact(spark, idx) // default knobs — inherits, never shrinks
+    assert(AnnIndex.retentionSetting(idx) == 3)
+    assert(AnnIndex.retainedGenerations(idx) == Seq(2, 3, 4),
+      "a default-knob compact must honor the persisted retention window")
     graft.perf.Measure.deleteRecursively(idx)
   }
 

@@ -645,6 +645,13 @@ class ShingleIndexSpec extends AnyFunSuite {
         s"the refusal must name the retention knob: ${e.getMessage}")
       assert(ShingleIndex.retainedGenerations(spark).nonEmpty)
 
+      // retention is a PERSISTED store setting: an explicit window
+      // survives later default-knob maintenance (the review-pass footgun)
+      ShingleIndex.compact(spark, retainGenerations = Some(3)) // persists 3
+      ShingleIndex.compact(spark) // default knobs — inherits, never shrinks
+      assert(ShingleIndex.retainedGenerations(spark) == Seq(1, 2, 3),
+        "a default-knob compact must honor the persisted retention window")
+
       // retainGenerations = 0 restores delete-on-swap (no archive growth)
       ShingleIndex.compact(spark, retainGenerations = Some(0))
       assert(ShingleIndex.retainedGenerations(spark).isEmpty,
