@@ -497,8 +497,10 @@ object AnnIndex {
     val stored = spark.read.parquet(s"$dir/$artifact")
       .withColumn("cell", col("cell").cast("long"))
       .filter(col("cell").isin(cells: _*)).select(col("vec_id"))
-    // pending tombstones are bounded by compaction cadence — one broadcast
-    // union alongside the cell-pruned stored-id scan
+    // pending tombstones are bounded by compaction cadence — unioned
+    // alongside the cell-pruned stored-id scan; the anti-join's build side
+    // is the whole union (dominated by the stored-id scan), so no
+    // broadcast hint: AQE sizes the join from the actual cell-pruned scan
     val existing = pendingTombstones(spark, dir)
       .fold(stored)(t => stored.unionByName(t.select(col("vec_id"))))
     delta.join(existing, Seq("vec_id"), "left_anti")
@@ -745,8 +747,7 @@ object AnnIndex {
     // the baseline and the appends since are still the drift evidence)
     val hasDrift = java.nio.file.Files.exists(
       java.nio.file.Paths.get(driftPath(dir)))
-    if (hasDrift) {
-      graft.perf.Measure.deleteRecursively(tmp("drift.parquet"))
+    val stageJournal = {
       // deletion-driven drift (round 16): the fit journal is append-driven,
       // so a mass tombstone purge — takedown of a whole source — shifted
       // the stored distribution without ever firing a trigger: after this
@@ -793,11 +794,30 @@ object AnnIndex {
           else Some(fitRow(spark, "purge", r.getLong(0),
             r.getLong(0).toDouble / total, r.getDouble(1)))
         } else None
-      purgeRow.fold(spark.read.parquet(driftPath(dir)))(
-        spark.read.parquet(driftPath(dir)).unionByName(_))
-        .coalesce(1).write.mode("overwrite").parquet(tmp("drift.parquet"))
+      // a purge with no journal yet (ivfpq built and purged before any
+      // append — round-17 advice) STARTS the journal: the purge trigger
+      // needs no fit baseline, so the dead zone where a material+deep
+      // takedown right after build never fires was exactly this branch
+      (hasDrift, purgeRow) match {
+        case (true, Some(p)) =>
+          graft.perf.Measure.deleteRecursively(tmp("drift.parquet"))
+          spark.read.parquet(driftPath(dir)).unionByName(p)
+            .coalesce(1).write.mode("overwrite").parquet(tmp("drift.parquet"))
+          true
+        case (true, None) =>
+          graft.perf.Measure.deleteRecursively(tmp("drift.parquet"))
+          spark.read.parquet(driftPath(dir))
+            .coalesce(1).write.mode("overwrite").parquet(tmp("drift.parquet"))
+          true
+        case (false, Some(p)) =>
+          graft.perf.Measure.deleteRecursively(tmp("drift.parquet"))
+          p.coalesce(1).write.mode("overwrite").parquet(tmp("drift.parquet"))
+          true
+        case (false, None) => false
+      }
     }
-    fragmentingArtifacts(kind) ++ (if (hasDrift) Seq("drift.parquet") else Nil)
+    fragmentingArtifacts(kind) ++
+      (if (stageJournal) Seq("drift.parquet") else Nil)
   }
 
   /** Swap phase 1 of [[compact]]: drop the sentinel — from here until
@@ -1269,7 +1289,10 @@ object AnnIndex {
     * builders hold no raw corpus at write time to journal a true build
     * row). `purge` rows (journaled by [[compact]] over the rows it
     * physically removes — round 16) feed the deletion-drift fields and
-    * never count as baseline or appended mass. */
+    * never count as baseline or appended mass; a purge-ONLY journal (no
+    * baseline, no appends — an ivfpq store taken down right after build)
+    * still yields stats with the append axes zeroed, since the purge
+    * trigger needs no fit baseline. */
   def driftStats(spark: SparkSession, dir: String): Option[DriftStats] = {
     refuseTorn(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(driftPath(dir))))
@@ -1287,6 +1310,17 @@ object AnnIndex {
           val sorted = rows.filter(_._1 == "append")
           (sorted.headOption, sorted.drop(1))
       }
+    // purge rows need no fit baseline (round-17 advice: an ivfpq index
+    // purged right after build — no build row, zero appends — was a dead
+    // zone where a material+deep takedown never fired): with no baseline
+    // the append axes are zeroed (no evidence either way, ratio 1) and
+    // only the purge fields carry signal
+    if (baseline.isEmpty && purges.nonEmpty)
+      return Some(DriftStats(0.0, "none", 0.0, 0L, 1.0, 0.0, 0.0, 0.0, 0L,
+        purges.map(_._2).sum,
+        purges.map(_._3).maxOption.getOrElse(0.0),
+        purges.map(_._4).maxOption.getOrElse(0.0),
+        purges.map(r => PurgeRow(r._2, r._3, r._4)).toIndexedSeq))
     for (b <- baseline if appends.nonEmpty || purges.nonEmpty) yield {
       def meanOf(rows: Seq[(String, Long, Double, Double, Long, String)],
           f: ((String, Long, Double, Double, Long, String)) => Double) = {
@@ -1795,7 +1829,17 @@ object AnnIndex {
         d.purges.exists(p =>
           p.depth > purgeDepthLimit && p.frac > purgeFracFloor)
     }
-    if (!triggered) false
+    // the pre-check runs OUTSIDE the object monitor (the corpus thunk must
+    // never evaluate under the lock — see below), so a concurrent same-JVM
+    // compact/retrain can be mid-swap when it reads the journal: its
+    // torn-state refusal here means "evidence unreadable right now", not
+    // "index is broken" — treat as not-triggered and let the next call
+    // (or the locked re-check, where the swap cannot be in flight because
+    // compact/retrain hold the same monitor) decide. A sentinel seen
+    // INSIDE the lock is a crashed maintenance op and still refuses.
+    val preTriggered =
+      try triggered catch { case _: IllegalStateException => false }
+    if (!preTriggered) false
     else {
       // force the caller's thunk OUTSIDE the monitor (round-16 advice): a
       // corpus provider that itself touches a synchronized AnnIndex entry

@@ -317,8 +317,21 @@ object CorpusStore {
     // swept by the next compaction's torn-generation sweep)
     lease.foreach(WriterLease.check)
     writePointer(dir, cur + 1)
-    applied.foreach(t => graft.perf.Measure.deleteRecursively(
-      CorpusCompact.tombDir(dir, t).toString))
+    // retire the applied journal batches INTO the new generation (pure
+    // renames — round 17, the ShingleIndex/AnnIndex archived-tombstone
+    // contract on the corpus): a retraction this compaction physically
+    // applied is part of every RETAINED generation's pinned truth, and
+    // sweeping the journal used to let [[readAt]] of a grace generation
+    // RESURFACE the purged doc (the rows are still in its frozen files
+    // and nothing was left to subtract). `_`-prefixed so parquet scans of
+    // the generation never absorb it; GC'd together with the snap dirs.
+    val archive = java.nio.file.Paths.get(next, "_applied_tombs")
+    applied.foreach { t =>
+      java.nio.file.Files.createDirectories(archive)
+      java.nio.file.Files.move(CorpusCompact.tombDir(dir, t),
+        archive.resolve(s"tok=$t"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     // GRACE + retention: keep the newest `graceGenerations` generations
     // below the new current — generation `cur` always survives one cycle
     // for readers mid-scan; a larger retention keeps a short time-travel
@@ -332,14 +345,15 @@ object CorpusStore {
     * land IN the current generation, so a generation FREEZES when the next
     * compaction supersedes it — readAt(g) is the corpus as of the
     * compaction that superseded g (the live generation is simply the
-    * current corpus). Pending retractions still apply: a takedown/PII
-    * purge must not resurface through a historical read, so what this pins
-    * is that frozen row set minus everything since retracted — the
-    * reproducible-and-compliant view, not a byte-for-byte past. A GC'd or
-    * unknown generation refuses loudly (retention is `compactSnapshot`'s
-    * graceGenerations knob). */
+    * current corpus). Retractions still apply — pending journal batches
+    * AND the batches already physically applied by later compactions
+    * (retired into each generation's `_applied_tombs` archive rather than
+    * swept — round 17): a takedown/PII purge must not resurface through a
+    * historical read, so what this pins is that frozen row set minus
+    * everything since retracted — the reproducible-and-compliant view,
+    * not a byte-for-byte past. A GC'd or unknown generation refuses
+    * loudly (retention is `compactSnapshot`'s graceGenerations knob). */
   def readAt(spark: SparkSession, dir: String, generation: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     require(isSnapshotMode(dir), s"$dir is not in snapshot mode")
     require(snapIds(dir).contains(generation),
       s"generation $generation of $dir is unknown or already GC'd — " +
@@ -347,9 +361,39 @@ object CorpusStore {
         "to keep a longer time-travel window)")
     val reader = declaredSchema(dir).fold(spark.read)(spark.read.schema)
     val raw = reader.parquet(s"$dir/${snapName(generation)}")
-    CorpusCompact.pendingTombstones(spark, dir).fold(raw)(t =>
-      raw.join(broadcast(t), Seq("doc_id"), "left_anti")
-        .select(raw.columns.toIndexedSeq.map(col): _*))
+    minusTombstonesSince(spark, dir, generation, raw)
+  }
+
+  /** Every doc_id retracted at or after generation `gen`: the pending
+    * journal plus the batches retired into the `_applied_tombs` archive of
+    * every retained generation ABOVE `gen` (a batch archived in snap h was
+    * applied by the compaction that created h — pending in every state
+    * < h, physically present in every frozen generation < h). Retention
+    * contiguity holds by construction: GC sweeps oldest-first, so `gen`
+    * retained implies every h > gen retained. None when nothing was
+    * retracted. */
+  private def tombstonesSince(spark: SparkSession, dir: String,
+      gen: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val archived = snapIds(dir).filter(_ > gen)
+      .map(h => java.nio.file.Paths.get(
+        s"$dir/${snapName(h)}", "_applied_tombs"))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => spark.read.parquet(p.toString).select(col("doc_id")))
+    val all = CorpusCompact.pendingTombstones(spark, dir)
+      .map(_.select(col("doc_id"))).toSeq ++ archived
+    all.reduceOption(_ unionByName _)
+  }
+
+  private def minusTombstonesSince(spark: SparkSession, dir: String,
+      gen: Long, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    tombstonesSince(spark, dir, gen).fold(df)(t =>
+      // NO broadcast hint (the ShingleIndex/AnnIndex pinned-read rule):
+      // the union spans every batch retired across the retention window —
+      // large takedowns can exceed any broadcast budget; AQE decides
+      df.join(t.distinct(), Seq("doc_id"), "left_anti")
+        .select(df.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Self-sizing trigger, mode-dispatched ([[CorpusCompact.maybeCompact]]'s

@@ -58,6 +58,21 @@ class SnapshotRetentionSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       CorpusStore.readAt(spark, dir, 1L) }
     assert(e.getMessage.contains("GC'd") && e.getMessage.contains("2, 3, 4"))
+
+    // round 17: a retraction APPLIED by a compaction (journal swept, rows
+    // physically purged from the new generation) must still pass through
+    // pinned reads of the retained older generations — the applied batch
+    // is retired into the new generation's _applied_tombs archive, not
+    // swept, so readAt cannot resurface the purged doc from a grace
+    // generation's frozen files
+    CorpusStore.compactSnapshot(spark, dir, targetFiles = 1,
+      graceGenerations = 2) // gen 5 = {2,3,4}; batch "rt" applied + retired
+    assert(graft.ext.CorpusCompact.pendingTombstoneBatches(dir).isEmpty,
+      "the journal must be swept (the batch was applied)")
+    assert(ids(CorpusStore.readAt(spark, dir, 3L)) == Set(2L, 3L, 4L),
+      "an applied retraction must not resurface through a pinned read")
+    assert(ids(CorpusStore.readAt(spark, dir, 4L)) == Set(2L, 3L, 4L))
+    assert(ids(CorpusStore.read(spark, dir)) == Set(2L, 3L, 4L))
     graft.perf.Measure.deleteRecursively(dir)
   }
 }
