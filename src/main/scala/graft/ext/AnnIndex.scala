@@ -1060,6 +1060,104 @@ object AnnIndex {
       queries, k, nprobe, m, dims)
   }
 
+  // ── run-manifest pinning (round 17 — the exact-file capture unit) ──────
+  //
+  // searchIvfAt pins a generation, but appends land inside the live one,
+  // so a manifest captured mid-generation would search a superset once
+  // later batches appended. Data-artifact part files are immutable and
+  // appends only ADD files, so the file listing at capture time pins the
+  // exact capture-time candidate set; the TRAINED artifacts (centroids,
+  // codebooks) change only at maintenance boundaries — which bump the
+  // generation — so the generation number alone pins them.
+
+  /** What [[RunManifest.capture]] records for an ANN member: (kind,
+    * generation, relative file names of the primary data artifact).
+    * ivf/ivfpq only — the families with a pinned search surface. */
+  def pinListing(spark: SparkSession, dir: String): (String, Int, Seq[String]) = {
+    val (kind, _, _, _, _) = readParams(spark, dir)
+    require(kind == "ivf" || kind == "ivfpq",
+      s"run-manifest pinning on a '$kind' index at $dir — pinned search " +
+        "is the ivf/ivfpq surface")
+    (kind, currentGeneration(dir),
+      graft.perf.Measure.parquetFileNames(
+        s"$dir/${fragmentingArtifacts(kind).head}"))
+  }
+
+  /** Existence half of the pinned-file search — [[RunManifest.validate]]'s
+    * ANN leg: refuses loudly naming the index when the pin fell out of
+    * retention or the archive is torn. Returns the resolved artifact base
+    * dir the pinned files live under. */
+  def checkPin(spark: SparkSession, dir: String, kind: String, gen: Int,
+      files: Seq[String]): String = {
+    requirePinnable(dir, gen)
+    require(readParams(spark, dir)._1 == kind,
+      s"the index at $dir is no longer kind '$kind' — rebuilt since the " +
+        "manifest was captured; the pinned state is gone")
+    require(files.nonEmpty,
+      s"manifest captured an empty data artifact for the ANN index at " +
+        s"$dir — nothing to replay")
+    val artifact = fragmentingArtifacts(kind).head
+    val base = resolveArtifactAt(dir, artifact, gen)
+    val missing = files.filterNot(f => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, f)))
+    require(missing.isEmpty,
+      s"generation $gen of the ANN index at $dir no longer holds " +
+        s"${missing.size} pinned $artifact file(s) (e.g. ${missing.head}) " +
+        "— archive GC'd or torn; raise retainGenerations at capture time")
+    base
+  }
+
+  /** The pinned data artifact as a frame: the exact captured files, read
+    * with `basePath` so the hive `cell` partition column survives the
+    * explicit-path read (partition pruning over the pinned file index
+    * still applies to the probed-cell filter the searches push). */
+  private def pinnedDataAt(spark: SparkSession, dir: String, kind: String,
+      gen: Int, files: Seq[String]): DataFrame = {
+    val base = checkPin(spark, dir, kind, gen, files)
+    spark.read.option("basePath", base)
+      .parquet(files.map(f => s"$base/$f"): _*)
+      .withColumn("cell", col("cell").cast("long"))
+  }
+
+  /** [[searchIvfAt]] restricted to an exact captured file set — the
+    * [[RunManifest]] replay surface: bit-identical to the capture-time
+    * live search minus everything retracted since, even when later
+    * appends landed in the pinned generation before it froze. */
+  def searchIvfAtFiles(spark: SparkSession, dir: String, gen: Int,
+      files: Seq[String], queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    requirePinnable(dir, gen) // BEFORE any resolveArtifactAt: a GC'd pin
+    requireKind(spark, dir, "ivf") // must refuse, never serve live state
+    val cents = spark.read.parquet(
+      resolveArtifactAt(dir, "centroids.parquet", gen))
+    val indexed = pinnedDataAt(spark, dir, "ivf", gen, files)
+    val cells = probedCells(cents, queries, nprobe)
+    Similarity.ivfSearch(cents,
+      minusTombsSince(spark, dir, gen,
+        indexed.filter(col("cell").isin(cells: _*))),
+      queries, k, nprobe)
+  }
+
+  /** [[searchIvfPqAt]] restricted to an exact captured file set (see
+    * [[searchIvfAtFiles]]). */
+  def searchIvfPqAtFiles(spark: SparkSession, dir: String, gen: Int,
+      files: Seq[String], queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    requirePinnable(dir, gen) // see searchIvfAtFiles ordering note
+    requireKind(spark, dir, "ivfpq")
+    val (_, _, m, _, dims) = readParams(spark, dir)
+    val cents = spark.read.parquet(
+      resolveArtifactAt(dir, "centroids.parquet", gen))
+    val books = spark.read.parquet(
+      resolveArtifactAt(dir, "codebooks.parquet", gen))
+    val codes = pinnedDataAt(spark, dir, "ivfpq", gen, files)
+    val cells = probedCells(cents, queries, nprobe)
+    Similarity.ivfpqSearch(cents, books,
+      minusTombsSince(spark, dir, gen,
+        codes.filter(col("cell").isin(cells: _*))),
+      queries, k, nprobe, m, dims)
+  }
+
   /** Per-artifact parquet file counts of a stored index — the
     * fragmentation telemetry [[compact]] exists to bound. */
   def fileCounts(spark: SparkSession, dir: String): Map[String, Int] = {

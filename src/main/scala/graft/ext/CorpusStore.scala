@@ -396,6 +396,69 @@ object CorpusStore {
         .select(df.columns.toIndexedSeq.map(col): _*))
   }
 
+  // ── run-manifest pinning (round 17 — the exact-file capture unit) ──────
+  //
+  // Generation numbers alone pin a state only once it FREEZES (appends
+  // land IN the current generation), so a manifest captured mid-generation
+  // would replay a superset once later batches landed. Part files are
+  // immutable and appends only ADD files, so the FILE LISTING at capture
+  // time pins the exact capture-time row set — even while the generation
+  // keeps growing, and after the compaction that freezes it (the frozen
+  // snap dir keeps every file the generation ever held until GC'd).
+
+  /** (current generation, relative parquet file names of its data dir) —
+    * what [[RunManifest.capture]] records for the corpus member. */
+  def pinListing(dir: String): (Long, Seq[String]) = {
+    require(isSnapshotMode(dir),
+      s"$dir is not in snapshot mode — run-manifest pinning needs " +
+        "snapshot generations (CorpusStore.init/migrate)")
+    val g = currentId(dir)
+    (g, graft.perf.Measure.parquetFileNames(s"$dir/${snapName(g)}"))
+  }
+
+  /** Existence half of [[readPinned]] — the [[RunManifest.validate]] leg:
+    * refuses loudly, naming the corpus, when the pinned generation or any
+    * pinned file is gone. */
+  def checkPin(dir: String, generation: Long, files: Seq[String]): Unit = {
+    require(isSnapshotMode(dir), s"$dir is not in snapshot mode")
+    require(snapIds(dir).contains(generation),
+      s"corpus generation $generation of $dir is unknown or already GC'd " +
+        s"— retained: ${snapIds(dir).mkString(", ")} (raise " +
+        "graceGenerations to keep a longer pinning window)")
+    val base = java.nio.file.Paths.get(dir, snapName(generation))
+    val missing = files.filterNot(f =>
+      java.nio.file.Files.exists(base.resolve(f)))
+    require(missing.isEmpty,
+      s"corpus generation $generation of $dir no longer holds " +
+        s"${missing.size} pinned file(s) (e.g. ${missing.head}) — the " +
+        "pinned state is gone; raise graceGenerations at capture time")
+  }
+
+  /** Pinned read of the EXACT captured file set — [[RunManifest]]'s
+    * replay surface, stronger than [[readAt]]: a capture taken
+    * mid-generation replays the capture-time row set even if later
+    * appends landed in the same generation before it froze. Retractions
+    * since capture pass through (the [[readAt]] contract — pending plus
+    * archived applied batches). */
+  def readPinned(spark: SparkSession, dir: String, generation: Long,
+      files: Seq[String]): DataFrame = {
+    checkPin(dir, generation, files)
+    val base = s"$dir/${snapName(generation)}"
+    val reader = declaredSchema(dir).fold(spark.read)(spark.read.schema)
+    val raw =
+      if (files.nonEmpty) reader.parquet(files.map(f => s"$base/$f"): _*)
+      else declaredSchema(dir) match {
+        // an empty capture (manifest written before any data) pins the
+        // empty corpus; without a declared schema there is nothing to
+        // shape an empty frame with — the plain read refuses as readAt
+        // would on an empty generation
+        case Some(sc) => spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)
+        case None => reader.parquet(base)
+      }
+    minusTombstonesSince(spark, dir, generation, raw)
+  }
+
   /** Self-sizing trigger, mode-dispatched ([[CorpusCompact.maybeCompact]]'s
     * contract): file count of the CURRENT generation or pending journal
     * batches past the factor. Returns true iff a compaction ran. */

@@ -1251,4 +1251,139 @@ object ShingleIndex {
         k, nBands, rowsPerBand, stop)
     }
   }
+
+  // ── run-manifest pinning (round 17 — the exact-file capture unit) ──────
+  //
+  // liveAt pins a FROZEN generation, but appends land inside the live one,
+  // so a manifest captured mid-generation would replay a superset once
+  // later batches appended. Postings/bands part files are immutable and
+  // appends only ADD files, so the file listing at capture time pins the
+  // exact capture-time screen inputs — served from the live dirs while the
+  // generation is current, from its archive after the compaction that
+  // froze it (the retire is a wholesale rename: every file the generation
+  // ever held survives until the archive is GC'd).
+
+  /** What [[RunManifest.capture]] records for the screen member:
+    * (generation, identity marker, postings file names, bands file names)
+    * of the CURRENT index state. None when no band-backed non-poisoned
+    * index is registered — a manifest pins the screen only when there is
+    * one. The marker is captured verbatim; replay compares only its
+    * IDENTITY fields (tag, n, buckets, banding sig, prune basis — the
+    * append counter moves inside a generation without changing identity). */
+  def pinListing(spark: SparkSession)
+      : Option[(Int, String, Seq[String], Seq[String])] = synchronized {
+    readMarker(spark)
+      .filter(m => !isPoisoned(m) && sigSpec(m).isDefined)
+      .map(m => (currentGeneration(spark), m,
+        graft.perf.Measure.parquetFileNames(
+          warehousePath(spark, tableName).toString),
+        graft.perf.Measure.parquetFileNames(
+          warehousePath(spark, bandsTableName).toString)))
+  }
+
+  /** The marker fields that name an index IDENTITY — what a pinned replay
+    * must match (append counters and in-flight tokens excluded). */
+  private def markerIdentity(m: String)
+      : (String, Option[Int], Option[Int], Option[(Int, Int, Int)],
+        Option[Double]) =
+    (dirField(m), intField(m, "n"), intField(m, "buckets"), sigSpec(m),
+      doubleField(m, "prune_df_frac"))
+
+  /** Resolve the captured file names under `base`, refusing loudly when
+    * any is gone (a GC'd archive, or a torn retire). */
+  private def resolvePinned(base: java.nio.file.Path, files: Seq[String],
+      gen: Int, what: String): Seq[String] = {
+    require(files.nonEmpty,
+      s"manifest captured an empty $what store for $tableName — nothing " +
+        "to replay")
+    val missing = files.filterNot(f =>
+      java.nio.file.Files.exists(base.resolve(f)))
+    require(missing.isEmpty,
+      s"generation $gen of $tableName no longer holds ${missing.size} " +
+        s"pinned $what file(s) (e.g. ${missing.head}) — archive GC'd or " +
+        "torn; raise compact's retainGenerations at capture time")
+    files.map(f => base.resolve(f).toString)
+  }
+
+  /** [[liveAt]] restricted to an exact captured file set — the
+    * [[RunManifest]] replay surface. `gen == currentGeneration` serves
+    * from the live dirs (the generation has not frozen yet); a frozen
+    * generation serves from its archive, with the ARCHIVED marker as the
+    * banding/stop identity. Either way the resolved identity must equal
+    * the captured one — a re-registered index is a different artifact and
+    * refuses. Retractions since capture pass through. */
+  def liveAtFiles(spark: SparkSession, gen: Int, capturedMarker: String,
+      postingsFiles: Seq[String], bandsFiles: Seq[String]): LiveIndex =
+    synchronized {
+      val m = readMarker(spark).getOrElse(throw new IllegalStateException(
+        s"$tableName is not registered — nothing to pin"))
+      if (isPoisoned(m)) throw new IllegalStateException(
+        s"$tableName marker carries an in-flight token — heal before pinning")
+      val (baseMarker, postDir, bandDir, stopOf) =
+        if (gen == currentGeneration(spark))
+          (m, warehousePath(spark, tableName),
+            warehousePath(spark, bandsTableName), () => stopSet(spark))
+        else {
+          requireRetained(spark, gen)
+          val d = genDir(spark, gen)
+          val am = java.nio.file.Files.readString(
+            d.resolve("postings").resolve("_graft_layout"))
+          val pruned = doubleField(am, "prune_df_frac").isDefined
+          require(!pruned || java.nio.file.Files.exists(d.resolve("stop")),
+            s"generation $gen archive of $tableName is torn (declared " +
+              "stop set missing) — a retiring compaction was killed; this " +
+              "generation is not reproducible")
+          (am, d.resolve("postings"), d.resolve("bands"),
+            () => if (pruned)
+              Some(spark.read.parquet(d.resolve("stop").toString))
+            else None)
+        }
+      require(markerIdentity(baseMarker) == markerIdentity(capturedMarker),
+        s"generation $gen of $tableName carries a different index identity " +
+          "than the manifest captured — the index was re-registered; the " +
+          "pinned state is gone")
+      val (k, nBands, rowsPerBand) = sigSpec(capturedMarker).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest captured a band-less $tableName marker — nothing to " +
+            "screen with"))
+      LiveIndex(
+        minusTombstonesSince(spark, gen,
+          spark.read.parquet(
+            resolvePinned(postDir, postingsFiles, gen, "postings"): _*)
+            .select(col("doc_id"), col("shingle"))),
+        minusTombstonesSince(spark, gen,
+          spark.read.parquet(
+            resolvePinned(bandDir, bandsFiles, gen, "bands"): _*)
+            .select(col("band"), col("bucket"), col("doc_id"))),
+        k, nBands, rowsPerBand, stopOf())
+    }
+
+  /** Existence half of [[liveAtFiles]] — [[RunManifest.validate]]'s screen
+    * leg (no Spark read, refuses loudly naming the index). */
+  def checkPin(spark: SparkSession, gen: Int, capturedMarker: String,
+      postingsFiles: Seq[String], bandsFiles: Seq[String]): Unit =
+    synchronized {
+      val m = readMarker(spark).getOrElse(throw new IllegalStateException(
+        s"$tableName is not registered — nothing to pin"))
+      if (isPoisoned(m)) throw new IllegalStateException(
+        s"$tableName marker carries an in-flight token — heal before pinning")
+      val (baseMarker, postDir, bandDir) =
+        if (gen == currentGeneration(spark))
+          (m, warehousePath(spark, tableName),
+            warehousePath(spark, bandsTableName))
+        else {
+          requireRetained(spark, gen)
+          val d = genDir(spark, gen)
+          (java.nio.file.Files.readString(
+            d.resolve("postings").resolve("_graft_layout")),
+            d.resolve("postings"), d.resolve("bands"))
+        }
+      require(markerIdentity(baseMarker) == markerIdentity(capturedMarker),
+        s"generation $gen of $tableName carries a different index identity " +
+          "than the manifest captured — the index was re-registered; the " +
+          "pinned state is gone")
+      resolvePinned(postDir, postingsFiles, gen, "postings")
+      resolvePinned(bandDir, bandsFiles, gen, "bands")
+      ()
+    }
 }

@@ -50,6 +50,24 @@ object Measure {
     * fresh-JVM A/B protocol still reattaches a stored index registered by
     * an earlier binding of the same rehearsal. `SPARK_GRAFT_WAREHOUSE`
     * overrides the root. */
+  /** Relative paths (under `dir`) of the regular `*.parquet` files, sorted
+    * — the run-manifest capture unit (artifact DIRECTORIES conventionally
+    * named `*.parquet` do not count, matching [[parquetFileCount]]). */
+  def parquetFileNames(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(q => java.nio.file.Files.isRegularFile(q) &&
+            q.getFileName.toString.endsWith(".parquet"))
+          .map(q => p.relativize(q).toString).toVector.sorted
+      } finally s.close()
+    }
+  }
+
   def warehouseDir(mainName: String): String =
     new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "rehearsal-warehouse"),

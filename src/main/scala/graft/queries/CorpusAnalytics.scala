@@ -1625,6 +1625,151 @@ object CorpusAnalytics {
             "retraction_passes_through", "gc_refuses")
       },
       Some("""SELECT TRUE AS both_seeds_hit, TRUE AS pinned_screen_identical,
-          TRUE AS retraction_passes_through, TRUE AS gc_refuses"""))
+          TRUE AS retraction_passes_through, TRUE AS gc_refuses""")),
+
+    // ── cross-store run manifest (round 17, verdict task 1): round 16 made
+    //    each store individually pinnable, but a training run had to record
+    //    three pins by hand and nothing validated they were contemporaneous.
+    //    RunManifest.capture records corpus + screen-index + ANN state as
+    //    ONE named artifact — generation plus the immutable part-file
+    //    listing, so even a capture taken mid-generation (appends keep
+    //    landing) replays the exact capture-time state. Pinned here, end to
+    //    end and under the step's lease: after maintenance moved ALL THREE
+    //    stores (corpus compaction, shingle compaction, ANN retrain — and
+    //    post-capture appends into every pinned generation), the loaded
+    //    manifest replays the corpus read, the near-dup screen, and the
+    //    ANN search bit-identically to snapshots taken at capture time;
+    //    retractions journaled after capture pass through every member;
+    //    and once the corpus pin falls out of retention, validate refuses
+    //    loudly NAMING the member ──────────────────────────────────────────
+    Q(
+      "q_run_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val d = t(s, dir, "documents").orderBy("doc_id").limit(300)
+          .select(col("doc_id"), col("text"))
+        val batchA = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val batchB = d.filter(pmod(col("doc_id"), lit(3)) === 1)
+        val batchC = d.filter(pmod(col("doc_id"), lit(3)) === 2)
+        val corpus = java.nio.file.Files
+          .createTempDirectory("graft-run-manifest-c").toString
+        val annIdx = java.nio.file.Files
+          .createTempDirectory("graft-run-manifest-a").toString
+        // ── build the three stores and grow them across a step boundary ──
+        graft.ext.CorpusStore.init(corpus)
+        graft.ext.CorpusStore.append(s, corpus, batchA)
+        graft.ext.ShingleIndex.registerDocs(s, corpus,
+          graft.ext.Dedup.hashedShingles(batchA, "doc_id", "text", 3)
+            .withColumnRenamed("sh", "shingle"),
+          buckets = 4, withBands = true)
+        graft.ext.CorpusStore.append(s, corpus, batchB)
+        graft.ext.ShingleIndex.append(s, batchB, token = Some("rm-b"))
+        val aBase = e.filter(pmod(col("vec_id"), lit(4)) < 2)
+        val (cents, indexed) = graft.ext.AnnIndex.buildIvf(aBase,
+          nCells = 16, refineIters = 1)
+        graft.ext.AnnIndex.writeIvf(annIdx, cents, indexed, nCells = 16)
+        graft.ext.AnnIndex.appendIvf(s, annIdx,
+          e.filter(pmod(col("vec_id"), lit(4)) === 2))
+        // ── the step boundary: capture under the step's lease ────────────
+        val lease = graft.ext.WriterLease.acquire(corpus, "manifest-step")
+        val m0 = graft.ext.RunManifest.capture(s, corpus, "run-1",
+          annDirs = Seq(annIdx), lease = Some(lease))
+        graft.ext.WriterLease.release(lease)
+        // capture-time snapshots (collected NOW — the replay must
+        // reproduce these bit-for-bit after the stores move)
+        def snap(df: org.apache.spark.sql.DataFrame) = s.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        def idSet(df: org.apache.spark.sql.DataFrame) =
+          df.select("doc_id").collect().map(_.getLong(0)).toSet
+        val corpusSnap = idSet(graft.ext.CorpusStore.read(s, corpus))
+        val seeds = batchA.orderBy("doc_id").limit(2).collect()
+        val probe = Seq(
+          (9300001L, seeds.head.getString(1) + " addendum"),
+          (9300002L, seeds.last.getString(1) + " addendum"))
+          .toDF("doc_id", "text")
+        def screen(idx: graft.ext.ShingleIndex.LiveIndex,
+            ids: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+          val (pairs, release) = graft.ext.Dedup
+            .incrementalMinhashPairsIndexed(probe, ids, idx,
+              "doc_id", "text", 0.8)
+          val out = pairs.select(col("delta_id"), col("corpus_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          release(); out
+        }
+        val screenSnap = screen(
+          graft.ext.ShingleIndex.liveFor(s, corpus).get,
+          graft.ext.CorpusStore.read(s, corpus).select("doc_id"))
+        val q = e.filter(col("vec_id") < 10)
+        val searchSnap = snap(
+          graft.ext.AnnIndex.searchIvf(s, annIdx, q, 3, nprobe = 4))
+        // ── ALL THREE stores move on: post-capture appends land in the
+        //    pinned generations, then maintenance freezes/replaces them ────
+        graft.ext.CorpusStore.append(s, corpus, batchC)
+        graft.ext.ShingleIndex.append(s, batchC, token = Some("rm-c"))
+        graft.ext.AnnIndex.appendIvf(s, annIdx,
+          e.filter(pmod(col("vec_id"), lit(4)) === 3)
+            .withColumn("embedding",
+              expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))")))
+        graft.ext.CorpusStore.compactSnapshot(s, corpus, targetFiles = 2,
+          graceGenerations = 2)
+        graft.ext.ShingleIndex.compact(s)
+        graft.ext.AnnIndex.retrain(s, annIdx, refineIters = 1,
+          retainGenerations = Some(2))
+        val liveMoved =
+          idSet(graft.ext.CorpusStore.read(s, corpus)) != corpusSnap &&
+            graft.ext.AnnIndex.searchIvf(s, annIdx, q, 3, nprobe = 4)
+              .collect().map(_.toString).toSet !=
+              searchSnap.collect().map(_.toString).toSet
+        // ── replay from the LOADED artifact (round-trip through disk) ────
+        val m = graft.ext.RunManifest.load(corpus, "run-1")
+        graft.ext.RunManifest.validate(s, m)
+        val corpusReplay =
+          idSet(graft.ext.RunManifest.readCorpus(s, m)) == corpusSnap
+        val screenReplay = screen(
+          graft.ext.RunManifest.screenIndex(s, m).get,
+          graft.ext.RunManifest.readCorpus(s, m).select("doc_id")) ==
+          screenSnap
+        val searchReplayDf = graft.ext.RunManifest.searchAnn(
+          s, m, annIdx, q, 3, nprobe = 4)
+        val searchReplay = searchReplayDf.collect().map(_.toString).toSet ==
+          searchSnap.collect().map(_.toString).toSet
+        // ── retractions after capture pass through every member ──────────
+        val deadDoc = seeds.head.getLong(0)
+        graft.streaming.DocsStream.retract(s, corpus,
+          Seq(deadDoc).toDF("doc_id"), token = "rm-kill")
+        val deadVec = searchSnap.select("cid").head().getLong(0)
+        graft.ext.AnnIndex.delete(s, annIdx, Seq(deadVec).toDF("vec_id"),
+          token = Some("rm-kill"))
+        val retractThrough =
+          !idSet(graft.ext.RunManifest.readCorpus(s, m)).contains(deadDoc) &&
+            screen(graft.ext.RunManifest.screenIndex(s, m).get,
+              graft.ext.RunManifest.readCorpus(s, m).select("doc_id")) ==
+              screenSnap.filterNot(_._2 == deadDoc) &&
+            graft.ext.RunManifest.searchAnn(s, m, annIdx, q, 3, nprobe = 4)
+              .filter(col("cid") === deadVec).count() == 0L
+        // ── GC the corpus pin: refusal must NAME the member ──────────────
+        graft.ext.CorpusStore.compactSnapshot(s, corpus, targetFiles = 2,
+          graceGenerations = 1)
+        graft.ext.CorpusStore.compactSnapshot(s, corpus, targetFiles = 2,
+          graceGenerations = 1)
+        val gcNamesMember =
+          try { graft.ext.RunManifest.validate(s, m); false }
+          catch { case ex: IllegalStateException =>
+            ex.getMessage.contains("corpus") && ex.getMessage.contains(corpus)
+          }
+        graft.perf.Measure.deleteRecursively(annIdx)
+        graft.perf.Measure.deleteRecursively(corpus)
+        Seq((screenSnap.nonEmpty, liveMoved, corpusReplay, screenReplay,
+          searchReplay, retractThrough, gcNamesMember))
+          .toDF("screen_nonempty", "live_moved_on", "corpus_replay_identical",
+            "screen_replay_identical", "search_replay_identical",
+            "retraction_passes_through", "gc_refuses_naming_member")
+      },
+      Some("""SELECT TRUE AS screen_nonempty, TRUE AS live_moved_on,
+          TRUE AS corpus_replay_identical, TRUE AS screen_replay_identical,
+          TRUE AS search_replay_identical, TRUE AS retraction_passes_through,
+          TRUE AS gc_refuses_naming_member"""))
   )
 }
