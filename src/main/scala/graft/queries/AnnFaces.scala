@@ -705,5 +705,83 @@ object AnnFaces {
       },
       Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
           TRUE AS pinned_identical, TRUE AS retraction_passes_through,
-          TRUE AS live_moved_on, TRUE AS gc_refuses""")))
+          TRUE AS live_moved_on, TRUE AS gc_refuses""")),
+
+    // ── pinned-generation probe sizing (round 17, verdict task 3): the
+    //    probe profile is a trained artifact, but retrain used to WIPE it
+    //    rather than retire it, so a pinned search could only take a fixed
+    //    nprobe on faith. Maintenance now archives probe.parquet with the
+    //    geometry it describes; autoNprobeAt(gen) re-picks from the
+    //    archived curve. Pinned: the pinned pick equals the capture-time
+    //    live pick, the pinned auto search is bit-identical to the pinned
+    //    fixed search at that pick, the LIVE auto path is unaffected
+    //    (re-profiles against the new geometry and stays ≡ fixed at its
+    //    own pick), and a generation that was never profiled refuses
+    //    rather than serving the wrong geometry's curve ───────────────────
+    Q(
+      "q_ann_pinned_autoprobe",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 10)
+        val base = e.filter(pmod(col("vec_id"), lit(4)) < 3)
+        val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+        val idx = tempIndexDir("graft-ann-pinprobe")
+        val (cents, indexed) = AnnIndex.buildIvf(base, nCells = 16,
+          refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        AnnIndex.profileProbes(s, idx, k = 3, sampleQ = 64)
+        val np0 = AnnIndex.autoNprobe(s, idx, k = 3, targetRecall = 0.8,
+          candidateBudgetFrac = 0.5)
+        AnnIndex.appendIvf(s, idx, delta)
+        AnnIndex.retrain(s, idx, refineIters = 1,
+          retainGenerations = Some(2)) // archives gen 0: geometry + curve
+        val pinnedPick = AnnIndex.autoNprobeAt(s, idx, 0, k = 3,
+          targetRecall = 0.8, candidateBudgetFrac = 0.5)
+        val (pinnedAuto, chosen) = AnnIndex.searchIvfAutoAt(s, idx, 0, q, 3,
+          targetRecall = 0.8, candidateBudgetFrac = 0.5)
+        // snap both comparisons BEFORE the second retrain below replaces
+        // the files their lazy plans read
+        def snap(df: org.apache.spark.sql.DataFrame) = s.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        val pinCmp = snap(compareTopK(
+          AnnIndex.searchIvfAt(s, idx, 0, q, 3, nprobe = chosen),
+          pinnedAuto, "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("pinned_auto_equals_fixed")))
+        // live path unaffected: re-profiles against the NEW geometry and
+        // stays bit-identical to the fixed search at its own pick
+        val (liveAuto, liveNp) = AnnIndex.searchIvfAuto(s, idx, q, 3,
+          targetRecall = 0.8, candidateBudgetFrac = 0.5)
+        val liveCmp = snap(compareTopK(
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = liveNp), liveAuto, "cos")
+          .agg(expr("bool_and(identical)").as("live_auto_equals_fixed")))
+        // generation 1 froze at the SECOND retrain below without ever
+        // being live-profiled... except the searchIvfAuto above profiled
+        // it. Wipe that live curve by retraining again: gen 1's archive
+        // then holds geometry + the curve the auto search measured, while
+        // querying a k it was never profiled at refuses
+        AnnIndex.retrain(s, idx, refineIters = 1)
+        val wrongKRefused =
+          try { AnnIndex.autoNprobeAt(s, idx, 1, k = 7); false }
+          catch { case ex: IllegalArgumentException =>
+            ex.getMessage.contains("k=7") }
+        // gen 0's pick still resolves after the second retrain (retention
+        // 2 keeps both archives)
+        val pinStable = AnnIndex.autoNprobeAt(s, idx, 0, k = 3,
+          targetRecall = 0.8, candidateBudgetFrac = 0.5) == pinnedPick
+        val cmp = materializeAndClean(
+          pinCmp.crossJoin(broadcast(liveCmp))
+            .withColumn("pinned_pick_matches_capture",
+              lit(pinnedPick == np0 && chosen == pinnedPick))
+            .withColumn("unprofiled_k_refuses", lit(wrongKRefused))
+            .withColumn("pin_stable_across_later_maintenance",
+              lit(pinStable)), idx)
+        cmp
+      },
+      Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
+          TRUE AS pinned_auto_equals_fixed, TRUE AS live_auto_equals_fixed,
+          TRUE AS pinned_pick_matches_capture, TRUE AS unprofiled_k_refuses,
+          TRUE AS pin_stable_across_later_maintenance""")))
 }

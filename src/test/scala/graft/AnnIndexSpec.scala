@@ -670,6 +670,43 @@ class AnnIndexSpec extends AnyFunSuite {
     graft.perf.Measure.deleteRecursively(idx)
   }
 
+  test("purge-only journal (no baseline): a material+deep takedown right " +
+      "after an ivfpq build still fires — round-17 advice dead zone") {
+    // writeIvfPq starts with NO journal (codes are not invertible, so the
+    // build cannot measure its own fit). A takedown before any append used
+    // to leave the purge unjournaled (compact only staged the journal when
+    // one existed) AND driftStats returned None without a baseline — the
+    // purge trigger needs neither.
+    val idx = tmp("graft-annspec-purge-bootstrap")
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val tightMode = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+    val union = base.unionByName(tightMode)
+    val (pc, pb, pcodes) = AnnIndex.buildIvfPq(union, nCells = 16,
+      kCodes = 64, refineIters = 1)
+    AnnIndex.writeIvfPq(idx, pc, pb, pcodes,
+      nCells = 16, m = 8, kCodes = 64, dims = 64)
+    assert(AnnIndex.driftStats(spark, idx).isEmpty, "no journal at build")
+    AnnIndex.delete(spark, idx,
+      tightMode.filter(pmod(col("vec_id"), lit(5)) < 2).select("vec_id"),
+      token = Some("t-bootstrap-kill"))
+    AnnIndex.compact(spark, idx)
+    val d = AnnIndex.driftStats(spark, idx)
+    assert(d.exists(s => s.baselinePhase == "none" && s.appendVecs == 0L &&
+      s.purges.exists(p => p.depth > 0.3 && p.frac > 0.1)),
+      s"a purge-only journal must yield stats with the purge fields ($d)")
+    val survivors = union.join(
+      tightMode.filter(pmod(col("vec_id"), lit(5)) < 2).select("vec_id"),
+      Seq("vec_id"), "left_anti")
+    assert(AnnIndex.maybeRetrain(spark, idx, corpus = Some(survivors),
+      refineIters = 1),
+      "the material+deep takedown must fire without any fit baseline")
+    assert(AnnIndex.driftStats(spark, idx).isEmpty,
+      "the retrain resets the journal")
+    graft.perf.Measure.deleteRecursively(idx)
+  }
+
   test("probe staleness: growth hides the stored curve, maybeCompact re-profiles, the auto surface re-anchors on demand") {
     val idx = tmp("graft-annspec-probestale")
     val base = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
