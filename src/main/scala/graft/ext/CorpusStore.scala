@@ -76,6 +76,23 @@ object CorpusStore {
     * surface ([[readAt]]) and the retention telemetry. */
   def generations(dir: String): Seq[Long] = snapIds(dir)
 
+  /** One retained corpus generation's storage bill (round-17 judge task
+    * 4): bytes held and the applied tombstone batches archived with it. */
+  final case class GenerationStat(gen: Long, bytes: Long,
+      appliedTombstoneBatches: Int)
+
+  /** Per-generation storage accounting — the operator-facing cost of
+    * `graceGenerations` (every retained generation is a full corpus
+    * copy; the newest is the live one). */
+  def generationStats(dir: String): Seq[GenerationStat] =
+    snapIds(dir).map { g =>
+      val p = java.nio.file.Paths.get(dir, snapName(g))
+      val tombs = Option(p.resolve("_applied_tombs").toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isDirectory && f.getName.startsWith("tok="))
+      GenerationStat(g, graft.perf.Measure.dirBytes(p.toString), tombs)
+    }
+
   private def snapIds(dir: String): Seq[Long] =
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])

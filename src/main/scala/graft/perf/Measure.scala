@@ -68,6 +68,22 @@ object Measure {
     }
   }
 
+  /** Total bytes of regular files under `dir` (0 if absent) — the
+    * generation-archive accounting unit. */
+  def dirBytes(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      } finally s.close()
+    }
+  }
+
   def warehouseDir(mainName: String): String =
     new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "rehearsal-warehouse"),

@@ -76,22 +76,45 @@ object VectorIngestRehearsal {
     }
     val nCells = AnnIndex.readParams(spark, idx)._2
 
+    // round 17: the probe-cost rebalance axis rides the soak when
+    // SPARK_GRAFT_VEC_REBALANCE=on — (k=10, recall 0.8, budget 10% of the
+    // index per query), the autoNprobe defaults. The drift retrain at the
+    // first drifted batch models the mode with ~its then-share of
+    // centroids; the mode's LATER batches grow those few cells while the
+    // hysteresis (correctly) stays silent — the probe-cost trigger is the
+    // mechanism that pays the one extra rebuild once the hot cells exceed
+    // the whole per-query budget.
+    val rebal = sys.env.get("SPARK_GRAFT_VEC_REBALANCE").contains("on")
+    // round 17: SPARK_GRAFT_VEC_RETAIN pins the persisted retention window
+    // BEFORE the stream, so every in-step maintenance op archives its
+    // pre-images — the generation-archive growth + GC walk is then part of
+    // what this soak measures (archive accounting in the output line)
+    sys.env.get("SPARK_GRAFT_VEC_RETAIN")
+      .foreach(r => AnnIndex.setRetention(idx, r.toInt))
     val lease = WriterLease.acquire(idx, "vec-soak", ttlMs = 600000L)
     val step = graft.streaming.VectorsStream.ingestStep(idx,
       autoMaintainFactor = if (maint) Some(factor) else None,
-      lease = Some(lease))
+      lease = Some(lease),
+      rebalance = if (rebal) Some((10, 0.8, 0.1)) else None)
     // a retrain resets the journal to one 'retrain' baseline — counting
-    // baseline-timestamp changes counts the retrains (bounded read)
+    // baseline-timestamp changes counts the retrains (bounded read);
+    // rebalance-triggered ones are distinguished by the epoch marker
     def baselineTs(): Long = spark.read.parquet(s"$idx/drift.parquet")
       .orderBy(col("ts"), col("tok")).select(col("ts")).head().getLong(0)
     var lastTs = baselineTs()
+    var lastRebal = AnnIndex.lastRebalanceGeneration(idx)
     var retrains = 0
+    var rebalances = 0
     val retrainAt = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rebalanceAt = scala.collection.mutable.ArrayBuffer.empty[Int]
     val batchSec = try {
       (0 until nBatches).map { i =>
         val s = time { step(batch(i), i.toLong) }
         val ts = baselineTs()
-        if (ts != lastTs) { retrains += 1; retrainAt += i; lastTs = ts }
+        val rb = AnnIndex.lastRebalanceGeneration(idx)
+        if (rb != lastRebal) { rebalances += 1; rebalanceAt += i; lastRebal = rb }
+        else if (ts != lastTs) { retrains += 1; retrainAt += i }
+        lastTs = ts
         s
       }
     } finally WriterLease.release(lease)
@@ -128,6 +151,15 @@ object VectorIngestRehearsal {
       .groupBy(isDrift.as("d")).agg(avg(col("cand")).as("c"))
       .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     val files = AnnIndex.fileCounts(spark, idx)("vectors.parquet")
+    // end-state probe economics: can the stored curve meet the default
+    // recall target inside the default candidate budget? (the condition
+    // the rebalance trigger exists to restore)
+    val endProfile = AnnIndex.profileProbes(spark, idx, k = 10)
+    val endBudget = 0.1 * endProfile.last.candidatesPerQuery
+    val budgetMetEnd = endProfile.exists(p =>
+      p.candidatesPerQuery <= endBudget + 1e-9 && p.recallProxy >= 0.8)
+    val (_, occTotal, occMax, _) = AnnIndex.occupancy(spark, idx)
+    val gens = AnnIndex.generations(idx)
 
     val window = math.max(2, nBatches / 4)
     def f2(v: Double) =
@@ -142,7 +174,16 @@ object VectorIngestRehearsal {
       s""""last_batches_sec":${f2(median(batchSec.takeRight(window)))},""" +
       s""""total_sec":${f2(batchSec.sum)},""" +
       s""""retrains":$retrains,"retrain_at_batches":[${retrainAt.mkString(",")}],""" +
+      s""""rebalance":$rebal,"rebalances":$rebalances,""" +
+      s""""rebalance_at_batches":[${rebalanceAt.mkString(",")}],""" +
+      s""""budget_met_end":$budgetMetEnd,""" +
+      s""""hot_cell_frac_end":${f3(occMax.toDouble / math.max(1L, occTotal))},""" +
       s""""final_files":$files,""" +
+      s""""retention":${AnnIndex.retentionSetting(idx)},""" +
+      s""""live_bytes":${Measure.dirBytes(idx) - gens.map(_.bytes).sum},""" +
+      s""""archive_generations":${gens.size},""" +
+      s""""archive_bytes":${gens.map(_.bytes).sum},""" +
+      s""""archive_tomb_batches":${gens.map(_.tombstoneBatches).sum},""" +
       s""""recall_base":${f3(recall.getOrElse(false, 0.0))},""" +
       s""""recall_drift":${f3(recall.getOrElse(true, 0.0))},""" +
       s""""cand_base":${f2(cand.getOrElse(false, 0.0))},""" +

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -783,5 +783,106 @@ object AnnFaces {
       Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
           TRUE AS pinned_auto_equals_fixed, TRUE AS live_auto_equals_fixed,
           TRUE AS pinned_pick_matches_capture, TRUE AS unprofiled_k_refuses,
-          TRUE AS pin_stable_across_later_maintenance""")))
+          TRUE AS pin_stable_across_later_maintenance""")),
+
+    // ── probe-cost rebalance (round 17, verdict task 2): the hysteresis
+    //    correctly refuses to call a modeled hot mode "drift" (its mass
+    //    sits ON its centroid), but the round-16 soak recorded the honest
+    //    residue — the forgone rebuild had bought mode re-spreading, and
+    //    autoNprobe could report a budget it cannot meet without being
+    //    able to trigger the fix. maybeRebalance closes the axis: it fires
+    //    a retrain iff no profiled point meets the recall target within
+    //    the candidate budget AND one hot cell alone exceeds that whole
+    //    budget. Pinned: the grown modeled mode stays drift-silent, the
+    //    hot cell provably blocks the budget, the rebalance fires and
+    //    DISSOLVES the hot cell (no cell exceeds the budget after), the
+    //    result is bit-identical to a one-shot build over the same
+    //    corpus, a second call in the same generation epoch is
+    //    suppressed, the post-fix trigger declines on the hot-cell guard
+    //    itself (convergence, not the epoch marker), and an aligned
+    //    corpus never fires ──────────────────────────────────────────────
+    Q(
+      "q_ann_rebalance",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        def mode(sel: Column) = e.filter(sel)
+          .withColumn("embedding",
+            expr("transform(embedding, x -> cast(0.2 * x + 3.0 as float))"))
+        val base = e.filter(pmod(col("vec_id"), lit(8)) < 5)
+        val mode1 = mode(pmod(col("vec_id"), lit(8)) === 5)   // modeled: 1/6 of build
+        val mode2 = mode(pmod(col("vec_id"), lit(8)) >= 6)    // growth: same mode
+        val union = base.unionByName(mode1).unionByName(mode2)
+        val idx = tempIndexDir("graft-ann-rebalance")
+        val (cents, indexed) = AnnIndex.buildIvf(base.unionByName(mode1),
+          nCells = 16, refineIters = 1)
+        AnnIndex.writeIvf(idx, cents, indexed, nCells = 16)
+        AnnIndex.appendIvf(s, idx, mode2)
+        // the grown mode is MODELED — the drift trigger must stay silent
+        // (the hysteresis contract; this is exactly the state the probe
+        // axis exists for)
+        val driftSilent = !AnnIndex.maybeRetrain(s, idx, refineIters = 1)
+        val (k, target, frac) = (3, 0.8, 0.25)
+        val p0 = AnnIndex.profileProbes(s, idx, k = k, sampleQ = 128)
+        def met(p: Seq[AnnIndex.ProbePoint]) = {
+          val budget = frac * p.last.candidatesPerQuery
+          p.exists(x => x.candidatesPerQuery <= budget + 1e-9 &&
+            x.recallProxy >= target)
+        }
+        val (_, total0, mx0, _) = AnnIndex.occupancy(s, idx)
+        val hotBlocks = !met(p0) && mx0.toDouble > frac * total0
+        val fired = AnnIndex.maybeRebalance(s, idx, k, target, frac,
+          sampleQ = 128)
+        val refire = AnnIndex.maybeRebalance(s, idx, k, target, frac,
+          sampleQ = 128)
+        // the rebuild re-spread the mode: no single cell exceeds the
+        // candidate budget any more (the blocking condition is GONE, not
+        // merely guarded). The candidate-mass economics at scale are the
+        // sf1 soak's record (BASELINE.md) — a 500-row corpus compresses
+        // them below a robust margin.
+        val (_, total1, mx1, _) = AnnIndex.occupancy(s, idx)
+        val hotDissolved = mx1.toDouble <= frac * total1
+        // convergence, not just the epoch marker: move the generation
+        // (compact) and re-evaluate — the trigger now declines on the
+        // hot-cell guard itself
+        AnnIndex.compact(s, idx)
+        val converged = !AnnIndex.maybeRebalance(s, idx, k, target, frac,
+          sampleQ = 128)
+        // the rebalance retrain keeps the bit-identity contract: search ≡
+        // a one-shot build over the same corpus (compared AFTER the
+        // convergence compact above — which preserves the row multiset —
+        // so the lazy plan reads the final files, not the swapped-away
+        // pre-compact ones)
+        val (c2, ix2) = AnnIndex.buildIvf(union, nCells = 16,
+          refineIters = 1)
+        val q = e.filter(col("vec_id") < 10)
+        val cmp = compareTopK(
+          Similarity.ivfSearch(c2, ix2, q, 3, nprobe = 4),
+          AnnIndex.searchIvf(s, idx, q, 3, nprobe = 4), "cos")
+          .agg(sum(col("n_rows")).as("n_search_rows"),
+            expr("bool_and(identical)").as("search_equals_one_shot"))
+        // aligned control: a well-spread index never fires — even when the
+        // budget is tight, no single cell exceeds it, so a rebuild of the
+        // same spread would buy nothing
+        val idx2 = tempIndexDir("graft-ann-rebalance-ctl")
+        val (cc, ci) = AnnIndex.buildIvf(base, nCells = 16, refineIters = 1)
+        AnnIndex.writeIvf(idx2, cc, ci, nCells = 16)
+        val alignedFired = AnnIndex.maybeRebalance(s, idx2, k, target, frac,
+          sampleQ = 128)
+        graft.perf.Measure.deleteRecursively(idx2)
+        val out = materializeAndClean(cmp
+          .withColumn("drift_silent", lit(driftSilent))
+          .withColumn("hot_cell_blocks_budget", lit(hotBlocks))
+          .withColumn("rebalance_fired", lit(fired))
+          .withColumn("same_epoch_refire_suppressed", lit(!refire))
+          .withColumn("hot_cell_dissolved", lit(hotDissolved))
+          .withColumn("converged_not_just_guarded", lit(converged))
+          .withColumn("aligned_never_fires", lit(!alignedFired)), idx)
+        out
+      },
+      Some("""SELECT CAST(30 AS BIGINT) AS n_search_rows,
+          TRUE AS search_equals_one_shot, TRUE AS drift_silent,
+          TRUE AS hot_cell_blocks_budget, TRUE AS rebalance_fired,
+          TRUE AS same_epoch_refire_suppressed, TRUE AS hot_cell_dissolved,
+          TRUE AS converged_not_just_guarded,
+          TRUE AS aligned_never_fires""")))
 }

@@ -68,23 +68,32 @@ object VectorsStream {
       autoMaintainFactor: Option[Int] = Some(8),
       errFactor: Double = 1.5, topShareLimit: Double = 0.5,
       corpus: Option[() => DataFrame] = None,
-      lease: Option[WriterLease.Lease] = None)
+      lease: Option[WriterLease.Lease] = None,
+      rebalance: Option[(Int, Double, Double)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch(ingestStep(indexDir, autoMaintainFactor, errFactor,
-        topShareLimit, corpus, lease))
+        topShareLimit, corpus, lease, rebalance))
       .start()
 
   /** The per-batch body of [[ingestVectors]], exposed so crash-replay and
     * the mid-stream retrain are directly testable (the
-    * [[DocsStream.ingestStep]] convention). */
+    * [[DocsStream.ingestStep]] convention).
+    *
+    * `rebalance = Some((k, targetRecall, candidateBudgetFrac))` (round 17)
+    * adds the probe-cost axis to the maintenance loop: after the drift
+    * trigger, [[AnnIndex.maybeRebalance]] fires a retrain when the stored
+    * recall curve cannot meet the stated target within the stated
+    * candidate budget AND the blocker is a hot cell — the geometry decay
+    * the hysteresis correctly refuses to call drift. */
   private[graft] def ingestStep(indexDir: String,
       autoMaintainFactor: Option[Int] = Some(8),
       errFactor: Double = 1.5, topShareLimit: Double = 0.5,
       corpus: Option[() => DataFrame] = None,
-      lease: Option[WriterLease.Lease] = None)
+      lease: Option[WriterLease.Lease] = None,
+      rebalance: Option[(Int, Double, Double)] = None)
       : (DataFrame, Long) => Unit = { (batch, _) =>
     val spark = batch.sparkSession
     // writer fencing FIRST (the DocsStream contract): a holder frozen past
@@ -122,8 +131,16 @@ object VectorsStream {
       // retrain actually fires.
       for (f <- autoMaintainFactor) {
         AnnIndex.maybeCompact(spark, indexDir, f, lease)
-        AnnIndex.maybeRetrain(spark, indexDir, corpus.map(_()), errFactor,
-          topShareLimit, lease = lease)
+        AnnIndex.maybeRetrain(spark, indexDir,
+          corpus.map(_()), errFactor, topShareLimit, lease = lease)
+        // the probe-cost trigger is safe to consult per batch: it
+        // self-gates cheapest-first (epoch marker, then the appended-mass
+        // anchor over the same journal the drift trigger just read, then
+        // one occupancy aggregate) and reaches its profiling pass only
+        // while a hot cell actually blocks the stated budget
+        for ((rk, target, budgetFrac) <- rebalance)
+          AnnIndex.maybeRebalance(spark, indexDir, rk, target, budgetFrac,
+            corpus.map(_()), lease = lease)
         ()
       }
     } finally { fresh.unpersist(); () }
