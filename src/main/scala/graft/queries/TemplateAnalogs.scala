@@ -1382,5 +1382,91 @@ object TemplateAnalogs {
           AND f2.l_returnflag = 'R'
         WHERE v.o_orderstatus <> 'P'
         GROUP BY v.o_orderkey, v.o_orderdate
-        ORDER BY sales_order""")))
+        ORDER BY sales_order""")),
+
+    // ── customer_sales_summary (template 7, round 17): header+item rollup
+    //    per customer with BOTH lifecycle gates — the header deletion flag
+    //    (VBAK.LOEKZ<>'X' → order status not pending) and the ITEM
+    //    rejection reason (VBAP.ABGRU='' → line not returned) — plus a
+    //    COUNT(DISTINCT header) next to an item-level SUM: the aggregate
+    //    pair a naive per-item rollup gets wrong (each order counts once
+    //    however many lines survive). One shuffle on the customer key;
+    //    the partner dim broadcasts ──────────────────────────────────────
+    Q(
+      "q_tmpl_customer_sales",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        val c = t(s, dir, "customer")
+        o.filter(col("o_orderstatus") =!= "P")
+          .join(l.filter(col("l_returnflag") =!= "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(money(col("l_extendedprice"))).cast("double")
+              .as("total_sales"))
+          .orderBy(desc("total_sales"), col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, COUNT(DISTINCT o_orderkey) AS n_orders,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'P' AND l_returnflag <> 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY total_sales DESC, c_custkey""")),
+
+    // ── tcode_fbl5n_customer_open_items (template 38, round 17): the
+    //    LINE-LEVEL aging detail listing — per open item the aging bucket,
+    //    days overdue, and the SIGNED amount (debit/credit indicator →
+    //    returnflag sign), ordered by partner then due date. Distinct
+    //    from the grouped q_tmpl_aging_bucket / rolled-up
+    //    q_tmpl_overdue_by_partner: the bucket expression rides every
+    //    detail row next to its raw inputs. Filters push to the scan;
+    //    partner dim broadcasts; the sort key is the template's
+    //    (customer, due date, document) ─────────────────────────────────
+    Q(
+      "q_tmpl_fbl5n_open_item_aging",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val asOf = lit("1998-08-02").cast("date")
+        val days = datediff(asOf, to_date(col("l_shipdate")))
+        val bucket = when(days <= 30, "0-30 days")
+          .when(days <= 60, "31-60 days")
+          .when(days <= 90, "61-90 days")
+          .otherwise("90+ days")
+        l.filter(col("l_linestatus") === "O")
+          .join(o.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey").as("customer_number"),
+            col("c_name").as("customer_name"),
+            col("l_orderkey").as("invoice_number"),
+            col("l_linenumber").as("line_number"),
+            to_date(col("l_shipdate")).as("due_date"),
+            bucket.as("aging_bucket"),
+            days.cast("long").as("days_overdue"),
+            signedAmount(col("l_returnflag"), money(col("l_extendedprice")),
+              "R").cast("double").as("open_amount"))
+          .orderBy(col("customer_number"), col("due_date"),
+            col("invoice_number"), col("line_number"))
+      },
+      Some("""SELECT c_custkey AS customer_number, c_name AS customer_name,
+          l_orderkey AS invoice_number, l_linenumber AS line_number,
+          CAST(l_shipdate AS DATE) AS due_date,
+          CASE WHEN date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-08-02') <= 30 THEN '0-30 days'
+               WHEN date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-08-02') <= 60 THEN '31-60 days'
+               WHEN date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-08-02') <= 90 THEN '61-90 days'
+               ELSE '90+ days' END AS aging_bucket,
+          date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-08-02') AS days_overdue,
+          CAST(CASE WHEN l_returnflag = 'R' THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+               ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END AS DOUBLE) AS open_amount
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_linestatus = 'O'
+        ORDER BY customer_number, due_date, invoice_number, line_number""")))
 }
