@@ -430,7 +430,16 @@ object CorpusStore {
       s"$dir is not in snapshot mode — run-manifest pinning needs " +
         "snapshot generations (CorpusStore.init/migrate)")
     val g = currentId(dir)
-    (g, graft.perf.Measure.parquetFileNames(s"$dir/${snapName(g)}"))
+    val files = graft.perf.Measure.parquetFileNames(s"$dir/${snapName(g)}")
+    // an EMPTY capture is replayable only with a declared schema to shape
+    // the empty frame — without one, refuse at capture time rather than
+    // letting a later replay fall back to a dir read that would serve
+    // post-capture appends as the "pinned empty" corpus
+    require(files.nonEmpty || declaredSchema(dir).isDefined,
+      s"run-manifest capture of $dir refused: the corpus is empty and " +
+        "carries no declared schema — an empty pin would not be " +
+        "replayable; append data (or adopt schema tracking) first")
+    (g, files)
   }
 
   /** Existence half of [[readPinned]] — the [[RunManifest.validate]] leg:
@@ -466,12 +475,15 @@ object CorpusStore {
       if (files.nonEmpty) reader.parquet(files.map(f => s"$base/$f"): _*)
       else declaredSchema(dir) match {
         // an empty capture (manifest written before any data) pins the
-        // empty corpus; without a declared schema there is nothing to
-        // shape an empty frame with — the plain read refuses as readAt
-        // would on an empty generation
+        // empty corpus, shaped by the declared schema; a schema-less
+        // empty pin REFUSES (pinListing already refuses to record one —
+        // this guards hand-built pins): a dir-read fallback would serve
+        // post-capture appends as the "pinned empty" corpus
         case Some(sc) => spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), sc)
-        case None => reader.parquet(base)
+        case None => throw new IllegalArgumentException(
+          s"pinned read of $dir generation $generation: an empty pin " +
+            "with no declared corpus schema is not replayable")
       }
     minusTombstonesSince(spark, dir, generation, raw)
   }

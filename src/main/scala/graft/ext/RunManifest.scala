@@ -236,7 +236,8 @@ object RunManifest {
   /** Verify every member's pin still resolves — refuses loudly naming the
     * first member whose pinned state fell out of retention (the check the
     * resolvers each run individually, aggregated with the member named
-    * up front). Cheap: existence checks only, no Spark jobs. */
+    * up front). Cheap: filesystem existence checks plus one params-footer
+    * read per ANN member (kind validation) — no data-artifact scans. */
   def validate(spark: SparkSession, m: Manifest): Unit = {
     def member[T](what: String)(body: => T): T =
       try body catch {

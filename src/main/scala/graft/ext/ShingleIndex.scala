@@ -1334,6 +1334,45 @@ object ShingleIndex {
     files.map(f => base.resolve(f).toString)
   }
 
+  /** Shared resolution preamble of [[liveAtFiles]] and [[checkPin]]:
+    * registered/poison gates, live-vs-archive base selection, the
+    * torn-stop-set integrity check, and the identity comparison against
+    * the captured marker. Returns (resolved marker, postings dir, bands
+    * dir, stop-set thunk). Callers hold the object monitor. */
+  private def resolvePinBase(spark: SparkSession, gen: Int,
+      capturedMarker: String)
+      : (String, java.nio.file.Path, java.nio.file.Path,
+        () => Option[DataFrame]) = {
+    val m = readMarker(spark).getOrElse(throw new IllegalStateException(
+      s"$tableName is not registered — nothing to pin"))
+    if (isPoisoned(m)) throw new IllegalStateException(
+      s"$tableName marker carries an in-flight token — heal before pinning")
+    val resolved =
+      if (gen == currentGeneration(spark))
+        (m, warehousePath(spark, tableName),
+          warehousePath(spark, bandsTableName), () => stopSet(spark))
+      else {
+        requireRetained(spark, gen)
+        val d = genDir(spark, gen)
+        val am = java.nio.file.Files.readString(
+          d.resolve("postings").resolve("_graft_layout"))
+        val pruned = doubleField(am, "prune_df_frac").isDefined
+        require(!pruned || java.nio.file.Files.exists(d.resolve("stop")),
+          s"generation $gen archive of $tableName is torn (declared " +
+            "stop set missing) — a retiring compaction was killed; this " +
+            "generation is not reproducible")
+        (am, d.resolve("postings"), d.resolve("bands"),
+          () => if (pruned)
+            Some(spark.read.parquet(d.resolve("stop").toString))
+          else None)
+      }
+    require(markerIdentity(resolved._1) == markerIdentity(capturedMarker),
+      s"generation $gen of $tableName carries a different index identity " +
+        "than the manifest captured — the index was re-registered; the " +
+        "pinned state is gone")
+    resolved
+  }
+
   /** [[liveAt]] restricted to an exact captured file set — the
     * [[RunManifest]] replay surface. `gen == currentGeneration` serves
     * from the live dirs (the generation has not frozen yet); a frozen
@@ -1344,33 +1383,8 @@ object ShingleIndex {
   def liveAtFiles(spark: SparkSession, gen: Int, capturedMarker: String,
       postingsFiles: Seq[String], bandsFiles: Seq[String]): LiveIndex =
     synchronized {
-      val m = readMarker(spark).getOrElse(throw new IllegalStateException(
-        s"$tableName is not registered — nothing to pin"))
-      if (isPoisoned(m)) throw new IllegalStateException(
-        s"$tableName marker carries an in-flight token — heal before pinning")
-      val (baseMarker, postDir, bandDir, stopOf) =
-        if (gen == currentGeneration(spark))
-          (m, warehousePath(spark, tableName),
-            warehousePath(spark, bandsTableName), () => stopSet(spark))
-        else {
-          requireRetained(spark, gen)
-          val d = genDir(spark, gen)
-          val am = java.nio.file.Files.readString(
-            d.resolve("postings").resolve("_graft_layout"))
-          val pruned = doubleField(am, "prune_df_frac").isDefined
-          require(!pruned || java.nio.file.Files.exists(d.resolve("stop")),
-            s"generation $gen archive of $tableName is torn (declared " +
-              "stop set missing) — a retiring compaction was killed; this " +
-              "generation is not reproducible")
-          (am, d.resolve("postings"), d.resolve("bands"),
-            () => if (pruned)
-              Some(spark.read.parquet(d.resolve("stop").toString))
-            else None)
-        }
-      require(markerIdentity(baseMarker) == markerIdentity(capturedMarker),
-        s"generation $gen of $tableName carries a different index identity " +
-          "than the manifest captured — the index was re-registered; the " +
-          "pinned state is gone")
+      val (_, postDir, bandDir, stopOf) =
+        resolvePinBase(spark, gen, capturedMarker)
       val (k, nBands, rowsPerBand) = sigSpec(capturedMarker).getOrElse(
         throw new IllegalArgumentException(
           s"manifest captured a band-less $tableName marker — nothing to " +
@@ -1388,29 +1402,13 @@ object ShingleIndex {
     }
 
   /** Existence half of [[liveAtFiles]] — [[RunManifest.validate]]'s screen
-    * leg (no Spark read, refuses loudly naming the index). */
+    * leg: the same resolution gates (poison, identity, torn archive)
+    * without the Spark reads. */
   def checkPin(spark: SparkSession, gen: Int, capturedMarker: String,
       postingsFiles: Seq[String], bandsFiles: Seq[String]): Unit =
     synchronized {
-      val m = readMarker(spark).getOrElse(throw new IllegalStateException(
-        s"$tableName is not registered — nothing to pin"))
-      if (isPoisoned(m)) throw new IllegalStateException(
-        s"$tableName marker carries an in-flight token — heal before pinning")
-      val (baseMarker, postDir, bandDir) =
-        if (gen == currentGeneration(spark))
-          (m, warehousePath(spark, tableName),
-            warehousePath(spark, bandsTableName))
-        else {
-          requireRetained(spark, gen)
-          val d = genDir(spark, gen)
-          (java.nio.file.Files.readString(
-            d.resolve("postings").resolve("_graft_layout")),
-            d.resolve("postings"), d.resolve("bands"))
-        }
-      require(markerIdentity(baseMarker) == markerIdentity(capturedMarker),
-        s"generation $gen of $tableName carries a different index identity " +
-          "than the manifest captured — the index was re-registered; the " +
-          "pinned state is gone")
+      val (_, postDir, bandDir, _) =
+        resolvePinBase(spark, gen, capturedMarker)
       resolvePinned(postDir, postingsFiles, gen, "postings")
       resolvePinned(bandDir, bandsFiles, gen, "bands")
       ()

@@ -40,19 +40,16 @@ object Measure {
     }
   }
 
-  /** Warehouse root for a perf main — ISOLATED from the default
-    * `./spark-warehouse` that Verify (and the driver's face runs) use, so a
-    * rehearsal and a Verify run can execute concurrently without one
-    * rewriting the other's stored-index marker mid-measurement (the
-    * round-13 contamination: a face that registers the shingle index
-    * rewrote the marker mid-A/B and the "stored" binding silently measured
-    * the derivation fallback). Stable per MAIN, not per run, so the
-    * fresh-JVM A/B protocol still reattaches a stored index registered by
-    * an earlier binding of the same rehearsal. `SPARK_GRAFT_WAREHOUSE`
-    * overrides the root. */
-  /** Relative paths (under `dir`) of the regular `*.parquet` files, sorted
-    * — the run-manifest capture unit (artifact DIRECTORIES conventionally
-    * named `*.parquet` do not count, matching [[parquetFileCount]]). */
+  /** Relative paths (under `dir`) of the VISIBLE regular `*.parquet`
+    * files, sorted — the run-manifest capture unit. Visibility follows
+    * Spark's directory-read convention: any path COMPONENT starting with
+    * `_` or `.` is metadata/sidecar, not data (artifact directories
+    * conventionally named `*.parquet` are excluded too, matching
+    * [[parquetFileCount]]). The `_applied_tombs` archive a corpus
+    * compaction retires into its new generation is exactly why the filter
+    * must apply per component: a recursive walk would otherwise sweep the
+    * RETRACTED doc_ids' tombstone part files into the pin as data, and an
+    * explicit-path read — unlike a dir read — would not hide them. */
   def parquetFileNames(dir: String): Seq[String] = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(p)) Seq.empty
@@ -63,7 +60,12 @@ object Measure {
         s.iterator().asScala
           .filter(q => java.nio.file.Files.isRegularFile(q) &&
             q.getFileName.toString.endsWith(".parquet"))
-          .map(q => p.relativize(q).toString).toVector.sorted
+          .map(q => p.relativize(q))
+          .filterNot(rel => (0 until rel.getNameCount).exists { i =>
+            val c = rel.getName(i).toString
+            c.startsWith("_") || c.startsWith(".")
+          })
+          .map(_.toString).toVector.sorted
       } finally s.close()
     }
   }
@@ -84,6 +86,16 @@ object Measure {
     }
   }
 
+  /** Warehouse root for a perf main — ISOLATED from the default
+    * `./spark-warehouse` that Verify (and the driver's face runs) use, so a
+    * rehearsal and a Verify run can execute concurrently without one
+    * rewriting the other's stored-index marker mid-measurement (the
+    * round-13 contamination: a face that registers the shingle index
+    * rewrote the marker mid-A/B and the "stored" binding silently measured
+    * the derivation fallback). Stable per MAIN, not per run, so the
+    * fresh-JVM A/B protocol still reattaches a stored index registered by
+    * an earlier binding of the same rehearsal. `SPARK_GRAFT_WAREHOUSE`
+    * overrides the root. */
   def warehouseDir(mainName: String): String =
     new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "rehearsal-warehouse"),

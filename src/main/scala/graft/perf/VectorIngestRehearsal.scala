@@ -112,6 +112,11 @@ object VectorIngestRehearsal {
         val s = time { step(batch(i), i.toLong) }
         val ts = baselineTs()
         val rb = AnnIndex.lastRebalanceGeneration(idx)
+        // batch-granularity sampling limit, stated rather than hidden: a
+        // drift retrain AND a rebalance firing in the SAME batch are one
+        // observable baseline move (the rebalance's reset overwrites the
+        // drift retrain's) and are counted as the rebalance — the two are
+        // distinguishable only per-batch, not within one
         if (rb != lastRebal) { rebalances += 1; rebalanceAt += i; lastRebal = rb }
         else if (ts != lastTs) { retrains += 1; retrainAt += i }
         lastTs = ts

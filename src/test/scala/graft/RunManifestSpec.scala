@@ -78,6 +78,19 @@ class RunManifestSpec extends AnyFunSuite {
       graceGenerations = 2)
     assert(CorpusCompact.pendingTombstoneBatches(dir).isEmpty)
     assert(ids(RunManifest.readCorpus(spark, m)) == Set(1L))
+    // review regression (round 17): a capture taken AFTER a
+    // tombstone-applying compaction must not sweep the new generation's
+    // _applied_tombs part files into the pin as data — an explicit-path
+    // read has no hidden-file filter, so the listing itself must exclude
+    // `_`/`.` components, or the replay resurfaces the RETRACTED doc_ids
+    // as null-filled phantom rows
+    val m2 = RunManifest.capture(spark, dir, "post-apply",
+      withShingle = false)
+    assert(m2.corpus.files.forall(f => !f.contains("_applied_tombs")),
+      s"tombstone archive leaked into the pin listing: ${m2.corpus.files}")
+    assert(ids(RunManifest.readCorpus(spark, m2)) == Set(1L, 3L),
+      "a post-apply capture must replay the surviving rows only — never " +
+        "the retracted doc_ids from the generation's own tombstone archive")
     // GC the pinned generation: validate + replay refuse NAMING the member
     CorpusStore.compactSnapshot(spark, dir, targetFiles = 1,
       graceGenerations = 1)
