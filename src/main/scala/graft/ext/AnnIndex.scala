@@ -260,12 +260,21 @@ object AnnIndex {
     val (kind, nTables, planes, _, dims) = readParams(spark, dir)
     require(kind == "lsh", s"searchLsh on a '$kind' index")
     val (keys, vectors) = readLsh(spark, dir)
-    // three-stage literal pruning from the query batch's bounded key set
-    // (≤ |queries|·tables values): tbl IN → hive partition pruning over the
-    // `tables` directories; bucket IN → single-column parquet row-group
-    // skip on the bucket-sorted files (a two-column expression would not
-    // push past the scan); exact flat-key filter → drops the cross-pair
-    // survivors (tbl_a with bucket_b) in the scan stage
+    Similarity.lshSearch(
+      minusTombs(spark, dir,
+        lshPrunedKeys(keys, queries, nTables, planes, dims)),
+      vectors, queries, k, planes, dims, nTables)
+  }
+
+  /** The stored-key pruning both the live and the pinned LSH search
+    * share — three-stage literal pruning from the query batch's bounded
+    * key set (≤ |queries|·tables values): tbl IN → hive partition pruning
+    * over the `tables` directories; bucket IN → single-column parquet
+    * row-group skip on the bucket-sorted files (a two-column expression
+    * would not push past the scan); exact flat-key filter → drops the
+    * cross-pair survivors (tbl_a with bucket_b) in the scan stage. */
+  private def lshPrunedKeys(keys: DataFrame, queries: DataFrame,
+      nTables: Int, planes: Int, dims: Int): DataFrame = {
     val qKeys = queries
       .select(org.apache.spark.sql.functions.explode(
         Similarity.lshKeys(col("embedding"), planes, dims, nTables)).as("key"))
@@ -276,13 +285,11 @@ object AnnIndex {
     // once planes >= 20 and silently over-read)
     require(planes < 60, s"planes=$planes overflows the long partition key")
     val flat = qKeys.map { case (t, b) => (t.toLong << planes) | b }
-    val pruned = keys
+    keys
       .filter(col("tbl").isin(qKeys.map(_._1).distinct: _*))
       .filter(col("bucket").isin(qKeys.map(_._2).distinct: _*))
       .filter((shiftleft(col("tbl").cast("long"), planes)
         .bitwiseOR(col("bucket"))).isin(flat: _*))
-    Similarity.lshSearch(minusTombs(spark, dir, pruned), vectors, queries,
-      k, planes, dims, nTables)
   }
 
   // ── PQ ─────────────────────────────────────────────────────────────────
@@ -1135,32 +1142,30 @@ object AnnIndex {
   // generation — so the generation number alone pins them.
 
   /** What [[RunManifest.capture]] records for an ANN member: (kind,
-    * generation, relative file names of the primary data artifact).
-    * ivf/ivfpq only — the families with a pinned search surface. */
-  def pinListing(spark: SparkSession, dir: String): (String, Int, Seq[String]) = {
+    * generation, relative file names of the primary data artifact, and —
+    * for lsh, whose appends fragment TWO artifacts — the secondary's).
+    * All four families pin: ivf/ivfpq via the cell-partitioned data
+    * artifact (trained artifacts resolve by generation), lsh via
+    * keys+vectors (its geometry is deterministic from params — no trained
+    * artifact at all), pq via its flat codes (codebooks are written once
+    * per identity and never appended). */
+  def pinListing(spark: SparkSession, dir: String)
+      : (String, Int, Seq[String], Seq[String]) = {
     val (kind, _, _, _, _) = readParams(spark, dir)
-    require(kind == "ivf" || kind == "ivfpq",
-      s"run-manifest pinning on a '$kind' index at $dir — pinned search " +
-        "is the ivf/ivfpq surface")
+    val arts = fragmentingArtifacts(kind)
     (kind, currentGeneration(dir),
-      graft.perf.Measure.parquetFileNames(
-        s"$dir/${fragmentingArtifacts(kind).head}"))
+      graft.perf.Measure.parquetFileNames(s"$dir/${arts.head}"),
+      arts.drop(1).headOption.fold(Seq.empty[String])(a =>
+        graft.perf.Measure.parquetFileNames(s"$dir/$a")))
   }
 
-  /** Existence half of the pinned-file search — [[RunManifest.validate]]'s
-    * ANN leg: refuses loudly naming the index when the pin fell out of
-    * retention or the archive is torn. Returns the resolved artifact base
-    * dir the pinned files live under. */
-  def checkPin(spark: SparkSession, dir: String, kind: String, gen: Int,
+  /** Resolve one pinned artifact's base dir and verify every captured
+    * file survives there — the per-artifact half of [[checkPin]]. */
+  private def resolvePinnedArtifact(dir: String, artifact: String, gen: Int,
       files: Seq[String]): String = {
-    requirePinnable(dir, gen)
-    require(readParams(spark, dir)._1 == kind,
-      s"the index at $dir is no longer kind '$kind' — rebuilt since the " +
-        "manifest was captured; the pinned state is gone")
     require(files.nonEmpty,
-      s"manifest captured an empty data artifact for the ANN index at " +
-        s"$dir — nothing to replay")
-    val artifact = fragmentingArtifacts(kind).head
+      s"manifest captured an empty $artifact for the ANN index at $dir — " +
+        "nothing to replay")
     val base = resolveArtifactAt(dir, artifact, gen)
     val missing = files.filterNot(f => java.nio.file.Files.exists(
       java.nio.file.Paths.get(base, f)))
@@ -1171,15 +1176,39 @@ object AnnIndex {
     base
   }
 
+  /** Existence half of the pinned-file search — [[RunManifest.validate]]'s
+    * ANN leg: refuses loudly naming the index when the pin fell out of
+    * retention or the archive is torn. */
+  def checkPin(spark: SparkSession, dir: String, kind: String, gen: Int,
+      files: Seq[String], files2: Seq[String] = Seq.empty): Unit = {
+    requirePinnable(dir, gen)
+    require(readParams(spark, dir)._1 == kind,
+      s"the index at $dir is no longer kind '$kind' — rebuilt since the " +
+        "manifest was captured; the pinned state is gone")
+    val arts = fragmentingArtifacts(kind)
+    resolvePinnedArtifact(dir, arts.head, gen, files)
+    arts.drop(1).headOption.foreach(a =>
+      resolvePinnedArtifact(dir, a, gen, files2))
+  }
+
   /** The pinned data artifact as a frame: the exact captured files, read
-    * with `basePath` so the hive `cell` partition column survives the
-    * explicit-path read (partition pruning over the pinned file index
-    * still applies to the probed-cell filter the searches push). */
-  private def pinnedDataAt(spark: SparkSession, dir: String, kind: String,
-      gen: Int, files: Seq[String]): DataFrame = {
-    val base = checkPin(spark, dir, kind, gen, files)
+    * with `basePath` so a hive partition column (`cell`/`tbl`) survives
+    * the explicit-path read (partition pruning over the pinned file index
+    * still applies to the filters the searches push). */
+  private def pinnedArtifactAt(spark: SparkSession, dir: String,
+      artifact: String, gen: Int, files: Seq[String]): DataFrame = {
+    val base = resolvePinnedArtifact(dir, artifact, gen, files)
     spark.read.option("basePath", base)
       .parquet(files.map(f => s"$base/$f"): _*)
+  }
+
+  private def pinnedDataAt(spark: SparkSession, dir: String, kind: String,
+      gen: Int, files: Seq[String]): DataFrame = {
+    requirePinnable(dir, gen)
+    require(readParams(spark, dir)._1 == kind,
+      s"the index at $dir is no longer kind '$kind' — rebuilt since the " +
+        "manifest was captured; the pinned state is gone")
+    pinnedArtifactAt(spark, dir, fragmentingArtifacts(kind).head, gen, files)
       .withColumn("cell", col("cell").cast("long"))
   }
 
@@ -1220,6 +1249,47 @@ object AnnIndex {
       minusTombsSince(spark, dir, gen,
         codes.filter(col("cell").isin(cells: _*))),
       queries, k, nprobe, m, dims)
+  }
+
+  /** [[searchLsh]] restricted to an exact captured (keys, vectors) file
+    * set — LSH needs BOTH listings, since its appends fragment both
+    * artifacts. The hyperplane geometry is deterministic from the stored
+    * params (written once per identity), so pinning the two data
+    * artifacts pins the whole search. The same three-stage key pruning as
+    * the live path applies over the pinned file index. */
+  def searchLshAtFiles(spark: SparkSession, dir: String, gen: Int,
+      keysFiles: Seq[String], vectorsFiles: Seq[String],
+      queries: DataFrame, k: Int): DataFrame = {
+    requirePinnable(dir, gen)
+    val (kind, nTables, planes, _, dims) = readParams(spark, dir)
+    require(kind == "lsh",
+      s"the index at $dir is no longer kind 'lsh' — rebuilt since the " +
+        "manifest was captured; the pinned state is gone")
+    val keys = pinnedArtifactAt(spark, dir, "keys.parquet", gen, keysFiles)
+      .withColumn("tbl", col("tbl").cast("int"))
+    val vectors = pinnedArtifactAt(spark, dir, "vectors.parquet", gen,
+      vectorsFiles)
+    Similarity.lshSearch(
+      minusTombsSince(spark, dir, gen,
+        lshPrunedKeys(keys, queries, nTables, planes, dims)),
+      vectors, queries, k, planes, dims, nTables)
+  }
+
+  /** [[searchPq]] restricted to an exact captured codes file set. The
+    * codebooks are written once per identity and never appended — the
+    * flat codes listing pins the whole search. */
+  def searchPqAtFiles(spark: SparkSession, dir: String, gen: Int,
+      files: Seq[String], queries: DataFrame, k: Int): DataFrame = {
+    requirePinnable(dir, gen)
+    val (kind, _, m, _, dims) = readParams(spark, dir)
+    require(kind == "pq",
+      s"the index at $dir is no longer kind 'pq' — rebuilt since the " +
+        "manifest was captured; the pinned state is gone")
+    val books = spark.read.parquet(
+      resolveArtifactAt(dir, "codebooks.parquet", gen))
+    val codes = pinnedArtifactAt(spark, dir, "codes.parquet", gen, files)
+    Similarity.pqSearch(books,
+      minusTombsSince(spark, dir, gen, codes), queries, k, m, dims)
   }
 
   /** Per-artifact parquet file counts of a stored index — the

@@ -21,9 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[screenIndex]]  → [[ShingleIndex.liveAtFiles]] — the captured
   *                        near-dup screen inputs (postings, bands, frozen
   *                        stop set, banding geometry)
-  *   - [[searchAnn]]    → [[AnnIndex.searchIvfAtFiles]]/
-  *                        [[AnnIndex.searchIvfPqAtFiles]] — the captured
-  *                        search behavior
+  *   - [[searchAnn]]    → the family's pinned-file search
+  *                        ([[AnnIndex.searchIvfAtFiles]] and its ivfpq/
+  *                        lsh/pq siblings) — the captured search behavior
   *
   * Retractions PASS THROUGH every member (the pinned-read contract): a
   * takedown after capture never resurfaces through a manifest replay.
@@ -61,9 +61,11 @@ object RunManifest {
       postings: Seq[String], bands: Seq[String])
 
   /** One ANN member: index dir, family kind, generation, data-file
-    * listing (trained artifacts pin by generation alone). */
+    * listing(s) — `files2` carries the secondary artifact for lsh, whose
+    * appends fragment both keys and vectors (trained artifacts pin by
+    * generation alone). */
   final case class AnnPin(dir: String, kind: String, gen: Int,
-      files: Seq[String])
+      files: Seq[String], files2: Seq[String] = Seq.empty)
 
   final case class Manifest(name: String, corpus: CorpusPin,
       shingle: Option[ShinglePin], ann: Seq[AnnPin])
@@ -119,6 +121,8 @@ object RunManifest {
       sb.append("ann.gen ").append(p.gen).append('\n')
       sb.append("ann.files ")
         .append(requireSafe(p.files, "ann").mkString(" ")).append('\n')
+      sb.append("ann.files2 ")
+        .append(requireSafe(p.files2, "ann").mkString(" ")).append('\n')
     }
     sb.toString
   }
@@ -158,10 +162,14 @@ object RunManifest {
       .map(_.stripPrefix("ann.gen "))
     val fls = lines.filter(_.startsWith("ann.files "))
       .map(_.stripPrefix("ann.files "))
+    val fls2 = lines.filter(_.startsWith("ann.files2 "))
+      .map(_.stripPrefix("ann.files2 "))
     if (dirs.size != kinds.size || dirs.size != gens.size ||
-        dirs.size != fls.size) fail("ragged ann blocks")
+        dirs.size != fls.size || dirs.size != fls2.size)
+      fail("ragged ann blocks")
     val ann = dirs.indices.map(i =>
-      AnnPin(dirs(i), kinds(i), gens(i).toInt, files(fls(i))))
+      AnnPin(dirs(i), kinds(i), gens(i).toInt, files(fls(i)),
+        files(fls2(i))))
     Manifest(one("name"), corpus, shingle, ann)
   }
 
@@ -174,8 +182,8 @@ object RunManifest {
         .map(p => ShinglePin(p._1, p._2, p._3, p._4))
       else None
     val ap = annDirs.map { d =>
-      val (kind, gen, files) = AnnIndex.pinListing(spark, d)
-      AnnPin(d, kind, gen, files)
+      val (kind, gen, files, files2) = AnnIndex.pinListing(spark, d)
+      AnnPin(d, kind, gen, files, files2)
     }
     (CorpusPin(corpusDir, cg, cf), sp, ap)
   }
@@ -250,7 +258,7 @@ object RunManifest {
     m.shingle.foreach(p => member(s"screen (${ShingleIndex.tableName})")(
       ShingleIndex.checkPin(spark, p.gen, p.marker, p.postings, p.bands)))
     m.ann.foreach(p => member(s"ann (${p.dir})")(
-      AnnIndex.checkPin(spark, p.dir, p.kind, p.gen, p.files)))
+      AnnIndex.checkPin(spark, p.dir, p.kind, p.gen, p.files, p.files2)))
   }
 
   /** The captured corpus, replayed: exact captured files minus everything
@@ -280,6 +288,10 @@ object RunManifest {
         pin.files, queries, k, nprobe)
       case "ivfpq" => AnnIndex.searchIvfPqAtFiles(spark, annDir, pin.gen,
         pin.files, queries, k, nprobe)
+      case "lsh" => AnnIndex.searchLshAtFiles(spark, annDir, pin.gen,
+        pin.files, pin.files2, queries, k)
+      case "pq" => AnnIndex.searchPqAtFiles(spark, annDir, pin.gen,
+        pin.files, queries, k)
       case other => throw new IllegalStateException(
         s"manifest '${m.name}' pins unsupported ANN kind '$other'")
     }

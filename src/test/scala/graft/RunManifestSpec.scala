@@ -160,6 +160,70 @@ class RunManifestSpec extends AnyFunSuite {
     graft.perf.Measure.deleteRecursively(corpusDir)
   }
 
+  test("lsh + pq manifest pins: all four ANN families replay; retractions " +
+      "pass through the pinned views") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val base = e.filter(pmod(col("vec_id"), lit(4)) < 3)
+    val delta = e.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val q = e.filter(col("vec_id") < 8)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-manifest-lshc").toString
+    CorpusStore.init(corpusDir)
+    CorpusStore.append(spark, corpusDir, docs(Seq((1L, "a"))))
+    // ── lsh: deterministic geometry, TWO fragmenting artifacts ──────────
+    val lshIdx = java.nio.file.Files
+      .createTempDirectory("graft-manifest-lsh").toString
+    val (keys, vecs) = AnnIndex.buildLsh(base, planes = 5, tables = 4)
+    AnnIndex.writeLsh(lshIdx, keys, vecs, planes = 5, dims = 64, tables = 4)
+    // ── pq: flat codes, write-once codebooks ────────────────────────────
+    val pqIdx = java.nio.file.Files
+      .createTempDirectory("graft-manifest-pq").toString
+    val (books, codes) = AnnIndex.buildPq(base, kCodes = 16, refineIters = 1)
+    AnnIndex.writePq(pqIdx, books, codes, m = 8, kCodes = 16, dims = 64)
+    val m = RunManifest.capture(spark, corpusDir, "lshpq-run",
+      annDirs = Seq(lshIdx, pqIdx), withShingle = false)
+    assert(m.ann.map(_.kind) == Seq("lsh", "pq"))
+    assert(m.ann.head.files2.nonEmpty, "lsh pins BOTH artifacts")
+    val lshAt = AnnIndex.searchLsh(spark, lshIdx, q, 3)
+      .collect().map(_.toString).toSet
+    val pqAt = AnnIndex.searchPq(spark, pqIdx, q, 3)
+      .collect().map(_.toString).toSet
+    assert(lshAt.nonEmpty && pqAt.nonEmpty, "capture-time searches return")
+    // both stores move on: lsh appends (both artifacts fragment) then
+    // compacts (archives the pre-images); pq retracts then compacts
+    AnnIndex.appendLsh(spark, lshIdx, delta)
+    AnnIndex.compact(spark, lshIdx)
+    val deadVec = AnnIndex.searchPq(spark, pqIdx, q, 3)
+      .select("cid").head().getLong(0)
+    AnnIndex.delete(spark, pqIdx, Seq(deadVec).toDF("vec_id"),
+      token = Some("lshpq-kill"))
+    AnnIndex.compact(spark, pqIdx)
+    // manifest round-trips through disk and replays both families
+    val loaded = RunManifest.load(corpusDir, "lshpq-run")
+    RunManifest.validate(spark, loaded)
+    val lshReplay = RunManifest.searchAnn(spark, loaded, lshIdx, q, 3)
+      .collect().map(_.toString).toSet
+    assert(lshReplay == lshAt,
+      "pinned lsh search must equal the capture-time search — the " +
+        "appended delta landed before the freeze and must not appear")
+    val pqReplay = RunManifest.searchAnn(spark, loaded, pqIdx, q, 3)
+      .collect().map(_.toString).toSet
+    // replay ≡ the capture-time state minus the retraction: an in-memory
+    // search over the captured codes with the dead vec removed (the next
+    // best candidate legitimately enters the top-k)
+    val pqExpect = graft.ext.Similarity.pqSearch(books,
+      codes.filter(col("vec_id") =!= deadVec), q, 3, m = 8, dims = 64)
+      .collect().map(_.toString).toSet
+    assert(pqReplay == pqExpect,
+      "pinned pq replay must equal the capture-time codes minus the " +
+        "retraction — even though the journal batch was applied and swept")
+    graft.perf.Measure.deleteRecursively(lshIdx)
+    graft.perf.Measure.deleteRecursively(pqIdx)
+    graft.perf.Measure.deleteRecursively(corpusDir)
+  }
+
   test("shingle pin: current-generation replay subsets to captured files; " +
       "a re-registered identity refuses") {
     import spark.implicits._
