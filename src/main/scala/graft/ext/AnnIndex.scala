@@ -2051,6 +2051,20 @@ object AnnIndex {
     (searchIvfAt(spark, dir, gen, queries, k, nprobe = np), np)
   }
 
+  /** The ivfpq twin of [[searchIvfAutoAt]]: a pinned hybrid search sized
+    * by the generation's archived probe curve. An ivfpq curve exists only
+    * when [[profileProbes]] was run with the raw corpus before the
+    * maintenance that froze the generation (codes are not invertible) —
+    * a never-profiled state refuses via [[autoNprobeAt]] exactly like the
+    * ivf path. */
+  def searchIvfPqAutoAt(spark: SparkSession, dir: String, gen: Int,
+      queries: DataFrame, k: Int, targetRecall: Double = 0.8,
+      candidateBudgetFrac: Double = 0.1): (DataFrame, Int) = {
+    val np = autoNprobeAt(spark, dir, gen, k, targetRecall,
+      candidateBudgetFrac)
+    (searchIvfPqAt(spark, dir, gen, queries, k, nprobe = np), np)
+  }
+
   /** [[searchIvf]] with the nprobe picked by [[autoNprobe]] — returns the
     * results plus the chosen nprobe (bit-identical to `searchIvf` at that
     * value; AnnIndexSpec pins it). */

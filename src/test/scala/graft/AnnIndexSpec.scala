@@ -834,12 +834,33 @@ class AnnIndexSpec extends AnyFunSuite {
     def search() = AnnIndex.searchIvfPq(spark, idx, q10, 3, nprobe = 8)
       .collect().map(_.toString).toSet
     val endG0 = search()
+    // profile BEFORE the freeze (ivfpq needs the raw corpus — codes are
+    // not invertible) so the generation archives a probe curve and the
+    // pinned AUTO search below can size itself as-of the pin (round 17)
+    AnnIndex.profileProbes(spark, idx, k = 3, sampleQ = 64,
+      corpus = Some(base.unionByName(drifted)))
+    val livePick = AnnIndex.autoNprobe(spark, idx, k = 3,
+      targetRecall = 0.8, candidateBudgetFrac = 0.5,
+      corpus = Some(base.unionByName(drifted)))
     AnnIndex.retrain(spark, idx, corpus = Some(union), refineIters = 1,
       retainGenerations = Some(1))
     assert(search() != endG0, "precondition: the retrain moved the codes")
     assert(AnnIndex.searchIvfPqAt(spark, idx, 0, q10, 3, nprobe = 8)
       .collect().map(_.toString).toSet == endG0,
       "searchIvfPqAt(0) must reproduce the pre-retrain search")
+    // pinned auto sizing on the hybrid family: the archived curve
+    // re-picks the capture-time nprobe, and the pinned auto search is
+    // bit-identical to the pinned fixed search at that pick
+    assert(AnnIndex.autoNprobeAt(spark, idx, 0, k = 3, targetRecall = 0.8,
+      candidateBudgetFrac = 0.5) == livePick,
+      "the archived ivfpq curve must re-pick the capture-time nprobe")
+    val (autoDf, chosen) = AnnIndex.searchIvfPqAutoAt(spark, idx, 0, q10,
+      3, targetRecall = 0.8, candidateBudgetFrac = 0.5)
+    assert(chosen == livePick)
+    assert(autoDf.collect().map(_.toString).toSet ==
+      AnnIndex.searchIvfPqAt(spark, idx, 0, q10, 3, nprobe = chosen)
+        .collect().map(_.toString).toSet,
+      "pinned ivfpq auto search must equal the pinned fixed search")
     graft.perf.Measure.deleteRecursively(idx)
   }
 }
