@@ -563,8 +563,31 @@ object Dedup {
       }
     val sigs = forSig.groupBy("doc_id")
       .agg(HashFunctions.minhashSig(col("sh"), k).as("sig"))
-    val cands = lshCandidates(sigs, bands, rows)
-    jaccardVerify(cands, sh, sh, "id_a", "id_b", threshold)
+    // cached (r17): candidates feed BOTH the verification join and the
+    // semi-join prune below — uncached, the whole banding join subtree runs
+    // twice per query (same reasoning as incrementalMinhashPairsIndexed's
+    // cands cache). Bounded: near-dup pairs, id pairs only.
+    val cands = lshCandidates(sigs, bands, rows).cache()
+    // r17 (guide §3.2): verification touches candidate docs only. The
+    // round-17 before-plan showed the per-doc sorted-array aggregates
+    // running over the FULL corpus and being broadcast in their entirety —
+    // at scale that is a corpus-wide array shuffle per query, contradicting
+    // the documented "verification ∝ candidates" contract. The semi-join
+    // prunes the shingle relation to candidate docs BEFORE the set
+    // aggregates; the inner verification joins only ever read candidate
+    // ids, so the output is bit-identical (ExtensionsSpec pins the face
+    // against the exact all-pairs oracle).
+    // broadcast: same bounded-candidate contract as the indexed ingest
+    // path's broadcast(cands0)/broadcast(candIds) — candidate ids are
+    // near-linear in true near-dups (the banding design goal), and a
+    // band-saturating corpus fails LOUDLY at the broadcast cap instead of
+    // silently shuffling the corpus (the round-14 routed mitigation —
+    // maxShingleDocFreq / pruneDfFrac — is the fix, not a silent SMJ whose
+    // corpus-side sort defeats the prune's point)
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    jaccardVerify(cands, shCand, shCand, "id_a", "id_b", threshold)
   }
 
   /** Shared exact-Jaccard verification kernel: score candidate (left, right)

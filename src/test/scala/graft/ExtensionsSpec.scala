@@ -28,6 +28,22 @@ class ExtensionsSpec extends AnyFunSuite {
       s"LSH recall too low: ${approx.size}/${exact.size}")
   }
 
+  test("minhash verification is candidate-pruned (r17): the per-doc set " +
+      "aggregates read a semi-joined shingle relation, not the full corpus") {
+    // guide §3.2 / round-17 optimization: before the prune, the two
+    // sorted-array verification aggregates ran over EVERY doc and the full
+    // result was broadcast — a corpus-wide array shuffle at scale. The
+    // output itself is pinned exact by the recall test above; this pins the
+    // PLAN shape (a LeftSemi join of the shingle relation against the
+    // candidate ids below the set aggregates) so the prune can't silently
+    // regress.
+    val plan = Dedup.minhashDedup(docs, "doc_id", "text", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "expected a LeftSemi candidate prune below the verification " +
+        "aggregates; plan:\n" + plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("simhash: identical docs collide; near-dups are close in hamming") {
     val planted = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
