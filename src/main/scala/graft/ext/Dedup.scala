@@ -326,6 +326,13 @@ object Dedup {
     // rehearsal that expansion was the whole superlinear term. Same
     // output: shingle rows are distinct per doc, so |array_intersect| is
     // exactly the old count-of-common-rows.)
+    // r17 NOTE (measured, NOT applied): pruning this aggregate to candidate
+    // ids — the fix jaccardVerify got this round — requires the candidate
+    // subtree twice, and the interleaved A/B showed AQE stage reuse does
+    // NOT dedupe it (q_setsim_prefix warm 3.03 vs 1.89 s, q_dedup_cluster
+    // 18.2 vs 7.5 s with the prune); caching `cand` would fix that but
+    // leaks a cache from a pure operator. Left corpus-wide; see
+    // OPTIMIZATION_r17.md "Not yet optimized".
     val sets = sh.groupBy("doc_id").agg(
       sort_array(collect_list(col("shingle"))).as("__shs"),
       count(lit(1)).as("n_sh"))
@@ -400,7 +407,9 @@ object Dedup {
       .distinct()
     // compact-array verification (same round-8 shape as jaccardPairsPrefix):
     // shuffle ∝ candidates + corpus, not candidates × doc size; identical
-    // output since per-doc shingles are distinct
+    // output since per-doc shingles are distinct. (r17: candidate-pruning
+    // this aggregate measured 2× slower without a leaked cache — see the
+    // jaccardPairsPrefix note.)
     val sets = sh.groupBy("doc_id").agg(
       sort_array(collect_list(col("shingle"))).as("__shs"),
       count(lit(1)).as("n_sh"))
@@ -477,6 +486,8 @@ object Dedup {
         col("na") * cNum)
       .select(col("eval_id"), col("train_id"))
       .distinct()
+    // (r17: candidate-pruning these aggregates measured 2× slower without
+    // a leaked cache — see the jaccardPairsPrefix note.)
     val setsE = evalSh.groupBy("doc_id").agg(
       sort_array(collect_list(col("shingle"))).as("__se"),
       count(lit(1)).as("n_eval"))
@@ -568,26 +579,16 @@ object Dedup {
     // twice per query (same reasoning as incrementalMinhashPairsIndexed's
     // cands cache). Bounded: near-dup pairs, id pairs only.
     val cands = lshCandidates(sigs, bands, rows).cache()
-    // r17 (guide §3.2): verification touches candidate docs only. The
-    // round-17 before-plan showed the per-doc sorted-array aggregates
-    // running over the FULL corpus and being broadcast in their entirety —
-    // at scale that is a corpus-wide array shuffle per query, contradicting
-    // the documented "verification ∝ candidates" contract. The semi-join
-    // prunes the shingle relation to candidate docs BEFORE the set
-    // aggregates; the inner verification joins only ever read candidate
-    // ids, so the output is bit-identical (ExtensionsSpec pins the face
-    // against the exact all-pairs oracle).
-    // broadcast: same bounded-candidate contract as the indexed ingest
-    // path's broadcast(cands0)/broadcast(candIds) — candidate ids are
-    // near-linear in true near-dups (the banding design goal), and a
-    // band-saturating corpus fails LOUDLY at the broadcast cap instead of
-    // silently shuffling the corpus (the round-14 routed mitigation —
-    // maxShingleDocFreq / pruneDfFrac — is the fix, not a silent SMJ whose
-    // corpus-side sort defeats the prune's point)
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    jaccardVerify(cands, shCand, shCand, "id_a", "id_b", threshold)
+    // r17 (guide §3.2): verification touches candidate docs only — the
+    // per-side LeftSemi prune lives in jaccardVerify (shared by every
+    // consumer), with the bounded-candidate broadcast contract: candidate
+    // ids are near-linear in true near-dups (the banding design goal), and
+    // a band-saturating corpus fails LOUDLY at the broadcast cap instead
+    // of silently shuffling the corpus (the round-14 routed mitigation —
+    // maxShingleDocFreq / pruneDfFrac — is the fix). Before this round the
+    // per-doc sorted-array aggregates ran over the FULL corpus and were
+    // broadcast whole (plans/r17/q_dedup_minhash_lsh_before.txt ops 52-64).
+    jaccardVerify(cands, sh, sh, "id_a", "id_b", threshold)
   }
 
   /** Shared exact-Jaccard verification kernel: score candidate (left, right)
@@ -606,9 +607,20 @@ object Dedup {
     // Output identical: per-doc shingles are distinct, and the common>0
     // guard preserves the old inner-join behavior of dropping zero-overlap
     // candidates before the threshold filter.
-    val setsL = shLeft.groupBy("doc_id").agg(
+    // r17 (guide §3.2): each side's set aggregate reads only ITS candidate
+    // docs — a broadcast semi-join against the side's distinct candidate
+    // ids sits below the collect_list, so the corpus-wide array build the
+    // round-17 before-plans showed never happens. Identity: the downstream
+    // joins are inner on exactly these ids. Callers pass `cands` CACHED
+    // (each batch/query path does) so the two id projections don't re-run
+    // the candidate pipeline; the broadcast carries the bounded-candidate
+    // contract documented at minhashDedup.
+    def pruned(sh: DataFrame, idCol: String) =
+      sh.join(broadcast(cands.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    val setsL = pruned(shLeft, leftId).groupBy("doc_id").agg(
       sort_array(collect_list(col("sh"))).as("__sa"), count(lit(1)).as("na"))
-    val setsR = shRight.groupBy("doc_id").agg(
+    val setsR = pruned(shRight, rightId).groupBy("doc_id").agg(
       sort_array(collect_list(col("sh"))).as("__sb"), count(lit(1)).as("nb"))
     cands
       .join(setsL.select(col("doc_id").as(leftId), col("__sa"), col("na")),
@@ -741,14 +753,17 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), j -> hash(slice(sig, j * $rows + 1, $rows)))"))
         .as(Seq("band", "bucket")))
     }
+    // cached (r17): jaccardVerify's candidate-prune references the
+    // candidate set three times (two per-side id projections + the join) —
+    // uncached, the banding join subtree would run per reference
     val cands = banded(shD)
       .select(col("band"), col("bucket"), col("doc_id").as("delta_id"))
       .join(banded(shC)
         .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
         Seq("band", "bucket"))
-      .select("delta_id", "corpus_id").distinct()
+      .select("delta_id", "corpus_id").distinct().cache()
     (jaccardVerify(cands, shD, shC, "delta_id", "corpus_id", threshold),
-      () => { shD.unpersist(); shC.unpersist(); () })
+      () => { shD.unpersist(); shC.unpersist(); cands.unpersist(); () })
   }
 
   /** [[incrementalMinhashPairsManaged]] against a STORED shingle index
@@ -814,11 +829,11 @@ object Dedup {
     val cands = corpusIds.select(col("doc_id").as("corpus_id"))
       .join(broadcast(cands0), Seq("corpus_id"))
       .select("delta_id", "corpus_id").cache()
-    // verification touches postings for candidate corpus docs only — a
-    // broadcast semi-join prunes the scan before the per-doc set aggregate
-    val candIds = cands.select(col("corpus_id").as("doc_id")).distinct()
-    val shC = idx.postings.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .withColumnRenamed("shingle", "sh")
+    // verification touches postings for candidate corpus docs only —
+    // jaccardVerify's shared candidate-prune (r17) broadcast-semi-joins the
+    // postings scan down to candidate ids before the per-doc set aggregate
+    // (previously an explicit prune here; now every consumer gets it)
+    val shC = idx.postings.withColumnRenamed("shingle", "sh")
     (jaccardVerify(cands, shD, shC, "delta_id", "corpus_id", threshold),
       () => { shD.unpersist(); cands.unpersist(); () })
   }
