@@ -316,26 +316,50 @@ object Dedup {
   def jaccardPairsPrefix(sh: DataFrame, tNum: Int, tDen: Int,
       stop: Option[DataFrame] = None): DataFrame = {
     val threshold = tNum.toDouble / tDen
-    val cand = prefixCandidates(sh, tNum, tDen, stop)
+    // cached (r17 second pass): candidates feed the verification join AND
+    // the two per-side semi-join prunes below — uncached, the whole prefix
+    // candidate subtree (df join + positional window + prefix self-join +
+    // distinct) re-runs per reference, and the first-pass interleaved A/B
+    // showed AQE stage reuse does NOT dedupe it (q_setsim_prefix warm 3.03
+    // vs 1.89 s with the uncached prune). Bounded: id pairs only, near-
+    // linear in true near-dups (the prefix/positional filters' design
+    // goal) — the same bounded-candidate cache contract as minhashDedup's
+    // `cands`.
+    val cand = prefixCandidates(sh, tNum, tDen, stop).cache()
     // exact verification on candidates only, against COMPACT per-doc
     // shingle arrays: two id-keyed joins of |cand| rows each, then an
-    // in-row array_intersect — shuffle volume ∝ candidates + corpus.
-    // (The previous shape expanded every candidate pair by doc a's full
+    // in-row array_intersect — shuffle volume ∝ candidates, not corpus.
+    // (The round-8 shape expanded every candidate pair by doc a's full
     // shingle list and sort-merge-joined that against the corpus shingle
     // table — |cand|·n̄ skinny rows through one more shuffle; at the sf10
     // rehearsal that expansion was the whole superlinear term. Same
     // output: shingle rows are distinct per doc, so |array_intersect| is
     // exactly the old count-of-common-rows.)
-    // r17 NOTE (measured, NOT applied): pruning this aggregate to candidate
-    // ids — the fix jaccardVerify got this round — requires the candidate
-    // subtree twice, and the interleaved A/B showed AQE stage reuse does
-    // NOT dedupe it (q_setsim_prefix warm 3.03 vs 1.89 s, q_dedup_cluster
-    // 18.2 vs 7.5 s with the prune); caching `cand` would fix that but
-    // leaks a cache from a pure operator. Left corpus-wide; see
-    // OPTIMIZATION_r17.md "Not yet optimized".
-    val sets = sh.groupBy("doc_id").agg(
-      sort_array(collect_list(col("shingle"))).as("__shs"),
-      count(lit(1)).as("n_sh"))
+    // r17 (guide §3.2): the set aggregate reads only candidate docs — a
+    // broadcast semi-join against the UNION of both sides' candidate ids
+    // sits below the collect_list, so the corpus-wide sorted-array build
+    // (and its corpus-sized array shuffle into the verification join)
+    // never happens. One shared id set, not per-side sets: the two join
+    // consumers then reference an IDENTICAL aggregate subtree, which Spark
+    // computes once (reused exchange) with a single broadcast build — the
+    // per-side variant measured two extra serialized broadcast jobs per
+    // query for no smaller aggregate. Identity: aggregating a superset of
+    // each side's ids is harmless, the downstream joins are inner on ids
+    // drawn from exactly this union.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    // cached like `cand`: the aggregate feeds both join sides, and the
+    // measured plan showed AQE does NOT reuse the pruned aggregate's
+    // exchange across the two references (it did for the unpruned form) —
+    // without this cache the candidate-sized aggregate and its semi-join
+    // run twice per query. Bounded: one row per candidate doc.
+    val sets = sh
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(
+        sort_array(collect_list(col("shingle"))).as("__shs"),
+        count(lit(1)).as("n_sh"))
+      .cache()
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("__shs").as("__sa"),
         col("n_sh").as("na")), Seq("id_a"))
@@ -405,14 +429,31 @@ object Dedup {
         col("na") * cNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
+      // cached (r17 second pass): feeds the verification join + both
+      // per-side prunes; bounded id pairs — see jaccardPairsPrefix
+      .cache()
     // compact-array verification (same round-8 shape as jaccardPairsPrefix):
-    // shuffle ∝ candidates + corpus, not candidates × doc size; identical
-    // output since per-doc shingles are distinct. (r17: candidate-pruning
-    // this aggregate measured 2× slower without a leaked cache — see the
-    // jaccardPairsPrefix note.)
-    val sets = sh.groupBy("doc_id").agg(
-      sort_array(collect_list(col("shingle"))).as("__shs"),
-      count(lit(1)).as("n_sh"))
+    // shuffle ∝ candidates, not candidates × doc size; identical output
+    // since per-doc shingles are distinct. r17 (guide §3.2): the set
+    // aggregate is semi-join-pruned to the union of both sides' candidate
+    // ids below the collect_list (one shared aggregate subtree → computed
+    // once, single broadcast build — see jaccardPairsPrefix); the
+    // downstream joins are inner on ids from exactly this union, so output
+    // is unchanged while the corpus-wide array build disappears.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    // cached like `cand`: the aggregate feeds both join sides, and the
+    // measured plan showed AQE does NOT reuse the pruned aggregate's
+    // exchange across the two references (it did for the unpruned form) —
+    // without this cache the candidate-sized aggregate and its semi-join
+    // run twice per query. Bounded: one row per candidate doc.
+    val sets = sh
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(
+        sort_array(collect_list(col("shingle"))).as("__shs"),
+        count(lit(1)).as("n_sh"))
+      .cache()
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("__shs").as("__sa"),
         col("n_sh").as("na")), Seq("id_a"))
@@ -486,14 +527,26 @@ object Dedup {
         col("na") * cNum)
       .select(col("eval_id"), col("train_id"))
       .distinct()
-    // (r17: candidate-pruning these aggregates measured 2× slower without
-    // a leaked cache — see the jaccardPairsPrefix note.)
+      // cached (r17 second pass): feeds the verification join + both
+      // per-side prunes; bounded id pairs — see jaccardPairsPrefix
+      .cache()
+    // r17 (guide §3.2): the TRAIN side's set aggregate is semi-join-pruned
+    // to its candidate ids below the collect_list (identity: the
+    // downstream join is inner on exactly these ids) — the train side is
+    // the 100 TB one in this operator's design asymmetry, and the prune is
+    // what keeps its sorted-array build candidate-sized instead of
+    // corpus-sized. The EVAL side stays unpruned: it is tiny by the same
+    // design (benchmark corpora), and a second broadcast-build job costs
+    // more than the aggregate it would shrink.
     val setsE = evalSh.groupBy("doc_id").agg(
       sort_array(collect_list(col("shingle"))).as("__se"),
       count(lit(1)).as("n_eval"))
-    val setsT = trainSh.groupBy("doc_id").agg(
-      sort_array(collect_list(col("shingle"))).as("__st"),
-      count(lit(1)).as("n_train"))
+    val setsT = trainSh
+      .join(broadcast(cand.select(col("train_id").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(
+        sort_array(collect_list(col("shingle"))).as("__st"),
+        count(lit(1)).as("n_train"))
     cand
       .join(setsE.select(col("doc_id").as("eval_id"), col("__se"),
         col("n_eval")), Seq("eval_id"))
@@ -653,20 +706,42 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     // both orientations from ONE pass over `pairs` (which may be a whole
-    // dedup pipeline): explode, not a self-union that executes it twice
+    // dedup pipeline): explode, not a self-union that executes it twice.
+    // localCheckpoint, not cache (r17): a cache keeps the ENTIRE upstream
+    // pair-pipeline plan inside every round's logical plan, and the loop
+    // re-pays analysis + cache-lookup canonicalization + AQE planning over
+    // that tree once per round — measured driver-side, it dominated
+    // q_dedup_cluster (stage wall ~3 s of an 18 s run). The checkpoint
+    // collapses the input to a flat LogicalRDD so per-round planning cost
+    // is independent of how expensive the pair pipeline's plan is. The
+    // recompute-on-executor-loss trade is one the loop already makes (its
+    // every-5th-round truncation and the final materialization are local
+    // checkpoints too).
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("u"), col(bCol).as("v")),
         struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")).cache()
-    labels.count()
     var iter = 0
-    var changed = 1L
+    var changed = true
+    // convergence via the label-sum invariant (r17): every step is
+    // non-increasing per node (propagated(id) = min(own, neighbors) ≤ own;
+    // the pointer jump replaces comp c by comp(c) ≤ c), so Σcomp strictly
+    // decreases iff ANY label changed — one one-row aggregate on the
+    // already-materializing `next` replaces the previous per-round
+    // next⋈labels comparison join (one fewer shuffle + join per round).
+    // decimal(38,0) sum: a long sum overflows past ~2⁶³/max_id rows.
+    // This aggregate also doubles as the materializing action (the
+    // previous shape needed a separate labels.count()).
+    def compSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = compSum(labels)
     try {
-      while (changed > 0 && iter < maxIter) {
+      while (changed && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
         .select(col("u").as("id"), col("comp"))
@@ -679,8 +754,9 @@ object Dedup {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") < col("prev")).count()
+      val nextSum = compSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       val prev = labels
       // truncate lineage periodically: each round's plan nests the previous
       // round's, and deep iteration would otherwise bloat planning time and
@@ -694,7 +770,7 @@ object Dedup {
       prev.unpersist()
       iter += 1
       }
-      if (changed > 0)
+      if (changed)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds; " +
             "the pair list is not a near-dup graph (diameter beyond ~2^maxIter)")
@@ -704,7 +780,9 @@ object Dedup {
       labels.localCheckpoint(true)
     } finally {
       labels.unpersist()
-      edges.unpersist()
+      // edges is a local checkpoint, not a cache — its blocks are released
+      // by the ContextCleaner once unreferenced (same lifecycle as the
+      // loop's every-5th-round truncation checkpoints)
     }
   }
 

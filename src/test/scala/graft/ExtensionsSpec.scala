@@ -44,6 +44,32 @@ class ExtensionsSpec extends AnyFunSuite {
         "aggregates; plan:\n" + plan.linesIterator.take(30).mkString("\n"))
   }
 
+  test("prefix/containment/decontaminate verification is candidate-pruned " +
+      "(r17 second pass): set aggregates read semi-joined shingle relations") {
+    // the same guide-§3.2 prune as minhashDedup, landed once the candidate
+    // set was cached (the uncached first-pass attempt re-ran the whole
+    // candidate subtree per reference and measured 2× slower — see
+    // OPTIMIZATION_r17.md). Output exactness is pinned by the
+    // prefix≡naive and stop-set-split tests in this suite; this pins the
+    // PLAN shape so the prune can't silently regress.
+    val sh = Dedup.hashedShingles(docs, "doc_id", "text", 3)
+      .withColumnRenamed("sh", "shingle")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    for ((name, df) <- Seq(
+        "jaccardPairsPrefix" -> Dedup.jaccardPairsPrefix(sh, 4, 5),
+        "containmentPairs" -> Dedup.containmentPairs(sh, 4, 5, minShingles = 5),
+        "decontaminate" -> Dedup.decontaminate(
+          sh.filter(col("doc_id") % 7 =!= 0), sh.filter(col("doc_id") % 7 === 0),
+          4, 5, minShingles = 5))) {
+      val plan = planOf(df)
+      assert(plan.contains("LeftSemi"),
+        s"$name: expected a LeftSemi candidate prune below the " +
+          "verification set aggregates; plan:\n" +
+          plan.linesIterator.take(30).mkString("\n"))
+    }
+  }
+
   test("simhash: identical docs collide; near-dups are close in hamming") {
     val planted = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -601,6 +627,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val comps = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: empty pair list yields an empty labeling") {
+    // guards the r17 sum-invariant convergence check against the
+    // empty-aggregate null (sum over zero rows is NULL, not 0)
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0L)
   }
 
   test("connected components converge on a deep chain (pointer jumping)") {
