@@ -976,25 +976,33 @@ object Dedup {
     * contract); the registered faces arm it. */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double, maxVectors: Long = 0L): DataFrame = {
-    val guarded = sampleScaleGuard(emb,
+    // r17 rewrite (guide §4.1): score pairs with the native in-row
+    // [[Similarity.dot]] kernel over the array columns instead of the
+    // exploded-dimension shape — the old form pushed n²·d/2 (dim, xa, xb)
+    // rows through a dim-keyed shuffle and a pair-keyed aggregate (the
+    // dominant cost of this face: ~128M shuffled rows at 2k × 64-dim).
+    // The pair join broadcasts one side, which the `maxVectors` guard
+    // bounds BY CONSTRUCTION (this is the sample-scale exact verifier; the
+    // production routes are the LSH/ANN faces). Values: float→double
+    // element conversion is exact, so per-element products are identical
+    // to the old cast-then-multiply form; only the summation order changes
+    // (array order, deterministic, vs shuffle order), which round(·, 6)
+    // absorbs — the same tolerance the cross-engine oracle hash already
+    // rests on for every fp aggregate.
+    val v = emb.select(col(idCol).as("id"), col(embCol).as("e"))
+    val withN = v.select(col("id"), col("e"),
+      Similarity.l2norm(col("e")).as("nv"))
+    val a = sampleScaleGuard(withN,
       emb.agg(count(lit(1)).as("__stat")), maxVectors,
       "embeddingNearDups (exact all-pairs cosine)",
       "embeddingNearDupsLsh or Similarity/AnnIndex ANN + clusterNearDupPairsBounded")
-    val ex = guarded.select(col(idCol).as("id"),
-      posexplode(col(embCol)).as(Seq("dim", "x")))
-      .select(col("id"), col("dim"), col("x").cast("double").as("x"))
-    val norms = ex.groupBy("id")
-      .agg(sqrt(sum(col("x") * col("x"))).as("nv"))
-    val dots = ex.select(col("id").as("id_a"), col("dim"), col("x").as("xa"))
-      .join(ex.select(col("id").as("id_b"), col("dim"), col("x").as("xb")), Seq("dim"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("xa") * col("xb")).as("dp"))
-    dots
-      .join(norms.select(col("id").as("id_a"), col("nv").as("na")), Seq("id_a"))
-      .join(norms.select(col("id").as("id_b"), col("nv").as("nb")), Seq("id_b"))
+      .select(col("id").as("id_a"), col("e").as("ea"), col("nv").as("na"))
+    val b = withN.select(col("id").as("id_b"), col("e").as("eb"),
+      col("nv").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (round(col("dp") / (col("na") * col("nb")), 6) + lit(0.0)).as("cos"))
+        (round(Similarity.dot(col("ea"), col("eb")) /
+          (col("na") * col("nb")), 6) + lit(0.0)).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -644,9 +644,16 @@ object CurationAnalytics {
         // same sample-scale guard as q_dedup_embedding: the label-spread
         // graph comes from the exact all-pairs kernel, so it shares the
         // fail-fast bound (LSH pairs feed the same spread at scale)
+        // localCheckpoint (r17): the pair list feeds both hop-1 and hop-2
+        // expansions (and hop-2 references hop-1's labels twice), so the
+        // uncheckpointed plan instantiated the all-pairs kernel three
+        // times — AQE stage reuse does not dedupe it (the
+        // jaccardPairsPrefix lesson). Eager and per-run: each execution
+        // recomputes from parquet; the blocks die with the RDD.
         val p = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.3,
             maxVectors = 4096)
           .select("id_a", "id_b")
+          .localCheckpoint(true)
         val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
         val seeds = e.filter(col("vec_id") < 50)

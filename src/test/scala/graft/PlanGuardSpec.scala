@@ -16,7 +16,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_disjunctive_join" -> "OR-join over a BROADCAST dim (nation, 25 rows) — the disjunction itself is the operator under test",
     "q_embed_knn" -> "brute-force KNN broadcasts the tiny query set; corpus side never shuffles",
     "q_embed_knn_int8" -> "int8 KNN: same broadcast-query-side shape as q_embed_knn, integer scoring kernel",
-    "q_like_computed" -> "computed LIKE pattern join over a broadcast side (reference OBJNR-prefix semantics)",
+    "q_like_computed" -> "r17: the literal-prefix family count is an equi-join; only the residual branch (prefix short or carrying a LIKE metacharacter — empty on this corpus, bounded by data shape) keeps the general computed-LIKE nested loop",
     "q_embed_ann_ivf" -> "IVF cell scoring broadcast-crosses the <=16 coarse centroids against each vector — constant-size broadcast side by construction; the hit-rate face additionally runs the broadcast-query-side exact baseline (q_embed_knn shape)",
     "q_embed_ann_lsh" -> "the hit-rate face scores LSH output against the broadcast-query-side exact KNN baseline (q_embed_knn shape) — evaluation kernel, not the ANN search path",
     "q_embed_ann_pq" -> "the hit-rate face scores PQ/ADC output against the broadcast-query-side exact L2 baseline (q_embed_knn shape) — evaluation kernel, not the ANN search path",
@@ -56,8 +56,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_vocab_growth" -> "globalRunningSumAuto derives its bucket width from a ONE-ROW max aggregate broadcast-crossed into the data branch (the WindowGuard fix for the corpus/50-row cumulative curve)",
     "q_dedup_ngram_jaccard" -> "ONE-ROW corpus doc count broadcast-crossed as the sample-scale guard on the naive all-pairs face (fails fast above maxDocs; production routes are q_setsim_prefix / MinHash-LSH)",
     "q_semdedup" -> "ONE-ROW max-cluster-size broadcast-crossed as the sample-scale guard on the exact SemDeDup face (fails fast above maxExactClusterSize; production route is q_semdedup_bounded)",
-    "q_dedup_embedding" -> "ONE-ROW vector count broadcast-crossed as the sample-scale guard on the exact all-pairs cosine face (fails fast above 4096 vectors; production routes are embeddingNearDupsLsh / the ANN + SemDeDup-bounded pipeline)",
-    "q_label_spread" -> "same ONE-ROW sample-scale guard as q_dedup_embedding (the spread graph comes from the exact all-pairs kernel)",
+    "q_dedup_embedding" -> "ONE-ROW vector count broadcast-crossed as the sample-scale guard, plus (r17) the all-pairs id_a<id_b scoring join itself — its broadcast side is bounded by that guard BY CONSTRUCTION (fails fast above 4096 vectors; production routes are embeddingNearDupsLsh / the ANN + SemDeDup-bounded pipeline)",
+    "q_label_spread" -> "same ONE-ROW sample-scale guard + guarded all-pairs scoring join as q_dedup_embedding (the spread graph comes from the exact all-pairs kernel)",
     "q_ann_ivf_persist" -> "the IVF probe step crosses <=16 broadcast coarse centroids against each query vector (q_embed_ann_ivf shape), on both the in-memory and the stored-index side of the comparison",
     "q_ann_ivfpq_persist" -> "same <=16-centroid broadcast cross as q_embed_ann_ivfpq, on both sides of the persisted-vs-in-memory comparison",
     "q_ann_ivfpq_append" -> "same <=16-centroid broadcast cross (probe + frozen-artifact delta assignment) plus the ONE-ROW code/search summary rows crossed into the single audit row")
