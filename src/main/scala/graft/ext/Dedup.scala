@@ -999,11 +999,16 @@ object Dedup {
       .select(col("id").as("id_a"), col("e").as("ea"), col("nv").as("na"))
     val b = withN.select(col("id").as("id_b"), col("e").as("eb"),
       col("nv").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (round(Similarity.dot(col("ea"), col("eb")) /
-          (col("na") * col("nb")), 6) + lit(0.0)).as("cos"))
-      .filter(col("cos") >= threshold)
+    // the score is evaluated IN the join condition, conjunct-ordered so the
+    // cheap id inequality short-circuits the dot kernel for the discarded
+    // ordered half (n²/2 fewer vecdot evaluations — leaving the score to a
+    // post-join filter lets pushdown PREPEND it to the id conjunct, which
+    // doubles the kernel work; verified in the committed plan). The
+    // re-projection below re-evaluates the score only for surviving pairs.
+    val cos = round(Similarity.dot(col("ea"), col("eb")) /
+      (col("na") * col("nb")), 6) + lit(0.0)
+    a.join(b, col("id_a") < col("id_b") && cos >= lit(threshold))
+      .select(col("id_a"), col("id_b"), cos.as("cos"))
   }
 
   /** SemDeDup-style cluster-bounded semantic near-dup pairs (Abbas et al.

@@ -411,23 +411,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(frames(2).getLong(4) == 0L)
   }
 
-  test("embedding dedup: dim-join form is exact and cartesian-free") {
+  test("embedding dedup: kernel form ≡ exploded-dim reference, id conjunct " +
+      "short-circuits the dot kernel") {
     val emb = Tables(spark, sf, "embeddings")
-    // all-pairs theta join — the test-only baseline the operator used to be
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-    val baseline = a.join(b, col("id_a") < col("id_b"))
+    // exploded-dimension reference — the operator's pre-r17 implementation
+    // (dim-keyed join + pair-keyed aggregate), kept as the independent
+    // exactness baseline: same per-element float→double products, shuffle-
+    // order summation vs the kernel's array-order summation, both absorbed
+    // by round(·, 6)
+    val ex = emb.select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), col("x").cast("double").as("x"))
+    val norms = ex.groupBy("id").agg(sqrt(sum(col("x") * col("x"))).as("nv"))
+    val baseline = ex.select(col("id").as("id_a"), col("dim"), col("x").as("xa"))
+      .join(ex.select(col("id").as("id_b"), col("dim"), col("x").as("xb")), Seq("dim"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("xa") * col("xb")).as("dp"))
+      .join(norms.select(col("id").as("id_a"), col("nv").as("na")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nv").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dot(col("ea"), col("eb")) /
-          (Similarity.l2norm(col("ea")) * Similarity.l2norm(col("eb"))), 6).as("cos"))
+        (round(col("dp") / (col("na") * col("nb")), 6) + lit(0.0)).as("cos"))
       .filter(col("cos") >= 0.4)
       .as[(Long, Long, Double)].collect().toSet
-    val dimJoin = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
-    val got = dimJoin.as[(Long, Long, Double)].collect().toSet
+    val kernel = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+    val got = kernel.as[(Long, Long, Double)].collect().toSet
     assert(baseline.nonEmpty && got == baseline)
-    val physical = dimJoin.queryExecution.executedPlan.toString
-    assert(!physical.contains("CartesianProduct") &&
-      !physical.contains("BroadcastNestedLoop"), physical.take(2000))
+    val physical = kernel.queryExecution.executedPlan.toString
+    // the r17 shape: native vecdot kernel scored IN the bounded pair join
+    // (no exploded-dim shuffle), with the cheap id inequality ordered BEFORE
+    // the kernel in the join condition so the discarded ordered half never
+    // evaluates a dot product
+    assert(physical.contains("vecdot"), physical.take(2000))
+    assert(!physical.contains("posexplode"), physical.take(2000))
+    val joinLine = physical.linesIterator
+      .find(_.contains("NestedLoopJoin")).getOrElse(
+        fail("expected the guarded pair join in: " + physical.take(2000)))
+    assert(joinLine.indexOf("vecdot") > joinLine.indexOf(" < "),
+      s"id conjunct must precede the kernel: $joinLine")
   }
 
   test("embedding dedup LSH path: candidates verified, high recall at 0.8") {
