@@ -633,8 +633,9 @@ object Dedup {
     // cands cache). Bounded: near-dup pairs, id pairs only.
     val cands = lshCandidates(sigs, bands, rows).cache()
     // r17 (guide §3.2): verification touches candidate docs only — the
-    // per-side LeftSemi prune lives in jaccardVerify (shared by every
-    // consumer), with the bounded-candidate broadcast contract: candidate
+    // LeftSemi prune lives in jaccardVerify (shared by every consumer;
+    // batch path = one shared union-pruned aggregate serving both join
+    // sides), with the bounded-candidate broadcast contract: candidate
     // ids are near-linear in true near-dups (the banding design goal), and
     // a band-saturating corpus fails LOUDLY at the broadcast cap instead
     // of silently shuffling the corpus (the round-14 routed mitigation —
@@ -660,21 +661,54 @@ object Dedup {
     // Output identical: per-doc shingles are distinct, and the common>0
     // guard preserves the old inner-join behavior of dropping zero-overlap
     // candidates before the threshold filter.
-    // r17 (guide §3.2): each side's set aggregate reads only ITS candidate
-    // docs — a broadcast semi-join against the side's distinct candidate
-    // ids sits below the collect_list, so the corpus-wide array build the
-    // round-17 before-plans showed never happens. Identity: the downstream
-    // joins are inner on exactly these ids. Callers pass `cands` CACHED
-    // (each batch/query path does) so the two id projections don't re-run
-    // the candidate pipeline; the broadcast carries the bounded-candidate
+    // r17 (guide §3.2): each side's set aggregate reads only candidate
+    // docs — a broadcast semi-join against the candidate ids sits below the
+    // collect_list, so the corpus-wide array build the round-17 before-plans
+    // showed never happens. Identity: the downstream joins are inner on ids
+    // drawn from exactly the candidate set, and a side aggregating a
+    // SUPERSET of its own ids is harmless. Callers pass `cands` CACHED
+    // (each batch/query path does) so the id projections don't re-run the
+    // candidate pipeline; the broadcast carries the bounded-candidate
     // contract documented at minhashDedup.
-    def pruned(sh: DataFrame, idCol: String) =
-      sh.join(broadcast(cands.select(col(idCol).as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-    val setsL = pruned(shLeft, leftId).groupBy("doc_id").agg(
-      sort_array(collect_list(col("sh"))).as("__sa"), count(lit(1)).as("na"))
-    val setsR = pruned(shRight, rightId).groupBy("doc_id").agg(
-      sort_array(collect_list(col("sh"))).as("__sb"), count(lit(1)).as("nb"))
+    //
+    // When both sides are the SAME relation (the batch path: left = right =
+    // the corpus shingles), the prune uses ONE shared id set — the union of
+    // both pair sides — and ONE cached aggregate serving both joins: the
+    // per-side form computed two near-identical candidate-sized aggregates
+    // with two shuffle exchanges and two broadcast builds per execution
+    // (ops 61-68 / 79-86 of plans/r17's intermediate minhash plan), which
+    // the prefix/containment family had already measured as pure overhead
+    // ("two extra serialized broadcast jobs for no smaller aggregate").
+    // Cached because AQE does not reuse the pruned aggregate's exchange
+    // across the two join references (same measurement as
+    // jaccardPairsPrefix's `sets`); bounded: one row per candidate doc.
+    // The incremental paths (delta vs corpus) keep per-side prunes — their
+    // inputs differ, so there is no shared subtree to collapse.
+    val (setsL, setsR) =
+      if (shLeft eq shRight) {
+        val candIds = cands
+          .select(explode(array(col(leftId), col(rightId))).as("doc_id"))
+          .distinct()
+        val sets = shLeft
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(
+            sort_array(collect_list(col("sh"))).as("__sa"),
+            count(lit(1)).as("na"))
+          .cache()
+        (sets,
+          sets.select(col("doc_id"), col("__sa").as("__sb"),
+            col("na").as("nb")))
+      } else {
+        def pruned(sh: DataFrame, idCol: String) =
+          sh.join(broadcast(cands.select(col(idCol).as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+        (pruned(shLeft, leftId).groupBy("doc_id").agg(
+          sort_array(collect_list(col("sh"))).as("__sa"),
+            count(lit(1)).as("na")),
+          pruned(shRight, rightId).groupBy("doc_id").agg(
+            sort_array(collect_list(col("sh"))).as("__sb"),
+            count(lit(1)).as("nb")))
+      }
     cands
       .join(setsL.select(col("doc_id").as(leftId), col("__sa"), col("na")),
         Seq(leftId))

@@ -42,6 +42,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"),
       "expected a LeftSemi candidate prune below the verification " +
         "aggregates; plan:\n" + plan.linesIterator.take(30).mkString("\n"))
+    // second pass: the batch path builds ONE shared pruned set aggregate
+    // (cached, columns doc_id/__sa/na) and both verification joins read it
+    // through the cache (the second reference renames __sa→__sb; one cache
+    // entry — the canonical plans match). The per-side form paid two
+    // candidate-sized aggregates, two shuffle exchanges and two broadcast
+    // builds per execution, and had NO cached sets relation at all.
+    val sharedScans = plan.linesIterator
+      .filter(l => l.contains("InMemoryTableScan") &&
+        (l.contains("__sa") || l.contains("__sb")))
+      .size
+    assert(sharedScans >= 2,
+      s"expected both verification joins to read the one cached shared set " +
+        s"aggregate (saw $sharedScans InMemoryTableScan(__sa/__sb) " +
+        "references); plan:\n" + plan.linesIterator.take(40).mkString("\n"))
   }
 
   test("prefix/containment/decontaminate verification is candidate-pruned " +
