@@ -1026,13 +1026,23 @@ object Dedup {
     val v = emb.select(col(idCol).as("id"), col(embCol).as("e"))
     val withN = v.select(col("id"), col("e"),
       Similarity.l2norm(col("e")).as("nv"))
+    // the stream side is fanned out to the core count and the build side is
+    // broadcast EXPLICITLY (guide §2.5 input skew / §3.1): the sample-scale
+    // corpus usually arrives as one file = one row group = one scan
+    // partition, which runs the O(n²/2) dot-kernel loop on a single task
+    // (OpProbe: 3.0 s of the face's 3.3 s warm in one WholeStageCodegen
+    // pipeline). Both the repartition and the broadcast are bounded BY THE
+    // GUARD: this face refuses corpora past `maxVectors`, so the fan-out
+    // moves ≤ maxVectors rows and the broadcast holds ≤ maxVectors vectors
+    // at any corpus size — the production routes are the LSH/ANN faces.
     val a = sampleScaleGuard(withN,
       emb.agg(count(lit(1)).as("__stat")), maxVectors,
       "embeddingNearDups (exact all-pairs cosine)",
       "embeddingNearDupsLsh or Similarity/AnnIndex ANN + clusterNearDupPairsBounded")
       .select(col("id").as("id_a"), col("e").as("ea"), col("nv").as("na"))
-    val b = withN.select(col("id").as("id_b"), col("e").as("eb"),
-      col("nv").as("nb"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val b = broadcast(withN.select(col("id").as("id_b"), col("e").as("eb"),
+      col("nv").as("nb")))
     // the score is evaluated IN the join condition, conjunct-ordered so the
     // cheap id inequality short-circuits the dot kernel for the discarded
     // ordered half (n²/2 fewer vecdot evaluations — leaving the score to a

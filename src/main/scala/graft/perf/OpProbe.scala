@@ -85,12 +85,18 @@ object OpProbe {
     val byName = Registry.byName
     args.foreach { n =>
       val df = byName(n).build(spark, sfDir)
+      // execute the SAME plan instance we walk: Dataset.foreachPartition
+      // spawns its own QueryExecution, leaving this one's metrics at zero
+      // (only shared cache-build subtrees would carry values)
+      val qe = df.queryExecution
       val t0 = System.nanoTime()
-      df.foreachPartition((it: Iterator[org.apache.spark.sql.Row]) =>
-        it.foreach(_ => ()))
+      qe.executedPlan.execute().foreachPartition(
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          while (it.hasNext) it.next(); ()
+        })
       val sec = (System.nanoTime() - t0) / 1e9
       val out = new StringBuilder
-      walk(df.queryExecution.executedPlan, 0, out,
+      walk(qe.executedPlan, 0, out,
         new java.util.IdentityHashMap[SparkPlan, Boolean])
       println(f"[opprobe] $n%s executed in $sec%.3f s; operator metrics:")
       out.toString.linesIterator.foreach(l => println(s"[opprobe]   $l"))
