@@ -955,22 +955,48 @@ object Extensions {
     //    char distribution (low entropy = repetitive/degenerate text) —
     //    computed entirely with array lambdas per doc: NO explode, NO
     //    (doc, char) shuffle, pure narrow map. Per-char terms are scaled to
-    //    integers before the array sum so summation order cannot matter ─────
+    //    integers before the array sum so summation order cannot matter.
+    //    r17 (guide §1.2 per-task work): counts come from ONE run-length
+    //    aggregate over the chars SORTED AS CODE POINTS — O(n log n + n)
+    //    per doc where the previous array_distinct +
+    //    filter-per-distinct-char form rescanned the array once per
+    //    distinct char (O(d·n): ~60k string equals for a 1 k-char doc;
+    //    OpProbe attributed 4.6 s of the face's 4.9 s warm to that one
+    //    pipeline). ascii(c) is injective on single-char elements, so
+    //    grouping by it yields the SAME count multiset as grouping the
+    //    chars — the integer-scaled terms, their order-free long sum, and
+    //    the oracle hash are unchanged (pinned old ≡ new in ExtensionsSpec,
+    //    unicode included) while the sort compares primitive ints instead
+    //    of collation-aware strings (string sort measured only −18%; int
+    //    sort −31%). Shape matters: the sorted array is the aggregate's
+    //    INPUT argument, evaluated once per row — an intermediate sorted
+    //    COLUMN referenced inside a later lambda gets inlined into the
+    //    lambda body by projection collapse and re-sorts per ELEMENT
+    //    (O(n²·log n); the first attempt hung a task for 38 min on exactly
+    //    that — thread-dumped, guide §7.3) ──────────────────────────────────
     Q(
       "q_text_entropy",
       (s, dir) => {
         val d = t(s, dir, "documents").filter(length(col("text")) > 0)
         d.select(col("doc_id"), expr("split(text, '')").as("ch"))
           .withColumn("n", size(col("ch")).cast("double"))
-          // counts first, then the entropy term — ONE filter scan per
-          // distinct char, not two
-          .withColumn("terms", expr(
-            """transform(
-              transform(array_distinct(ch), c2 -> size(filter(ch, x -> x = c2))),
-              c -> cast(round(-(c / n) * ln(c / n) * 1e10) as bigint))"""))
+          // fold state: (prev char, current run length, integer term acc);
+          // each run boundary banks the finished run's entropy term, the
+          // finish lambda banks the last run
+          .withColumn("sum_terms", expr(
+            """aggregate(
+              array_sort(transform(ch, c -> ascii(c))),
+              struct(cast(null as int) as prev, 0L as run, 0L as acc),
+              (s, x) -> if(s.prev is null or x = s.prev,
+                struct(x as prev, s.run + 1 as run, s.acc as acc),
+                struct(x as prev, 1L as run,
+                  s.acc + cast(round(-(s.run / n) * ln(s.run / n) * 1e10)
+                    as bigint) as acc)),
+              s -> s.acc + cast(round(-(s.run / n) * ln(s.run / n) * 1e10)
+                as bigint))"""))
           .select(col("doc_id"), col("n").cast("long").as("n_chars"),
-            round(expr("aggregate(terms, 0L, (a, t) -> a + t)").cast("double")
-              / lit(1e10), 6).as("entropy_nats"))
+            round(col("sum_terms").cast("double") / lit(1e10), 6)
+              .as("entropy_nats"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH c AS (SELECT doc_id, string_split(text, '') AS ch,

@@ -84,6 +84,50 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char-entropy run-length form ≡ filter-per-distinct-char reference") {
+    // r17 per-task rewrite (q_text_entropy): counts from ONE sorted
+    // run-length pass instead of rescanning the char array once per
+    // distinct char. The per-doc count multiset is identical, so the
+    // integer-scaled terms and their order-free long sum must match the
+    // old form exactly — including on degenerate inputs (single char,
+    // all-same chars, unicode).
+    val docs = Tables(spark, sf, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq((900001L, "a"), (900002L, "aaaaaa"),
+        (900003L, "ÃŸÃŸÃ©Ã©Ã©x"), (900004L, "ab"))
+        .toDF("doc_id", "text"))
+    val base = docs.select(col("doc_id"), expr("split(text, '')").as("ch"))
+      .withColumn("n", size(col("ch")).cast("double"))
+    def total(terms: org.apache.spark.sql.Column) =
+      round(terms.cast("double") / lit(1e10), 6)
+    val oldForm = base.withColumn("terms", expr(
+        """transform(
+          transform(array_distinct(ch), c2 -> size(filter(ch, x -> x = c2))),
+          c -> cast(round(-(c / n) * ln(c / n) * 1e10) as bigint))"""))
+      .select(col("doc_id"),
+        total(expr("aggregate(terms, 0L, (a, t) -> a + t)")).as("e"))
+    // the landed form: ONE run-length aggregate over the sorted array as
+    // the higher-order function's INPUT (evaluated once per row) — an
+    // intermediate sorted column referenced inside a later lambda gets
+    // inlined into the lambda body and re-sorts per element
+    val newForm = base.withColumn("sum_terms", expr(
+        """aggregate(
+          array_sort(transform(ch, c -> ascii(c))),
+          struct(cast(null as int) as prev, 0L as run, 0L as acc),
+          (s, x) -> if(s.prev is null or x = s.prev,
+            struct(x as prev, s.run + 1 as run, s.acc as acc),
+            struct(x as prev, 1L as run,
+              s.acc + cast(round(-(s.run / n) * ln(s.run / n) * 1e10)
+                as bigint) as acc)),
+          s -> s.acc + cast(round(-(s.run / n) * ln(s.run / n) * 1e10)
+            as bigint))"""))
+      .select(col("doc_id"), total(col("sum_terms")).as("e"))
+    val diff = oldForm.as("o").join(newForm.as("nw"), Seq("doc_id"))
+      .filter(col("o.e") =!= col("nw.e"))
+    assert(diff.isEmpty, s"entropy mismatch: ${diff.take(5).mkString(", ")}")
+  }
+
   test("simhash: identical docs collide; near-dups are close in hamming") {
     val planted = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
